@@ -1,0 +1,94 @@
+package graft.analytics
+
+import graft.{Q, QueryPack, Tables}
+import org.apache.spark.sql.functions._
+
+/** The reference dashboard's analytics (SURVEY.md §2.6 A1-A8 + §2.4 F6-F7,
+  * `interactive_dashboard.py:103-194`) bound to the harness tables, one
+  * oracle-checked query per operator.
+  */
+object Dashboard extends QueryPack {
+
+  private val a1 = Q(
+    "a1_value_counts_event_type",
+    (s, d) => Analytics.valueCounts(Tables.events(s, d), "event_type"),
+    Some("""SELECT event_type, count(*) AS n FROM events
+           |GROUP BY 1 ORDER BY n DESC, event_type""".stripMargin))
+
+  private val a2 = Q(
+    "a2_topk_doc_sources",
+    (s, d) => Analytics.topK(Tables.documents(s, d), "source", 10),
+    Some("""SELECT source, count(*) AS n FROM documents
+           |GROUP BY 1 ORDER BY n DESC, source LIMIT 10""".stripMargin))
+
+  private val a3 = Q(
+    "a3_group_size_lang_source",
+    (s, d) => Analytics.groupSize(Tables.documents(s, d), Seq("lang", "source"))
+      .orderBy(col("lang"), col("source")),
+    Some("""SELECT lang, source, count(*) AS n FROM documents
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
+  private val a4 = Q(
+    "a4_distinct_users",
+    (s, d) => Analytics.distinctCount(Tables.events(s, d), "user_id"),
+    Some("SELECT count(DISTINCT user_id) AS n_distinct FROM events"))
+
+  private val a5 = Q(
+    "a5_users_with_multiple_event_types",
+    (s, d) => Tables.events(s, d)
+      .groupBy(col("user_id")).agg(count_distinct(col("event_type")).as("nd"))
+      .filter(col("nd") >= 3)
+      .agg(count(lit(1)).as("n_users")),
+    Some("""SELECT count(*) AS n_users FROM (
+           | SELECT user_id, count(DISTINCT event_type) AS nd
+           | FROM events GROUP BY 1) t WHERE nd >= 3""".stripMargin))
+
+  private val a6num = Q(
+    "a6_histogram_event_value",
+    (s, d) => Analytics.histogram(Tables.events(s, d), "value", 30),
+    // Same arithmetic shape: (v - min) / ((max - min)/30), floored,
+    // max folded into bin 29. IEEE-identical in both engines.
+    Some("""WITH stats AS (SELECT min(value) AS mn, max(value) AS mx FROM events)
+           |SELECT CAST(least(floor((value - mn) / ((mx - mn) / 30)), 29) AS BIGINT) AS bin,
+           |       count(*) AS n
+           |FROM events, stats GROUP BY 1 ORDER BY 1""".stripMargin),
+    headline = true)
+
+  private val a6time = Q(
+    "a6_histogram_orders_by_month",
+    (s, d) => Analytics.timeHistogram(Tables.orders(s, d), "o_orderdate", "month")
+      .withColumnRenamed("bucket", "month"),
+    Some("""SELECT date_trunc('month', o_orderdate) AS month, count(*) AS n
+           |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  private val a7 = Q(
+    "a7_unique_event_types",
+    (s, d) => Analytics.uniqueValues(Tables.events(s, d), "event_type"),
+    Some("SELECT DISTINCT event_type FROM events ORDER BY event_type"))
+
+  private val a8 = Q(
+    "a8_preview_documents",
+    (s, d) => Analytics.preview(
+      Tables.documents(s, d).select(col("doc_id"), col("lang"), col("source"), col("n_chars")),
+      "doc_id", 5),
+    Some("""SELECT doc_id, lang, source, n_chars FROM documents
+           |ORDER BY doc_id LIMIT 5""".stripMargin))
+
+  private val f6 = Q(
+    "f6_contains_filter_docs",
+    (s, d) => Analytics.containsFilter(Tables.documents(s, d), "text", "spark")
+      .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .orderBy(col("lang")),
+    Some("""SELECT lang, count(*) AS n FROM documents
+           |WHERE contains(lower(text), 'spark') GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  private val f7 = Q(
+    "f7_drilldown_errors",
+    (s, d) => Analytics.drilldown(Tables.events(s, d), "event_type", "error")
+      .select(col("event_id"), col("user_id"), col("value"))
+      .orderBy(col("event_id")),
+    Some("""SELECT event_id, user_id, value FROM events
+           |WHERE event_type = 'error' ORDER BY event_id""".stripMargin))
+
+  val qs: Seq[Q] = Seq(a1, a2, a3, a4, a5, a6num, a6time, a7, a8, f6, f7)
+}

@@ -1,0 +1,305 @@
+package graft.analytics
+
+import graft.{Q, QueryPack, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational core: joins (broadcast + shuffle), aggregations, windows,
+  * set ops, rollup, subqueries — the generic engine capabilities SURVEY.md
+  * §2.5/§2.6 calls for over the harness star schema (TESTDATA.md).
+  *
+  * Scale design notes (local[32] tests, 1000-executor target):
+  *  - Dim tables (region/nation/customer/supplier/part) are explicitly
+  *    `broadcast()` so fact-side scans never shuffle for them.
+  *  - Fact-fact joins (orders⋈lineitem) are left to Catalyst's sort-merge
+  *    with AQE; both sides shuffle-partition on the join key once.
+  *  - Money aggregates are rounded at the END (2 dp) purely for oracle
+  *    stability; the plan carries raw doubles.
+  *  - Top-K always goes through orderBy+limit → TakeOrderedAndProject
+  *    (per-partition heaps, no global sort).
+  */
+object Relational extends QueryPack {
+
+  /** TPC-H Q1-style pricing summary: partial-agg heavy, 6 aggregates. */
+  private val q1 = Q(
+    "q1_pricing_summary",
+    (s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-01"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+           | round(sum(l_quantity), 2) AS sum_qty,
+           | round(sum(l_extendedprice), 2) AS sum_base_price,
+           | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+           | round(avg(l_quantity), 4) AS avg_qty,
+           | round(avg(l_discount), 6) AS avg_disc,
+           | count(*) AS count_order
+           |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    headline = true)
+
+  /** TPC-H Q3-style: dim-filter broadcast join + fact-fact join + top-10. */
+  private val q3 = Q(
+    "q3_top_revenue_orders",
+    (s, d) => {
+      val cust = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val ord = Tables.orders(s, d)
+      val li = Tables.lineitem(s, d)
+      broadcast(cust)
+        .join(ord, col("c_custkey") === col("o_custkey"))
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+    Some("""SELECT l_orderkey, o_orderdate, o_orderpriority,
+           | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+           |FROM customer JOIN orders ON c_custkey = o_custkey
+           | JOIN lineitem ON o_orderkey = l_orderkey
+           |WHERE c_mktsegment = 'BUILDING'
+           |GROUP BY 1, 2, 3 ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin),
+    headline = true)
+
+  /** TPC-H Q5-style: 6-table star join, dims broadcast, facts sort-merge. */
+  private val q5 = Q(
+    "q5_nation_revenue",
+    (s, d) => {
+      val joined = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.customer(s, d)),
+          col("o_custkey") === col("c_custkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+      joined
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("n_name"))
+    },
+    Some("""SELECT n_name,
+           | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+           |FROM lineitem
+           | JOIN orders ON l_orderkey = o_orderkey
+           | JOIN supplier ON l_suppkey = s_suppkey
+           | JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+           | JOIN nation ON s_nationkey = n_nationkey
+           | JOIN region ON n_regionkey = r_regionkey
+           |WHERE r_name = 'ASIA'
+           |GROUP BY 1 ORDER BY 1""".stripMargin),
+    headline = true)
+
+  /** TPC-H Q6-style: pure scan+filter+agg — pushdown showcase. */
+  private val q6 = Q(
+    "q6_revenue_forecast",
+    (s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1995-01-01") &&
+          col("l_shipdate") < lit("1996-01-01") &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))
+    },
+    Some("""SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+           |FROM lineitem
+           |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+           |  AND l_shipdate < TIMESTAMP '1996-01-01'
+           |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin),
+    headline = true)
+
+  /** Broadcast dim join + group on dim attribute. */
+  private val brandVolume = Q(
+    "join_brand_volume",
+    (s, d) => {
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy(col("p_brand"))
+    },
+    Some("""SELECT p_brand, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+           |FROM lineitem JOIN part ON l_partkey = p_partkey
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** Anti join: customers that never ordered. */
+  private val antiJoin = Q(
+    "join_anti_customers_no_orders",
+    (s, d) => {
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""SELECT c_custkey, c_name FROM customer
+           |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+           |ORDER BY c_custkey""".stripMargin))
+
+  /** Semi join: suppliers with any late-epoch shipment. */
+  private val semiJoin = Q(
+    "join_semi_active_suppliers",
+    (s, d) => {
+      val late = Tables.lineitem(s, d).filter(col("l_shipdate") >= lit("2001-01-01"))
+      Tables.supplier(s, d)
+        .join(late, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"))
+        .orderBy(col("s_suppkey"))
+    },
+    Some("""SELECT s_suppkey, s_name FROM supplier
+           |WHERE EXISTS (SELECT 1 FROM lineitem
+           |  WHERE l_suppkey = s_suppkey AND l_shipdate >= TIMESTAMP '2001-01-01')
+           |ORDER BY s_suppkey""".stripMargin))
+
+  /** Top-K heavy-hitter parts — plans as TakeOrderedAndProject. */
+  private val topkParts = Q(
+    "topk_parts_by_lineitems",
+    (s, d) => Analytics.topK(Tables.lineitem(s, d), "l_partkey", 10),
+    Some("""SELECT l_partkey, count(*) AS n FROM lineitem
+           |GROUP BY 1 ORDER BY n DESC, l_partkey LIMIT 10""".stripMargin),
+    headline = true)
+
+  /** Ranking window: top-3 orders per customer. */
+  private val windowRank = Q(
+    "window_rank_top3_orders",
+    (s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+        .orderBy(col("o_custkey"), col("rn"))
+    },
+    Some("""SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+           | SELECT o_custkey, o_orderkey, o_totalprice,
+           |  row_number() OVER (PARTITION BY o_custkey
+           |    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           | FROM orders) t WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin),
+    headline = true)
+
+  /** Analytic window: per-user running sum (deterministic accumulation
+    * order inside the frame ⇒ bit-stable doubles).
+    */
+  private val windowRunning = Q(
+    "window_running_user_value",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          round(sum(col("value")).over(w), 2).as("running_value"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT event_id, user_id,
+           | round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value
+           |FROM events ORDER BY event_id""".stripMargin))
+
+  /** lag()-based sessionization: 30-minute inactivity gap per user. */
+  private val sessionize = Q(
+    "window_sessionize_users",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("brk",
+          when(col("prev_ts").isNull ||
+            col("ts") > col("prev_ts") + expr("INTERVAL 30 MINUTES"), 1).otherwise(0))
+        .groupBy(col("user_id"))
+        .agg(sum(col("brk")).as("n_sessions"))
+        .orderBy(col("user_id"))
+    },
+    Some("""WITH g AS (
+           | SELECT user_id, ts,
+           |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+           |        OR ts > lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           |             + INTERVAL 30 MINUTE
+           |       THEN 1 ELSE 0 END AS brk
+           | FROM events)
+           |SELECT user_id, CAST(sum(brk) AS BIGINT) AS n_sessions
+           |FROM g GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** Rollup (grouping sets) over the q1 keys. */
+  private val rollupQ = Q(
+    "agg_rollup_flag_status",
+    (s, d) => {
+      Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+           | round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+           |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+           |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin))
+
+  /** Cube over two independent dims. */
+  private val cubeQ = Q(
+    "agg_cube_status_priority",
+    (s, d) => {
+      Tables.orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("sum_price"))
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+    },
+    Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           | round(sum(o_totalprice), 2) AS sum_price
+           |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+           |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin))
+
+  /** Scalar subquery: count of orders above global average price. */
+  private val scalarSub = Q(
+    "agg_orders_above_avg",
+    (s, d) => {
+      val ord = Tables.orders(s, d)
+      val avgP = ord.agg(avg(col("o_totalprice")).as("avg_price"))
+      ord.crossJoin(broadcast(avgP))
+        .filter(col("o_totalprice") > col("avg_price"))
+        .agg(count(lit(1)).as("n_above"))
+    },
+    Some("""SELECT count(*) AS n_above FROM orders
+           |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)""".stripMargin))
+
+  /** Set op: distinct (user, type) pairs seen in week 1 but never again. */
+  private val exceptQ = Q(
+    "setop_week1_only_pairs",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val w1 = ev.filter(col("ts") < lit("2024-01-08")).select(col("user_id"), col("event_type"))
+      val rest = ev.filter(col("ts") >= lit("2024-01-08")).select(col("user_id"), col("event_type"))
+      w1.except(rest).orderBy(col("user_id"), col("event_type"))
+    },
+    Some("""SELECT user_id, event_type FROM events WHERE ts < TIMESTAMP '2024-01-08'
+           |EXCEPT
+           |SELECT user_id, event_type FROM events WHERE ts >= TIMESTAMP '2024-01-08'
+           |ORDER BY user_id, event_type""".stripMargin))
+
+  /** Set op: users active in both the first and last week. */
+  private val intersectQ = Q(
+    "setop_retained_users",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val w1 = ev.filter(col("ts") < lit("2024-01-08")).select(col("user_id"))
+      val wLast = ev.filter(col("ts") >= lit("2024-01-24")).select(col("user_id"))
+      w1.intersect(wLast).orderBy(col("user_id"))
+    },
+    Some("""SELECT user_id FROM events WHERE ts < TIMESTAMP '2024-01-08'
+           |INTERSECT
+           |SELECT user_id FROM events WHERE ts >= TIMESTAMP '2024-01-24'
+           |ORDER BY user_id""".stripMargin))
+
+  val qs: Seq[Q] = Seq(q1, q3, q5, q6, brandVolume, antiJoin, semiJoin,
+    topkParts, windowRank, windowRunning, sessionize, rollupQ, cubeQ,
+    scalarSub, exceptQ, intersectQ)
+}

@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (point-in-time) join — an operator Spark lacks natively.
+  *
+  * Implemented by composition (preference (a) of the build rules) as the
+  * classic union-sort trick rather than a row-exploding range join:
+  * tag both sides, union on (key, ts), and carry the most recent right-side
+  * payload forward with `last(_, ignoreNulls)` over a running window.
+  *
+  * Cost at scale: ONE shuffle of (|L|+|R|) rows hash-partitioned by `key`
+  * plus a per-partition sort — identical movement to a sort-merge equi-join,
+  * independent of time-range density (a naive `l.ts >= r.ts` range join is
+  * O(|L|·|R|) within key groups and explodes on hot keys).
+  */
+object AsOfJoin {
+
+  /** Left as-of backward join: for each left row, the latest right row with
+    * the same `key` and `right.ts <= left.ts` (inclusive). Right payload
+    * columns are appended to the left row (null when no match).
+    *
+    * @param tiebreak right-side column ordering simultaneous right rows;
+    *                 the greatest wins — keeps the result deterministic.
+    */
+  def backward(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      ts: String,
+      payload: Seq[String],
+      tiebreak: String): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val payloadStruct = struct(payload.map(col).toIndexedSeq: _*)
+    val payloadType = right.select(payloadStruct).schema.head.dataType
+    val leftStructT = left.select(struct(leftCols.map(col).toIndexedSeq: _*)).schema.head.dataType
+
+    // _side 0 (right) sorts before _side 1 (left) at equal ts ⇒ inclusive.
+    val lU = left.select(
+      col(key).as("_k"), col(ts).as("_t"), lit(1).as("_side"),
+      lit(null).cast("double").as("_tb"),
+      struct(leftCols.map(col).toIndexedSeq: _*).as("_l"),
+      lit(null).cast(payloadType).as("_r"))
+    val rU = right.select(
+      col(key).as("_k"), col(ts).as("_t"), lit(0).as("_side"),
+      col(tiebreak).cast("double").as("_tb"),
+      lit(null).cast(leftStructT).as("_l"),
+      payloadStruct.as("_r"))
+
+    val w = Window.partitionBy(col("_k"))
+      .orderBy(col("_t"), col("_side"), col("_tb").asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    lU.unionByName(rU)
+      .withColumn("_match", last(col("_r"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .select(leftCols.map(c => col(s"_l.$c").as(c)) ++
+        payload.map(c => col(s"_match.$c").as(c)): _*)
+  }
+}
