@@ -20,6 +20,25 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** The events table carries TIMESTAMP(NANOS) parquet timestamps, which
+    * Spark 4 rejects outright (PARQUET_TYPE_ILLEGAL). Read them as raw
+    * nanos (legacy conf) and truncate to microseconds — exactly what
+    * DuckDB's micro-precision TIMESTAMP does on the same file, so oracle
+    * and engine see identical instants. Conversion is schema-conditional:
+    * if the file is ever rewritten at micro precision the branch is a
+    * no-op and the plain timestamp column passes through.
+    */
+  private def loadNanosSafe(spark: SparkSession, dir: String, name: String,
+      tsCols: Seq[String]): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = load(spark, dir, name)
+    tsCols.foldLeft(df) { (d, c) =>
+      if (d.schema(c).dataType == org.apache.spark.sql.types.LongType)
+        d.withColumn(c, expr(s"timestamp_micros($c div 1000)"))
+      else d
+    }
+  }
+
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")
@@ -27,7 +46,8 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame = load(s, d, "events")
+  def events(s: SparkSession, d: String): DataFrame =
+    loadNanosSafe(s, d, "events", Seq("ts"))
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 

@@ -56,13 +56,17 @@ object Analytics {
     * 2 scans of one column, no row-level shuffle beyond the bin counts.
     */
   def histogram(df: DataFrame, c: String, bins: Int): DataFrame = {
-    val stats = df.agg(min(col(c)).as("mn"), max(col(c)).as("mx"))
-    df.crossJoin(broadcast(stats))
+    // Nulls dropped (plotly px.histogram semantics); constant column
+    // (mn == mx) degenerates to a single bin 0 instead of 0/0 = NaN.
+    val nn = df.filter(col(c).isNotNull)
+    val stats = nn.agg(min(col(c)).as("mn"), max(col(c)).as("mx"))
+    nn.crossJoin(broadcast(stats))
       .select(
-        least(
-          floor((col(c) - col("mn")) / ((col("mx") - col("mn")) / bins)),
-          lit(bins - 1)
-        ).cast("long").as("bin"))
+        when(col("mx") === col("mn"), lit(0L))
+          .otherwise(least(
+            floor((col(c) - col("mn")) / ((col("mx") - col("mn")) / bins)),
+            lit(bins - 1)).cast("long"))
+          .as("bin"))
       .groupBy(col("bin")).agg(count(lit(1)).as("n"))
       .orderBy(col("bin"))
   }

@@ -13,13 +13,13 @@ object Dashboard extends QueryPack {
     "a1_value_counts_event_type",
     (s, d) => Analytics.valueCounts(Tables.events(s, d), "event_type"),
     Some("""SELECT event_type, count(*) AS n FROM events
-           |GROUP BY 1 ORDER BY n DESC, event_type""".stripMargin))
+           |GROUP BY 1 ORDER BY n DESC, event_type NULLS FIRST""".stripMargin))
 
   private val a2 = Q(
     "a2_topk_doc_sources",
     (s, d) => Analytics.topK(Tables.documents(s, d), "source", 10),
     Some("""SELECT source, count(*) AS n FROM documents
-           |GROUP BY 1 ORDER BY n DESC, source LIMIT 10""".stripMargin))
+           |GROUP BY 1 ORDER BY n DESC, source NULLS FIRST LIMIT 10""".stripMargin))
 
   private val a3 = Q(
     "a3_group_size_lang_source",
@@ -47,24 +47,32 @@ object Dashboard extends QueryPack {
     "a6_histogram_event_value",
     (s, d) => Analytics.histogram(Tables.events(s, d), "value", 30),
     // Same arithmetic shape: (v - min) / ((max - min)/30), floored,
-    // max folded into bin 29. IEEE-identical in both engines.
-    Some("""WITH stats AS (SELECT min(value) AS mn, max(value) AS mx FROM events)
-           |SELECT CAST(least(floor((value - mn) / ((mx - mn) / 30)), 29) AS BIGINT) AS bin,
+    // max folded into bin 29. IEEE-identical in both engines. Nulls
+    // dropped and the constant-column case pinned to bin 0, mirroring
+    // Analytics.histogram exactly.
+    Some("""WITH stats AS (
+           | SELECT min(value) AS mn, max(value) AS mx FROM events WHERE value IS NOT NULL)
+           |SELECT CAST(CASE WHEN mx = mn THEN 0
+           |   ELSE least(floor((value - mn) / ((mx - mn) / 30)), 29) END AS BIGINT) AS bin,
            |       count(*) AS n
-           |FROM events, stats GROUP BY 1 ORDER BY 1""".stripMargin),
+           |FROM events, stats WHERE value IS NOT NULL
+           |GROUP BY 1 ORDER BY 1""".stripMargin),
     headline = true)
 
   private val a6time = Q(
     "a6_histogram_orders_by_month",
     (s, d) => Analytics.timeHistogram(Tables.orders(s, d), "o_orderdate", "month")
       .withColumnRenamed("bucket", "month"),
-    Some("""SELECT date_trunc('month', o_orderdate) AS month, count(*) AS n
+    // CAST: DuckDB date_trunc('month', ts) yields DATE; Spark yields
+    // TIMESTAMP — align the oracle's type with the engine's.
+    Some("""SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+           | count(*) AS n
            |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin))
 
   private val a7 = Q(
     "a7_unique_event_types",
     (s, d) => Analytics.uniqueValues(Tables.events(s, d), "event_type"),
-    Some("SELECT DISTINCT event_type FROM events ORDER BY event_type"))
+    Some("SELECT DISTINCT event_type FROM events ORDER BY event_type NULLS FIRST"))
 
   private val a8 = Q(
     "a8_preview_documents",

@@ -141,8 +141,10 @@ object Relational extends QueryPack {
         .select(col("c_custkey"), col("c_name"))
         .orderBy(col("c_custkey"))
     },
+    // NOT EXISTS (not NOT IN): the exact left_anti equivalent under NULLs —
+    // a NULL o_custkey would make NOT IN return zero rows.
     Some("""SELECT c_custkey, c_name FROM customer
-           |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+           |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
            |ORDER BY c_custkey""".stripMargin))
 
   /** Semi join: suppliers with any late-epoch shipment. */
@@ -165,7 +167,7 @@ object Relational extends QueryPack {
     "topk_parts_by_lineitems",
     (s, d) => Analytics.topK(Tables.lineitem(s, d), "l_partkey", 10),
     Some("""SELECT l_partkey, count(*) AS n FROM lineitem
-           |GROUP BY 1 ORDER BY n DESC, l_partkey LIMIT 10""".stripMargin),
+           |GROUP BY 1 ORDER BY n DESC, l_partkey NULLS FIRST LIMIT 10""".stripMargin),
     headline = true)
 
   /** Ranking window: top-3 orders per customer. */
@@ -188,7 +190,10 @@ object Relational extends QueryPack {
     headline = true)
 
   /** Analytic window: per-user running sum (deterministic accumulation
-    * order inside the frame ⇒ bit-stable doubles).
+    * order inside the frame ⇒ stable doubles), then reduced per user so the
+    * verified result is bounded by |users|, not |events| — no full-table
+    * global sort at any scale (the r1 version ordered every output row by
+    * event_id, a scale-killer flagged in VERDICT.md).
     */
   private val windowRunning = Q(
     "window_running_user_value",
@@ -197,14 +202,19 @@ object Relational extends QueryPack {
         .orderBy(col("ts"), col("event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.events(s, d)
-        .select(col("event_id"), col("user_id"),
-          round(sum(col("value")).over(w), 2).as("running_value"))
-        .orderBy(col("event_id"))
+        .select(col("user_id"), sum(col("value")).over(w).as("run"))
+        .groupBy(col("user_id"))
+        .agg(round(max(col("run")), 2).as("max_running"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"))
     },
-    Some("""SELECT event_id, user_id,
-           | round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-           |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value
-           |FROM events ORDER BY event_id""".stripMargin))
+    Some("""WITH r AS (
+           | SELECT user_id, sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+           | FROM events)
+           |SELECT user_id, round(max(run), 2) AS max_running,
+           | count(*) AS n_events
+           |FROM r GROUP BY 1 ORDER BY 1""".stripMargin))
 
   /** lag()-based sessionization: 30-minute inactivity gap per user. */
   private val sessionize = Q(

@@ -5,12 +5,18 @@ import graft.ops.AsOfJoin
 import org.apache.spark.sql.functions._
 
 /** Time-series operators over the `events` table: as-of join, tumbling
-  * windows (the batch-equivalent of the Structured Streaming path in
-  * `graft.streaming`), and JSON property extraction.
+  * windows (batch shape of the Structured Streaming path in
+  * [[graft.streaming.EventStream]]), and JSON property extraction.
   */
 object Temporal extends QueryPack {
 
-  /** As-of join: each purchase matched to the user's latest prior click. */
+  /** As-of join: each purchase matched to the user's latest prior click,
+    * then reduced per user so the verified result is bounded by |users|.
+    * The per-user aggregates depend only on the matched click's timestamp
+    * (never its payload), so simultaneous-click tie-breaking cannot make
+    * the compare flaky; per-row payload semantics are covered by the
+    * AsOfJoinSpec ScalaTest instead.
+    */
   private val asof = Q(
     "asof_purchase_last_click",
     (s, d) => {
@@ -18,19 +24,24 @@ object Temporal extends QueryPack {
       val purchases = ev.filter(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), col("ts"))
       val clicks = ev.filter(col("event_type") === "click")
-        .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        .select(col("user_id"), col("ts"),
           col("value").as("click_value"), col("event_id").as("c_eid"))
       AsOfJoin.backward(
-        purchases, clicks.withColumnRenamed("c_user", "user_id").withColumn("ts", col("click_ts")),
+        purchases, clicks.withColumn("click_ts", col("ts")),
         key = "user_id", ts = "ts",
         payload = Seq("click_ts", "click_value"), tiebreak = "c_eid")
-        .orderBy(col("event_id"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_purchases"),
+          count(col("click_ts")).as("n_matched"),
+          max(col("click_ts")).as("last_click_ts"))
+        .orderBy(col("user_id"))
     },
-    Some("""SELECT p.event_id, p.user_id, p.ts, c.ts AS click_ts, c.value AS click_value
+    Some("""SELECT p.user_id, count(*) AS n_purchases, count(c.ts) AS n_matched,
+           | max(c.ts) AS last_click_ts
            |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
            |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
            |  ON p.user_id = c.user_id AND p.ts >= c.ts
-           |ORDER BY p.event_id""".stripMargin),
+           |GROUP BY 1 ORDER BY 1""".stripMargin),
     headline = true)
 
   /** Tumbling 1-hour window aggregation — identical logic drives the
@@ -47,16 +58,23 @@ object Temporal extends QueryPack {
            |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
   /** Semi-structured access: JSON props column (reference stores JSON
-    * strings in the log channel, SURVEY.md §1.3 P15).
+    * strings in the log channel, SURVEY.md §1.3 P15). Aggregated per
+    * event_type — bounded result, no full-table stability sort.
     */
   private val jsonExtract = Q(
     "json_extract_props",
     (s, d) => Tables.events(s, d)
-      .select(col("event_id"),
+      .select(col("event_type"),
         get_json_object(col("props"), "$.k").cast("long").as("k"))
-      .orderBy(col("event_id")),
-    Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
-           |FROM events ORDER BY event_id""".stripMargin))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"), count(col("k")).as("n_k"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type")),
+    Some("""SELECT event_type,
+           | CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           | count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k,
+           | count(*) AS n
+           |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
 
   val qs: Seq[Q] = Seq(asof, tumbling, jsonExtract)
 }

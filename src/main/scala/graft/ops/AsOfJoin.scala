@@ -36,16 +36,20 @@ object AsOfJoin {
     val payloadStruct = struct(payload.map(col).toIndexedSeq: _*)
     val payloadType = right.select(payloadStruct).schema.head.dataType
     val leftStructT = left.select(struct(leftCols.map(col).toIndexedSeq: _*)).schema.head.dataType
+    // Tiebreak stays in its NATIVE type: casting to double would null out
+    // string tiebreakers and lose precision for longs above 2^53, silently
+    // breaking the documented "greatest wins" determinism.
+    val tiebreakType = right.select(col(tiebreak)).schema.head.dataType
 
     // _side 0 (right) sorts before _side 1 (left) at equal ts ⇒ inclusive.
     val lU = left.select(
       col(key).as("_k"), col(ts).as("_t"), lit(1).as("_side"),
-      lit(null).cast("double").as("_tb"),
+      lit(null).cast(tiebreakType).as("_tb"),
       struct(leftCols.map(col).toIndexedSeq: _*).as("_l"),
       lit(null).cast(payloadType).as("_r"))
     val rU = right.select(
       col(key).as("_k"), col(ts).as("_t"), lit(0).as("_side"),
-      col(tiebreak).cast("double").as("_tb"),
+      col(tiebreak).as("_tb"),
       lit(null).cast(leftStructT).as("_l"),
       payloadStruct.as("_r"))
 
