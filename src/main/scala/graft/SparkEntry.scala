@@ -13,7 +13,8 @@ object SparkEntry {
   private def packs: Seq[QueryPack] = Seq(
     analytics.Relational,
     analytics.Dashboard,
-    analytics.Temporal)
+    analytics.Temporal,
+    etl.EtlQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,297 @@
+package graft.etl
+
+import graft.{Q, QueryPack, Tables}
+import graft.functions.NfkcLower
+import graft.ops.Dedup
+import org.apache.spark.sql.functions._
+
+/** Oracle-checked exercises of every ETL cleaning operator AT SCALE.
+  *
+  * The reference fixtures are 12 rows; correctness there is covered by the
+  * EtlGoldenSpec. These queries drive the same column expressions over the
+  * harness tables (60k–600k rows) by synthesizing messy inputs
+  * DETERMINISTICALLY from integer keys, with DuckDB oracles that derive
+  * the expected result INDEPENDENTLY (branch-by-branch CASE arithmetic,
+  * not a re-run of the engine's regex chain) — a true cross-engine check
+  * of the cleaning semantics.
+  *
+  * Aggregates stick to count/min/max/integral sums: all are exact under
+  * IEEE doubles when both engines compute the same per-row values, so no
+  * rounding-boundary flakes.
+  */
+object EtlQueries extends QueryPack {
+
+  // ------------------------------------------------------------- P3
+  private val heightQ = Q(
+    "etl_height_units",
+    (s, d) => {
+      val t = Tables.customer(s, d).select(col("c_custkey").as("k"))
+      val b = col("k") % 5
+      val num = (lit(150) + col("k") % 50).cast("int")
+      val str = when(b === 0, format_string("%d cm", num))
+        .when(b === 1, format_string("%dcm", num))
+        .when(b === 2, format_string("%dft %din",
+          (lit(5) + col("k") % 2).cast("int"), (col("k") % 12).cast("int")))
+        .when(b === 3, format_string("%d in", num))
+        .otherwise(format_string("%d.%02d m", lit(1), (col("k") % 100).cast("int")))
+      t.select(b.as("bucket"), Cleaning.heightToCm(str).as("h"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), min(col("h")).as("min_h"), max(col("h")).as("max_h"))
+        .orderBy(col("bucket"))
+    },
+    Some("""WITH t AS (SELECT c_custkey AS k, c_custkey % 5 AS bucket FROM customer),
+           |s AS (SELECT bucket,
+           |  CASE bucket
+           |   WHEN 0 THEN CAST(150 + k % 50 AS DOUBLE)
+           |   WHEN 1 THEN CAST(150 + k % 50 AS DOUBLE)
+           |   WHEN 2 THEN (5 + k % 2) * 30.48 + (k % 12) * 2.54
+           |   WHEN 3 THEN (150 + k % 50) * 2.54
+           |   ELSE CAST(1 || '.' || lpad(CAST(k % 100 AS VARCHAR), 2, '0') AS DOUBLE) * 100
+           |  END AS h FROM t)
+           |SELECT bucket, count(*) AS n, min(h) AS min_h, max(h) AS max_h
+           |FROM s GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  // ------------------------------------------------------------- P4
+  private val weightQ = Q(
+    "etl_weight_bmi",
+    (s, d) => {
+      val t = Tables.customer(s, d).select(col("c_custkey").as("k"))
+      val m = col("k") % 9
+      val wStr = when(m === 0, format_string("%d kg", (lit(60) + col("k") % 40).cast("int")))
+        .when(m === 1, format_string("%d lb", (lit(130) + col("k") % 60).cast("int")))
+        .when(m === 2, format_string("%d", (lit(70) + col("k") % 30).cast("int")))
+        .when(m === 3, format_string("%d", (lit(150) + col("k") % 40).cast("int")))
+        .when(m === 4, lit("n/a"))
+        .when(m === 5, lit("abc"))
+        .when(m === 6, lit(null).cast("string"))
+        .when(m === 7, format_string("%d", (lit(150) + col("k") % 40).cast("int")))
+        .otherwise(lit("500 kg"))
+      val hCol = when(m === 7, lit(null).cast("double")).otherwise(lit(170.0))
+      val w = Cleaning.weightToKg(wStr, hCol)
+      t.select(w.getField("reason").as("reason"), w.getField("weight_kg").as("wkg"))
+        .groupBy(col("reason"))
+        .agg(count(lit(1)).as("n"), min(col("wkg")).as("min_w"), max(col("wkg")).as("max_w"))
+        .orderBy(col("reason"))
+    },
+    // buckets 0,1 → ok; 2 → assumed kg (BMI 24-34); 3 → assumed lb
+    // (BMI_kg > 45, BMI_lb 23-30); 4/5/6 → markers; 7 → no height,
+    // val > 140 ⇒ ×0.453592; 8 → BMI 173.0 implausible, flip unfixable
+    Some("""WITH t AS (SELECT c_custkey AS k, c_custkey % 9 AS m FROM customer),
+           |s AS (SELECT
+           |  CASE m WHEN 0 THEN 'ok' WHEN 1 THEN 'ok'
+           |   WHEN 2 THEN 'missing_unit_assumed_kg'
+           |   WHEN 3 THEN 'missing_unit_assumed_lb'
+           |   WHEN 4 THEN 'missing_marker' WHEN 5 THEN 'no_numeric_found'
+           |   WHEN 6 THEN 'missing_value' WHEN 7 THEN 'no_height_missing_unit'
+           |   ELSE 'implausible_bmi_173.0' END AS reason,
+           |  CASE m WHEN 0 THEN CAST(60 + k % 40 AS DOUBLE)
+           |   WHEN 1 THEN (130 + k % 60) * 0.453592
+           |   WHEN 2 THEN CAST(70 + k % 30 AS DOUBLE)
+           |   WHEN 3 THEN (150 + k % 40) * 0.453592
+           |   WHEN 7 THEN (150 + k % 40) * 0.453592
+           |   WHEN 8 THEN CAST(500 AS DOUBLE)
+           |   ELSE NULL END AS wkg
+           | FROM t)
+           |SELECT reason, count(*) AS n, min(wkg) AS min_w, max(wkg) AS max_w
+           |FROM s GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  // ------------------------------------------------------------- P5
+  private val sexQ = Q(
+    "etl_sex_iso",
+    (s, d) => {
+      val t = Tables.customer(s, d).select(col("c_custkey").as("k"))
+      val m = col("k") % 7
+      val sx = when(m === 0, "M").when(m === 1, "F").when(m === 2, "U")
+        .when(m === 3, "O").when(m === 4, " m ").when(m === 5, "X")
+        .otherwise(lit(null).cast("string"))
+      t.select(Cleaning.sexToIso(sx).as("sex_iso"),
+        Cleaning.sexLogReason(sx).as("reason"))
+        .groupBy(col("sex_iso"), col("reason"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("sex_iso"), col("reason"))
+    },
+    Some("""WITH t AS (SELECT c_custkey % 7 AS m FROM customer)
+           |SELECT CASE m WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 0 WHEN 3 THEN 9
+           |        WHEN 4 THEN 1 WHEN 5 THEN 0 ELSE 0 END AS sex_iso,
+           |       CASE m WHEN 2 THEN 'unknown_or_missing' WHEN 5 THEN 'invalid_code'
+           |        WHEN 6 THEN 'missing_value' ELSE NULL END AS reason,
+           |       count(*) AS n
+           |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
+  // ------------------------------------------------------------- P6
+  private val dobQ = Q(
+    "etl_dob_formats",
+    (s, d) => {
+      val t = Tables.orders(s, d).select(col("o_orderkey").as("k"),
+        date_trunc("day", col("o_orderdate")).as("dt"))
+      val b = col("k") % 4
+      val str = when(b === 0, date_format(col("dt"), "yyyy-MM-dd"))
+        .when(b === 1, date_format(col("dt"), "MM/dd/yyyy"))
+        .when(b === 2, date_format(col("dt"), "dd-MM-yyyy"))
+        .otherwise(date_format(col("dt"), "yyyy/MM/dd"))
+      val parsed = Cleaning.parseDate(str)
+      t.select(b.as("bucket"), parsed.as("p"), col("dt"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          count(when(col("p") === col("dt"), 1)).as("n_roundtrip"),
+          min(col("p")).as("min_p"), max(col("p")).as("max_p"))
+        .orderBy(col("bucket"))
+    },
+    // bucket 2 (dd-MM-yyyy) re-parses month-first when day<=12 — the
+    // dateutil-style preference the engine mirrors; day>12 falls back to
+    // day-first, so only day<=12 ∧ day≠month rows fail the roundtrip.
+    Some("""WITH t AS (SELECT o_orderkey AS k, o_orderkey % 4 AS bucket,
+           |  date_trunc('day', o_orderdate) AS dt FROM orders),
+           |s AS (SELECT bucket, dt,
+           |  CASE WHEN bucket = 2 AND extract(day FROM dt) <= 12
+           |   THEN make_timestamp(CAST(extract(year FROM dt) AS BIGINT),
+           |     CAST(extract(day FROM dt) AS BIGINT),
+           |     CAST(extract(month FROM dt) AS BIGINT), 0, 0, 0.0)
+           |   ELSE dt END AS p
+           | FROM t)
+           |SELECT bucket, count(*) AS n,
+           | count(CASE WHEN p = dt THEN 1 END) AS n_roundtrip,
+           | min(p) AS min_p, max(p) AS max_p
+           |FROM s GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  // ------------------------------------------------------------- P7/P8
+  private val dtQ = Q(
+    "etl_datetime_tz",
+    (s, d) => {
+      val t = Tables.events(s, d).select(col("event_id").as("k"),
+        date_trunc("second", col("ts")).as("base"))
+      val b = col("k") % 3
+      val str = when(b === 0,
+        concat(date_format(col("base") + expr("INTERVAL 1 HOUR"),
+          "yyyy-MM-dd HH:mm:ss"), lit("+01:00")))
+        .when(b === 1,
+          concat(date_format(col("base"), "yyyy-MM-dd'T'HH:mm:ss"), lit("Z")))
+        .otherwise(date_format(col("base"), "MM/dd/yyyy HH:mm"))
+      val parsed = Cleaning.parseDatetime(str)
+      val expected = when(b === 2, date_trunc("minute", col("base"))).otherwise(col("base"))
+      t.select(b.as("bucket"), parsed.as("p"), expected.as("e"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          count(when(col("p") === col("e"), 1)).as("n_match"),
+          min(col("p")).as("min_p"), max(col("p")).as("max_p"))
+        .orderBy(col("bucket"))
+    },
+    // offsets collapse to UTC instants (utc=True ≡ UTC session tz), naive
+    // strings are taken as UTC; minute-precision format truncates seconds.
+    Some("""WITH t AS (SELECT event_id % 3 AS bucket,
+           |  date_trunc('second', ts) AS base FROM events),
+           |s AS (SELECT bucket,
+           |  CASE WHEN bucket = 2 THEN date_trunc('minute', base) ELSE base END AS p,
+           |  CASE WHEN bucket = 2 THEN date_trunc('minute', base) ELSE base END AS e
+           | FROM t)
+           |SELECT bucket, count(*) AS n, count(CASE WHEN p = e THEN 1 END) AS n_match,
+           | min(p) AS min_p, max(p) AS max_p
+           |FROM s GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  // ------------------------------------------------------------- D1
+  private val dedupQ = Q(
+    "etl_dedup_cascade",
+    (s, d) => {
+      val t = Tables.customer(s, d)
+        .select(col("c_custkey").as("k"),
+          (col("c_custkey") / 7).cast("long").as("g1"),
+          (col("c_custkey") / 13).cast("long").as("g2"))
+      val (kept, logged) = Dedup.cascade(t, Seq(col("g1")), Seq(col("g2")), col("k"))
+      kept.agg(count(lit(1)).as("n_kept"), sum(col("k")).as("sum_kept"))
+        .crossJoin(logged.agg(count(lit(1)).as("n_logged")))
+    },
+    Some("""WITH t AS (SELECT c_custkey AS k, c_custkey // 7 AS g1,
+           |  c_custkey // 13 AS g2 FROM customer),
+           |m AS (SELECT k, g2,
+           |  row_number() OVER (PARTITION BY g1 ORDER BY k) > 1 AS d1,
+           |  row_number() OVER (PARTITION BY g2 ORDER BY k) > 1 AS d2
+           | FROM t),
+           |kept AS (SELECT k FROM
+           |  (SELECT k, row_number() OVER (PARTITION BY g2 ORDER BY k) AS rn2
+           |   FROM m WHERE NOT d1) WHERE rn2 = 1),
+           |agg1 AS (SELECT count(*) AS n_kept, CAST(sum(k) AS BIGINT) AS sum_kept FROM kept),
+           |agg2 AS (SELECT count(*) AS n_logged FROM m WHERE d1 OR d2)
+           |SELECT * FROM agg1, agg2""".stripMargin))
+
+  // ------------------------------------------------------------- P2
+  private val nfkcQ = Q(
+    "etl_nfkc_clean",
+    (s, d) => {
+      val t = Tables.customer(s, d).select(col("c_custkey").as("k"))
+      val m = col("k") % 5
+      val in = when(m === 0, "ﬁx").when(m === 1, "Ⅻ").when(m === 2, "①ＡＢＣ")
+        .when(m === 3, "Ñ É").otherwise(lit("ascii TEXT"))
+      // order on the integer bucket, not the unicode strings — engines
+      // disagree on non-ASCII collation order
+      t.select(m.cast("long").as("bucket"), in.as("input"), NfkcLower(in).as("output"))
+        .groupBy(col("bucket"), col("input"), col("output"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("bucket"))
+    },
+    Some("""WITH t AS (SELECT c_custkey % 5 AS m FROM customer)
+           |SELECT m AS bucket,
+           |       CASE m WHEN 0 THEN 'ﬁx' WHEN 1 THEN 'Ⅻ' WHEN 2 THEN '①ＡＢＣ'
+           |        WHEN 3 THEN 'Ñ É' ELSE 'ascii TEXT' END AS input,
+           |       CASE m WHEN 0 THEN 'fix' WHEN 1 THEN 'xii' WHEN 2 THEN '1abc'
+           |        WHEN 3 THEN 'ñ é' ELSE 'ascii text' END AS output,
+           |       count(*) AS n
+           |FROM t GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin))
+
+  // ------------------------------------------------------------- F2/P9
+  private val losQ = Q(
+    "etl_los_hours",
+    (s, d) => {
+      val t = Tables.orders(s, d).select(col("o_orderkey").as("k"),
+        col("o_orderdate").as("admit"))
+      val withD = t.withColumn("discharge",
+        col("admit") + make_interval(lit(0), lit(0), lit(0), lit(0),
+          (col("k") % 100 - 10).cast("int")))
+      // F2: discharge<admit → nullify; P9: hours between
+      val bad = col("discharge") < col("admit")
+      val fixed = withD.withColumn("discharge",
+        when(bad, lit(null).cast("timestamp")).otherwise(col("discharge")))
+      fixed.select(
+        Cleaning.lengthOfStayHours(col("admit"), col("discharge")).as("los"))
+        .agg(count(lit(1)).as("n"), count(col("los")).as("n_valid"),
+          sum(col("los")).as("sum_los"), min(col("los")).as("min_los"),
+          max(col("los")).as("max_los"))
+    },
+    // k%100-10 ∈ [-10, 89] hours; negatives nullified (F2), LOS is an
+    // exact integral double so SUM is exact
+    Some("""WITH t AS (SELECT o_orderkey % 100 - 10 AS h FROM orders),
+           |s AS (SELECT CASE WHEN h < 0 THEN NULL ELSE CAST(h AS DOUBLE) END AS los FROM t)
+           |SELECT count(*) AS n, count(los) AS n_valid, sum(los) AS sum_los,
+           | min(los) AS min_los, max(los) AS max_los
+           |FROM s""".stripMargin))
+
+  // --------------------------------------------- fixture pipeline (E1)
+  // Full reference pipeline over its own adversarial fixtures; exact
+  // contents are asserted by EtlGoldenSpec (no SQL oracle can express the
+  // messy CSV/XML readers), driver records rows>0.
+  private def fx = EtlPipeline.defaultDir
+
+  private val patientsClean = Q(
+    "etl_patients_pipeline",
+    (s, _) => EtlPipeline.runDefault(s).patients.orderBy(col("patient_id")),
+    None)
+
+  private val encountersClean = Q(
+    "etl_encounters_pipeline",
+    (s, _) => EtlPipeline.runDefault(s).encounters.orderBy(col("encounter_id")),
+    None)
+
+  private val diagnosesClean = Q(
+    "etl_diagnoses_pipeline",
+    (s, _) => EtlPipeline.runDefault(s).diagnoses
+      .orderBy(col("encounter_id"), col("code")),
+    None)
+
+  private val logsOut = Q(
+    "etl_quality_logs_pipeline",
+    (s, _) => EtlPipeline.runDefault(s).logs
+      .orderBy(QualityLog.columns.map(c => col(c).asc_nulls_first): _*),
+    None)
+
+  val qs: Seq[Q] = Seq(heightQ, weightQ, sexQ, dobQ, dtQ, dedupQ, nfkcQ,
+    losQ, patientsClean, encountersClean, diagnosesClean, logsOut)
+}

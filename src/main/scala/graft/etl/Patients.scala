@@ -1,0 +1,164 @@
+package graft.etl
+
+import graft.functions.NfkcLower
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+
+/** Patients vertical (ref `etl.py` E1 step 2, SURVEY §3):
+  * S1 CSV scan → P1 name normalize → P3 height → P4 weight+BMI (log) →
+  * P5 sex→ISO (log) → P6 dob parse (log) → D1 two-key cascade dedup (log)
+  * → P12 drop raw cols → P2 clean_utf8 last (so dedup keys compare
+  * case-SENSITIVELY — "bob" vs "Bob" are NOT merged by the name key, only
+  * by the id key; ref quirk, SURVEY §3 E1).
+  *
+  * Returns (cleaned, logs) — the dual-output contract.
+  */
+object Patients {
+
+  /** P1 (ref `etl.py:202-215`): trim, strip BOM, spaces→underscore,
+    * lowercase — driver-side on column NAMES only.
+    */
+  def normalizeColumnNames(df: DataFrame): DataFrame =
+    df.toDF(df.columns.map(c =>
+      c.trim.replaceAll("\\uFEFF", "").replaceAll(" +", "_").toLowerCase): _*)
+
+  /** S1 (ref `etl.py:38`): header CSV, utf-8-sig. Spark's CSV reader does
+    * not strip the BOM, so it surfaces in the first header name and P1
+    * removes it — same net effect as pandas' utf-8-sig. All columns read
+    * as strings: inputs do not conform to a schema yet (that's the point
+    * of the pipeline). An ingest ordinal is attached for keep-first dedup
+    * determinism (pandas keep-first = file order; Spark needs it explicit
+    * — SURVEY §2.5 D1 caveat). For a single-file read
+    * monotonically_increasing_id is ordered by (partition, offset) which
+    * IS file order; at 100 TB "first" is defined per (file, offset), the
+    * only stable notion of ingest order that exists at scale.
+    */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val raw = spark.read
+      .option("header", true)
+      .option("mode", "PERMISSIVE")
+      .csv(path)
+    // pandas read_csv does NOT trim cell whitespace, but every value in
+    // this pipeline is compared post-trim; the reference fixtures carry
+    // alignment padding that pandas keeps and later applymap-strips for
+    // encounters but NOT for patients... except every consumer
+    // (height_to_cm etc.) strips per-value. We therefore trim cells here,
+    // matching the observable post-pipeline values.
+    val named = normalizeColumnNames(raw)
+    val trimmed = named.columns.foldLeft(named)((d, c) => d.withColumn(c, trim(col(c))))
+    trimmed.withColumn("_ord", monotonically_increasing_id())
+  }
+
+  /** Full patients transform. `filename` feeds the log channel. */
+  def clean(df: DataFrame, filename: String): (DataFrame, DataFrame) = {
+    // --- P3 height (no log — ref TODO etl.py:663) ---
+    val withHeight = df.withColumn("height_cm", Cleaning.heightToCm(col("height")))
+
+    // --- P4 weight + BMI plausibility, struct multi-return ---
+    val withWeight = withHeight
+      .withColumn("_w", Cleaning.weightToKg(col("weight"), col("height_cm")))
+      .withColumn("weight_kg", col("_w.weight_kg"))
+    val weightLog = withWeight
+      .filter(col("_w.flagged"))
+      .select(
+        col("patient_id"),
+        lit(filename).as("filename"),
+        // str(NaN) = "nan" in the reference's log stringification
+        coalesce(col("weight").cast(StringType), lit("nan")).as("original_value"),
+        coalesce(col("weight_kg").cast(StringType), lit("nan")).as("cleaned_value"),
+        lit("weight").as("column_name"),
+        col("_w.reason").as("reason"))
+
+    // --- P5 sex → ISO 5218 ---
+    val withSex = withWeight.withColumn("sex_iso", Cleaning.sexToIso(col("sex")))
+      .withColumn("_sex_reason", Cleaning.sexLogReason(col("sex")))
+    val sexLog = withSex
+      .filter(col("_sex_reason").isNotNull)
+      .select(
+        col("patient_id"),
+        lit(filename).as("filename"),
+        coalesce(col("sex").cast(StringType), lit("nan")).as("original_value"),
+        // ref schema inconsistency kept: missing/invalid log `mapped_code`,
+        // the U case logs `cleaned_value` (etl.py:333-363, SURVEY §1.4)
+        when(col("_sex_reason").isin("missing_value", "invalid_code"), "0")
+          .as("mapped_code"),
+        when(col("_sex_reason") === "unknown_or_missing", "0").as("cleaned_value"),
+        col("_sex_reason").as("reason"))
+
+    // --- P6 dob two-pass parse ---
+    val withDob = withSex.withColumn("dob_parsed", Cleaning.parseDate(col("dob")))
+    val dobLog = withDob
+      .filter(col("dob").isNull || col("dob_parsed").isNull)
+      .select(
+        col("patient_id"),
+        lit(filename).as("filename"),
+        lit("dob").as("column_name"),
+        col("dob").cast(StringType).as("original_value"),
+        lit(null).cast(StringType).as("cleaned_value"),
+        when(col("dob").isNull, "missing_value")
+          .otherwise("unparseable_date").as("reason"))
+
+    // --- D1 dedup: two-key cascade with keep-first-by-ingest-order ---
+    // (ref etl.py:430-490). The log marks BOTH masks on the ORIGINAL rows,
+    // but the drop CASCADES (person-dedup runs on id-dedup survivors), so
+    // a person-dup whose group head was id-dropped may survive while
+    // still being logged — pandas quirk, kept (SURVEY §7 hard part (a)).
+    val keyed = withDob
+      .withColumn("_hr", round(col("height_cm"), 0))
+      .withColumn("_wr", round(col("weight_kg"), 0))
+    val idWin = Window.partitionBy(col("patient_id")).orderBy(col("_ord"))
+    val personKeys = Seq(col("given_name"), col("family_name"), col("dob"),
+      col("_hr"), col("_wr"))
+    val personWin = Window.partitionBy(personKeys: _*).orderBy(col("_ord"))
+    val marked = keyed
+      .withColumn("_dup_id", row_number().over(idWin) > 1)
+      .withColumn("_dup_person", row_number().over(personWin) > 1)
+
+    val dupLog = marked
+      .filter(col("_dup_id") || col("_dup_person"))
+      .select(
+        col("patient_id"),
+        lit(filename).as("filename"),
+        lit("duplicate_entry").as("column_name"),
+        Cleaning.rowJson(Seq(
+          col("given_name"), col("family_name"),
+          col("dob").cast(StringType).as("dob"),
+          col("height_cm"),
+          // ref logs a typo'd key "weight_cm" that never exists → None;
+          // kept as an always-null field (etl.py:475)
+          lit(null).cast(StringType).as("weight_cm"))).as("original_value"),
+        lit(null).cast(StringType).as("cleaned_value"),
+        lit("duplicate_removed").as("reason"))
+
+    val afterIdDedup = marked.filter(col("_dup_id") === false)
+    val personWin2 = Window.partitionBy(personKeys: _*).orderBy(col("_ord"))
+    val deduped = afterIdDedup
+      .withColumn("_rn2", row_number().over(personWin2))
+      .filter(col("_rn2") === 1)
+
+    // --- P12 drop raw + helper cols; P2 clean_utf8 LAST over string cols ---
+    val dropped = deduped.drop(
+      "weight", "height", "_w", "_sex_reason", "_hr", "_wr", "_dup_id",
+      "_dup_person", "_rn2", "_ord")
+    val cleaned = applyCleanUtf8(dropped)
+
+    val logs = QualityLog.combine(Seq(weightLog, sexLog, dobLog, dupLog))
+    (cleaned, logs)
+  }
+
+  /** P2 applied to every string-typed column (ref applymap(clean_utf8):
+    * bools/timestamps/doubles survive untouched, strings — including the
+    * ids — are NFKC-normalized and lowercased).
+    */
+  def applyCleanUtf8(df: DataFrame): DataFrame = {
+    val stringCols = df.schema.fields.filter(_.dataType == StringType).map(_.name).toSet
+    df.select(df.columns.map { c =>
+      if (stringCols(c)) NfkcLower(col(c)).as(c) else col(c)
+    }.toIndexedSeq: _*)
+  }
+
+  def run(spark: SparkSession, path: String): (DataFrame, DataFrame) =
+    clean(read(spark, path), filename = new java.io.File(path).getName)
+}
