@@ -14,7 +14,10 @@ object SparkEntry {
     analytics.Relational,
     analytics.Dashboard,
     analytics.Temporal,
-    etl.EtlQueries)
+    etl.EtlQueries,
+    llm.TextQueries,
+    llm.DedupQueries,
+    llm.SimilarityQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,104 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`). Three paths:
+  *
+  *  - [[bruteTopK]]: exact cosine top-k — the correctness baseline. Cost
+  *    O(|Q|·|N|): fine for a broadcast-able query set, the wrong shape
+  *    for all-pairs at 100 TB.
+  *  - [[lshTopK]]: random-hyperplane LSH — sign-bit signatures over
+  *    deterministic pseudo-hyperplanes ([[Hashing.hyperplane]]),
+  *    multi-table bucketing. Per query only bucket-colliding vectors are
+  *    scored; recall tunes via tables × bits.
+  *  - [[ivfTopK]]: coarse-quantization cells (IVF minus the k-means
+  *    iterations) — each vector scored only against its own cell.
+  *
+  * Dot products run in tight JVM loops (UDF): dense float math is where
+  * a compiled loop beats interpreted higher-order functions outright.
+  */
+object Ann {
+
+  private val cosUdf = udf((a: Array[Float], b: Array[Float]) => Hashing.cosine(a, b))
+
+  def cosine(a: Column, b: Column): Column = cosUdf(a, b)
+
+  /** Exact top-k neighbors for each query row (self excluded). Queries are
+    * broadcast; ranking is a per-query window (k-row heaps, no global
+    * sort).
+    */
+  def bruteTopK(vectors: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val n = vectors.select(col(idCol).as("vec_id"), col(vecCol).as("nv"))
+    val scored = broadcast(q).join(n, col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("qv"), col("nv")).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"))
+  }
+
+  /** LSH top-k: bucket on (table, signature); per query, rank only the
+    * vectors sharing a bucket in ANY table. Approximate — recall measured
+    * in AnnSpec against [[bruteTopK]].
+    */
+  def lshTopK(vectors: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, tables: Int = 8, bits: Int = 12): DataFrame = {
+    val sigUdf = udf((v: Array[Float]) => Hashing.rhpSignatures(v, tables, bits))
+    def keyed(df: DataFrame, id: String, vec: String) =
+      df.select(col(id), col(vec), posexplode(sigUdf(col(vec))).as(Seq("t", "sig")))
+    val qk = keyed(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
+      "query_id", "qv")
+    val nk = keyed(vectors.select(col(idCol).as("vec_id"), col(vecCol).as("nv")),
+      "vec_id", "nv")
+    val candidates = qk.as("q").join(nk.as("n"),
+      col("q.t") === col("n.t") && col("q.sig") === col("n.sig") &&
+        col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("qv"), col("vec_id"), col("nv"))
+      .dropDuplicates("query_id", "vec_id")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    candidates
+      .withColumn("score", cosine(col("qv"), col("nv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        round(col("score"), 6).as("score"))
+  }
+
+  /** IVF-style variant: assign every vector to its nearest of `nCells`
+    * seed centroids (the first nCells vectors by id — deterministic), then
+    * search only the query's own cell.
+    */
+  def ivfTopK(vectors: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nCells: Int = 16): DataFrame = {
+    val centroids = vectors.orderBy(col(idCol)).limit(nCells)
+      .select(col(idCol).as("cell_id"), col(vecCol).as("cv"))
+    def assign(df: DataFrame, id: String, vec: String) = {
+      val w = Window.partitionBy(col(id)).orderBy(col("csim").desc, col("cell_id"))
+      df.crossJoin(broadcast(centroids))
+        .withColumn("csim", cosine(col(vec), col("cv")))
+        .withColumn("crn", row_number().over(w))
+        .filter(col("crn") === 1)
+        .select(col(id), col(vec), col("cell_id"))
+    }
+    val nAssigned = assign(
+      vectors.select(col(idCol).as("vec_id"), col(vecCol).as("nv")), "vec_id", "nv")
+    val qAssigned = assign(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")), "query_id", "qv")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    qAssigned.join(nAssigned, Seq("cell_id"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("score", cosine(col("qv"), col("nv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"))
+  }
+}

@@ -1,0 +1,86 @@
+package graft.llm
+
+import graft.{Q, QueryPack, Tables}
+import graft.ops.Dedup
+import org.apache.spark.sql.functions._
+
+/** Deduplication queries over `documents`: exact (fingerprint), MinHash-
+  * LSH near-dup (bucketed, never all-pairs), SimHash, and raw n-gram
+  * Jaccard. The LSH pairs carry a FULL brute-force DuckDB oracle — at
+  * verify scale the oracle can afford O(n²), the engine must not.
+  */
+object DedupQueries extends QueryPack {
+
+  private val exact = Q(
+    "dedup_exact_fingerprint",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      val (kept, dropped) = Dedup.keepFirst(docs, Seq(col("fp")), col("doc_id"))
+      kept.agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("sum_kept"))
+        .crossJoin(dropped.agg(count(lit(1)).as("n_dropped")))
+    },
+    Some("""WITH d AS (SELECT doc_id,
+           |  substring(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 16) AS fp
+           | FROM documents),
+           |m AS (SELECT doc_id, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+           | FROM d)
+           |SELECT
+           | (SELECT count(*) FROM m WHERE rn = 1) AS n_kept,
+           | (SELECT CAST(sum(doc_id) AS BIGINT) FROM m WHERE rn = 1) AS sum_kept,
+           | (SELECT count(*) FROM m WHERE rn > 1) AS n_dropped""".stripMargin))
+
+  private val minhash = Q(
+    "dedup_minhash_lsh",
+    (s, d) => MinHashLsh.nearDupPairs(
+      Tables.documents(s, d), "doc_id", "text", threshold = 0.8)
+      .orderBy(col("i"), col("j")),
+    // ground truth: brute-force 3-shingle Jaccard over ALL pairs. The
+    // engine's banded LSH (r=4, b=32) has miss probability ≈1e-15 at the
+    // J≥0.8 range this data contains, so the verified outputs coincide.
+    Some("""WITH d AS (SELECT doc_id,
+           |  list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+           |    for i in range(1, len(w)-1)]) AS sh
+           | FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+           |       FROM documents)
+           | WHERE len(w) >= 3),
+           |p AS (SELECT a.doc_id AS i, b.doc_id AS j,
+           |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           |    / len(list_distinct(list_concat(a.sh, b.sh))) AS jac
+           | FROM d a JOIN d b ON a.doc_id < b.doc_id)
+           |SELECT i, j, round(jac, 3) AS jaccard FROM p
+           |WHERE jac >= 0.8 ORDER BY i, j""".stripMargin),
+    headline = true)
+
+  private val simhash = Q(
+    "dedup_simhash_pairs",
+    // xxhash64 seeds are engine-specific → no SQL oracle; semantics are
+    // covered by NearDedupSpec (hamming properties + agreement with the
+    // oracle-checked MinHash pairs).
+    (s, d) => SimHash.nearPairs(Tables.documents(s, d), "doc_id", "text",
+      maxDist = 3).orderBy(col("i"), col("j")),
+    None)
+
+  private val ngramJaccard = Q(
+    "dedup_ngram_jaccard_adjacent",
+    (s, d) => {
+      val sh = Tables.documents(s, d).select(col("doc_id"),
+        TextAnalysis.shingles(col("text")).as("sh"))
+      sh.as("a").join(sh.as("b"), col("a.doc_id") + 1 === col("b.doc_id"))
+        .select(floor(TextAnalysis.jaccard(col("a.sh"), col("b.sh")) * 20).as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+        .orderBy(col("bucket"))
+    },
+    Some("""WITH d AS (SELECT doc_id,
+           |  list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+           |    for i in range(1, len(w)-1)]) AS sh
+           | FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+           |       FROM documents)),
+           |p AS (SELECT floor(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           |    / len(list_distinct(list_concat(a.sh, b.sh))) * 20) AS bucket
+           | FROM d a JOIN d b ON a.doc_id + 1 = b.doc_id)
+           |SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n
+           |FROM p GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  val qs: Seq[Q] = Seq(exact, minhash, simhash, ngramJaccard)
+}

@@ -1,0 +1,163 @@
+package graft.llm
+
+import scala.util.hashing.MurmurHash3
+
+/** Deterministic JVM-side hashing for the signature UDFs.
+  *
+  * Why UDFs and not Catalyst higher-order functions: HOF expressions are
+  * CodegenFallback (interpreted), and lambda-invariant subexpressions are
+  * re-evaluated per element — a k-hash MinHash written as
+  * `transform(0..k, i -> array_min(transform(shingles(text), ...)))`
+  * recomputes the whole tokenize+shingle pipeline k times PER ROW
+  * (O(tokens²·k), observed as a 1000× slowdown). A compiled UDF does one
+  * pass per row; this is exactly the trade Spark MLlib's MinHashLSH makes.
+  * Scalar hot-path cleaning stays expression-based (Cleaning.scala) where
+  * codegen genuinely wins.
+  */
+object Hashing {
+
+  /** splitmix64 — public-domain mixer; deterministic pseudo-randomness
+    * for hyperplanes/permutations without any RNG state.
+    */
+  def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** 64-bit string hash from two murmur32 passes. */
+  def hash64(s: String): Long = {
+    val a = MurmurHash3.stringHash(s, 0x12345)
+    val b = MurmurHash3.stringHash(s, 0x6789a)
+    (a.toLong << 32) | (b.toLong & 0xffffffffL)
+  }
+
+  private val MersennePrime = (1L << 31) - 1
+
+  /** i-th affine permutation of a base hash — (a_i·h + b_i) mod p with
+    * splitmix-derived odd a_i. p = 2³¹−1 keeps every product within a
+    * long (31-bit × 31-bit ≤ 2⁶²), so the hot loop is allocation-free.
+    */
+  def affine(h: Long, i: Int): Long = {
+    val a = ((mix64(i.toLong * 2 + 1) >>> 33) % MersennePrime) | 1L
+    val b = (mix64(i.toLong * 2 + 2) >>> 33) % MersennePrime
+    val hm = ((h % MersennePrime) + MersennePrime) % MersennePrime
+    (a * hm + b) % MersennePrime
+  }
+
+  /** Distinct word n-gram shingles. */
+  def shingles(text: String, n: Int): Array[String] = {
+    val w = text.trim.split("\\s+")
+    if (w.length < n || (w.length == 1 && w(0).isEmpty)) Array.empty
+    else {
+      val out = new scala.collection.mutable.LinkedHashSet[String]
+      var i = 0
+      while (i + n <= w.length) {
+        out += w.slice(i, i + n).mkString(" ")
+        i += 1
+      }
+      out.toArray
+    }
+  }
+
+  /** k-value MinHash signature over shingles. */
+  def minhashSignature(sh: Array[String], k: Int): Array[Long] = {
+    val sig = Array.fill(k)(Long.MaxValue)
+    var si = 0
+    while (si < sh.length) {
+      val base = hash64(sh(si))
+      var i = 0
+      while (i < k) {
+        val h = affine(base, i)
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+      si += 1
+    }
+    sig
+  }
+
+  /** Banded bucket hashes of a signature: one 64-bit key per band. */
+  def bandHashes(sig: Array[Long], rows: Int): Array[Long] = {
+    val bands = sig.length / rows
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var acc = b.toLong * 0x9e3779b97f4a7c15L
+      var r = 0
+      while (r < rows) {
+        acc = mix64(acc ^ sig(b * rows + r))
+        r += 1
+      }
+      out(b) = acc
+      b += 1
+    }
+    out
+  }
+
+  /** 64-bit SimHash over shingles: bit j = sign of Σ ±1 votes. */
+  def simhash(sh: Array[String]): Long = {
+    val votes = new Array[Int](64)
+    var si = 0
+    while (si < sh.length) {
+      val h = hash64(sh(si))
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      si += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) {
+      if (votes(j) > 0) out |= (1L << j)
+      j += 1
+    }
+    out
+  }
+
+  /** Hyperplane component for (table, bit, dim) in [-0.5, 0.5). */
+  def hyperplane(table: Int, bit: Int, dim: Int): Double =
+    (mix64(table.toLong * 1000003 + bit.toLong * 1009 + dim) >>> 11).toDouble /
+      (1L << 53).toDouble - 0.5
+
+  /** Sign-bit LSH signatures, one Long per table. */
+  def rhpSignatures(vec: Array[Float], tables: Int, bits: Int): Array[Long] = {
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var sig = 0L
+      var b = 0
+      while (b < bits) {
+        var dot = 0.0
+        var d = 0
+        while (d < vec.length) {
+          dot += vec(d) * hyperplane(t, b, d)
+          d += 1
+        }
+        if (dot >= 0) sig |= (1L << b)
+        b += 1
+      }
+      out(t) = sig
+      t += 1
+    }
+    out
+  }
+
+  /** Cosine similarity in double precision, index order. */
+  def cosine(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < a.length) {
+      dot += a(i).toDouble * b(i).toDouble
+      na += a(i).toDouble * a(i).toDouble
+      nb += b(i).toDouble * b(i).toDouble
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+}

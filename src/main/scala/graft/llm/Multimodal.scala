@@ -1,0 +1,94 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video payloads travel as
+  * opaque `binary` columns with a typed metadata struct beside them, and
+  * decode/feature steps run partition-wise so one task amortizes decoder
+  * setup over a whole batch of rows (the same batching contract a Pandas
+  * UDF / mapInPandas pipeline uses on the Python side — here it's
+  * `mapPartitions` over a typed Dataset, the Scala-native equivalent).
+  *
+  * The container has no image/audio codecs, so [[MediaCodec]] is a
+  * clearly-marked STUB with a deterministic fake decode; everything
+  * around it — schema, batch shape, partitioning, feature layout — is the
+  * real engineering surface and is tested in MultimodalSpec.
+  */
+object Multimodal {
+
+  /** One media row: payload + typed metadata. */
+  final case class MediaRow(
+      media_id: Long,
+      media: Array[Byte],
+      format: String,
+      width: Int,
+      height: Int)
+
+  final case class MediaFeatures(
+      media_id: Long,
+      n_bytes: Int,
+      format: String,
+      features: Array[Float])
+
+  /** STUB decoder boundary. A real deployment swaps this object for one
+    * backed by an actual codec (e.g. javax.imageio / ffmpeg bindings);
+    * the signatures are the contract. The fake is deterministic in the
+    * payload bytes so the pipeline is testable end-to-end.
+    */
+  object MediaCodec {
+    /** STUB: "decode" = byte-histogram-derived features (deterministic). */
+    def decodeToFeatures(payload: Array[Byte], dims: Int): Array[Float] = {
+      val out = new Array[Float](dims)
+      var i = 0
+      while (i < payload.length) {
+        out(i % dims) += (payload(i) & 0xff) / 255.0f
+        i += 1
+      }
+      out
+    }
+
+    /** STUB: resize would re-encode; the fake truncates/pads the payload
+      * to the byte budget implied by the target box.
+      */
+    def resize(payload: Array[Byte], w: Int, h: Int): Array[Byte] =
+      java.util.Arrays.copyOf(payload, w * h)
+
+    /** STUB: frame sampling for video payloads — every nth byte stands in
+      * for every nth frame.
+      */
+    def sampleFrames(payload: Array[Byte], everyN: Int): Array[Byte] =
+      payload.zipWithIndex.collect { case (b, i) if i % everyN == 0 => b }
+  }
+
+  /** Synthesize a deterministic media table from any id+text source —
+    * payload bytes derived from md5 so every engine/test run agrees.
+    */
+  def synthesize(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol).cast("long").as("media_id"),
+      unhex(md5(col(textCol))).as("media"),
+      element_at(array(lit("png"), lit("jpeg"), lit("wav")),
+        (col(idCol) % 3 + 1).cast("int")).as("format"),
+      (col(idCol) % 64 + 1).cast("int").as("width"),
+      (col(idCol) % 48 + 1).cast("int").as("height"))
+
+  /** Partition-wise feature extraction — the mapInPandas-equivalent
+    * batched decode. Decoder init happens once per partition, not per
+    * row; partition sizing (spark.sql.files.maxPartitionBytes) is the
+    * batch-size knob at scale.
+    */
+  def extractFeatures(media: DataFrame, dims: Int = 8)
+      (implicit spark: SparkSession): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.select("media_id", "media", "format", "width", "height")
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        // per-partition decoder setup would go here (once per batch)
+        rows.map { r =>
+          MediaFeatures(r.media_id, r.media.length, r.format,
+            MediaCodec.decodeToFeatures(r.media, dims))
+        }
+      }
+  }
+}

@@ -1,0 +1,76 @@
+package graft.llm
+
+import graft.{Q, QueryPack, Tables}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table plus the multimodal
+  * binary-column plumbing. Brute-force cosine top-k is the oracle-checked
+  * baseline; LSH and IVF are the approximate scale paths (recall measured
+  * in AnnSpec — their outputs are engine-defined, so rows-only here).
+  */
+object SimilarityQueries extends QueryPack {
+
+  private val brute = Q(
+    "ann_cosine_topk_brute",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      Ann.bruteTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    // scores are excluded from the compared output (only the ranking),
+    // so double-vs-float summation tails can't flake the hash compare;
+    // rank ties break on vec_id in both engines.
+    Some("""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+           |  WHERE vec_id < 10),
+           |sc AS (SELECT qid, e.vec_id AS vid,
+           |  list_cosine_similarity(qe, e.embedding) AS c
+           | FROM q, embeddings e WHERE e.vec_id <> qid),
+           |r AS (SELECT qid, vid,
+           |  row_number() OVER (PARTITION BY qid ORDER BY c DESC, vid) AS rnk
+           | FROM sc)
+           |SELECT qid AS query_id, rnk AS rank, vid AS vec_id
+           |FROM r WHERE rnk <= 5 ORDER BY 1, 2""".stripMargin),
+    headline = true)
+
+  private val lsh = Q(
+    "ann_lsh_topk",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      Ann.lshTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    None)
+
+  private val ivf = Q(
+    "ann_ivf_topk",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      Ann.ivfTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    None)
+
+  private val mmFeatures = Q(
+    "mm_binary_features",
+    (s, d) => {
+      val media = Multimodal.synthesize(Tables.documents(s, d), "doc_id", "text")
+      media.groupBy(col("format"))
+        .agg(count(lit(1)).as("n"),
+          sum(length(col("media"))).as("sum_bytes"),
+          count_distinct(col("media")).as("n_distinct_payloads"),
+          min(col("width")).as("min_w"), max(col("height")).as("max_h"))
+        .orderBy(col("format"))
+    },
+    Some("""WITH m AS (SELECT
+           |  from_hex(md5(text)) AS media,
+           |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'wav' END AS format,
+           |  doc_id % 64 + 1 AS width, doc_id % 48 + 1 AS height
+           | FROM documents)
+           |SELECT format, count(*) AS n,
+           | CAST(sum(octet_length(media)) AS BIGINT) AS sum_bytes,
+           | count(DISTINCT media) AS n_distinct_payloads,
+           | CAST(min(width) AS INT) AS min_w, CAST(max(height) AS INT) AS max_h
+           |FROM m GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  val qs: Seq[Q] = Seq(brute, lsh, ivf, mmFeatures)
+}

@@ -1,0 +1,101 @@
+package graft.llm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, quality scoring, language-ID heuristics, fingerprinting.
+  * All pure Catalyst expressions (split/transform/filter/aggregate higher-
+  * order functions) — fully codegen'd, no UDFs, no shuffle until the
+  * caller aggregates.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization — the universal baseline tokenizer. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, 0).otherwise(size(tokens(text)))
+
+  /** BPE-ish subword segmentation count: alpha runs, digit runs, and
+    * punctuation clusters counted as separate tokens (a cheap,
+    * deterministic proxy for BPE token counts used for corpus budgeting).
+    * The pattern is RE2-safe (no lookbehind) so independent engines can
+    * reproduce it.
+    */
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(lower(text),
+      lit("[a-z]+|[0-9]+|[^a-z0-9 \t\n]+"), lit(0)))
+
+  /** Word n-gram shingles (distinct, first-seen order), the unit for
+    * MinHash/Jaccard dedup. Docs with fewer than n words yield an empty
+    * set. UDF-backed: the expression formulation re-evaluates the token
+    * split per element (lambda-invariant recomputation — see [[Hashing]]),
+    * turning an O(tokens) op into O(tokens²).
+    */
+  def shingles(text: Column, n: Int = 3): Column =
+    udf((t: String) => Hashing.shingles(t, n)).apply(text)
+
+  /** Exact Jaccard similarity of two shingle sets. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_distinct(concat(a, b))).cast("double")
+
+  /** Ratio of lowercase-alpha characters — a quality signal (boilerplate
+    * and garbled text skew low).
+    */
+  def alphaRatio(text: Column): Column =
+    when(length(text) === 0, 0.0).otherwise(
+      length(regexp_replace(lower(text), "[^a-z]", "")).cast("double") /
+        length(text).cast("double"))
+
+  def digitRatio(text: Column): Column =
+    when(length(text) === 0, 0.0).otherwise(
+      length(regexp_replace(text, "[^0-9]", "")).cast("double") /
+        length(text).cast("double"))
+
+  val defaultStopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is")
+
+  /** Stopword hits per document — low counts flag non-prose/garbled text. */
+  def stopwordCount(text: Column, stopwords: Seq[String] = defaultStopwords): Column =
+    size(filter(tokens(lower(text)), t => t.isin(stopwords.map(lit): _*)))
+
+  /** Composite quality score in [0,1]: alpha-heavy, some stopwords, sane
+    * length. Deterministic arithmetic only.
+    */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / 500.0, lit(1.0))
+    val stopScore = least(stopwordCount(text).cast("double") / 5.0, lit(1.0))
+    (alphaRatio(text) + lenScore + stopScore) / 3.0
+  }
+
+  /** Stopword-profile language ID — the classic cheap heuristic: score
+    * each candidate language by its marker-token hit count, take the
+    * argmax (ties resolve in declaration order). N-gram-free so it stays
+    * a pure expression; real corpora would extend the marker lists.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "es" -> Seq("el", "la", "los", "y", "es"))
+
+  def langId(text: Column): Column = {
+    val t = tokens(lower(text))
+    val scores = langMarkers.map { case (lang, markers) =>
+      lang -> size(filter(t, w => w.isin(markers.map(lit): _*)))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((lang, s), acc) =>
+      when(s === best && s > 0, lang).otherwise(acc)
+    }
+  }
+
+  /** Document fingerprint: 64-bit hex digest of the canonicalized text
+    * (lowercase, whitespace-collapsed) — the exact-dedup key. md5-based so
+    * independent engines agree.
+    */
+  def fingerprint(text: Column): Column =
+    substring(md5(regexp_replace(lower(trim(text)), "\\s+", " ")), 1, 16)
+}

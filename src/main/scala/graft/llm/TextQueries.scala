@@ -1,0 +1,111 @@
+package graft.llm
+
+import graft.{Q, QueryPack, Tables}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis queries over the `documents` table, each oracle-checked
+  * against an independent DuckDB reimplementation of the same semantics.
+  * Aggregates stay in exact arithmetic (counts, integral sums, min/max of
+  * identically-derived doubles) — no rounding flakes.
+  */
+object TextQueries extends QueryPack {
+
+  private val tokenStats = Q(
+    "text_token_stats",
+    (s, d) => {
+      val t = Tables.documents(s, d)
+        .select(col("lang"), TextAnalysis.tokenCount(col("text")).as("tc"),
+          col("n_chars"))
+      t.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("tc")).as("sum_tokens"),
+          min(col("tc")).as("min_tokens"), max(col("tc")).as("max_tokens"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("lang"))
+    },
+    Some("""WITH t AS (SELECT lang,
+           |  CASE WHEN length(trim(text)) = 0 THEN 0
+           |   ELSE len(string_split_regex(trim(text), '\s+')) END AS tc, n_chars
+           | FROM documents)
+           |SELECT lang, count(*) AS n, CAST(sum(tc) AS BIGINT) AS sum_tokens,
+           | min(tc) AS min_tokens, max(tc) AS max_tokens,
+           | CAST(sum(n_chars) AS BIGINT) AS sum_chars
+           |FROM t GROUP BY 1 ORDER BY 1""".stripMargin),
+    headline = true)
+
+  private val quality = Q(
+    "text_quality_scores",
+    (s, d) => {
+      val t = Tables.documents(s, d).select(col("source"),
+        TextAnalysis.alphaRatio(col("text")).as("ar"),
+        TextAnalysis.stopwordCount(col("text")).as("sw"))
+      t.groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), min(col("ar")).as("min_alpha"),
+          max(col("ar")).as("max_alpha"), sum(col("sw")).as("sum_stopwords"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH t AS (SELECT source,
+           |  CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+           |    / length(text) AS ar,
+           |  len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+           |    x -> x IN ('the','a','of','and','to','in','is'))) AS sw
+           | FROM documents)
+           |SELECT source, count(*) AS n, min(ar) AS min_alpha, max(ar) AS max_alpha,
+           | CAST(sum(sw) AS BIGINT) AS sum_stopwords
+           |FROM t GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  private val langid = Q(
+    "text_langid_heuristic",
+    (s, d) => Tables.documents(s, d)
+      .select(col("lang"), TextAnalysis.langId(col("text")).as("predicted"))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("predicted")),
+    // same marker-count argmax, ties resolved en > de > fr > es, all-zero → und
+    Some("""WITH t AS (SELECT lang,
+           |  string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),
+           |sc AS (SELECT lang,
+           |  len(list_filter(w, x -> x IN ('the','a','of','and','is'))) AS s_en,
+           |  len(list_filter(w, x -> x IN ('der','die','das','und','ist'))) AS s_de,
+           |  len(list_filter(w, x -> x IN ('le','la','les','et','est'))) AS s_fr,
+           |  len(list_filter(w, x -> x IN ('el','la','los','y','es'))) AS s_es
+           | FROM t),
+           |p AS (SELECT lang, CASE
+           |  WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en > 0 THEN 'en'
+           |  WHEN s_de >= s_fr AND s_de >= s_es AND s_de > 0 THEN 'de'
+           |  WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
+           |  WHEN s_es > 0 THEN 'es'
+           |  ELSE 'und' END AS predicted FROM sc)
+           |SELECT lang, predicted, count(*) AS n
+           |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
+  private val fingerprintQ = Q(
+    "text_fingerprint",
+    (s, d) => Tables.documents(s, d)
+      .select(col("lang"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), count_distinct(col("fp")).as("n_distinct"))
+      .orderBy(col("lang")),
+    Some("""SELECT lang, count(*) AS n,
+           | count(DISTINCT substring(md5(regexp_replace(lower(trim(text)),
+           |   '\s+', ' ', 'g')), 1, 16)) AS n_distinct
+           |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  private val subwords = Q(
+    "text_subword_counts",
+    (s, d) => {
+      val t = Tables.documents(s, d).select(col("lang"),
+        TextAnalysis.subwordCount(col("text")).as("sc"))
+      t.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("sc")).as("sum_subwords"),
+          min(col("sc")).as("min_subwords"), max(col("sc")).as("max_subwords"))
+        .orderBy(col("lang"))
+    },
+    Some("""WITH t AS (SELECT lang,
+           |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 \t\n]+')) AS sc
+           | FROM documents)
+           |SELECT lang, count(*) AS n, CAST(sum(sc) AS BIGINT) AS sum_subwords,
+           | min(sc) AS min_subwords, max(sc) AS max_subwords
+           |FROM t GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  val qs: Seq[Q] = Seq(tokenStats, quality, langid, fingerprintQ, subwords)
+}
