@@ -51,11 +51,4 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
-  /** Deterministic total order over every output column, nulls first —
-    * mirrors the `ORDER BY ... NULLS FIRST` appended to each oracle so the
-    * driver's hash compare sees identical row order regardless of whether
-    * it sorts. Applied to final (small) results only, never mid-plan.
-    */
-  def canonical(df: DataFrame): DataFrame =
-    df.orderBy(df.columns.map(c => col(c).asc_nulls_first).toIndexedSeq: _*)
 }

@@ -96,4 +96,12 @@ object Analytics {
   /** F7: equality drilldown filter (`interactive_dashboard.py:183`). */
   def drilldown(df: DataFrame, c: String, v: String): DataFrame =
     df.filter(col(c) === lit(v))
+
+  /** F8: dtype-based column pruning (`interactive_dashboard.py:47-49`) —
+    * driver-side schema routing; the projection prunes the scan.
+    */
+  def selectByType(df: DataFrame, dt: org.apache.spark.sql.types.DataType): DataFrame = {
+    val cols = df.schema.fields.filter(_.dataType == dt).map(f => col(f.name))
+    df.select(cols.toIndexedSeq: _*)
+  }
 }

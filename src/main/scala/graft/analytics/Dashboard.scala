@@ -82,6 +82,35 @@ object Dashboard extends QueryPack {
     Some("""SELECT doc_id, lang, source, n_chars FROM documents
            |ORDER BY doc_id LIMIT 5""".stripMargin))
 
+  /** A4 scale path: HLL distinct. Engine-specific sketch → no SQL oracle
+    * (DuckDB's approx algo differs); accuracy pinned in AnalyticsSpec.
+    */
+  private val a4approx = Q(
+    "a4_approx_distinct_users",
+    (s, d) => Analytics.approxDistinct(Tables.events(s, d), "user_id"),
+    None)
+
+  /** A5 exact reference shape: # groups via grouped-distinct-then-count. */
+  private val a5groups = Q(
+    "a5_groups_with_distinct",
+    (s, d) => Analytics.groupedDistinctThenCount(Tables.events(s, d), "user_id", "event_type"),
+    Some("""SELECT count(*) AS n_groups FROM (
+           | SELECT user_id, count(DISTINCT event_type) AS nd
+           | FROM events GROUP BY 1) t""".stripMargin))
+
+  /** F8: dtype routing — numeric columns only, aggregated. */
+  private val f8 = Q(
+    "f8_dtype_pruned_numeric",
+    (s, d) => {
+      val numeric = Analytics.selectByType(Tables.events(s, d),
+        org.apache.spark.sql.types.DoubleType)
+      numeric.agg(count(lit(1)).as("n"),
+        round(min(col("value")), 6).as("min_value"),
+        round(max(col("value")), 6).as("max_value"))
+    },
+    Some("""SELECT count(*) AS n, round(min(value), 6) AS min_value,
+           | round(max(value), 6) AS max_value FROM events""".stripMargin))
+
   private val f6 = Q(
     "f6_contains_filter_docs",
     (s, d) => Analytics.containsFilter(Tables.documents(s, d), "text", "spark")
@@ -98,5 +127,6 @@ object Dashboard extends QueryPack {
     Some("""SELECT event_id, user_id, value FROM events
            |WHERE event_type = 'error' ORDER BY event_id""".stripMargin))
 
-  val qs: Seq[Q] = Seq(a1, a2, a3, a4, a5, a6num, a6time, a7, a8, f6, f7)
+  val qs: Seq[Q] = Seq(a1, a2, a3, a4, a4approx, a5, a5groups, a6num, a6time,
+    a7, a8, f6, f7, f8)
 }

@@ -1,0 +1,109 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface over the `events` schema (SURVEY §2.7: the
+  * reference is batch-only; this is the §7 forward extension — the same
+  * logical transforms as [[graft.analytics.Temporal]] expressed over an
+  * unbounded source).
+  *
+  * Both jobs are written against a generic DataFrame/Dataset input, so
+  * they bind equally to `spark.readStream.format("kafka")`-style sources
+  * in production, file streams, or MemoryStream in tests. State is
+  * watermark-bounded: at scale the aggregation state is pruned as event
+  * time advances, so a 1000-executor job holds only the open windows, not
+  * history.
+  */
+object EventStream {
+
+  final case class Event(
+      event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  final case class SessionUpdate(
+      user_id: Long, n_events: Int, start: Timestamp, end: Timestamp,
+      closed: Boolean)
+
+  /** Tumbling 1-hour windowed aggregation with a 2-hour watermark — the
+    * streaming twin of the batch `stream_tumbling_hourly` query (same
+    * groupBy(window(...)) logical plan; Catalyst plans the stateful
+    * version when the source is streaming).
+    */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      // group on the window column itself — projecting .start before the
+      // agg hides the event-time window from the planner and Append mode
+      // is rejected
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Per-user sessionization with a 30-minute inactivity gap via
+    * flatMapGroupsWithState — the custom-state escape hatch for semantics
+    * windowed aggs can't express. Event-time timeout closes idle sessions
+    * when the watermark passes (state size stays bounded by the number of
+    * OPEN sessions).
+    */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30)(
+      implicit spark: SparkSession): Dataset[SessionUpdate] = {
+    import spark.implicits._
+    val gapMs = gapMinutes * 60 * 1000L
+
+    def update(userId: Long, rows: Iterator[Event],
+        state: GroupState[(Int, Long, Long)]): Iterator[SessionUpdate] = {
+      if (state.hasTimedOut) {
+        val (n, start, end) = state.get
+        state.remove()
+        Iterator(SessionUpdate(userId, n, new Timestamp(start), new Timestamp(end), closed = true))
+      } else {
+        val sorted = rows.toSeq.sortBy(_.ts.getTime)
+        var out = List.empty[SessionUpdate]
+        var cur = state.getOption
+        sorted.foreach { e =>
+          val t = e.ts.getTime
+          cur = cur match {
+            case Some((n, start, end)) if t - end <= gapMs =>
+              Some((n + 1, start, math.max(end, t)))
+            case Some((n, start, end)) =>
+              out ::= SessionUpdate(userId, n, new Timestamp(start), new Timestamp(end), closed = true)
+              Some((1, t, t))
+            case None => Some((1, t, t))
+          }
+        }
+        cur.foreach { c =>
+          state.update(c)
+          state.setTimeoutTimestamp(c._3 + gapMs)
+          out ::= SessionUpdate(userId, c._1, new Timestamp(c._2), new Timestamp(c._3), closed = false)
+        }
+        out.reverseIterator
+      }
+    }
+
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
+  /** End-to-end wiring helper: file-source stream of events parquet →
+    * hourly counts → sink. The run loop the driver of a real deployment
+    * owns; tests use MemoryStream instead.
+    */
+  def runFileStream(spark: SparkSession, srcDir: String, outDir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val schema = spark.read.parquet(srcDir).schema
+    val in = spark.readStream.schema(schema).parquet(srcDir)
+    hourlyCounts(in).writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .format("parquet")
+      .option("path", outDir)
+      .start()
+  }
+}

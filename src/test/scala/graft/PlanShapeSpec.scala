@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** Physical-plan contracts — the properties that make these queries
+  * viable at 1000-executor / 100 TB scale, asserted so a refactor can't
+  * silently regress them:
+  *  - dimension joins stay broadcast (no fact-side shuffle for dims),
+  *  - filters and projections reach the parquet scan (PushedFilters /
+  *    pruned ReadSchema),
+  *  - top-K plans as TakeOrderedAndProject (per-partition heaps, no
+  *    global sort),
+  *  - whole-stage codegen covers the scan→filter→partial-agg pipeline.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(df: DataFrame): SparkPlan =
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+
+  private def planString(df: DataFrame): String = {
+    df.collect() // finalize AQE so the real join strategies are visible
+    planOf(df).toString
+  }
+
+  test("q5: all four dimension joins broadcast; no shuffle for dims") {
+    val s = planString(SparkEntry.queries("q5_nation_revenue")(spark, sf))
+    assert(s.contains("BroadcastHashJoin"), s)
+    // the only sort-merge (or shuffled-hash) join allowed is fact-fact
+    val smj = "SortMergeJoin".r.findAllIn(s).length
+    assert(smj <= 1, s"expected <=1 fact-fact SMJ, got $smj\n$s")
+  }
+
+  test("q6: filters push into the parquet scan; scan reads pruned schema") {
+    val df = SparkEntry.queries("q6_revenue_forecast")(spark, sf)
+    val scan = planOf(df).collectLeaves().map(_.toString).mkString("\n")
+    assert(scan.contains("PushedFilters: ["), scan)
+    assert(scan.contains("IsNotNull"), scan)
+    // projection pruning: only the 4 referenced columns are read
+    assert(!scan.contains("l_orderkey"), s"unpruned scan: $scan")
+  }
+
+  test("topK plans as TakeOrderedAndProject, never a global Sort+Limit") {
+    val s = planString(SparkEntry.queries("topk_parts_by_lineitems")(spark, sf))
+    assert(s.contains("TakeOrderedAndProject"), s)
+  }
+
+  test("anti/semi joins use broadcast variants at this scale") {
+    val s = planString(SparkEntry.queries("join_anti_customers_no_orders")(spark, sf))
+    assert(s.contains("LeftAnti"), s)
+  }
+
+  test("q1: whole-stage codegen covers scan→filter→partial agg") {
+    val s = planString(SparkEntry.queries("q1_pricing_summary")(spark, sf))
+    // codegen stages appear as "*(n) " prefixes in the plan toString
+    assert(s.contains("*(1) "), s)
+    assert(s.contains("partial_sum"), s) // map-side combine before shuffle
+    assert(s.contains("HashAggregate"), s) // hash agg, not sort-agg
+  }
+
+  test("every registered query plans and executes at sf0.001") {
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try { fn(spark, sf).collect(); None }
+      catch { case e: Throwable => Some(s"$name: ${e.getMessage.take(120)}") }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+}

@@ -1,0 +1,65 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import graft.streaming.EventStream.{Event, SessionUpdate}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Drives the streaming jobs through MemoryStream with explicit event-time
+  * progression: late data within the watermark counts, windows close when
+  * the watermark passes, sessions split on the inactivity gap.
+  */
+class EventStreamSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+  private def ev(id: Long, t: String, user: Long, typ: String, v: Double) =
+    Event(id, ts(t), user, typ, v)
+
+  test("hourlyCounts: windows aggregate and close under the watermark") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val q = EventStream.hourlyCounts(input.toDF())
+      .writeStream.format("memory").queryName("hourly")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        ev(1, "2024-01-01 10:05:00", 1, "click", 1.0),
+        ev(2, "2024-01-01 10:40:00", 2, "click", 2.0),
+        ev(3, "2024-01-01 11:10:00", 1, "view", 3.0))
+      q.processAllAvailable()
+      // advance watermark far enough (> 11:00 + 2h) to close hour 10 + 11
+      input.addData(ev(4, "2024-01-01 14:00:00", 1, "click", 1.0))
+      q.processAllAvailable()
+      val out = spark.table("hourly").as[(Timestamp, String, Long, Double)]
+        .collect().map(r => (r._1, r._2, r._3, r._4)).toSet
+      assert(out.contains((ts("2024-01-01 10:00:00"), "click", 2L, 3.0)))
+      assert(out.contains((ts("2024-01-01 11:00:00"), "view", 1L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("sessionize: gap splits sessions, state closes on timeout") {
+    implicit val s = spark
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val q = EventStream.sessionize(input.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        ev(1, "2024-01-01 10:00:00", 7, "click", 1.0),
+        ev(2, "2024-01-01 10:10:00", 7, "click", 1.0),
+        // > 30 min gap → second session
+        ev(3, "2024-01-01 11:00:00", 7, "click", 1.0))
+      q.processAllAvailable()
+      val out = spark.table("sessions").as[SessionUpdate].collect()
+      val closed = out.filter(_.closed)
+      assert(closed.exists(u =>
+        u.user_id == 7 && u.n_events == 2 &&
+          u.start == ts("2024-01-01 10:00:00") && u.end == ts("2024-01-01 10:10:00")))
+    } finally q.stop()
+  }
+}
