@@ -39,6 +39,27 @@ object Tables {
     }
   }
 
+  /** S4 JDBC flavor (ref `interactive_dashboard.py:23-27`: read_sql_table
+    * + cache). Partitioned reads via (partitionColumn, lowerBound,
+    * upperBound, numPartitions) so a 1000-executor cluster fans the table
+    * scan out instead of funneling through one connection. No database
+    * ships with this harness — the parquet loaders above are the tested
+    * path; this is the production binding.
+    */
+  def jdbcTable(s: SparkSession, url: String, table: String,
+      partitionColumn: Option[(String, Long, Long, Int)] = None,
+      props: java.util.Properties = new java.util.Properties): DataFrame = {
+    val base = s.read.format("jdbc")
+      .option("url", url).option("dbtable", table)
+    val reader = partitionColumn match {
+      case Some((c, lo, hi, n)) => base
+        .option("partitionColumn", c).option("lowerBound", lo)
+        .option("upperBound", hi).option("numPartitions", n)
+      case None => base
+    }
+    reader.load().cache()
+  }
+
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")
