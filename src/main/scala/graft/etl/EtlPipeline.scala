@@ -67,4 +67,13 @@ object Sinks {
   def exportLogsCsv(logs: DataFrame, reason: String, outPath: String): Unit =
     logs.filter(org.apache.spark.sql.functions.col("reason") === reason)
       .write.mode("overwrite").option("header", true).csv(outPath)
+
+  /** Corpus-layout sink: hive-partitioned parquet. Partition columns
+    * become directories, so downstream jobs touching one language/source
+    * read only their slice (partition pruning at the listing level — the
+    * layout that matters most at 100 TB).
+    */
+  def writePartitioned(df: DataFrame, partitionCols: Seq[String],
+      outDir: String): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(outDir)
 }

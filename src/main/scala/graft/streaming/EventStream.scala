@@ -91,6 +91,16 @@ object EventStream {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
   }
 
+  /** Streaming keyed dedup — D3's unbounded flavor (SURVEY §2.5): drop
+    * repeated keys with state bounded by the watermark (a key older than
+    * the delay is forgotten, so state never grows unbounded — the exact
+    * trade a 100 TB/day stream needs).
+    */
+  def dedupByKey(events: DataFrame, keys: Seq[String],
+      watermarkDelay: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .dropDuplicates(keys :+ "ts")
+
   /** End-to-end wiring helper: file-source stream of events parquet →
     * hourly counts → sink. The run loop the driver of a real deployment
     * owns; tests use MemoryStream instead.

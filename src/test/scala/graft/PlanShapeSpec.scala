@@ -64,6 +64,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(s.contains("HashAggregate"), s) // hash agg, not sort-agg
   }
 
+  test("bucketed ops never degenerate to cartesian products") {
+    // the LSH family must join through bucket keys — a cartesian or
+    // nested-loop join here means candidate generation went all-pairs
+    Seq("dedup_minhash_lsh", "dedup_simhash_pairs", "ann_lsh_topk").foreach { q =>
+      val s = planString(SparkEntry.queries(q)(spark, sf))
+      assert(!s.contains("CartesianProduct"), s"$q went cartesian:\n$s")
+      assert(!s.contains("BroadcastNestedLoopJoin"), s"$q went nested-loop:\n$s")
+    }
+  }
+
   test("every registered query plans and executes at sf0.001") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try { fn(spark, sf).collect(); None }

@@ -21,6 +21,19 @@ class SinksSpec extends SparkSpec {
     assert(spark.read.parquet(s"$out/logs").columns.toSeq === QualityLog.columns)
   }
 
+  test("partitioned corpus sink: hive layout prunes at listing level") {
+    val out = java.nio.file.Files.createTempDirectory("graft-part").toString + "/docs"
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    Sinks.writePartitioned(docs, Seq("lang"), out)
+    val langs = new java.io.File(out).listFiles().map(_.getName)
+      .filter(_.startsWith("lang=")).sorted
+    assert(langs.length >= 3) // one directory per language
+    val en = spark.read.parquet(out).filter(col("lang") === "en")
+    val scan = en.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(scan.contains("PartitionFilters: [isnotnull(lang"), scan)
+    assert(en.count() === docs.filter(col("lang") === "en").count())
+  }
+
   test("K2: reason-filtered CSV export round-trips") {
     val out = java.nio.file.Files.createTempDirectory("graft-csv").toString + "/dups"
     val logs = EtlPipeline.runDefault(spark).logs

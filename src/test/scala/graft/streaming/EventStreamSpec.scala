@@ -40,6 +40,24 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupByKey: repeated keys dropped across batches within watermark") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val q = EventStream.dedupByKey(input.toDF(), Seq("event_id"))
+      .writeStream.format("memory").queryName("deduped")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(ev(1, "2024-01-01 10:00:00", 1, "click", 1.0))
+      q.processAllAvailable()
+      input.addData(
+        ev(1, "2024-01-01 10:00:00", 1, "click", 1.0), // dup, later batch
+        ev(2, "2024-01-01 10:01:00", 1, "view", 2.0))
+      q.processAllAvailable()
+      assert(spark.table("deduped").count() === 2)
+    } finally q.stop()
+  }
+
   test("sessionize: gap splits sessions, state closes on timeout") {
     implicit val s = spark
     implicit val sq = spark.sqlContext
