@@ -69,6 +69,22 @@ object Dashboard extends QueryPack {
            | count(*) AS n
            |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** A6 datetime equi-width flavor (px.histogram on a datetime column,
+    * nbins=50: data-dependent epoch-space bin edges, exactly the numeric
+    * algorithm applied to unix seconds).
+    */
+  private val a6tsEqui = Q(
+    "a6_histogram_ts_equiwidth",
+    (s, d) => Analytics.histogram(
+      Tables.events(s, d).select(
+        col("ts").cast("double").as("epoch")), "epoch", 50),
+    Some("""WITH e AS (SELECT epoch(ts) AS ep FROM events WHERE ts IS NOT NULL),
+           |stats AS (SELECT min(ep) AS mn, max(ep) AS mx FROM e)
+           |SELECT CAST(CASE WHEN mx = mn THEN 0
+           |   ELSE least(floor((ep - mn) / ((mx - mn) / 50)), 49) END AS BIGINT) AS bin,
+           |       count(*) AS n
+           |FROM e, stats GROUP BY 1 ORDER BY 1""".stripMargin))
+
   private val a7 = Q(
     "a7_unique_event_types",
     (s, d) => Analytics.uniqueValues(Tables.events(s, d), "event_type"),
@@ -128,5 +144,5 @@ object Dashboard extends QueryPack {
            |WHERE event_type = 'error' ORDER BY event_id""".stripMargin))
 
   val qs: Seq[Q] = Seq(a1, a2, a3, a4, a4approx, a5, a5groups, a6num, a6time,
-    a7, a8, f6, f7, f8)
+    a6tsEqui, a7, a8, f6, f7, f8)
 }

@@ -41,10 +41,13 @@ object MinHashLsh {
     */
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleN: Int = 3): DataFrame = {
+    // cached: referenced three times (bucket explode + both sides of the
+    // verify join) — without it the signature UDF pass runs 3×
     val base = docs
       .select(col(idCol).as("id"), shBandsUdf(col(textCol)).as("sb"))
       .select(col("id"), col("sb._1").as("sh"), col("sb._2").as("bands"))
       .filter(size(col("sh")) > 0)
+      .cache()
     val buckets = base.select(col("id"),
       posexplode(col("bands")).as(Seq("band", "h")))
     val candidates = buckets.as("l")
@@ -83,8 +86,11 @@ object SimHash {
       maxDist: Int = 3): DataFrame = {
     val chunks = maxDist + 1
     val width = 64 / chunks
+    // cached: the chunk-key frame self-joins, so the simhash pass would
+    // otherwise run twice
     val base = docs
       .select(col(idCol).as("id"), simhashUdf(col(textCol)).as("sig"))
+      .cache()
     val chunkKeys = (0 until chunks).map { c =>
       struct(lit(c).as("chunk"),
         shiftright(col("sig"), c * width)
