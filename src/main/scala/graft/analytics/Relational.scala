@@ -147,6 +147,40 @@ object Relational extends QueryPack {
            |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
            |ORDER BY c_custkey""".stripMargin))
 
+  /** TPC-H Q13 shape: LEFT OUTER join + two-level aggregation — customers
+    * keep their zero-order rows (count over the null side = 0).
+    */
+  private val leftOuterQ13 = Q(
+    "join_left_outer_custdist",
+    (s, d) => {
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+    Some("""SELECT c_count, count(*) AS custdist FROM (
+           | SELECT c_custkey, count(o_orderkey) AS c_count
+           | FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+           | GROUP BY 1) t
+           |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin))
+
+  /** HAVING shape: post-aggregation filter (Catalyst folds it into the
+    * final agg — no second shuffle).
+    */
+  private val havingQ = Q(
+    "agg_having_heavy_parts",
+    (s, d) => Tables.lineitem(s, d)
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .filter(col("n") >= 40)
+      .orderBy(col("l_partkey")),
+    Some("""SELECT l_partkey, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+           |FROM lineitem GROUP BY 1 HAVING count(*) >= 40
+           |ORDER BY l_partkey""".stripMargin))
+
   /** Semi join: suppliers with any late-epoch shipment. */
   private val semiJoin = Q(
     "join_semi_active_suppliers",
@@ -309,7 +343,7 @@ object Relational extends QueryPack {
            |SELECT user_id FROM events WHERE ts >= TIMESTAMP '2024-01-24'
            |ORDER BY user_id""".stripMargin))
 
-  val qs: Seq[Q] = Seq(q1, q3, q5, q6, brandVolume, antiJoin, semiJoin,
-    topkParts, windowRank, windowRunning, sessionize, rollupQ, cubeQ,
-    scalarSub, exceptQ, intersectQ)
+  val qs: Seq[Q] = Seq(q1, q3, q5, q6, brandVolume, antiJoin, leftOuterQ13,
+    havingQ, semiJoin, topkParts, windowRank, windowRunning, sessionize,
+    rollupQ, cubeQ, scalarSub, exceptQ, intersectQ)
 }

@@ -292,6 +292,30 @@ object EtlQueries extends QueryPack {
       .orderBy(QualityLog.columns.map(c => col(c).asc_nulls_first): _*),
     None)
 
+  /** The quality dashboard's primary reads, bound to the LOGS table as in
+    * the reference (`interactive_dashboard.py:124-194`): A1 reason
+    * value_counts; A4/A5+F6 patient-file impact metrics.
+    */
+  private val logsReasons = Q(
+    "etl_logs_reason_counts",
+    (s, _) => graft.analytics.Analytics.valueCounts(
+      EtlPipeline.runDefault(s).logs, "reason"),
+    None)
+
+  private val logsImpact = Q(
+    "etl_logs_patient_impact",
+    (s, _) => {
+      val logs = EtlPipeline.runDefault(s).logs
+      val patientLogs = graft.analytics.Analytics.containsFilter(
+        logs, "filename", "patient")
+      patientLogs.agg(
+        count_distinct(col("patient_id")).as("n_patients"),
+        count_distinct(col("reason")).as("n_reasons"),
+        count(lit(1)).as("n_rows"))
+    },
+    None)
+
   val qs: Seq[Q] = Seq(heightQ, weightQ, sexQ, dobQ, dtQ, dedupQ, nfkcQ,
-    losQ, patientsClean, encountersClean, diagnosesClean, logsOut)
+    losQ, patientsClean, encountersClean, diagnosesClean, logsOut,
+    logsReasons, logsImpact)
 }
