@@ -51,6 +51,42 @@ object EtlQueries extends QueryPack {
            |SELECT bucket, count(*) AS n, min(h) AS min_h, max(h) AS max_h
            |FROM s GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** Bench-scale flavor of the height parser: same when-chain over the
+    * fact table (600k rows at sf0.1) so the BENCH number measures the
+    * codegen'd cleaning throughput, not a 1.5k-row dimension.
+    */
+  private val heightBenchQ = Q(
+    "etl_parse_bench",
+    (s, d) => {
+      val t = Tables.lineitem(s, d).select(
+        (col("l_orderkey") * 8 + col("l_linenumber")).as("k"))
+      val b = col("k") % 5
+      val num = (lit(150) + col("k") % 50).cast("int")
+      val str = when(b === 0, format_string("%d cm", num))
+        .when(b === 1, format_string("%dcm", num))
+        .when(b === 2, format_string("%dft %din",
+          (lit(5) + col("k") % 2).cast("int"), (col("k") % 12).cast("int")))
+        .when(b === 3, format_string("%d in", num))
+        .otherwise(format_string("%d.%02d m", lit(1), (col("k") % 100).cast("int")))
+      t.select(b.as("bucket"), Cleaning.heightToCm(str).as("h"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), min(col("h")).as("min_h"), max(col("h")).as("max_h"))
+        .orderBy(col("bucket"))
+    },
+    Some("""WITH t AS (SELECT l_orderkey * 8 + l_linenumber AS k,
+           |  (l_orderkey * 8 + l_linenumber) % 5 AS bucket FROM lineitem),
+           |s AS (SELECT bucket,
+           |  CASE bucket
+           |   WHEN 0 THEN CAST(150 + k % 50 AS DOUBLE)
+           |   WHEN 1 THEN CAST(150 + k % 50 AS DOUBLE)
+           |   WHEN 2 THEN (5 + k % 2) * 30.48 + (k % 12) * 2.54
+           |   WHEN 3 THEN (150 + k % 50) * 2.54
+           |   ELSE CAST(1 || '.' || lpad(CAST(k % 100 AS VARCHAR), 2, '0') AS DOUBLE) * 100
+           |  END AS h FROM t)
+           |SELECT bucket, count(*) AS n, min(h) AS min_h, max(h) AS max_h
+           |FROM s GROUP BY 1 ORDER BY 1""".stripMargin),
+    headline = true)
+
   // ------------------------------------------------------------- P4
   private val weightQ = Q(
     "etl_weight_bmi",
@@ -315,7 +351,7 @@ object EtlQueries extends QueryPack {
     },
     None)
 
-  val qs: Seq[Q] = Seq(heightQ, weightQ, sexQ, dobQ, dtQ, dedupQ, nfkcQ,
-    losQ, patientsClean, encountersClean, diagnosesClean, logsOut,
-    logsReasons, logsImpact)
+  val qs: Seq[Q] = Seq(heightQ, heightBenchQ, weightQ, sexQ, dobQ, dtQ,
+    dedupQ, nfkcQ, losQ, patientsClean, encountersClean, diagnosesClean,
+    logsOut, logsReasons, logsImpact)
 }
