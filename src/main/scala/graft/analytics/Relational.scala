@@ -181,6 +181,24 @@ object Relational extends QueryPack {
            |FROM lineitem GROUP BY 1 HAVING count(*) >= 40
            |ORDER BY l_partkey""".stripMargin))
 
+  /** The spark.sql facade: identical text runs in both engines — the
+    * engine's SQL front end is exercised, not just the DataFrame DSL.
+    */
+  private val sqlFacade = Q(
+    "sql_revenue_by_segment",
+    (s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("v_customer")
+      Tables.orders(s, d).createOrReplaceTempView("v_orders")
+      s.sql("""SELECT c_mktsegment, count(*) AS n,
+              | round(sum(o_totalprice), 2) AS revenue
+              |FROM v_customer JOIN v_orders ON c_custkey = o_custkey
+              |GROUP BY 1 ORDER BY 1""".stripMargin)
+    },
+    Some("""SELECT c_mktsegment, count(*) AS n,
+           | round(sum(o_totalprice), 2) AS revenue
+           |FROM customer JOIN orders ON c_custkey = o_custkey
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
   /** Semi join: suppliers with any late-epoch shipment. */
   private val semiJoin = Q(
     "join_semi_active_suppliers",
@@ -344,6 +362,6 @@ object Relational extends QueryPack {
            |ORDER BY user_id""".stripMargin))
 
   val qs: Seq[Q] = Seq(q1, q3, q5, q6, brandVolume, antiJoin, leftOuterQ13,
-    havingQ, semiJoin, topkParts, windowRank, windowRunning, sessionize,
-    rollupQ, cubeQ, scalarSub, exceptQ, intersectQ)
+    havingQ, semiJoin, sqlFacade, topkParts, windowRank, windowRunning,
+    sessionize, rollupQ, cubeQ, scalarSub, exceptQ, intersectQ)
 }

@@ -72,6 +72,30 @@ object Ann {
         round(col("score"), 6).as("score"))
   }
 
+  /** Embedding-cosine near-duplicate pairs (i < j, cosine ≥ threshold):
+    * the dedup flavor of [[lshTopK]]. Sign-LSH buckets generate the
+    * candidates (16 tables × 8 bits: P(collision) ≈ 1-(1-p⁸)¹⁶ with
+    * p = 1-θ/π — ≥ 0.9998 for cos ≥ 0.9 pairs, ~6% for orthogonal
+    * background), exact cosine verifies. Never all-pairs.
+    */
+  def cosineNearDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, tables: Int = 16, bits: Int = 8): DataFrame = {
+    val sigUdf = udf((v: Array[Float]) => Hashing.rhpSignatures(v, tables, bits))
+    val base = vectors.select(col(idCol).as("id"), col(vecCol).as("v")).cache()
+    val keyed = base.select(col("id"), posexplode(sigUdf(col("v"))).as(Seq("t", "sig")))
+    val candidates = keyed.as("l").join(keyed.as("r"),
+      col("l.t") === col("r.t") && col("l.sig") === col("r.sig") &&
+        col("l.id") < col("r.id"))
+      .select(col("l.id").as("i"), col("r.id").as("j"))
+      .distinct()
+    candidates
+      .join(base.select(col("id").as("i"), col("v").as("vi")), "i")
+      .join(base.select(col("id").as("j"), col("v").as("vj")), "j")
+      .withColumn("cos", cosine(col("vi"), col("vj")))
+      .filter(col("cos") >= threshold)
+      .select(col("i"), col("j"), round(col("cos"), 4).as("cos"))
+  }
+
   /** IVF-style variant: assign every vector to its nearest of `nCells`
     * seed centroids (the first nCells vectors by id — deterministic), then
     * search only the query's own cell.

@@ -50,6 +50,24 @@ object SimilarityQueries extends QueryPack {
     },
     None)
 
+  /** Embedding-cosine near-dup dedup: LSH-bucketed candidates, exact
+    * verify, FULL brute-force oracle. This corpus plants no near-identical
+    * vectors (max pairwise cosine ≈ 0.6 — measured), so the verified
+    * result is the correct empty set in both engines; the operator's
+    * find-the-pair behavior is proven on planted dups in AnnSpec.
+    */
+  private val embDedup = Q(
+    "dedup_embedding_cosine",
+    (s, d) => Ann.cosineNearDupPairs(
+      Tables.embeddings(s, d), "vec_id", "embedding", threshold = 0.9)
+      .orderBy(col("i"), col("j")),
+    Some("""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+           |p AS (SELECT a.vec_id AS i, b.vec_id AS j,
+           |  list_cosine_similarity(a.embedding, b.embedding) AS c
+           | FROM e a JOIN e b ON a.vec_id < b.vec_id)
+           |SELECT i, j, round(c, 4) AS cos FROM p WHERE c >= 0.9
+           |ORDER BY i, j""".stripMargin))
+
   private val mmFeatures = Q(
     "mm_binary_features",
     (s, d) => {
@@ -72,5 +90,5 @@ object SimilarityQueries extends QueryPack {
            | CAST(min(width) AS INT) AS min_w, CAST(max(height) AS INT) AS max_h
            |FROM m GROUP BY 1 ORDER BY 1""".stripMargin))
 
-  val qs: Seq[Q] = Seq(brute, lsh, ivf, mmFeatures)
+  val qs: Seq[Q] = Seq(brute, lsh, ivf, embDedup, mmFeatures)
 }

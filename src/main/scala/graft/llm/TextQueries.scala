@@ -107,5 +107,23 @@ object TextQueries extends QueryPack {
            | min(sc) AS min_subwords, max(sc) AS max_subwords
            |FROM t GROUP BY 1 ORDER BY 1""".stripMargin))
 
-  val qs: Seq[Q] = Seq(tokenStats, quality, langid, fingerprintQ, subwords)
+  /** Rolling-hash fingerprinting through the SQL surface: the custom
+    * `poly_hash` Catalyst expression registered at runtime and invoked
+    * from `spark.sql(...)` over a temp view. No SQL oracle (the hash is
+    * engine-defined); FunctionsSpec pins the hash values and the
+    * distinct-count agreement with the md5 fingerprint.
+    */
+  private val polyFingerprint = Q(
+    "text_polyhash_fingerprint",
+    (s, d) => {
+      graft.functions.GraftExtensions.register(s)
+      Tables.documents(s, d).createOrReplaceTempView("v_documents")
+      s.sql("""SELECT lang, count(*) AS n,
+              | count(DISTINCT poly_hash(nfkc_lower(text))) AS n_distinct
+              |FROM v_documents GROUP BY lang ORDER BY lang""".stripMargin)
+    },
+    None)
+
+  val qs: Seq[Q] = Seq(tokenStats, quality, langid, fingerprintQ, subwords,
+    polyFingerprint)
 }
