@@ -51,17 +51,22 @@ object Ann {
   def lshTopK(vectors: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, tables: Int = 8, bits: Int = 12): DataFrame = {
     val sigUdf = udf((v: Array[Float]) => Hashing.rhpSignatures(v, tables, bits))
+    // bucket keys carry IDS ONLY — the vectors would otherwise ride the
+    // explode ×tables through the shuffle; they're joined back for just
+    // the candidate pairs
+    val qBase = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")).cache()
+    val nBase = vectors.select(col(idCol).as("vec_id"), col(vecCol).as("nv")).cache()
     def keyed(df: DataFrame, id: String, vec: String) =
-      df.select(col(id), col(vec), posexplode(sigUdf(col(vec))).as(Seq("t", "sig")))
-    val qk = keyed(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
-      "query_id", "qv")
-    val nk = keyed(vectors.select(col(idCol).as("vec_id"), col(vecCol).as("nv")),
-      "vec_id", "nv")
+      df.select(col(id), posexplode(sigUdf(col(vec))).as(Seq("t", "sig")))
+    val qk = keyed(qBase, "query_id", "qv")
+    val nk = keyed(nBase, "vec_id", "nv")
     val candidates = qk.as("q").join(nk.as("n"),
       col("q.t") === col("n.t") && col("q.sig") === col("n.sig") &&
         col("query_id") =!= col("vec_id"))
-      .select(col("query_id"), col("qv"), col("vec_id"), col("nv"))
-      .dropDuplicates("query_id", "vec_id")
+      .select(col("query_id"), col("vec_id"))
+      .distinct()
+      .join(qBase, "query_id")
+      .join(nBase, "vec_id")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("vec_id"))
     candidates

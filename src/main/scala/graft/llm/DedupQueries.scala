@@ -82,5 +82,51 @@ object DedupQueries extends QueryPack {
            |SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n
            |FROM p GROUP BY 1 ORDER BY 1""".stripMargin))
 
-  val qs: Seq[Q] = Seq(exact, minhash, simhash, ngramJaccard)
+  /** The composite a training-data team actually runs, end-to-end with a
+    * FULL independent oracle: quality filter → exact-fingerprint dedup
+    * (keep-first) → near-dup removal (drop the j of every verified
+    * MinHash-LSH pair) → per-language corpus stats. Every stage is
+    * deterministic, so the DuckDB reimplementation (brute-force where the
+    * engine is bucketed) must agree bit-for-bit.
+    */
+  private val trainingPipeline = Q(
+    "docs_training_pipeline",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val quality = docs.filter(
+        TextAnalysis.tokenCount(col("text")) >= 20 &&
+          TextAnalysis.alphaRatio(col("text")) >= 0.5)
+      val (exactKept, _) = Dedup.keepFirst(
+        quality.withColumn("fp", TextAnalysis.fingerprint(col("text"))),
+        Seq(col("fp")), col("doc_id"))
+      val pairs = MinHashLsh.nearDupPairs(exactKept, "doc_id", "text", 0.8)
+      val survivors = exactKept.join(
+        pairs.select(col("j").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+      survivors.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(TextAnalysis.tokenCount(col("text"))).as("sum_tokens"))
+        .orderBy(col("lang"))
+    },
+    Some("""WITH q AS (SELECT * FROM documents
+           | WHERE (CASE WHEN length(trim(text)) = 0 THEN 0
+           |   ELSE len(string_split_regex(trim(text), '\s+')) END) >= 20
+           |  AND CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+           |      / length(text) >= 0.5),
+           |e AS (SELECT * FROM (SELECT *, row_number() OVER (
+           |   PARTITION BY substring(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 16)
+           |   ORDER BY doc_id) AS rn FROM q) WHERE rn = 1),
+           |sh AS (SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+           |    for i in range(1, len(w)-1)]) AS sh
+           |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM e)
+           |  WHERE len(w) >= 3),
+           |pairs AS (SELECT b.doc_id AS j FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           |  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+           |s AS (SELECT * FROM e WHERE doc_id NOT IN (SELECT j FROM pairs))
+           |SELECT lang, count(*) AS n,
+           | CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS sum_tokens
+           |FROM s GROUP BY 1 ORDER BY 1""".stripMargin),
+    headline = true)
+
+  val qs: Seq[Q] = Seq(exact, minhash, simhash, ngramJaccard, trainingPipeline)
 }
