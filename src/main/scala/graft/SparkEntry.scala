@@ -24,8 +24,14 @@ object SparkEntry {
     queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val names = packs.flatMap(_.qs.map(_.name))
+    val dups = names.groupBy(identity).collect { case (n, vs) if vs.size > 1 => n }
+    // a silent toMap collision would un-register a query and zero its
+    // correctness row — fail loudly instead
+    require(dups.isEmpty, s"duplicate query names across packs: $dups")
     packs.flatMap(_.queries).toMap
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
