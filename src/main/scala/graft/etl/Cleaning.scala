@@ -12,6 +12,12 @@ import org.apache.spark.sql.functions._
   */
 object Cleaning {
 
+  /** Python-`strip()`-equivalent trim: Spark's `trim` removes only ASCII
+    * spaces, but the reference strips tabs/CR/LF too — a tab-padded cell
+    * must not defeat the parsers.
+    */
+  def wsTrim(c: Column): Column = regexp_replace(c, "^\\s+|\\s+$", "")
+
   // ---------------------------------------------------------------- P3
   /** `height_to_cm` (ref `etl.py:146-183`): unit-sniffing height
     * normalizer. Dispatch order is semantic and must match the
@@ -20,7 +26,7 @@ object Cleaning {
     * `etl.py:663`).
     */
   def heightToCm(c: Column): Column = {
-    val s = lower(trim(c.cast("string")))
+    val s = lower(wsTrim(c.cast("string")))
     val firstNum = regexp_extract(s, "[\\d.]+", 0).try_cast("double")
     val ftRaw = regexp_extract(s, "^(\\d+)\\s*(?:ft|')\\s*(\\d+)?\\s*(?:in|\"|$)?", 1)
     val inRaw = regexp_extract(s, "^(\\d+)\\s*(?:ft|')\\s*(\\d+)?\\s*(?:in|\"|$)?", 2)
@@ -44,7 +50,7 @@ object Cleaning {
     * from the cleaned value (SURVEY §7 hard part (e)).
     */
   def weightToKg(weight: Column, heightCm: Column): Column = {
-    val s = lower(trim(weight.cast("string")))
+    val s = lower(wsTrim(weight.cast("string")))
     val missingMarker = s.isin("", "na", "n/a", "none", "null", "-")
     val num = regexp_extract(s, "[\\d.]+", 0).try_cast("double")
     val hasKg = s.contains("kg")
@@ -99,7 +105,7 @@ object Cleaning {
     * no gain).
     */
   def sexToIso(c: Column): Column = {
-    val s = upper(trim(c.cast("string")))
+    val s = upper(wsTrim(c.cast("string")))
     when(c.isNull, 0)
       .when(s === "M", 1)
       .when(s === "F", 2)
@@ -114,7 +120,7 @@ object Cleaning {
     * invalid_code; legitimate "U" → `cleaned_value`+unknown_or_missing.
     */
   def sexLogReason(c: Column): Column = {
-    val s = upper(trim(c.cast("string")))
+    val s = upper(wsTrim(c.cast("string")))
     when(c.isNull, "missing_value")
       .when(s.isin("M", "F", "O"), lit(null).cast("string"))
       .when(s === "U", "unknown_or_missing")
@@ -149,7 +155,7 @@ object Cleaning {
     * formats contain no month-name fields, so uppercasing is lossless.
     */
   def parseMulti(c: Column, formats: Seq[String]): Column =
-    coalesce(formats.map(f => try_to_timestamp(upper(trim(c)), lit(f))): _*)
+    coalesce(formats.map(f => try_to_timestamp(upper(wsTrim(c)), lit(f))): _*)
 
   def parseDate(c: Column): Column = parseMulti(c, dateFormats ++ datetimeFormats)
 

@@ -35,7 +35,9 @@ object Encounters {
   def read(spark: SparkSession, path: String): DataFrame = {
     val lines = spark.read.text(path)
       .withColumn("_ord", monotonically_increasing_id())
-      .withColumn("value", trim(col("value")))
+      // Python-strip equivalent: also removes the \r a CRLF file leaves
+      // on every line (Spark's trim would keep it and poison every cell)
+      .withColumn("value", Cleaning.wsTrim(col("value")))
       .filter(length(col("value")) > 0 &&
         !lower(col("value")).startsWith("encounter_id"))
     val parts = when(

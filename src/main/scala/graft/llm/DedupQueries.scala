@@ -108,7 +108,7 @@ object DedupQueries extends QueryPack {
         .orderBy(col("lang"))
     },
     Some("""WITH q AS (SELECT * FROM documents
-           | WHERE (CASE WHEN length(trim(text)) = 0 THEN 0
+           | WHERE (CASE WHEN length(regexp_replace(text, '\s', '', 'g')) = 0 THEN 0
            |   ELSE len(string_split_regex(trim(text), '\s+')) END) >= 20
            |  AND CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
            |      / length(text) >= 0.5),

@@ -15,7 +15,10 @@ object TextAnalysis {
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
   def tokenCount(text: Column): Column =
-    when(length(trim(text)) === 0, 0).otherwise(size(tokens(text)))
+    // whitespace-class emptiness test: trim() strips only ASCII spaces,
+    // so a tabs-only string would otherwise count phantom tokens
+    when(length(regexp_replace(text, "\\s", "")) === 0, 0)
+      .otherwise(size(tokens(text)))
 
   /** BPE-ish subword segmentation count: alpha runs, digit runs, and
     * punctuation clusters counted as separate tokens (a cheap,

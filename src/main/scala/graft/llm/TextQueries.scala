@@ -23,7 +23,7 @@ object TextQueries extends QueryPack {
         .orderBy(col("lang"))
     },
     Some("""WITH t AS (SELECT lang,
-           |  CASE WHEN length(trim(text)) = 0 THEN 0
+           |  CASE WHEN length(regexp_replace(text, '\s', '', 'g')) = 0 THEN 0
            |   ELSE len(string_split_regex(trim(text), '\s+')) END AS tc, n_chars
            | FROM documents)
            |SELECT lang, count(*) AS n, CAST(sum(tc) AS BIGINT) AS sum_tokens,
