@@ -85,6 +85,26 @@ object Dashboard extends QueryPack {
            |       count(*) AS n
            |FROM e, stats GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** A3 crosstab flavor: pivot — the dashboard's filename×reason matrix
+    * shape. Pivot values are an explicit list (schema must be
+    * data-independent); Catalyst plans it as one hash aggregate with
+    * conditional counters, no extra shuffle per column.
+    */
+  private val a3pivot = Q(
+    "a3_pivot_lang_by_source",
+    (s, d) => Tables.documents(s, d)
+      .groupBy(col("lang"))
+      .pivot("source", Seq("src0", "src1", "src2", "src3"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("lang")),
+    Some("""SELECT lang,
+           | count(CASE WHEN source = 'src0' THEN 1 END) AS src0,
+           | count(CASE WHEN source = 'src1' THEN 1 END) AS src1,
+           | count(CASE WHEN source = 'src2' THEN 1 END) AS src2,
+           | count(CASE WHEN source = 'src3' THEN 1 END) AS src3
+           |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin))
+
   private val a7 = Q(
     "a7_unique_event_types",
     (s, d) => Analytics.uniqueValues(Tables.events(s, d), "event_type"),
@@ -143,6 +163,6 @@ object Dashboard extends QueryPack {
     Some("""SELECT event_id, user_id, value FROM events
            |WHERE event_type = 'error' ORDER BY event_id""".stripMargin))
 
-  val qs: Seq[Q] = Seq(a1, a2, a3, a4, a4approx, a5, a5groups, a6num, a6time,
-    a6tsEqui, a7, a8, f6, f7, f8)
+  val qs: Seq[Q] = Seq(a1, a2, a3, a3pivot, a4, a4approx, a5, a5groups,
+    a6num, a6time, a6tsEqui, a7, a8, f6, f7, f8)
 }

@@ -112,6 +112,20 @@ class CleaningPropertySpec extends SparkSpec {
     assert(r(3).getTimestamp(0).toLocalDateTime.getDayOfMonth === 31)
   }
 
+  test("P7: every offset −12:00..+12:00 collapses to the same UTC instant") {
+    val rows = (-12 to 12).toDF("off")
+      .select(col("off"), Cleaning.parseDatetime(concat(
+        lit("2024-06-15 12:00:00"),
+        when(col("off") >= 0, format_string("+%02d:00", col("off")))
+          .otherwise(format_string("-%02d:00", -col("off"))))).as("p"))
+      .collect()
+    rows.foreach { r =>
+      val expected = java.sql.Timestamp.valueOf("2024-06-15 12:00:00").toInstant
+        .minusSeconds(r.getInt(0) * 3600L)
+      assert(r.getTimestamp(1).toInstant === expected, s"offset ${r.getInt(0)}")
+    }
+  }
+
   test("parsers are total: garbage inputs yield null, never throw") {
     val junk = Seq("x9", "...", "ft in", "kg", "12-34-56-78", "m", "'\"",
       "1.2.3.4", "99999999999999999999", "∞", "NaN", "-0")
