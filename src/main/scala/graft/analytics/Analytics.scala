@@ -97,6 +97,25 @@ object Analytics {
   def drilldown(df: DataFrame, c: String, v: String): DataFrame =
     df.filter(col(c) === lit(v))
 
+  /** Column profile: (column, n_nonnull, n_distinct) per column in ONE
+    * pass — the `df.describe()`-style utility every ingest pipeline runs
+    * first. Single aggregate over all columns (2·k agg expressions), then
+    * a driver-side unpivot of the 1-row result: no per-column scans, no
+    * shuffle beyond one aggregation.
+    */
+  def profile(df: DataFrame): DataFrame = {
+    val aggs = df.columns.flatMap(c => Seq(
+      count(col(c)).as(s"${c}__n"),
+      count_distinct(col(c)).as(s"${c}__nd")))
+    val row = df.agg(aggs.head, aggs.tail.toIndexedSeq: _*)
+    val stacked = df.columns.map(c =>
+      struct(lit(c).as("col_name"), col(s"${c}__n").as("n_nonnull"),
+        col(s"${c}__nd").as("n_distinct")))
+    row.select(explode(array(stacked.toIndexedSeq: _*)).as("p"))
+      .select(col("p.col_name"), col("p.n_nonnull"), col("p.n_distinct"))
+      .orderBy(col("col_name"))
+  }
+
   /** F8: dtype-based column pruning (`interactive_dashboard.py:47-49`) —
     * driver-side schema routing; the projection prunes the scan.
     */

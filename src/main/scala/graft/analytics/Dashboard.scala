@@ -147,6 +147,24 @@ object Dashboard extends QueryPack {
     Some("""SELECT count(*) AS n, round(min(value), 6) AS min_value,
            | round(max(value), 6) AS max_value FROM events""".stripMargin))
 
+  /** Ingest profiling over orders: one-pass per-column stats. */
+  private val profileQ = Q(
+    "profile_orders",
+    (s, d) => Analytics.profile(Tables.orders(s, d)),
+    Some("""SELECT 'o_custkey' AS col_name, count(o_custkey) AS n_nonnull,
+           |  count(DISTINCT o_custkey) AS n_distinct FROM orders
+           |UNION ALL SELECT 'o_orderdate', count(o_orderdate),
+           |  count(DISTINCT o_orderdate) FROM orders
+           |UNION ALL SELECT 'o_orderkey', count(o_orderkey),
+           |  count(DISTINCT o_orderkey) FROM orders
+           |UNION ALL SELECT 'o_orderpriority', count(o_orderpriority),
+           |  count(DISTINCT o_orderpriority) FROM orders
+           |UNION ALL SELECT 'o_orderstatus', count(o_orderstatus),
+           |  count(DISTINCT o_orderstatus) FROM orders
+           |UNION ALL SELECT 'o_totalprice', count(o_totalprice),
+           |  count(DISTINCT o_totalprice) FROM orders
+           |ORDER BY col_name""".stripMargin))
+
   private val f6 = Q(
     "f6_contains_filter_docs",
     (s, d) => Analytics.containsFilter(Tables.documents(s, d), "text", "spark")
@@ -164,5 +182,5 @@ object Dashboard extends QueryPack {
            |WHERE event_type = 'error' ORDER BY event_id""".stripMargin))
 
   val qs: Seq[Q] = Seq(a1, a2, a3, a3pivot, a4, a4approx, a5, a5groups,
-    a6num, a6time, a6tsEqui, a7, a8, f6, f7, f8)
+    a6num, a6time, a6tsEqui, a7, a8, profileQ, f6, f7, f8)
 }
