@@ -103,14 +103,34 @@ object Analytics {
     * a driver-side unpivot of the 1-row result: no per-column scans, no
     * shuffle beyond one aggregation.
     */
-  def profile(df: DataFrame): DataFrame = {
-    val aggs = df.columns.flatMap(c => Seq(
-      count(col(c)).as(s"${c}__n"),
-      count_distinct(col(c)).as(s"${c}__nd")))
-    val row = df.agg(aggs.head, aggs.tail.toIndexedSeq: _*)
-    val stacked = df.columns.map(c =>
-      struct(lit(c).as("col_name"), col(s"${c}__n").as("n_nonnull"),
-        col(s"${c}__nd").as("n_distinct")))
+  def profile(df: DataFrame): DataFrame = profileImpl(df, None)
+
+  /** Scale path: HLL distinct counts — at 100 TB an exact distinct per
+    * column shuffles every column's value space; the sketch is one pass
+    * with fixed state. `rsd` is the sketch's relative standard deviation
+    * (a 1-sigma bound, not a maximum error), matching [[approxDistinct]].
+    */
+  def profileApprox(df: DataFrame, rsd: Double = 0.05): DataFrame =
+    profileImpl(df, Some(rsd))
+
+  private def profileImpl(df: DataFrame, rsd: Option[Double]): DataFrame = {
+    val names = df.columns
+    if (names.isEmpty)
+      return df.sparkSession.emptyDataFrame
+        .select(lit("").as("col_name"), lit(0L).as("n_nonnull"),
+          lit(0L).as("n_distinct"))
+        .limit(0)
+    // positional aliases: original names may contain dots (nested-field
+    // syntax) or duplicates (post-join) — never feed them back to col()
+    val safe = df.toDF(names.indices.map(i => s"_c$i"): _*)
+    val aggs = names.indices.flatMap(i => Seq(
+      count(col(s"_c$i")).as(s"n$i"),
+      rsd.map(r => approx_count_distinct(col(s"_c$i"), r))
+        .getOrElse(count_distinct(col(s"_c$i"))).as(s"d$i")))
+    val row = safe.agg(aggs.head, aggs.tail.toIndexedSeq: _*)
+    val stacked = names.indices.map(i =>
+      struct(lit(names(i)).as("col_name"), col(s"n$i").as("n_nonnull"),
+        col(s"d$i").as("n_distinct")))
     row.select(explode(array(stacked.toIndexedSeq: _*)).as("p"))
       .select(col("p.col_name"), col("p.n_nonnull"), col("p.n_distinct"))
       .orderBy(col("col_name"))

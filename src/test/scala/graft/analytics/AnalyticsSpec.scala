@@ -1,0 +1,56 @@
+package graft.analytics
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Dashboard-operator semantics on known data + sketch accuracy bounds. */
+class AnalyticsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def events = graft.Tables.events(spark, "/root/testdata/sf0.001")
+
+  test("approxDistinct (HLL) within 2 sigma of exact (rsd=0.05 ⇒ 10%)") {
+    val exact = events.select("user_id").distinct().count()
+    val approx = Analytics.approxDistinct(events, "user_id")
+      .collect()(0).getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.1,
+      s"approx $approx vs exact $exact")
+  }
+
+  test("profile and profileApprox agree on nonnull counts; distinct close") {
+    val df = graft.Tables.orders(spark, "/root/testdata/sf0.001")
+    val p = Analytics.profile(df).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val pa = Analytics.profileApprox(df).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(p.keySet === df.columns.toSet)
+    p.foreach { case (c, (n, nd)) =>
+      assert(pa(c)._1 === n)
+      // 2-sigma bound at the default rsd=0.05
+      assert(math.abs(pa(c)._2 - nd).toDouble / math.max(nd, 1) < 0.1,
+        s"$c: approx ${pa(c)._2} vs exact $nd")
+      assert(nd <= n)
+    }
+    // known ground truth: o_orderkey is the PK
+    assert(p("o_orderkey")._1 === df.count())
+    assert(p("o_orderkey")._2 === df.count())
+  }
+
+  test("profile survives dotted and duplicate column names, empty schema") {
+    val dotted = spark.range(3).toDF("a.b")
+    assert(Analytics.profile(dotted).collect()(0).getString(0) === "a.b")
+    val dup = spark.range(3).toDF("id").crossJoin(spark.range(2).toDF("id"))
+    assert(Analytics.profile(dup).count() === 2) // one row per position
+    assert(Analytics.profile(spark.range(3).select()).count() === 0)
+  }
+
+  test("valueCounts/topK ordering: count desc then key, deterministic under ties") {
+    val df = Seq("b", "a", "a", "c", "b").toDF("k")
+    val vc = Analytics.valueCounts(df, "k").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(vc.toSeq === Seq(("a", 2L), ("b", 2L), ("c", 1L)))
+    assert(Analytics.topK(df, "k", 2).collect().map(_.getString(0)).toSeq ===
+      Seq("a", "b"))
+  }
+}
