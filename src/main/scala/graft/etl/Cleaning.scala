@@ -143,11 +143,19 @@ object Cleaning {
     * a UTC session timezone this reproduces `to_datetime(utc=True)` +
     * `tz_localize(None)`: offset-carrying strings collapse to the UTC
     * instant, naive strings are taken as UTC (P8 tz-strip is then a no-op).
+    *
+    * The full cross-product of date-order × time-precision × offset is
+    * generated (dateutil accepts seconds and offsets on EVERY date order,
+    * not just the ISO form); try_to_timestamp requires a total match, so
+    * within one date order the time variants can't mis-parse each other —
+    * only the month-first-before-day-first ordering is semantic.
     */
-  val datetimeFormats: Seq[String] = Seq(
-    "yyyy-M-d H:mm:ssXXX", "yyyy-M-d'T'H:mm:ssXXX", "yyyy-M-d'T'H:mm:ss",
-    "yyyy-M-d H:mm:ss", "yyyy-M-d H:mm", "yyyy/M/d H:mm",
-    "M/d/yyyy H:mm", "M-d-yyyy H:mm", "d/M/yyyy H:mm", "d-M-yyyy H:mm")
+  val datetimeFormats: Seq[String] = {
+    val times = Seq("H:mm:ssXXX", "H:mm:ss", "H:mmXXX", "H:mm")
+    dateFormats.flatMap(d => times.map(t => s"$d $t")) ++
+      Seq("yyyy-M-d'T'H:mm:ssXXX", "yyyy-M-d'T'H:mm:ss",
+        "yyyy-M-d'T'H:mmXXX", "yyyy-M-d'T'H:mm")
+  }
 
   /** upper() before matching: clean_utf8 lowercases cells BEFORE parsing
     * in the encounters flow, and Java format literals ('T', XXX's Z) only

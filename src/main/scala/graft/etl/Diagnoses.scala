@@ -84,10 +84,10 @@ object Diagnoses {
     // --- D3: streaming seen-set dedup ≡ keep-first-by-ingest-order over
     // the FILLED key (two null-encounter rows with the same code dedupe
     // as ("UNKNOWN", code) — ref etl.py:643-658) ---
-    val win = Window.partitionBy(col("encounter_id"), col("code")).orderBy(col("_ord"))
-    val marked = filled.withColumn("_rn", row_number().over(win))
+    val (kept, droppedDups) = graft.ops.Dedup.keepFirst(
+      filled, Seq(col("encounter_id"), col("code")), col("_ord"))
     // log key = FILLED id, but original_value = the PRE-fill row
-    val dupLog = marked.filter(col("_rn") > 1)
+    val dupLog = droppedDups
       .select(
         col("encounter_id"),
         col("code"),
@@ -96,8 +96,7 @@ object Diagnoses {
           col("_orig_eid").as("encounter_id"), col("code"), col("code_system"),
           col("_orig_ip").as("is_primary"), col("recorded_at"))).as("original_value"),
         lit(null).cast(StringType).as("cleaned_value"))
-    val deduped = marked.filter(col("_rn") === 1)
-      .drop("_orig_eid", "_orig_ip", "_had_eid", "_rn", "_ord")
+    val deduped = kept.drop("_orig_eid", "_orig_ip", "_had_eid", "_ord")
 
     // --- P2 clean_utf8 (ref etl.py:690): strings only; the is_primary
     // bool and recorded_at timestamp survive ---

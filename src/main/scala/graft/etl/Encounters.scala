@@ -45,9 +45,10 @@ object Encounters {
       split(col("value"), ";"))
       .otherwise(transform(split(col("value"), ","), x => trim(x)))
     val projected = columns.zipWithIndex.map { case (name, i) =>
-      // trim covers the ';' branch (the reference trims those via its
-      // final applymap); empty strings from ,, stay "" as in pandas
-      trim(try_element_at(parts, lit(i + 1))).as(name)
+      // wsTrim covers the ';' branch (the reference strip()s those via its
+      // final applymap — all whitespace, not just ASCII spaces); empty
+      // strings from ,, stay "" as in pandas
+      Cleaning.wsTrim(try_element_at(parts, lit(i + 1))).as(name)
     }
     lines.select(projected :+ col("_ord"): _*)
   }
@@ -65,7 +66,9 @@ object Encounters {
       .withColumn("discharge_dt", Cleaning.parseDatetime(col("discharge_dt")))
 
     def parseLog(raw: String, parsedC: String, colname: String) = parsed
-      .filter(col(raw).isNotNull && trim(col(raw)) =!= "" && col(parsedC).isNull)
+      // wsTrim: a tabs-only cell is "missing" (no log), like Python strip
+      .filter(col(raw).isNotNull && Cleaning.wsTrim(col(raw)) =!= "" &&
+        col(parsedC).isNull)
       .select(
         col("patient_id"),
         lit(filename).as("filename"),
@@ -77,30 +80,31 @@ object Encounters {
     val dischargeLog = parseLog("_discharge_raw", "discharge_dt", "discharge_dt")
 
     // --- D2 dedup by encounter_id: log EVERY member of a dup group
-    // (keep=False, ref etl.py:539-548), keep first by ingest order ---
-    val grpWin = Window.partitionBy(col("encounter_id"))
-    val ordWin = grpWin.orderBy(col("_ord"))
-    val marked = parsed
-      .withColumn("_grp_n", count(lit(1)).over(grpWin))
-      .withColumn("_rn", row_number().over(ordWin))
-    val dupLog = marked.filter(col("_grp_n") > 1)
+    // (keep=False, ref etl.py:539-548), keep first by ingest order.
+    // Log filename = the row's source_file with NO fallback: the
+    // reference's row.get("source_file", default) never falls back
+    // because the column always exists — a null stays null. ---
+    val dupLog = graft.ops.Dedup
+      .dupGroupMembers(parsed, Seq(col("encounter_id")))
       .select(
         col("patient_id"),
-        coalesce(col("source_file"), lit(filename)).as("filename"),
+        col("source_file").as("filename"),
         lit("encounter_id").as("column_name"),
         col("encounter_id").as("original_value"),
         lit(null).cast(StringType).as("cleaned_value"),
         lit("duplicate_encounter_id").as("reason"))
-    val deduped = marked.filter(col("_rn") === 1)
+    val (deduped, _) = graft.ops.Dedup
+      .keepFirst(parsed, Seq(col("encounter_id")), col("_ord"))
 
     // --- F2 discharge < admit: LOG then NULLIFY (not drop) ---
     val badTime = col("discharge_dt") < col("admit_dt") // null-safe: null → false
     val f2Log = deduped.filter(badTime)
       .select(
         col("patient_id"),
-        coalesce(col("source_file"), lit(filename)).as("filename"),
+        col("source_file").as("filename"),
         lit("discharge_dt").as("column_name"),
-        col("discharge_dt").cast(StringType).as("original_value"),
+        concat(col("discharge_dt").cast(StringType), lit("+00:00"))
+          .as("original_value"), // str(aware Timestamp) keeps the offset
         lit(null).cast(StringType).as("cleaned_value"),
         lit("discharge_before_admit").as("reason"))
     val timeFixed = deduped.withColumn("discharge_dt",
@@ -111,7 +115,7 @@ object Encounters {
     val f3Log = timeFixed.filter(col("discharge_dt").isNull)
       .select(
         col("patient_id"),
-        coalesce(col("source_file"), lit(filename)).as("filename"),
+        col("source_file").as("filename"),
         lit("discharge_dt").as("column_name"),
         lit(null).cast(StringType).as("original_value"),
         lit(null).cast(StringType).as("cleaned_value"),
@@ -124,7 +128,7 @@ object Encounters {
     val f4Log = timeFixed.filter(invalidType)
       .select(
         col("patient_id"),
-        coalesce(col("source_file"), lit(filename)).as("filename"),
+        col("source_file").as("filename"),
         lit("encounter_type").as("column_name"),
         col("encounter_type").as("original_value"),
         lit(null).cast(StringType).as("cleaned_value"),

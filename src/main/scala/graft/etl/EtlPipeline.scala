@@ -36,20 +36,27 @@ object EtlPipeline {
     EtlResult(p, e, d, logs)
   }
 
-  private val memo =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), EtlResult]
+  // weak keys: a stopped/discarded session must not stay pinned (its
+  // cached DataFrames die with it); synchronized because WeakHashMap isn't
+  private val memo = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, Map[String, EtlResult]]())
 
   /** Memoized per (session, dir) with cached outputs: the four registered
     * fixture queries each consume one table of the same pipeline run —
     * without the memo the whole three-vertical DAG re-executes per query.
     */
   def runDefault(spark: SparkSession, dir: String = defaultDir): EtlResult =
-    memo.getOrElseUpdate((spark, dir), {
-      val r = run(spark, s"$dir/patients.csv", s"$dir/encounters.csv",
-        s"$dir/diagnoses.xml")
-      EtlResult(r.patients.cache(), r.encounters.cache(),
-        r.diagnoses.cache(), r.logs.cache())
-    })
+    memo.synchronized {
+      val perDir = Option(memo.get(spark)).getOrElse(Map.empty)
+      perDir.getOrElse(dir, {
+        val r = run(spark, s"$dir/patients.csv", s"$dir/encounters.csv",
+          s"$dir/diagnoses.xml")
+        val cached = EtlResult(r.patients.cache(), r.encounters.cache(),
+          r.diagnoses.cache(), r.logs.cache())
+        memo.put(spark, perDir + (dir -> cached))
+        cached
+      })
+    }
 }
 
 /** Sinks (SURVEY §2.2). K1: overwrite loads of the 4 tables — JDBC in the

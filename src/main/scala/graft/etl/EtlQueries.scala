@@ -22,69 +22,54 @@ import org.apache.spark.sql.functions._
 object EtlQueries extends QueryPack {
 
   // ------------------------------------------------------------- P3
+  /** Shared height-parse exercise: synthesize unit-form strings from an
+    * integer key column, parse, aggregate per form. ONE definition for
+    * both the dimension-scale and the fact-scale (bench) flavors — the
+    * Spark chain and the oracle SQL template must change in lockstep.
+    */
+  private def heightParse(t: org.apache.spark.sql.DataFrame) = {
+    val b = col("k") % 5
+    val num = (lit(150) + col("k") % 50).cast("int")
+    val str = when(b === 0, format_string("%d cm", num))
+      .when(b === 1, format_string("%dcm", num))
+      .when(b === 2, format_string("%dft %din",
+        (lit(5) + col("k") % 2).cast("int"), (col("k") % 12).cast("int")))
+      .when(b === 3, format_string("%d in", num))
+      .otherwise(format_string("%d.%02d m", lit(1), (col("k") % 100).cast("int")))
+    t.select(b.as("bucket"), Cleaning.heightToCm(str).as("h"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), min(col("h")).as("min_h"), max(col("h")).as("max_h"))
+      .orderBy(col("bucket"))
+  }
+
+  private def heightOracle(table: String, keySql: String): String =
+    s"""WITH t AS (SELECT $keySql AS k, ($keySql) % 5 AS bucket FROM $table),
+       |s AS (SELECT bucket,
+       |  CASE bucket
+       |   WHEN 0 THEN CAST(150 + k % 50 AS DOUBLE)
+       |   WHEN 1 THEN CAST(150 + k % 50 AS DOUBLE)
+       |   WHEN 2 THEN (5 + k % 2) * 30.48 + (k % 12) * 2.54
+       |   WHEN 3 THEN (150 + k % 50) * 2.54
+       |   ELSE CAST(1 || '.' || lpad(CAST(k % 100 AS VARCHAR), 2, '0') AS DOUBLE) * 100
+       |  END AS h FROM t)
+       |SELECT bucket, count(*) AS n, min(h) AS min_h, max(h) AS max_h
+       |FROM s GROUP BY 1 ORDER BY 1""".stripMargin
+
   private val heightQ = Q(
     "etl_height_units",
-    (s, d) => {
-      val t = Tables.customer(s, d).select(col("c_custkey").as("k"))
-      val b = col("k") % 5
-      val num = (lit(150) + col("k") % 50).cast("int")
-      val str = when(b === 0, format_string("%d cm", num))
-        .when(b === 1, format_string("%dcm", num))
-        .when(b === 2, format_string("%dft %din",
-          (lit(5) + col("k") % 2).cast("int"), (col("k") % 12).cast("int")))
-        .when(b === 3, format_string("%d in", num))
-        .otherwise(format_string("%d.%02d m", lit(1), (col("k") % 100).cast("int")))
-      t.select(b.as("bucket"), Cleaning.heightToCm(str).as("h"))
-        .groupBy(col("bucket"))
-        .agg(count(lit(1)).as("n"), min(col("h")).as("min_h"), max(col("h")).as("max_h"))
-        .orderBy(col("bucket"))
-    },
-    Some("""WITH t AS (SELECT c_custkey AS k, c_custkey % 5 AS bucket FROM customer),
-           |s AS (SELECT bucket,
-           |  CASE bucket
-           |   WHEN 0 THEN CAST(150 + k % 50 AS DOUBLE)
-           |   WHEN 1 THEN CAST(150 + k % 50 AS DOUBLE)
-           |   WHEN 2 THEN (5 + k % 2) * 30.48 + (k % 12) * 2.54
-           |   WHEN 3 THEN (150 + k % 50) * 2.54
-           |   ELSE CAST(1 || '.' || lpad(CAST(k % 100 AS VARCHAR), 2, '0') AS DOUBLE) * 100
-           |  END AS h FROM t)
-           |SELECT bucket, count(*) AS n, min(h) AS min_h, max(h) AS max_h
-           |FROM s GROUP BY 1 ORDER BY 1""".stripMargin))
+    (s, d) => heightParse(
+      Tables.customer(s, d).select(col("c_custkey").as("k"))),
+    Some(heightOracle("customer", "c_custkey")))
 
-  /** Bench-scale flavor of the height parser: same when-chain over the
-    * fact table (600k rows at sf0.1) so the BENCH number measures the
-    * codegen'd cleaning throughput, not a 1.5k-row dimension.
+  /** Bench-scale flavor: same chain over the fact table (600k rows at
+    * sf0.1) so the BENCH number measures codegen'd cleaning throughput,
+    * not a 1.5k-row dimension.
     */
   private val heightBenchQ = Q(
     "etl_parse_bench",
-    (s, d) => {
-      val t = Tables.lineitem(s, d).select(
-        (col("l_orderkey") * 8 + col("l_linenumber")).as("k"))
-      val b = col("k") % 5
-      val num = (lit(150) + col("k") % 50).cast("int")
-      val str = when(b === 0, format_string("%d cm", num))
-        .when(b === 1, format_string("%dcm", num))
-        .when(b === 2, format_string("%dft %din",
-          (lit(5) + col("k") % 2).cast("int"), (col("k") % 12).cast("int")))
-        .when(b === 3, format_string("%d in", num))
-        .otherwise(format_string("%d.%02d m", lit(1), (col("k") % 100).cast("int")))
-      t.select(b.as("bucket"), Cleaning.heightToCm(str).as("h"))
-        .groupBy(col("bucket"))
-        .agg(count(lit(1)).as("n"), min(col("h")).as("min_h"), max(col("h")).as("max_h"))
-        .orderBy(col("bucket"))
-    },
-    Some("""WITH t AS (SELECT l_orderkey * 8 + l_linenumber AS k,
-           |  (l_orderkey * 8 + l_linenumber) % 5 AS bucket FROM lineitem),
-           |s AS (SELECT bucket,
-           |  CASE bucket
-           |   WHEN 0 THEN CAST(150 + k % 50 AS DOUBLE)
-           |   WHEN 1 THEN CAST(150 + k % 50 AS DOUBLE)
-           |   WHEN 2 THEN (5 + k % 2) * 30.48 + (k % 12) * 2.54
-           |   WHEN 3 THEN (150 + k % 50) * 2.54
-           |   ELSE CAST(1 || '.' || lpad(CAST(k % 100 AS VARCHAR), 2, '0') AS DOUBLE) * 100
-           |  END AS h FROM t)
-           |SELECT bucket, count(*) AS n, min(h) AS min_h, max(h) AS max_h
-           |FROM s GROUP BY 1 ORDER BY 1""".stripMargin),
+    (s, d) => heightParse(Tables.lineitem(s, d).select(
+      (col("l_orderkey") * 8 + col("l_linenumber")).as("k"))),
+    Some(heightOracle("lineitem", "l_orderkey * 8 + l_linenumber")),
     headline = true)
 
   // ------------------------------------------------------------- P4
@@ -304,7 +289,6 @@ object EtlQueries extends QueryPack {
   // Full reference pipeline over its own adversarial fixtures; exact
   // contents are asserted by EtlGoldenSpec (no SQL oracle can express the
   // messy CSV/XML readers), driver records rows>0.
-  private def fx = EtlPipeline.defaultDir
 
   private val patientsClean = Q(
     "etl_patients_pipeline",

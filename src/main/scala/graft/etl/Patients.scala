@@ -106,18 +106,17 @@ object Patients {
     // a person-dup whose group head was id-dropped may survive while
     // still being logged — pandas quirk, kept (SURVEY §7 hard part (a)).
     val keyed = withDob
-      .withColumn("_hr", round(col("height_cm"), 0))
-      .withColumn("_wr", round(col("weight_kg"), 0))
-    val idWin = Window.partitionBy(col("patient_id")).orderBy(col("_ord"))
+      // bround = HALF_EVEN, matching pandas/numpy .round(0); Spark's
+      // round() is HALF_UP and diverges on exact .5 values (54.5 → 55
+      // instead of 54), silently changing which rows count as dups
+      .withColumn("_hr", bround(col("height_cm"), 0))
+      .withColumn("_wr", bround(col("weight_kg"), 0))
     val personKeys = Seq(col("given_name"), col("family_name"), col("dob"),
       col("_hr"), col("_wr"))
-    val personWin = Window.partitionBy(personKeys: _*).orderBy(col("_ord"))
-    val marked = keyed
-      .withColumn("_dup_id", row_number().over(idWin) > 1)
-      .withColumn("_dup_person", row_number().over(personWin) > 1)
+    val (deduped, dupRows) = graft.ops.Dedup.cascade(
+      keyed, Seq(col("patient_id")), personKeys, col("_ord"))
 
-    val dupLog = marked
-      .filter(col("_dup_id") || col("_dup_person"))
+    val dupLog = dupRows
       .select(
         col("patient_id"),
         lit(filename).as("filename"),
@@ -132,16 +131,9 @@ object Patients {
         lit(null).cast(StringType).as("cleaned_value"),
         lit("duplicate_removed").as("reason"))
 
-    val afterIdDedup = marked.filter(col("_dup_id") === false)
-    val personWin2 = Window.partitionBy(personKeys: _*).orderBy(col("_ord"))
-    val deduped = afterIdDedup
-      .withColumn("_rn2", row_number().over(personWin2))
-      .filter(col("_rn2") === 1)
-
     // --- P12 drop raw + helper cols; P2 clean_utf8 LAST over string cols ---
     val dropped = deduped.drop(
-      "weight", "height", "_w", "_sex_reason", "_hr", "_wr", "_dup_id",
-      "_dup_person", "_rn2", "_ord")
+      "weight", "height", "_w", "_sex_reason", "_hr", "_wr", "_ord")
     val cleaned = applyCleanUtf8(dropped)
 
     val logs = QualityLog.combine(Seq(weightLog, sexLog, dobLog, dupLog))

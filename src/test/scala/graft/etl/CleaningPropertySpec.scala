@@ -126,6 +126,19 @@ class CleaningPropertySpec extends SparkSpec {
     }
   }
 
+  test("P7: seconds and offsets parse on EVERY date order (dateutil parity)") {
+    val r = Seq(
+      "12/31/2024 08:00:30", // slash + seconds
+      "31-12-2024 09:15:00", // day-first + seconds
+      "12/31/2024 08:00:00+01:00", // slash + offset
+      "2024/06/01 07:30:15").toDF("s")
+      .select(Cleaning.parseDatetime(col("s"))).collect()
+    assert(r(0).getTimestamp(0) === java.sql.Timestamp.valueOf("2024-12-31 08:00:30"))
+    assert(r(1).getTimestamp(0) === java.sql.Timestamp.valueOf("2024-12-31 09:15:00"))
+    assert(r(2).getTimestamp(0) === java.sql.Timestamp.valueOf("2024-12-31 07:00:00"))
+    assert(r(3).getTimestamp(0) === java.sql.Timestamp.valueOf("2024-06-01 07:30:15"))
+  }
+
   test("parsers are total: garbage inputs yield null, never throw") {
     val junk = Seq("x9", "...", "ft in", "kg", "12-34-56-78", "m", "'\"",
       "1.2.3.4", "99999999999999999999", "∞", "NaN", "-0")
