@@ -23,8 +23,11 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+  /** One entry per implemented operator from SURVEY.md §2. Lazy: the
+    * packs instantiate once (Bench looks names up inside its timed
+    * region — rebuilding the map per lookup would be timing noise).
+    */
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] = {
     val names = packs.flatMap(_.qs.map(_.name))
     val dups = names.groupBy(identity).collect { case (n, vs) if vs.size > 1 => n }
     // a silent toMap collision would un-register a query and zero its
@@ -36,10 +39,10 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
-  def oracleSql: Map[String, String] =
+  lazy val oracleSql: Map[String, String] =
     packs.flatMap(_.oracles).toMap
 
   /** Queries timed by [[Bench]] (the representative/expensive subset). */
-  def headlineNames: Seq[String] =
+  lazy val headlineNames: Seq[String] =
     packs.flatMap(_.qs).filter(_.headline).map(_.name)
 }

@@ -58,13 +58,19 @@ object Analytics {
   def histogram(df: DataFrame, c: String, bins: Int): DataFrame = {
     // Nulls dropped (plotly px.histogram semantics); constant column
     // (mn == mx) degenerates to a single bin 0 instead of 0/0 = NaN.
-    val nn = df.filter(col(c).isNotNull)
-    val stats = nn.agg(min(col(c)).as("mn"), max(col(c)).as("mx"))
+    // The value is projected to a reserved name first so inputs that
+    // happen to contain columns named mn/mx/bin can't turn the
+    // cross-join references ambiguous.
+    val v = "__graft_v"
+    val nn = df.select(col(c).as(v)).filter(col(v).isNotNull)
+    val stats = nn.agg(min(col(v)).as("__graft_mn"), max(col(v)).as("__graft_mx"))
+    val mn = col("__graft_mn")
+    val mx = col("__graft_mx")
     nn.crossJoin(broadcast(stats))
       .select(
-        when(col("mx") === col("mn"), lit(0L))
+        when(mx === mn, lit(0L))
           .otherwise(least(
-            floor((col(c) - col("mn")) / ((col("mx") - col("mn")) / bins)),
+            floor((col(v) - mn) / ((mx - mn) / bins)),
             lit(bins - 1)).cast("long"))
           .as("bin"))
       .groupBy(col("bin")).agg(count(lit(1)).as("n"))
@@ -91,7 +97,9 @@ object Analytics {
 
   /** F6: case-insensitive substring filter (`interactive_dashboard.py:161`). */
   def containsFilter(df: DataFrame, c: String, needle: String): DataFrame =
-    df.filter(lower(col(c)).contains(needle.toLowerCase))
+    // Locale.ROOT: Spark's lower() is locale-independent; the JVM default
+    // locale would break e.g. "INFO" under a Turkish locale (dotless ı)
+    df.filter(lower(col(c)).contains(needle.toLowerCase(java.util.Locale.ROOT)))
 
   /** F7: equality drilldown filter (`interactive_dashboard.py:183`). */
   def drilldown(df: DataFrame, c: String, v: String): DataFrame =

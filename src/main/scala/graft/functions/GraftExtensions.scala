@@ -11,24 +11,38 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * built-ins, including codegen.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import GraftExtensions.unary
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("nfkc_lower"),
       new ExpressionInfo(classOf[NfkcLower].getName, "nfkc_lower"),
-      (children: Seq[Expression]) => NfkcLower(children.head)))
+      unary("nfkc_lower", NfkcLower)))
     ext.injectFunction((
       new FunctionIdentifier("poly_hash"),
       new ExpressionInfo(classOf[PolyHash].getName, "poly_hash"),
-      (children: Seq[Expression]) => PolyHash(children.head)))
+      unary("poly_hash", PolyHash.apply(_: Expression))))
   }
 }
 
 object GraftExtensions {
+  /** Arity-checked unary builder: a zero-arg call must fail as an
+    * analysis-time error, not a bare NoSuchElementException, and extra
+    * arguments must not be silently dropped.
+    */
+  private[functions] def unary(name: String,
+      build: Expression => Expression): Seq[Expression] => Expression =
+    children => {
+      require(children.size == 1,
+        s"$name expects exactly 1 argument, got ${children.size}")
+      build(children.head)
+    }
+
   /** Late registration onto an existing session (harness driver path). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     org.apache.spark.sql.graftshim.ColumnBridge.registerTempFunction(
-      spark, "nfkc_lower", children => NfkcLower(children.head))
+      spark, "nfkc_lower", unary("nfkc_lower", NfkcLower))
     org.apache.spark.sql.graftshim.ColumnBridge.registerTempFunction(
-      spark, "poly_hash", children => PolyHash(children.head))
+      spark, "poly_hash", unary("poly_hash", PolyHash.apply(_: Expression)))
   }
 }

@@ -69,7 +69,9 @@ object EventStream {
           val t = e.ts.getTime
           cur = cur match {
             case Some((n, start, end)) if t - end <= gapMs =>
-              Some((n + 1, start, math.max(end, t)))
+              // min on start too: an out-of-order event from a later
+              // micro-batch may precede the session's current start
+              Some((n + 1, math.min(start, t), math.max(end, t)))
             case Some((n, start, end)) =>
               out ::= SessionUpdate(userId, n, new Timestamp(start), new Timestamp(end), closed = true)
               Some((1, t, t))
@@ -92,14 +94,15 @@ object EventStream {
   }
 
   /** Streaming keyed dedup — D3's unbounded flavor (SURVEY §2.5): drop
-    * repeated keys with state bounded by the watermark (a key older than
-    * the delay is forgotten, so state never grows unbounded — the exact
-    * trade a 100 TB/day stream needs).
+    * repeated KEYS (regardless of their timestamps — a producer retry
+    * re-stamps ts, and must still dedupe) with state bounded by the
+    * watermark: a key older than the delay is forgotten, so state never
+    * grows unbounded — the exact trade a 100 TB/day stream needs.
     */
   def dedupByKey(events: DataFrame, keys: Seq[String],
       watermarkDelay: String = "1 hour"): DataFrame =
     events.withWatermark("ts", watermarkDelay)
-      .dropDuplicates(keys :+ "ts")
+      .dropDuplicatesWithinWatermark(keys)
 
   /** End-to-end wiring helper: file-source stream of events parquet →
     * hourly counts → sink. The run loop the driver of a real deployment
@@ -107,8 +110,16 @@ object EventStream {
     */
   def runFileStream(spark: SparkSession, srcDir: String, outDir: String,
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    // the harness events parquet carries TIMESTAMP(NANOS): read as long
+    // and truncate to micros, exactly like Tables.events — without this
+    // the schema inference itself throws PARQUET_TYPE_ILLEGAL
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(srcDir).schema
-    val in = spark.readStream.schema(schema).parquet(srcDir)
+    val raw = spark.readStream.schema(schema).parquet(srcDir)
+    val in =
+      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else raw
     hourlyCounts(in).writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)

@@ -51,7 +51,8 @@ class EventStreamSpec extends SparkSpec {
       input.addData(ev(1, "2024-01-01 10:00:00", 1, "click", 1.0))
       q.processAllAvailable()
       input.addData(
-        ev(1, "2024-01-01 10:00:00", 1, "click", 1.0), // dup, later batch
+        // same key, RE-STAMPED ts (producer retry) — must still drop
+        ev(1, "2024-01-01 10:00:01", 1, "click", 1.0),
         ev(2, "2024-01-01 10:01:00", 1, "view", 2.0))
       q.processAllAvailable()
       assert(spark.table("deduped").count() === 2)
@@ -69,15 +70,21 @@ class EventStreamSpec extends SparkSpec {
     try {
       input.addData(
         ev(1, "2024-01-01 10:00:00", 7, "click", 1.0),
-        ev(2, "2024-01-01 10:10:00", 7, "click", 1.0),
-        // > 30 min gap → second session
+        ev(2, "2024-01-01 10:10:00", 7, "click", 1.0))
+      q.processAllAvailable()
+      // out-of-order event in a LATER batch, earlier than the session
+      // start but within the gap — must lower the start
+      input.addData(ev(4, "2024-01-01 09:50:00", 7, "click", 1.0))
+      q.processAllAvailable()
+      input.addData(
+        // > 30 min gap → closes the first session, opens a second
         ev(3, "2024-01-01 11:00:00", 7, "click", 1.0))
       q.processAllAvailable()
       val out = spark.table("sessions").as[SessionUpdate].collect()
       val closed = out.filter(_.closed)
       assert(closed.exists(u =>
-        u.user_id == 7 && u.n_events == 2 &&
-          u.start == ts("2024-01-01 10:00:00") && u.end == ts("2024-01-01 10:10:00")))
+        u.user_id == 7 && u.n_events == 3 &&
+          u.start == ts("2024-01-01 09:50:00") && u.end == ts("2024-01-01 10:10:00")))
     } finally q.stop()
   }
 }
