@@ -101,4 +101,23 @@ object TextAnalysis {
     */
   def fingerprint(text: Column): Column =
     substring(md5(regexp_replace(lower(trim(text)), "\\s+", " ")), 1, 16)
+
+  /** Context-window packing: split a document into chunks of at most
+    * `maxTokens` whitespace tokens (the training-data prep step that fits
+    * documents into a model's context budget). UDF-backed for the same
+    * reason as [[shingles]].
+    */
+  def chunkByTokens(text: Column, maxTokens: Int): Column =
+    udf((t: String) => {
+      val w = t.trim.split("\\s+").filter(_.nonEmpty)
+      w.grouped(maxTokens).map(_.mkString(" ")).toArray
+    }).apply(text)
+
+  /** Deterministic hash sampling: keep a row iff its key hashes into the
+    * chosen per-mille band — reproducible across runs/clusters (unlike
+    * `df.sample`, whose output depends on partitioning), and stable under
+    * data appends: a kept row stays kept.
+    */
+  def sampleByHash(keyCol: Column, perMille: Int): Column =
+    pmod(xxhash64(keyCol), lit(1000)) < perMille
 }

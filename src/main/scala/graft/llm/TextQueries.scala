@@ -124,6 +124,42 @@ object TextQueries extends QueryPack {
     },
     None)
 
+  /** Context-window chunking: documents packed into ≤32-token chunks,
+    * per-language chunk counts and sizes. Oracle rebuilds the chunks in
+    * DuckDB with list slicing — same boundaries, same joined text.
+    */
+  private val chunking = Q(
+    "text_chunking",
+    (s, d) => Tables.documents(s, d)
+      .select(col("lang"),
+        explode(TextAnalysis.chunkByTokens(col("text"), 32)).as("chunk"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(length(col("chunk"))).as("sum_chars"),
+        max(length(col("chunk"))).as("max_chars"))
+      .orderBy(col("lang")),
+    Some("""WITH t AS (SELECT lang, string_split_regex(trim(text), '\s+') AS w
+           |  FROM documents),
+           |c AS (SELECT lang,
+           |  array_to_string(w[(i-1)*32+1 : least(i*32, len(w))], ' ') AS chunk
+           | FROM t, UNNEST(range(1, CAST(ceil(len(w)/32.0) AS BIGINT)+1)) AS u(i))
+           |SELECT lang, count(*) AS n_chunks,
+           | CAST(sum(length(chunk)) AS BIGINT) AS sum_chars,
+           | max(length(chunk)) AS max_chars
+           |FROM c GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** Reproducible corpus sampling: per-language kept counts for a 10%
+    * hash band. No SQL oracle (xxhash64 is engine-specific); determinism
+    * and band-size bounds are pinned in TextAnalysisSpec.
+    */
+  private val sampling = Q(
+    "text_sample_by_hash",
+    (s, d) => Tables.documents(s, d)
+      .filter(TextAnalysis.sampleByHash(col("doc_id"), perMille = 100))
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_sampled"))
+      .orderBy(col("lang")),
+    None)
+
   val qs: Seq[Q] = Seq(tokenStats, quality, langid, fingerprintQ, subwords,
-    polyFingerprint)
+    polyFingerprint, chunking, sampling)
 }

@@ -166,6 +166,34 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.toSeq === Seq("en", "de", "fr", "es", "und"))
   }
 
+  test("chunkByTokens: boundaries, remainder chunk, roundtrip") {
+    import spark.implicits._
+    val text = (1 to 70).map(i => s"w$i").mkString(" ")
+    val chunks = Seq(text).toDF("t")
+      .select(TextAnalysis.chunkByTokens(col("t"), 32)).collect()(0)
+      .getSeq[String](0)
+    assert(chunks.length === 3) // 32 + 32 + 6
+    assert(chunks(0).split(" ").length === 32)
+    assert(chunks(2).split(" ").length === 6)
+    assert(chunks.mkString(" ") === text) // lossless packing
+  }
+
+  test("sampleByHash: deterministic, append-stable, near the target rate") {
+    import spark.implicits._
+    val ids = (0L until 10000L).toDF("id")
+    val kept1 = ids.filter(TextAnalysis.sampleByHash(col("id"), 100))
+      .collect().map(_.getLong(0)).toSet
+    val kept2 = ids.filter(TextAnalysis.sampleByHash(col("id"), 100))
+      .collect().map(_.getLong(0)).toSet
+    assert(kept1 === kept2) // reproducible
+    assert(kept1.size > 800 && kept1.size < 1200, s"rate ${kept1.size}/10000")
+    // append-stability: the same rows stay kept in a larger corpus
+    val keptBig = (0L until 20000L).toDF("id")
+      .filter(TextAnalysis.sampleByHash(col("id"), 100))
+      .collect().map(_.getLong(0)).toSet
+    assert(kept1.subsetOf(keptBig))
+  }
+
   test("fingerprint: whitespace/case-insensitive, content-sensitive") {
     import spark.implicits._
     val df = Seq(("A  B\tC", 1), ("a b c", 2), ("a b d", 3)).toDF("text", "id")
