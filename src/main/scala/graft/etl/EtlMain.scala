@@ -3,9 +3,10 @@ package graft.etl
 import org.apache.spark.sql.SparkSession
 
 /** The `python etl.py` equivalent (ref E1): run the full pipeline over a
-  * fixtures directory and overwrite-load the four tables — parquet by
-  * default, JDBC when a url is given (`Sinks.overwriteJdbc` is the exact
-  * `to_sql(if_exists='replace')` analogue).
+  * fixtures directory and overwrite-load the four tables as parquet.
+  * (The JDBC flavor of the load — the exact `to_sql(if_exists='replace')`
+  * analogue — is `Sinks.overwriteJdbc`, called programmatically; this
+  * entry point is parquet-only since the harness ships no database.)
   *
   *   sbt "runMain graft.etl.EtlMain [fixturesDir] [outDir]"
   */

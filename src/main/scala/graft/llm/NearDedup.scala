@@ -25,8 +25,9 @@ object MinHashLsh {
   val Rows = 4
   val Bands = 32
 
-  private val shBandsUdf = udf { (text: String) =>
-    val sh = Hashing.shingles(text, 3)
+  private def shBandsUdf(shingleN: Int) = udf { (text: String) =>
+    val sh = if (text == null) Array.empty[String]
+      else Hashing.shingles(text, shingleN)
     val bands = Hashing.bandHashes(Hashing.minhashSignature(sh, Rows * Bands), Rows)
     (sh, bands)
   }
@@ -42,9 +43,12 @@ object MinHashLsh {
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleN: Int = 3): DataFrame = {
     // cached: referenced three times (bucket explode + both sides of the
-    // verify join) — without it the signature UDF pass runs 3×
+    // verify join) — without it the signature UDF pass runs 3×. The cache
+    // lives until Spark's LRU evicts it (the returned frame is lazy, so
+    // the operator can't unpersist); sessions running many instances can
+    // spark.catalog.clearCache() between batches.
     val base = docs
-      .select(col(idCol).as("id"), shBandsUdf(col(textCol)).as("sb"))
+      .select(col(idCol).as("id"), shBandsUdf(shingleN)(col(textCol)).as("sb"))
       .select(col("id"), col("sb._1").as("sh"), col("sb._2").as("bands"))
       .filter(size(col("sh")) > 0)
       .cache()
@@ -74,7 +78,8 @@ object MinHashLsh {
 object SimHash {
 
   private val simhashUdf = udf((text: String) =>
-    Hashing.simhash(Hashing.shingles(text, 3)))
+    Hashing.simhash(
+      if (text == null) Array.empty[String] else Hashing.shingles(text, 3)))
 
   def hammingDistance(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
     bit_count(a.bitwiseXOR(b))

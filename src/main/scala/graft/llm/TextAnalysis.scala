@@ -4,10 +4,10 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
-  * tokenization, quality scoring, language-ID heuristics, fingerprinting.
-  * All pure Catalyst expressions (split/transform/filter/aggregate higher-
-  * order functions) — fully codegen'd, no UDFs, no shuffle until the
-  * caller aggregates.
+  * tokenization, quality scoring, language-ID heuristics, fingerprinting,
+  * chunking, sampling. Catalyst expressions wherever they evaluate once
+  * per row; [[shingles]] and [[chunkByTokens]] are UDF-backed (see
+  * [[Hashing]] for the lambda-invariant-recomputation rationale).
   */
 object TextAnalysis {
 
@@ -37,7 +37,9 @@ object TextAnalysis {
     * turning an O(tokens) op into O(tokens²).
     */
   def shingles(text: Column, n: Int = 3): Column =
-    udf((t: String) => Hashing.shingles(t, n)).apply(text)
+    udf((t: String) =>
+      if (t == null) Array.empty[String] else Hashing.shingles(t, n))
+      .apply(text)
 
   /** Exact Jaccard similarity of two shingle sets. */
   def jaccard(a: Column, b: Column): Column =
@@ -109,15 +111,21 @@ object TextAnalysis {
     */
   def chunkByTokens(text: Column, maxTokens: Int): Column =
     udf((t: String) => {
-      val w = t.trim.split("\\s+").filter(_.nonEmpty)
-      w.grouped(maxTokens).map(_.mkString(" ")).toArray
+      if (t == null) Array.empty[String]
+      else {
+        // \s-class strip for oracle parity (JVM trim stops at  )
+        val w = t.replaceAll("^\\s+|\\s+$", "").split("\\s+").filter(_.nonEmpty)
+        w.grouped(maxTokens).map(_.mkString(" ")).toArray
+      }
     }).apply(text)
 
   /** Deterministic hash sampling: keep a row iff its key hashes into the
     * chosen per-mille band — reproducible across runs/clusters (unlike
     * `df.sample`, whose output depends on partitioning), and stable under
-    * data appends: a kept row stays kept.
+    * data appends: a kept row stays kept. Null keys are EXCLUDED
+    * (xxhash64(null) collapses to one constant, which would put the whole
+    * null population in a single all-or-nothing band).
     */
   def sampleByHash(keyCol: Column, perMille: Int): Column =
-    pmod(xxhash64(keyCol), lit(1000)) < perMille
+    keyCol.isNotNull && pmod(xxhash64(keyCol), lit(1000)) < perMille
 }

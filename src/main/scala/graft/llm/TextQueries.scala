@@ -37,21 +37,30 @@ object TextQueries extends QueryPack {
     (s, d) => {
       val t = Tables.documents(s, d).select(col("source"),
         TextAnalysis.alphaRatio(col("text")).as("ar"),
-        TextAnalysis.stopwordCount(col("text")).as("sw"))
+        TextAnalysis.stopwordCount(col("text")).as("sw"),
+        TextAnalysis.qualityScore(col("text")).as("qs"))
       t.groupBy(col("source"))
         .agg(count(lit(1)).as("n"), min(col("ar")).as("min_alpha"),
-          max(col("ar")).as("max_alpha"), sum(col("sw")).as("sum_stopwords"))
+          max(col("ar")).as("max_alpha"), sum(col("sw")).as("sum_stopwords"),
+          min(col("qs")).as("min_quality"), max(col("qs")).as("max_quality"))
         .orderBy(col("source"))
     },
+    // qs replicated term-by-term: (alpha + min(len/500,1) + min(sw/5,1))/3
     Some("""WITH t AS (SELECT source,
            |  CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
            |    / length(text) AS ar,
            |  len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
-           |    x -> x IN ('the','a','of','and','to','in','is'))) AS sw
-           | FROM documents)
+           |    x -> x IN ('the','a','of','and','to','in','is'))) AS sw,
+           |  length(text) AS lc
+           | FROM documents),
+           |q AS (SELECT source, ar, sw,
+           |  (ar + least(CAST(lc AS DOUBLE) / 500.0, 1.0)
+           |      + least(CAST(sw AS DOUBLE) / 5.0, 1.0)) / 3.0 AS qs
+           | FROM t)
            |SELECT source, count(*) AS n, min(ar) AS min_alpha, max(ar) AS max_alpha,
-           | CAST(sum(sw) AS BIGINT) AS sum_stopwords
-           |FROM t GROUP BY 1 ORDER BY 1""".stripMargin))
+           | CAST(sum(sw) AS BIGINT) AS sum_stopwords,
+           | min(qs) AS min_quality, max(qs) AS max_quality
+           |FROM q GROUP BY 1 ORDER BY 1""".stripMargin))
 
   private val langid = Q(
     "text_langid_heuristic",
@@ -138,7 +147,13 @@ object TextQueries extends QueryPack {
         sum(length(col("chunk"))).as("sum_chars"),
         max(length(col("chunk"))).as("max_chars"))
       .orderBy(col("lang")),
-    Some("""WITH t AS (SELECT lang, string_split_regex(trim(text), '\s+') AS w
+    // \s-class strip + empty-token filter in lockstep with chunkByTokens:
+    // plain trim() strips only spaces and would count phantom chunks for
+    // tab/newline-padded docs
+    Some("""WITH t AS (SELECT lang,
+           |  list_filter(string_split_regex(
+           |    regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'),
+           |    x -> x <> '') AS w
            |  FROM documents),
            |c AS (SELECT lang,
            |  array_to_string(w[(i-1)*32+1 : least(i*32, len(w))], ' ') AS chunk

@@ -24,6 +24,15 @@ class EdgeCaseSpec extends SparkSpec {
     assert(k2.count() === 0 && logged.count() === 0)
   }
 
+  test("null text rows flow through every text operator without NPE") {
+    val withNull = Seq((1L, "a b c d"), (2L, null)).toDF("doc_id", "text")
+    assert(MinHashLsh.nearDupPairs(withNull, "doc_id", "text", 0.8).count() === 0)
+    assert(graft.llm.SimHash.nearPairs(withNull, "doc_id", "text").count() === 0)
+    val chunks = withNull.select(TextAnalysis.chunkByTokens(col("text"), 2)).collect()
+    assert(chunks(1).getSeq[String](0).isEmpty)
+    assert(withNull.filter(TextAnalysis.sampleByHash(col("text"), 999)).count() <= 1)
+  }
+
   test("minhash-lsh on empty and single-doc input") {
     assert(MinHashLsh.nearDupPairs(emptyDocs, "doc_id", "text", 0.8).count() === 0)
     val one = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
