@@ -181,6 +181,75 @@ object Relational extends QueryPack {
            |FROM lineitem GROUP BY 1 HAVING count(*) >= 40
            |ORDER BY l_partkey""".stripMargin))
 
+  /** TPC-H Q10 shape: returned-item customer ranking — fact-fact join
+    * filtered on the return flag, grouped on the customer, top-20 by
+    * revenue (TakeOrderedAndProject again; customer attrs ride the
+    * broadcast).
+    */
+  private val q10 = Q(
+    "q10_returned_item_customers",
+    (s, d) => {
+      Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+        .join(Tables.orders(s, d).filter(
+          col("o_orderdate") >= lit("1995-01-01") &&
+            col("o_orderdate") < lit("1996-01-01")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
+    Some("""SELECT c_custkey, c_name,
+           | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+           |FROM lineitem
+           | JOIN orders ON l_orderkey = o_orderkey
+           | JOIN customer ON o_custkey = c_custkey
+           |WHERE l_returnflag = 'R'
+           |  AND o_orderdate >= TIMESTAMP '1995-01-01'
+           |  AND o_orderdate < TIMESTAMP '1996-01-01'
+           |GROUP BY 1, 2 ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin))
+
+  /** TPC-H Q7 shape: bilateral shipping volume between nation pairs —
+    * the same nation dim joined TWICE under different roles (supplier
+    * side and customer side), both broadcast.
+    */
+  private val q7 = Q(
+    "q7_nation_pair_volume",
+    (s, d) => {
+      val n1 = Tables.nation(s, d)
+        .select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
+      val n2 = Tables.nation(s, d)
+        .select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
+        .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
+        .filter(col("supp_nation").isin("NATION_1", "NATION_2") &&
+          col("cust_nation").isin("NATION_1", "NATION_2") &&
+          col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("volume"), count(lit(1)).as("n"))
+        .orderBy(col("supp_nation"), col("cust_nation"))
+    },
+    Some("""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS volume,
+           | count(*) AS n
+           |FROM lineitem
+           | JOIN orders ON l_orderkey = o_orderkey
+           | JOIN supplier ON l_suppkey = s_suppkey
+           | JOIN customer ON o_custkey = c_custkey
+           | JOIN nation n1 ON s_nationkey = n1.n_nationkey
+           | JOIN nation n2 ON c_nationkey = n2.n_nationkey
+           |WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+           |  AND n2.n_name IN ('NATION_1', 'NATION_2')
+           |  AND n1.n_name <> n2.n_name
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
   /** The spark.sql facade: identical text runs in both engines — the
     * engine's SQL front end is exercised, not just the DataFrame DSL.
     */
@@ -361,7 +430,8 @@ object Relational extends QueryPack {
            |SELECT user_id FROM events WHERE ts >= TIMESTAMP '2024-01-24'
            |ORDER BY user_id""".stripMargin))
 
-  val qs: Seq[Q] = Seq(q1, q3, q5, q6, brandVolume, antiJoin, leftOuterQ13,
-    havingQ, semiJoin, sqlFacade, topkParts, windowRank, windowRunning,
-    sessionize, rollupQ, cubeQ, scalarSub, exceptQ, intersectQ)
+  val qs: Seq[Q] = Seq(q1, q3, q5, q6, q7, q10, brandVolume, antiJoin,
+    leftOuterQ13, havingQ, semiJoin, sqlFacade, topkParts, windowRank,
+    windowRunning, sessionize, rollupQ, cubeQ, scalarSub, exceptQ,
+    intersectQ)
 }
