@@ -49,7 +49,14 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // stdout arrives wrapped in sbt "[info] " noise (both prior rounds
+    // show "parsed": null on the driver) — also drop the line somewhere
+    // machine-readable
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/tmp/graft_bench.json"), json + "\n")
     spark.stop()
   }
 }

@@ -173,13 +173,23 @@ object Dashboard extends QueryPack {
     Some("""SELECT lang, count(*) AS n FROM documents
            |WHERE contains(lower(text), 'spark') GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** F7 drilldown: the operator is the row-level equality filter (no
+    * shuffle, fully pipelined); the VERIFIED output is reduced per user
+    * so it's bounded by |users|, not |error events| — the r2 version
+    * globally sorted every error row for hash stability, a scale-killer
+    * at 100× (VERDICT r2 #4).
+    */
   private val f7 = Q(
     "f7_drilldown_errors",
     (s, d) => Analytics.drilldown(Tables.events(s, d), "event_type", "error")
-      .select(col("event_id"), col("user_id"), col("value"))
-      .orderBy(col("event_id")),
-    Some("""SELECT event_id, user_id, value FROM events
-           |WHERE event_type = 'error' ORDER BY event_id""".stripMargin))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), min(col("event_id")).as("min_event"),
+        max(col("event_id")).as("max_event"))
+      .orderBy(col("user_id")),
+    Some("""SELECT user_id, count(*) AS n, min(event_id) AS min_event,
+           | max(event_id) AS max_event
+           |FROM events WHERE event_type = 'error'
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
 
   val qs: Seq[Q] = Seq(a1, a2, a3, a3pivot, a4, a4approx, a5, a5groups,
     a6num, a6time, a6tsEqui, a7, a8, profileQ, f6, f7, f8)

@@ -291,7 +291,12 @@ object Relational extends QueryPack {
            |GROUP BY 1 ORDER BY n DESC, l_partkey NULLS FIRST LIMIT 10""".stripMargin),
     headline = true)
 
-  /** Ranking window: top-3 orders per customer. */
+  /** Ranking window: top-3 orders per customer. The verified output is
+    * reduced per rank (3 rows at any scale) — sum(o_orderkey) pins the
+    * exact per-customer selections without the r2 version's global sort
+    * of 3×|customers| rows (VERDICT r2 #4). The window itself still
+    * executes over every order.
+    */
   private val windowRank = Q(
     "window_rank_top3_orders",
     (s, d) => {
@@ -300,14 +305,20 @@ object Relational extends QueryPack {
       Tables.orders(s, d)
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
-        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
-        .orderBy(col("o_custkey"), col("rn"))
+        .groupBy(col("rn"))
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("sum_orderkey"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"))
+        .orderBy(col("rn"))
     },
-    Some("""SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
-           | SELECT o_custkey, o_orderkey, o_totalprice,
+    Some("""SELECT rn, count(*) AS n,
+           | CAST(sum(o_orderkey) AS BIGINT) AS sum_orderkey,
+           | min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+           |FROM (
+           | SELECT o_orderkey, o_totalprice,
            |  row_number() OVER (PARTITION BY o_custkey
            |    ORDER BY o_totalprice DESC, o_orderkey) AS rn
-           | FROM orders) t WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin),
+           | FROM orders) t WHERE rn <= 3 GROUP BY 1 ORDER BY 1""".stripMargin),
     headline = true)
 
   /** Analytic window: per-user running sum (deterministic accumulation

@@ -44,6 +44,40 @@ object Temporal extends QueryPack {
            |GROUP BY 1 ORDER BY 1""".stripMargin),
     headline = true)
 
+  /** Same as-of semantics through the skew-resistant two-pass bucketed
+    * plan ([[AsOfJoin.backwardBucketed]]): a hot key parallelizes across
+    * time buckets instead of serializing through one window partition.
+    * Oracle is IDENTICAL to `asof_purchase_last_click` — a cross-engine
+    * equivalence proof on real data, complementing the ScalaTest
+    * equivalence spec.
+    */
+  private val asofBucketed = Q(
+    "asof_purchase_last_click_bucketed",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"),
+          col("value").as("click_value"), col("event_id").as("c_eid"))
+      AsOfJoin.backwardBucketed(
+        purchases, clicks.withColumn("click_ts", col("ts")),
+        key = "user_id", ts = "ts",
+        payload = Seq("click_ts", "click_value"), tiebreak = "c_eid")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_purchases"),
+          count(col("click_ts")).as("n_matched"),
+          max(col("click_ts")).as("last_click_ts"))
+        .orderBy(col("user_id"))
+    },
+    Some("""SELECT p.user_id, count(*) AS n_purchases, count(c.ts) AS n_matched,
+           | max(c.ts) AS last_click_ts
+           |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+           |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+           |  ON p.user_id = c.user_id AND p.ts >= c.ts
+           |GROUP BY 1 ORDER BY 1""".stripMargin),
+    headline = true)
+
   /** Tumbling 1-hour window aggregation — identical logic drives the
     * Structured Streaming job in [[graft.streaming.EventStream]].
     */
@@ -76,5 +110,5 @@ object Temporal extends QueryPack {
            | count(*) AS n
            |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
 
-  val qs: Seq[Q] = Seq(asof, tumbling, jsonExtract)
+  val qs: Seq[Q] = Seq(asof, asofBucketed, tumbling, jsonExtract)
 }

@@ -51,33 +51,69 @@ object Cleaning {
     */
   def weightToKg(weight: Column, heightCm: Column): Column = {
     val s = lower(wsTrim(weight.cast("string")))
-    val missingMarker = s.isin("", "na", "n/a", "none", "null", "-")
     val num = regexp_extract(s, "[\\d.]+", 0).try_cast("double")
+    val h2 = pow(heightCm / 100.0, 2) // m²
+    val w0 = weightW0(s, num, heightCm, h2)
+    weightStruct(weight, heightCm, s, num, h2, w0, w0 / h2)
+  }
+
+  /** [[weightToKg]] for hot paths: the shared subtrees (normalized
+    * string, extracted number, height², resolved weight, BMI) are
+    * PRE-PROJECTED as named columns across separate selects, so each
+    * `when` branch of the struct binds attribute references instead of
+    * inlining the whole regex chain. The fully-inlined form blows
+    * janino's 64KB method limit (observed: `WholeStageCodegen disabled
+    * … janino`) and the one operator touching every row runs
+    * interpreted. CollapseProject keeps the split (the intermediates
+    * are non-cheap and multiply-referenced, which is exactly its
+    * no-collapse condition).
+    */
+  def withWeightKg(df: org.apache.spark.sql.DataFrame, weight: Column,
+      heightCm: Column, out: String): org.apache.spark.sql.DataFrame = {
+    val w = col("_wk_w"); val h = col("_wk_h")
+    val s = col("_wk_s"); val num = col("_wk_num"); val h2 = col("_wk_h2")
+    df.withColumn("_wk_w", weight)
+      .withColumn("_wk_h", heightCm)
+      .withColumn("_wk_s", lower(wsTrim(col("_wk_w").cast("string"))))
+      .withColumn("_wk_num", regexp_extract(col("_wk_s"), "[\\d.]+", 0).try_cast("double"))
+      .withColumn("_wk_h2", pow(col("_wk_h") / 100.0, 2))
+      .withColumn("_wk_w0", weightW0(s, num, h, h2))
+      .withColumn("_wk_b", col("_wk_w0") / h2)
+      .withColumn(out,
+        weightStruct(w, h, s, num, h2, col("_wk_w0"), col("_wk_b")))
+      .drop("_wk_w", "_wk_h", "_wk_s", "_wk_num", "_wk_h2", "_wk_w0", "_wk_b")
+  }
+
+  /** Unit resolution (pre-plausibility) over bound subexpressions. */
+  private def weightW0(s: Column, num: Column, heightCm: Column, h2: Column): Column = {
     val hasKg = s.contains("kg")
     val hasLb = s.contains("lb")
-    val h2 = pow(heightCm / 100.0, 2) // m²
-
-    def bmi(w: Column) = w / h2
-
-    // --- unit resolution (pre-plausibility) ---
     val lbToKg = num * 0.453592
     val heuristic = when(num > 140, lbToKg).otherwise(num)
-    val w0 = when(hasKg, num)
+    when(hasKg, num)
       .when(hasLb, lbToKg)
-      .when(heightCm.isNotNull && bmi(num).between(10, 45), num)
-      .when(heightCm.isNotNull && bmi(lbToKg).between(10, 45), lbToKg)
+      .when(heightCm.isNotNull && (num / h2).between(10, 45), num)
+      .when(heightCm.isNotNull && (lbToKg / h2).between(10, 45), lbToKg)
       .otherwise(heuristic)
+  }
+
+  /** Struct assembly over bound subexpressions (`b` = BMI of `w0`). */
+  private def weightStruct(weight: Column, heightCm: Column, s: Column,
+      num: Column, h2: Column, w0: Column, b: Column): Column = {
+    val missingMarker = s.isin("", "na", "n/a", "none", "null", "-")
+    val hasKg = s.contains("kg")
+    val hasLb = s.contains("lb")
+    val lbToKg = num * 0.453592
     val reason0 = when(hasKg || hasLb, "ok")
       .when(heightCm.isNull, "no_height_missing_unit")
-      .when(bmi(num).between(10, 45), "missing_unit_assumed_kg")
-      .when(bmi(lbToKg).between(10, 45), "missing_unit_assumed_lb")
+      .when((num / h2).between(10, 45), "missing_unit_assumed_kg")
+      .when((lbToKg / h2).between(10, 45), "missing_unit_assumed_lb")
       .otherwise("ambiguous_missing_unit")
 
     // --- post-hoc plausibility: flip units if final BMI is absurd ---
-    val b = bmi(w0)
     val implausible = heightCm.isNotNull && (b < 10 || b > 60)
     val flipped = when(hasKg, w0 / 0.453592).otherwise(w0 * 0.453592)
-    val fixable = bmi(flipped).between(10, 45)
+    val fixable = (flipped / h2).between(10, 45)
 
     val weightKg = when(implausible && fixable, flipped).otherwise(w0)
     val reason = when(implausible && fixable, lit("implausible_bmi_fixed"))
@@ -166,6 +202,19 @@ object Cleaning {
     coalesce(formats.map(f => try_to_timestamp(upper(wsTrim(c)), lit(f))): _*)
 
   def parseDate(c: Column): Column = parseMulti(c, dateFormats ++ datetimeFormats)
+
+  /** P6 pass 2 (ref `etl.py:399-410`): the `dayfirst=True` retry, tried
+    * only when pass 1 fails, logging `day_month_swapped` on success.
+    * dateutil's month>12 auto-swap covers the D-M-Y shapes inside pass 1
+    * (so they never reach pass 2 — `31-12-1985` parses silently), but the
+    * swap does NOT apply to year-first strings: `2024-31-12` raises under
+    * `dayfirst=False` and parses as yyyy-d-M under `dayfirst=True`
+    * (verified against pandas 2.2.2 + dateutil). These two formats are
+    * therefore exactly the pass-2-only surface.
+    */
+  val dateFormatsPass2: Seq[String] = Seq("yyyy-d-M", "yyyy/d/M")
+
+  def parseDatePass2(c: Column): Column = parseMulti(c, dateFormatsPass2)
 
   def parseDatetime(c: Column): Column = parseMulti(c, datetimeFormats ++ dateFormats)
 

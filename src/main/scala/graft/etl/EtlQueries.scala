@@ -88,8 +88,8 @@ object EtlQueries extends QueryPack {
         .when(m === 7, format_string("%d", (lit(150) + col("k") % 40).cast("int")))
         .otherwise(lit("500 kg"))
       val hCol = when(m === 7, lit(null).cast("double")).otherwise(lit(170.0))
-      val w = Cleaning.weightToKg(wStr, hCol)
-      t.select(w.getField("reason").as("reason"), w.getField("weight_kg").as("wkg"))
+      Cleaning.withWeightKg(t, wStr, hCol, "_w")
+        .select(col("_w.reason").as("reason"), col("_w.weight_kg").as("wkg"))
         .groupBy(col("reason"))
         .agg(count(lit(1)).as("n"), min(col("wkg")).as("min_w"), max(col("wkg")).as("max_w"))
         .orderBy(col("reason"))
@@ -286,31 +286,102 @@ object EtlQueries extends QueryPack {
            |FROM s""".stripMargin))
 
   // --------------------------------------------- fixture pipeline (E1)
-  // Full reference pipeline over its own adversarial fixtures; exact
-  // contents are asserted by EtlGoldenSpec (no SQL oracle can express the
-  // messy CSV/XML readers), driver records rows>0.
+  // Full reference pipeline over its own adversarial fixtures. No SQL
+  // oracle can express the messy CSV/XML readers, but the pipeline
+  // OUTPUTS are 8-12 known rows, hand-derived from reference semantics
+  // (EtlGoldenSpec pins the same facts in ScalaTest) — so the oracle is a
+  // literal VALUES table: the driver's DuckDB compare then cross-checks
+  // the full row set, types-as-formatted, in a second engine.
+  //
+  // Literal-oracle rules (driver compare = sorted col names + str()/%.10g
+  // values, row-order-sensitive): CAST numeric cols to DOUBLE (bare
+  // DuckDB decimal literals format as Decimal('170.0') = "170.0" while
+  // Spark doubles give "170"), TIMESTAMP literals for datetimes, and the
+  // ORDER BY must mirror the Spark-side orderBy exactly (NULLS FIRST).
 
   private val patientsClean = Q(
     "etl_patients_pipeline",
     (s, _) => EtlPipeline.runDefault(s).patients.orderBy(col("patient_id")),
-    None)
+    Some("""SELECT patient_id, given_name, family_name, dob, sex,
+           | CAST(height_cm AS DOUBLE) AS height_cm,
+           | CAST(weight_kg AS DOUBLE) AS weight_kg,
+           | sex_iso, CAST(dob_parsed AS TIMESTAMP) AS dob_parsed
+           |FROM (VALUES
+           | ('p-0001','alice','müller','1987-03-14','f',170.0,65.0,2,TIMESTAMP '1987-03-14 00:00:00'),
+           | ('p-0002','bob','smith','12/31/1990','m',172.72,68.0388,1,TIMESTAMP '1990-12-31 00:00:00'),
+           | ('p-0003','chloé','dubois','31-12-1985','f',162.0,54.5,2,TIMESTAMP '1985-12-31 00:00:00'),
+           | ('p-0004','david','o''neil','','m',180.0,82.0,1,CAST(NULL AS TIMESTAMP)),
+           | ('p-0005','erin','lee','1999/07/01','f',167.64,58.96696,2,TIMESTAMP '1999-07-01 00:00:00'),
+           | ('p-0006','fadi','haddad','2008-02-29','m',190.0,110.0,1,TIMESTAMP '2008-02-29 00:00:00'),
+           | ('p-0007','gül','yılmaz','1980-11-05','o',175.0,CAST(NULL AS DOUBLE),9,TIMESTAMP '1980-11-05 00:00:00'),
+           | ('p-0008','hannah','ng','1970-01-01','u',220.0,300.0,0,TIMESTAMP '1970-01-01 00:00:00'),
+           | ('p-0009','ivan','petrov','2009-05-03','m',177.8,81.64656,1,TIMESTAMP '2009-05-03 00:00:00'),
+           | ('p-0010','jane','doe','1991-09-09','f',165.0,60.0,2,TIMESTAMP '1991-09-09 00:00:00'),
+           | ('p-0011','李','雷','1988-08-08','m',170.0,65.0,1,TIMESTAMP '1988-08-08 00:00:00')
+           |) AS t(patient_id, given_name, family_name, dob, sex, height_cm, weight_kg, sex_iso, dob_parsed)
+           |ORDER BY patient_id""".stripMargin))
 
   private val encountersClean = Q(
     "etl_encounters_pipeline",
     (s, _) => EtlPipeline.runDefault(s).encounters.orderBy(col("encounter_id")),
-    None)
+    Some("""SELECT encounter_id, patient_id,
+           | CAST(admit_dt AS TIMESTAMP) AS admit_dt,
+           | CAST(discharge_dt AS TIMESTAMP) AS discharge_dt,
+           | encounter_type, source_file,
+           | CAST(length_of_stay_hours AS DOUBLE) AS length_of_stay_hours
+           |FROM (VALUES
+           | ('enc-000100','p-0001',TIMESTAMP '2024-12-30 09:00:00',TIMESTAMP '2025-01-02 13:30:00','inpatient','encounters_a.csv',76.5),
+           | ('enc-000101','p-0002',TIMESTAMP '2024-12-31 08:00:00',TIMESTAMP '2024-12-31 20:00:00','ed','encounters_a.csv',12.0),
+           | ('enc-000102','p-0003',TIMESTAMP '2024-12-31 09:15:00',TIMESTAMP '2024-12-31 12:00:00','outpatient','encounters_b.csv',2.75),
+           | ('enc-000103','p-0004',TIMESTAMP '2024-11-05 09:00:00',CAST(NULL AS TIMESTAMP),'inpatient','encounters_b.csv',CAST(NULL AS DOUBLE)),
+           | ('enc-000104','p-0005',TIMESTAMP '2025-01-03 07:30:00',TIMESTAMP '2025-01-03 09:00:00','outpatient','encounters_b.csv',1.5),
+           | ('enc-000105','p-0007',TIMESTAMP '2025-01-05 11:00:00',CAST(NULL AS TIMESTAMP),'ed','encounters_c.csv',CAST(NULL AS DOUBLE)),
+           | ('enc-000106','p-0999',TIMESTAMP '2025-01-06 10:00:00',TIMESTAMP '2025-01-06 12:00:00','outpatient','encounters_c.csv',2.0),
+           | ('enc-000200','p-0008',TIMESTAMP '2025-01-07 10:00:00',TIMESTAMP '2025-01-07 12:00:00','outpatient','encounters_c.csv',2.0)
+           |) AS t(encounter_id, patient_id, admit_dt, discharge_dt, encounter_type, source_file, length_of_stay_hours)
+           |ORDER BY encounter_id""".stripMargin))
 
   private val diagnosesClean = Q(
     "etl_diagnoses_pipeline",
     (s, _) => EtlPipeline.runDefault(s).diagnoses
       .orderBy(col("encounter_id"), col("code")),
-    None)
+    Some("""SELECT encounter_id, code, code_system,
+           | CAST(is_primary AS BOOLEAN) AS is_primary,
+           | CAST(recorded_at AS TIMESTAMP) AS recorded_at
+           |FROM (VALUES
+           | ('enc-000100','e11.9','icd-10',TRUE,TIMESTAMP '2024-12-31 12:05:00'),
+           | ('enc-000100','n39.0','icd-10',FALSE,TIMESTAMP '2035-01-01 00:00:00'),
+           | ('enc-000101','g44','icd-10',FALSE,TIMESTAMP '2024-12-31 00:00:00'),
+           | ('enc-000102','i10','icd-10',TRUE,TIMESTAMP '2024-12-31 10:00:00'),
+           | ('enc-000103','m54.5','icd-10',FALSE,TIMESTAMP '2024-11-01 10:00:00'),
+           | ('enc-000104','j06.9','icd-10',FALSE,TIMESTAMP '2025-01-03 06:00:00'),
+           | ('enc-000105','zzz','icd-10',TRUE,TIMESTAMP '2025-01-05 11:10:00'),
+           | ('unknown','e66.9','icd-10',CAST(NULL AS BOOLEAN),TIMESTAMP '2025-01-02 09:00:00')
+           |) AS t(encounter_id, code, code_system, is_primary, recorded_at)
+           |ORDER BY encounter_id, code""".stripMargin))
 
   private val logsOut = Q(
     "etl_quality_logs_pipeline",
     (s, _) => EtlPipeline.runDefault(s).logs
       .orderBy(QualityLog.columns.map(c => col(c).asc_nulls_first): _*),
-    None)
+    Some("""SELECT * FROM (VALUES
+           | ('p-0002',CAST(NULL AS VARCHAR),CAST(NULL AS VARCHAR),'encounters_a.csv','encounter_id','enc-000101',CAST(NULL AS VARCHAR),CAST(NULL AS VARCHAR),'duplicate_encounter_id'),
+           | ('p-0002',NULL,NULL,'encounters_dup.csv','encounter_id','enc-000101',NULL,NULL,'duplicate_encounter_id'),
+           | ('p-0002',NULL,NULL,'patients.csv','duplicate_entry','{"given_name":"bob","family_name":"smith","dob":"1990-12-31","height_cm":173.0,"weight_cm":null}',NULL,NULL,'duplicate_removed'),
+           | ('p-0003',NULL,NULL,'patients.csv','weight','54.5','54.5',NULL,'missing_unit_assumed_kg'),
+           | ('p-0004',NULL,NULL,'encounters_b.csv','discharge_dt',NULL,NULL,NULL,'missing_discharge'),
+           | ('p-0004',NULL,NULL,'encounters_b.csv','discharge_dt','2024-11-04 17:00:00+00:00',NULL,NULL,'discharge_before_admit'),
+           | ('p-0004',NULL,NULL,'patients.csv','dob','',NULL,NULL,'unparseable_date'),
+           | ('p-0007',NULL,NULL,'encounters_c.csv','discharge_dt',NULL,NULL,NULL,'missing_discharge'),
+           | ('p-0007',NULL,NULL,'patients.csv','weight','n/a','nan',NULL,'missing_marker'),
+           | ('p-0008',NULL,NULL,'patients.csv',CAST(NULL AS VARCHAR),'u','0',NULL,'unknown_or_missing'),
+           | ('p-0008',NULL,NULL,'patients.csv','weight','300 kg','300.0',NULL,'implausible_bmi_62.0'),
+           | ('p-0011',NULL,NULL,'patients.csv','weight','65','65.0',NULL,'missing_unit_assumed_kg')
+           |) AS t(patient_id, encounter_id, code, filename, column_name, original_value, cleaned_value, mapped_code, reason)
+           |ORDER BY patient_id NULLS FIRST, encounter_id NULLS FIRST,
+           | code NULLS FIRST, filename NULLS FIRST, column_name NULLS FIRST,
+           | original_value NULLS FIRST, cleaned_value NULLS FIRST,
+           | mapped_code NULLS FIRST, reason NULLS FIRST""".stripMargin))
 
   /** The quality dashboard's primary reads, bound to the LOGS table as in
     * the reference (`interactive_dashboard.py:124-194`): A1 reason
@@ -320,7 +391,14 @@ object EtlQueries extends QueryPack {
     "etl_logs_reason_counts",
     (s, _) => graft.analytics.Analytics.valueCounts(
       EtlPipeline.runDefault(s).logs, "reason"),
-    None)
+    // valueCounts orders (n desc, key asc) — mirror both keys
+    Some("""SELECT reason, CAST(n AS BIGINT) AS n FROM (VALUES
+           | ('duplicate_encounter_id',2),('missing_discharge',2),
+           | ('missing_unit_assumed_kg',2),('discharge_before_admit',1),
+           | ('duplicate_removed',1),('implausible_bmi_62.0',1),
+           | ('missing_marker',1),('unknown_or_missing',1),
+           | ('unparseable_date',1)) AS t(reason, n)
+           |ORDER BY n DESC, reason NULLS FIRST""".stripMargin))
 
   private val logsImpact = Q(
     "etl_logs_patient_impact",
@@ -333,7 +411,10 @@ object EtlQueries extends QueryPack {
         count_distinct(col("reason")).as("n_reasons"),
         count(lit(1)).as("n_rows"))
     },
-    None)
+    // 7 patients.csv log rows: 6 distinct patients, 6 distinct reasons
+    Some("""SELECT CAST(6 AS BIGINT) AS n_patients,
+           | CAST(6 AS BIGINT) AS n_reasons,
+           | CAST(7 AS BIGINT) AS n_rows""".stripMargin))
 
   val qs: Seq[Q] = Seq(heightQ, heightBenchQ, weightQ, sexQ, dobQ, dtQ,
     dedupQ, nfkcQ, losQ, patientsClean, encountersClean, diagnosesClean,

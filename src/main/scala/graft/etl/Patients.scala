@@ -57,8 +57,8 @@ object Patients {
     val withHeight = df.withColumn("height_cm", Cleaning.heightToCm(col("height")))
 
     // --- P4 weight + BMI plausibility, struct multi-return ---
-    val withWeight = withHeight
-      .withColumn("_w", Cleaning.weightToKg(col("weight"), col("height_cm")))
+    val withWeight = Cleaning
+      .withWeightKg(withHeight, col("weight"), col("height_cm"), "_w")
       .withColumn("weight_kg", col("_w.weight_kg"))
     val weightLog = withWeight
       .filter(col("_w.flagged"))
@@ -87,17 +87,26 @@ object Patients {
         when(col("_sex_reason") === "unknown_or_missing", "0").as("cleaned_value"),
         col("_sex_reason").as("reason"))
 
-    // --- P6 dob two-pass parse ---
-    val withDob = withSex.withColumn("dob_parsed", Cleaning.parseDate(col("dob")))
+    // --- P6 dob two-pass parse: pass 1 (dayfirst=False incl. dateutil's
+    // month>12 auto-swap) then pass 2 (yyyy-d-M retry, logged) ---
+    val withDob = withSex
+      .withColumn("_dob_p1", Cleaning.parseDate(col("dob")))
+      .withColumn("_dob_p2", Cleaning.parseDatePass2(col("dob")))
+      .withColumn("dob_parsed", coalesce(col("_dob_p1"), col("_dob_p2")))
     val dobLog = withDob
-      .filter(col("dob").isNull || col("dob_parsed").isNull)
+      .filter(col("dob").isNull || col("dob_parsed").isNull ||
+        col("_dob_p1").isNull)
       .select(
         col("patient_id"),
         lit(filename).as("filename"),
         lit("dob").as("column_name"),
         col("dob").cast(StringType).as("original_value"),
-        lit(null).cast(StringType).as("cleaned_value"),
+        // the swap log carries the PARSED value (ref etl.py:407)
+        when(col("_dob_p1").isNull && col("_dob_p2").isNotNull,
+          col("_dob_p2").cast(StringType))
+          .otherwise(lit(null).cast(StringType)).as("cleaned_value"),
         when(col("dob").isNull, "missing_value")
+          .when(col("_dob_p2").isNotNull, "day_month_swapped")
           .otherwise("unparseable_date").as("reason"))
 
     // --- D1 dedup: two-key cascade with keep-first-by-ingest-order ---
@@ -133,7 +142,8 @@ object Patients {
 
     // --- P12 drop raw + helper cols; P2 clean_utf8 LAST over string cols ---
     val dropped = deduped.drop(
-      "weight", "height", "_w", "_sex_reason", "_hr", "_wr", "_ord")
+      "weight", "height", "_w", "_sex_reason", "_dob_p1", "_dob_p2",
+      "_hr", "_wr", "_ord")
     val cleaned = applyCleanUtf8(dropped)
 
     val logs = QualityLog.combine(Seq(weightLog, sexLog, dobLog, dupLog))

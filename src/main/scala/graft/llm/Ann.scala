@@ -37,8 +37,13 @@ object Ann {
     val scored = broadcast(q).join(n, col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"),
         cosine(col("qv"), col("nv")).as("score"))
+    // rank on the 6dp-rounded score: the engine accumulates in double
+    // while independent reimplementations (e.g. the DuckDB oracle's
+    // float cosine) differ in the 1e-7 tail — quantizing first makes
+    // near-ties EXACT ties, which the vec_id key then breaks identically
+    // in both engines
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("vec_id"))
+      .orderBy(round(col("score"), 6).desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id"))
@@ -53,9 +58,11 @@ object Ann {
     val sigUdf = udf((v: Array[Float]) => Hashing.rhpSignatures(v, tables, bits))
     // bucket keys carry IDS ONLY — the vectors would otherwise ride the
     // explode ×tables through the shuffle; they're joined back for just
-    // the candidate pairs
-    val qBase = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")).cache()
-    val nBase = vectors.select(col(idCol).as("vec_id"), col(vecCol).as("nv")).cache()
+    // the candidate pairs. Not cached: the re-scan for the join-back is
+    // a plain column read, cheaper at scale than corpus-sized cached
+    // blocks that nothing can unpersist (the returned frame is lazy).
+    val qBase = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val nBase = vectors.select(col(idCol).as("vec_id"), col(vecCol).as("nv"))
     def keyed(df: DataFrame, id: String, vec: String) =
       df.select(col(id), posexplode(sigUdf(col(vec))).as(Seq("t", "sig")))
     val qk = keyed(qBase, "query_id", "qv")
@@ -86,7 +93,8 @@ object Ann {
   def cosineNearDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
       threshold: Double, tables: Int = 16, bits: Int = 8): DataFrame = {
     val sigUdf = udf((v: Array[Float]) => Hashing.rhpSignatures(v, tables, bits))
-    val base = vectors.select(col(idCol).as("id"), col(vecCol).as("v")).cache()
+    // not cached — same lifecycle rationale as lshTopK
+    val base = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
     val keyed = base.select(col("id"), posexplode(sigUdf(col("v"))).as(Seq("t", "sig")))
     val candidates = keyed.as("l").join(keyed.as("r"),
       col("l.t") === col("r.t") && col("l.sig") === col("r.sig") &&
@@ -101,26 +109,63 @@ object Ann {
       .select(col("i"), col("j"), round(col("cos"), 4).as("cos"))
   }
 
-  /** IVF-style variant: assign every vector to its nearest of `nCells`
-    * seed centroids (the first nCells vectors by id — deterministic), then
-    * search only the query's own cell.
+  /** IVF top-k: k-means coarse quantizer + multi-probe search.
+    *
+    *  - Seeds: the nCells vectors with the smallest xxhash64(id) — a
+    *    deterministic uniform sample of the corpus (the r2 first-N-by-id
+    *    seeds were correlated: adjacent ids cluster in ingest order).
+    *  - Lloyd iterations refine the seeds distributedly: assignment is a
+    *    broadcast nearest-centroid pass; the update averages vectors per
+    *    cell via posexplode → (cell, dim) partial-agg — the only data
+    *    collected to the driver is nCells × dim means, never vectors.
+    *  - Queries probe their `nProbe` nearest cells (standard IVF
+    *    recall/cost dial); database vectors live in exactly one cell, so
+    *    per-query candidates ≈ nProbe/nCells of the corpus.
+    *
+    * Everything is deterministic: hash-spread seeds, fixed iteration
+    * count, vec_id tiebreaks.
     */
   def ivfTopK(vectors: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, nCells: Int = 16): DataFrame = {
-    val centroids = vectors.orderBy(col(idCol)).limit(nCells)
-      .select(col(idCol).as("cell_id"), col(vecCol).as("cv"))
-    def assign(df: DataFrame, id: String, vec: String) = {
-      val w = Window.partitionBy(col(id)).orderBy(col("csim").desc, col("cell_id"))
-      df.crossJoin(broadcast(centroids))
-        .withColumn("csim", cosine(col(vec), col("cv")))
-        .withColumn("crn", row_number().over(w))
-        .filter(col("crn") === 1)
-        .select(col(id), col(vec), col("cell_id"))
+      vecCol: String, k: Int, nCells: Int = 16, nProbe: Int = 4,
+      iters: Int = 2): DataFrame = {
+    val v = vectors.select(col(idCol).as("vec_id"), col(vecCol).as("nv"))
+
+    def nearestUdf(cents: Array[Array[Float]]) = udf { (x: Array[Float]) =>
+      var best = 0; var bestSim = Double.MinValue
+      var c = 0
+      while (c < cents.length) {
+        val sim = Hashing.cosine(x, cents(c))
+        if (sim > bestSim) { bestSim = sim; best = c }
+        c += 1
+      }
+      best
     }
-    val nAssigned = assign(
-      vectors.select(col(idCol).as("vec_id"), col(vecCol).as("nv")), "vec_id", "nv")
-    val qAssigned = assign(
-      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")), "query_id", "qv")
+
+    // hash-spread deterministic seeds
+    var centroids: Array[Array[Float]] = v
+      .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(nCells)
+      .select(col("nv")).collect().map(_.getSeq[Float](0).toArray)
+
+    // Lloyd refinement; empty cells keep their previous centroid
+    for (_ <- 1 to iters) {
+      val means = v.select(nearestUdf(centroids)(col("nv")).as("cell"),
+          posexplode(col("nv")).as(Seq("d", "x")))
+        .groupBy(col("cell"), col("d")).agg(avg(col("x")).as("m"))
+        .collect()
+      val next = centroids.map(_.clone())
+      means.foreach(r =>
+        next(r.getAs[Int]("cell"))(r.getAs[Int]("d")) = r.getAs[Double]("m").toFloat)
+      centroids = next
+    }
+
+    def probeUdf(cents: Array[Array[Float]], n: Int) = udf { (x: Array[Float]) =>
+      cents.indices.sortBy(c => (-Hashing.cosine(x, cents(c)), c)).take(n).toArray
+    }
+    val nAssigned = v.withColumn("cell_id", nearestUdf(centroids)(col("nv")))
+    val qAssigned = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("cell_id", explode(probeUdf(centroids, nProbe)(col("qv"))))
+
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("vec_id"))
     qAssigned.join(nAssigned, Seq("cell_id"))

@@ -76,8 +76,9 @@ object DedupQueries extends QueryPack {
            |    for i in range(1, len(w)-1)]) AS sh
            | FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
            |       FROM documents)),
-           |p AS (SELECT floor(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-           |    / len(list_distinct(list_concat(a.sh, b.sh))) * 20) AS bucket
+           |p AS (SELECT floor(CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0
+           |    THEN 0.0 ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           |    / len(list_distinct(list_concat(a.sh, b.sh))) END * 20) AS bucket
            | FROM d a JOIN d b ON a.doc_id + 1 = b.doc_id)
            |SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n
            |FROM p GROUP BY 1 ORDER BY 1""".stripMargin))
@@ -110,8 +111,9 @@ object DedupQueries extends QueryPack {
     Some("""WITH q AS (SELECT * FROM documents
            | WHERE (CASE WHEN length(regexp_replace(text, '\s', '', 'g')) = 0 THEN 0
            |   ELSE len(string_split_regex(trim(text), '\s+')) END) >= 20
-           |  AND CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
-           |      / length(text) >= 0.5),
+           |  AND (CASE WHEN length(text) = 0 THEN 0.0
+           |   ELSE CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+           |      / length(text) END) >= 0.5),
            |e AS (SELECT * FROM (SELECT *, row_number() OVER (
            |   PARTITION BY substring(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 16)
            |   ORDER BY doc_id) AS rn FROM q) WHERE rn = 1),

@@ -25,45 +25,51 @@ object MinHashLsh {
   val Rows = 4
   val Bands = 32
 
-  private def shBandsUdf(shingleN: Int) = udf { (text: String) =>
+  /** Band keys only — docs with an empty shingle set (null text, <n
+    * words) return null, which explode drops: they can never be
+    * near-duplicate candidates and would otherwise all collide on the
+    * empty-set signature.
+    */
+  private def bandsUdf(shingleN: Int) = udf { (text: String) =>
     val sh = if (text == null) Array.empty[String]
       else Hashing.shingles(text, shingleN)
-    val bands = Hashing.bandHashes(Hashing.minhashSignature(sh, Rows * Bands), Rows)
-    (sh, bands)
+    if (sh.isEmpty) null
+    else Hashing.bandHashes(Hashing.minhashSignature(sh, Rows * Bands), Rows)
   }
 
   /** Verified near-duplicate pairs (i < j, exact Jaccard ≥ threshold).
     *
-    * Plan shape: docs → one UDF pass (shingles + band keys) → explode
-    * bands → shuffle by band key → within-bucket self-join (candidates) →
-    * distinct pair → join shingles back → exact-Jaccard filter. The
-    * exact check uses native array_intersect/array_distinct over the
-    * already-materialized shingle arrays.
+    * Plan shape: docs → one UDF pass (band keys only) → explode bands →
+    * shuffle by band key → within-bucket self-join (candidates) →
+    * distinct pair → join TEXT back for candidates → shingle + exact
+    * Jaccard on the candidate rows only.
+    *
+    * Nothing is cached: the band shuffle carries compact (id, hash)
+    * pairs, and the verify step re-reads text for just the candidate
+    * ids (broadcast-able when candidates are few; a plain shuffled join
+    * otherwise). At 100 TB this is the only workable lifecycle — caching
+    * full shingle arrays for the corpus is not.
     */
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleN: Int = 3): DataFrame = {
-    // cached: referenced three times (bucket explode + both sides of the
-    // verify join) — without it the signature UDF pass runs 3×. The cache
-    // lives until Spark's LRU evicts it (the returned frame is lazy, so
-    // the operator can't unpersist); sessions running many instances can
-    // spark.catalog.clearCache() between batches.
-    val base = docs
-      .select(col(idCol).as("id"), shBandsUdf(shingleN)(col(textCol)).as("sb"))
-      .select(col("id"), col("sb._1").as("sh"), col("sb._2").as("bands"))
-      .filter(size(col("sh")) > 0)
-      .cache()
-    val buckets = base.select(col("id"),
-      posexplode(col("bands")).as(Seq("band", "h")))
+    val shUdf = udf((t: String) =>
+      if (t == null) Array.empty[String] else Hashing.shingles(t, shingleN))
+    val src = docs.select(col(idCol).as("id"), col(textCol).as("txt"))
+    val buckets = src.select(col("id"),
+      posexplode(bandsUdf(shingleN)(col("txt"))).as(Seq("band", "h")))
     val candidates = buckets.as("l")
       .join(buckets.as("r"),
         col("l.band") === col("r.band") && col("l.h") === col("r.h") &&
           col("l.id") < col("r.id"))
       .select(col("l.id").as("i"), col("r.id").as("j"))
       .distinct()
+    // join text first, shingle AFTER: the UDF then runs only on candidate
+    // rows, not on every probe row of the join's stream side
     candidates
-      .join(base.select(col("id").as("i"), col("sh").as("sh_i")), "i")
-      .join(base.select(col("id").as("j"), col("sh").as("sh_j")), "j")
-      .withColumn("jaccard", TextAnalysis.jaccard(col("sh_i"), col("sh_j")))
+      .join(src.select(col("id").as("i"), col("txt").as("txt_i")), "i")
+      .join(src.select(col("id").as("j"), col("txt").as("txt_j")), "j")
+      .withColumn("jaccard",
+        TextAnalysis.jaccard(shUdf(col("txt_i")), shUdf(col("txt_j"))))
       .filter(col("jaccard") >= threshold)
       .select(col("i"), col("j"), round(col("jaccard"), 3).as("jaccard"))
   }
@@ -77,9 +83,16 @@ object MinHashLsh {
   */
 object SimHash {
 
-  private val simhashUdf = udf((text: String) =>
-    Hashing.simhash(
-      if (text == null) Array.empty[String] else Hashing.shingles(text, 3)))
+  /** Null for empty shingle sets: such docs (null text, <3 words) all
+    * simhash to 0, so every pair of them would surface as a distance-0
+    * "near-duplicate" and they'd collide in every chunk bucket — an
+    * O(m²) candidate blowup with garbage output. Mirrors the MinHash
+    * empty-set guard.
+    */
+  private val simhashUdf = udf { (text: String) =>
+    val sh = if (text == null) Array.empty[String] else Hashing.shingles(text, 3)
+    if (sh.isEmpty) null else java.lang.Long.valueOf(Hashing.simhash(sh))
+  }
 
   def hammingDistance(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
     bit_count(a.bitwiseXOR(b))
@@ -91,11 +104,13 @@ object SimHash {
       maxDist: Int = 3): DataFrame = {
     val chunks = maxDist + 1
     val width = 64 / chunks
-    // cached: the chunk-key frame self-joins, so the simhash pass would
-    // otherwise run twice
+    // not cached: the chunk-key frame self-joins on identical subplans,
+    // so AQE reuses the one shuffle exchange — recomputing the cheap
+    // one-pass simhash beats holding corpus-sized blocks with no
+    // unpersist point (the returned frame is lazy)
     val base = docs
       .select(col(idCol).as("id"), simhashUdf(col(textCol)).as("sig"))
-      .cache()
+      .filter(col("sig").isNotNull)
     val chunkKeys = (0 until chunks).map { c =>
       struct(lit(c).as("chunk"),
         shiftright(col("sig"), c * width)

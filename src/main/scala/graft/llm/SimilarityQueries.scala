@@ -18,12 +18,13 @@ object SimilarityQueries extends QueryPack {
         .orderBy(col("query_id"), col("rank"))
     },
     // scores are excluded from the compared output (only the ranking),
-    // so double-vs-float summation tails can't flake the hash compare;
-    // rank ties break on vec_id in both engines.
+    // and BOTH engines rank on the 6dp-rounded score (see bruteTopK):
+    // double-vs-float accumulation tails then can't flip near-tied
+    // ranks — quantized ties break on vec_id identically.
     Some("""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
            |  WHERE vec_id < 10),
            |sc AS (SELECT qid, e.vec_id AS vid,
-           |  list_cosine_similarity(qe, e.embedding) AS c
+           |  round(CAST(list_cosine_similarity(qe, e.embedding) AS DOUBLE), 6) AS c
            | FROM q, embeddings e WHERE e.vec_id <> qid),
            |r AS (SELECT qid, vid,
            |  row_number() OVER (PARTITION BY qid ORDER BY c DESC, vid) AS rnk

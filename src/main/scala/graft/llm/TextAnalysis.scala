@@ -41,10 +41,15 @@ object TextAnalysis {
       if (t == null) Array.empty[String] else Hashing.shingles(t, n))
       .apply(text)
 
-  /** Exact Jaccard similarity of two shingle sets. */
-  def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") /
-      size(array_distinct(concat(a, b))).cast("double")
+  /** Exact Jaccard similarity of two shingle sets. Two empty sets score
+    * 0.0 (no similarity evidence), not 0/0 — under ANSI mode the bare
+    * division would throw DIVIDE_BY_ZERO for a pair of sub-n-word docs.
+    */
+  def jaccard(a: Column, b: Column): Column = {
+    val union = size(array_distinct(concat(a, b)))
+    when(union === 0, lit(0.0)).otherwise(
+      size(array_intersect(a, b)).cast("double") / union.cast("double"))
+  }
 
   /** Ratio of lowercase-alpha characters — a quality signal (boilerplate
     * and garbled text skew low).

@@ -45,10 +45,13 @@ object TextQueries extends QueryPack {
           min(col("qs")).as("min_quality"), max(col("qs")).as("max_quality"))
         .orderBy(col("source"))
     },
-    // qs replicated term-by-term: (alpha + min(len/500,1) + min(sw/5,1))/3
+    // qs replicated term-by-term: (alpha + min(len/500,1) + min(sw/5,1))/3;
+    // the empty-text CASE mirrors the engine's alphaRatio 0.0 branch
+    // (bare division would give NULL here vs 0.0 there)
     Some("""WITH t AS (SELECT source,
-           |  CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
-           |    / length(text) AS ar,
+           |  CASE WHEN length(text) = 0 THEN 0.0
+           |   ELSE CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+           |    / length(text) END AS ar,
            |  len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
            |    x -> x IN ('the','a','of','and','to','in','is'))) AS sw,
            |  length(text) AS lc

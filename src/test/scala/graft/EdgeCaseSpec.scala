@@ -42,6 +42,44 @@ class EdgeCaseSpec extends SparkSpec {
     assert(MinHashLsh.nearDupPairs(short, "doc_id", "text", 0.8).count() === 0)
   }
 
+  test("adjacent sub-shingle docs: jaccard is 0.0, not DIVIDE_BY_ZERO") {
+    // both shingle sets empty → union empty; ANSI mode would throw on 0/0
+    val short = Seq((1L, "a b"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val sh = short.select(col("doc_id"), TextAnalysis.shingles(col("text")).as("sh"))
+    val j = sh.as("a").join(sh.as("b"), col("a.doc_id") + 1 === col("b.doc_id"))
+      .select(TextAnalysis.jaccard(col("a.sh"), col("b.sh")).as("j"))
+      .collect()
+    assert(j.length === 1 && j(0).getDouble(0) === 0.0)
+  }
+
+  test("simhash: empty-shingle docs never pair (no zero-sig collisions)") {
+    // three docs with empty shingle sets would all collide at sig 0 in
+    // every chunk bucket and surface as distance-0 'near-duplicates'
+    val docs = Seq((1L, "a"), (2L, null.asInstanceOf[String]), (3L, "x y"),
+      (4L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    assert(graft.llm.SimHash.nearPairs(docs, "doc_id", "text").count() === 0)
+  }
+
+  test("lsh/ann operators leave no cached blocks behind") {
+    // other suites may hold intentional caches (the memoized fixture
+    // pipeline) in the shared session — assert no NEW blocks appear
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val docs = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g h i"))
+      .toDF("doc_id", "text")
+    MinHashLsh.nearDupPairs(docs, "doc_id", "text", 0.5).count()
+    graft.llm.SimHash.nearPairs(docs, "doc_id", "text").count()
+    val vecs = Seq((1L, Array(1f, 0f, 0f)), (2L, Array(0.9f, 0.1f, 0f)),
+      (3L, Array(0f, 1f, 0f))).toDF("vec_id", "embedding")
+    graft.llm.Ann.lshTopK(vecs, vecs, "vec_id", "embedding", 2).count()
+    graft.llm.Ann.cosineNearDupPairs(vecs, "vec_id", "embedding", 0.9).count()
+    // at 100 TB an unpersist-less cache is a leak; these operators must
+    // not pin storage the caller can never release
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"leaked cached RDDs: $leaked")
+  }
+
   test("histogram on empty, constant, and single-row columns") {
     assert(Analytics.histogram(Seq.empty[Double].toDF("v"), "v", 10).count() === 0)
     val const = Analytics.histogram(Seq(5.0, 5.0, 5.0).toDF("v"), "v", 10).collect()

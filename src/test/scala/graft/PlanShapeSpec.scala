@@ -64,6 +64,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(s.contains("HashAggregate"), s) // hash agg, not sort-agg
   }
 
+  test("weight plan compiles under codegen (no janino fallback)") {
+    // fallback=false turns a janino compile failure (64KB method blowup
+    // from inlined subtrees — the round-2 defect) into a hard error
+    // instead of a silent interpreted-mode regression
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val rows = SparkEntry.queries("etl_weight_bmi")(spark, sf).collect()
+      assert(rows.nonEmpty)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+        case None => spark.conf.unset("spark.sql.codegen.fallback")
+      }
+    }
+  }
+
   test("bucketed ops never degenerate to cartesian products") {
     // the LSH family must join through bucket keys — a cartesian or
     // nested-loop join here means candidate generation went all-pairs

@@ -57,6 +57,31 @@ class CleaningPropertySpec extends SparkSpec {
     }
   }
 
+  test("P6: two-pass dob — pass-2-only strings log day_month_swapped") {
+    // yyyy-d-M is the pass-2-only surface (pandas parity: dateutil's
+    // month>12 auto-swap covers D-M-Y in pass 1, not year-first)
+    val df = Seq(
+      ("p1", "al", "aa", "1990-13-05", "F", "170 cm", "60 kg"),
+      ("p2", "bo", "bb", "31-12-1985", "M", "170 cm", "60 kg"),
+      ("p3", "cy", "cc", "not-a-date", "F", "170 cm", "60 kg"))
+      .toDF("patient_id", "given_name", "family_name", "dob", "sex", "height", "weight")
+      .withColumn("_ord", monotonically_increasing_id())
+    val (cleaned, logs) = Patients.clean(df, "synthetic.csv")
+    val parsed = cleaned.select("patient_id", "dob_parsed").collect()
+      .map(r => r.getString(0) -> Option(r.getTimestamp(1))).toMap
+    assert(parsed("p1") === Some(java.sql.Timestamp.valueOf("1990-05-13 00:00:00")))
+    assert(parsed("p2") === Some(java.sql.Timestamp.valueOf("1985-12-31 00:00:00")))
+    assert(parsed("p3") === None)
+    val dobLogs = logs.filter(col("column_name") === "dob")
+      .select("patient_id", "reason", "cleaned_value").collect()
+      .map(r => r.getString(0) -> (r.getString(1), Option(r.getString(2)))).toMap
+    // pass-2 success logs the swap WITH the parsed value; pass-1
+    // successes (incl. the auto-swapped d-M-yyyy) log nothing
+    assert(dobLogs("p1") === ("day_month_swapped", Some("1990-05-13 00:00:00")))
+    assert(!dobLogs.contains("p2"))
+    assert(dobLogs("p3") === ("unparseable_date", None))
+  }
+
   test("P4: explicit kg never flagged when BMI plausible; lb constant exact") {
     val rows = (50 to 200).toDF("v")
       .select(col("v"),
