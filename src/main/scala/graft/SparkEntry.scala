@@ -12,10 +12,12 @@ object SparkEntry {
 
   private def packs: Seq[QueryPack] = Seq(
     analytics.Relational,
+    analytics.RelationalExt,
     analytics.Dashboard,
     analytics.Temporal,
     etl.EtlQueries,
     llm.TextQueries,
+    llm.CorpusQueries,
     llm.DedupQueries,
     llm.SimilarityQueries)
 

@@ -1,0 +1,192 @@
+package graft.analytics
+
+import graft.{Q, QueryPack, Tables}
+import org.apache.spark.sql.functions._
+
+/** Second wave of relational shapes: existential subqueries (Q4),
+  * conditional aggregation (Q12), ratio-of-sums (Q14), OR-of-ANDs
+  * bracket predicates (Q19), exact quantiles, an explicit two-phase
+  * salted aggregation (the skew pattern as a first-class operator), and
+  * an equi+range interval join. Adapted to the harness star schema
+  * (TESTDATA.md columns; no l_shipmode/l_commitdate/p_container), same
+  * plan shapes as the TPC-H originals.
+  */
+object RelationalExt extends QueryPack {
+
+  /** TPC-H Q4 shape: EXISTS decorrelates to a left-semi join; the probe
+    * side carries only the join key, so the broadcast/shuffle moves the
+    * minimum bytes.
+    */
+  private val q4 = Q(
+    "q4_priority_returned_orders",
+    (s, d) => {
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1995-01-01") &&
+          col("o_orderdate") < lit("1995-07-01"))
+      val returned = Tables.lineitem(s, d)
+        .filter(col("l_returnflag") === "R").select(col("l_orderkey"))
+      ord.join(returned, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""SELECT o_orderpriority, count(*) AS order_count
+           |FROM orders
+           |WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+           |  AND o_orderdate < TIMESTAMP '1995-07-01'
+           |  AND EXISTS (SELECT 1 FROM lineitem
+           |    WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** TPC-H Q12 shape: fact-fact join + conditional (CASE) aggregation —
+    * one pass, two counters per group.
+    */
+  private val q12 = Q(
+    "q12_linestatus_priority",
+    (s, d) => {
+      val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1997-01-01"))
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_linestatus"))
+        .agg(sum(when(hi, 1).otherwise(0)).as("high_line_count"),
+          sum(when(!hi, 1).otherwise(0)).as("low_line_count"))
+        .orderBy(col("l_linestatus"))
+    },
+    Some("""SELECT l_linestatus,
+           | CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+           |   THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           | CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+           |   THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           |  AND l_shipdate < TIMESTAMP '1997-01-01'
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** TPC-H Q14 shape: promo revenue share — ratio of two sums over the
+    * same scan, part dim broadcast.
+    */
+  private val q14 = Q(
+    "q14_promo_revenue_share",
+    (s, d) => {
+      val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-03-01") &&
+          col("l_shipdate") < lit("1996-06-01"))
+        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .agg(round(sum(when(col("p_type") === "PROMO", rev).otherwise(0.0))
+          * 100.0 / sum(rev), 4).as("promo_pct"),
+          count(lit(1)).as("n"))
+    },
+    Some("""SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+           |   THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END)
+           |  / sum(l_extendedprice * (1.0 - l_discount)), 4) AS promo_pct,
+           | count(*) AS n
+           |FROM lineitem JOIN part ON l_partkey = p_partkey
+           |WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+           |  AND l_shipdate < TIMESTAMP '1996-06-01'""".stripMargin))
+
+  /** TPC-H Q19 shape: disjunction of conjunctive brackets spanning both
+    * join sides — Catalyst can push only the per-side residuals, so this
+    * exercises post-join predicate evaluation inside codegen.
+    */
+  private val q19 = Q(
+    "q19_bracket_revenue",
+    (s, d) => {
+      val bracket =
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(1, 35) &&
+          col("l_quantity").between(20, 30))
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .filter(bracket)
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"), count(lit(1)).as("n"))
+    },
+    Some("""SELECT round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+           | count(*) AS n
+           |FROM lineitem JOIN part ON l_partkey = p_partkey
+           |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+           |       AND l_quantity BETWEEN 1 AND 11)
+           |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+           |       AND l_quantity BETWEEN 10 AND 20)
+           |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+           |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin),
+    headline = true)
+
+  /** Exact (interpolated) quantiles of order price — Spark `percentile`
+    * and DuckDB `quantile_cont` share the rank = p·(n−1) linear-
+    * interpolation definition. Exact percentile sorts per group; the
+    * 100 TB path is `approx_percentile` (t-digest, mergeable partials) —
+    * pinned against this exact result in AnalyticsSpec rather than
+    * cross-engine (sketch internals are engine-specific).
+    */
+  private val quantiles = Q(
+    "agg_order_price_quantiles",
+    (s, d) => Tables.orders(s, d)
+      .agg(count(lit(1)).as("n"),
+        round(percentile(col("o_totalprice"), lit(0.25)), 2).as("p25"),
+        round(percentile(col("o_totalprice"), lit(0.5)), 2).as("p50"),
+        round(percentile(col("o_totalprice"), lit(0.75)), 2).as("p75")),
+    Some("""SELECT count(*) AS n,
+           | round(quantile_cont(o_totalprice, 0.25), 2) AS p25,
+           | round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+           | round(quantile_cont(o_totalprice, 0.75), 2) AS p75
+           |FROM orders""".stripMargin))
+
+  /** Two-phase salted heavy hitters — the skew-mitigation pattern as an
+    * explicit operator: phase 1 counts per (key, salt) so a hot key fans
+    * out over 16 reducers, phase 2 merges the partials per key. The
+    * oracle is the UNSALTED group-by: the rewrite must be result-
+    * invariant. (AQE's skew handling covers sort-merge joins, not hot
+    * aggregation keys — salting is still the tool there.)
+    */
+  private val saltedTopk = Q(
+    "agg_salted_heavy_hitters",
+    (s, d) => Tables.lineitem(s, d)
+      .withColumn("_salt",
+        pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(16)))
+      .groupBy(col("l_partkey"), col("_salt"))
+      .agg(count(lit(1)).as("pn"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("pn")).as("n"))
+      .orderBy(col("n").desc, col("l_partkey").asc_nulls_first)
+      .limit(10),
+    Some("""SELECT l_partkey, CAST(count(*) AS BIGINT) AS n FROM lineitem
+           |GROUP BY 1 ORDER BY n DESC, l_partkey NULLS FIRST LIMIT 10""".stripMargin))
+
+  /** Interval join: clicks within the 10 minutes before each purchase.
+    * The equi key (user_id) drives a sort-merge join; the range predicate
+    * is a post-join residual — scale-safe because pairs are bounded per
+    * user, unlike a pure range cross-join.
+    */
+  private val rangeJoin = Q(
+    "range_join_clicks_before_purchase",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_eid"), col("user_id"), col("ts").as("p_ts"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_uid"), col("ts").as("c_ts"))
+      p.join(c, col("user_id") === col("c_uid") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
+          col("c_ts") <= col("p_ts"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_pairs"),
+          count_distinct(col("p_eid")).as("n_purchases_with_click"))
+        .orderBy(col("user_id"))
+    },
+    Some("""SELECT p.user_id, count(*) AS n_pairs,
+           | count(DISTINCT p.event_id) AS n_purchases_with_click
+           |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+           |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+           |  ON p.user_id = c.user_id
+           | AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts <= p.ts
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  val qs: Seq[Q] = Seq(q4, q12, q14, q19, quantiles, saltedTopk, rangeJoin)
+}

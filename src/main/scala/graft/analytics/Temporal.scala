@@ -110,5 +110,64 @@ object Temporal extends QueryPack {
            | count(*) AS n
            |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
 
-  val qs: Seq[Q] = Seq(asof, asofBucketed, tumbling, jsonExtract)
+  /** Sliding 30-minute windows every 15 minutes (each event lands in
+    * exactly windowDuration/slide = 2 windows), reduced per event_type so
+    * the verified output is bounded by |types| at any scale. The oracle
+    * rebuilds the window assignment by unnesting each event into its two
+    * epoch-aligned bucket starts.
+    */
+  private val sliding = Q(
+    "stream_sliding_30m",
+    (s, d) => Tables.events(s, d)
+      .groupBy(window(col("ts"), "30 minutes", "15 minutes")
+        .getField("start").as("w_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_windows"), sum(col("n")).as("sum_n"),
+        max(col("n")).as("max_n"))
+      .orderBy(col("event_type")),
+    // time_bucket(15 min) is midnight-aligned, and midnight is a whole
+    // number of 15-minute periods from the epoch — identical grid to
+    // Spark's epoch-aligned window()
+    Some("""WITH e AS (SELECT event_type,
+           |  time_bucket(INTERVAL '15 minutes', ts) AS b0 FROM events),
+           |x AS (SELECT event_type,
+           |  unnest([b0, b0 - INTERVAL '15 minutes']) AS ws FROM e),
+           |w AS (SELECT event_type, ws, count(*) AS n FROM x GROUP BY 1, 2)
+           |SELECT event_type, count(*) AS n_windows,
+           | CAST(sum(n) AS BIGINT) AS sum_n, max(n) AS max_n
+           |FROM w GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** Data-driven session windows (30-minute inactivity gap) via Spark's
+    * native `session_window`, reduced per user. Semantics: a new session
+    * starts iff ts ≥ previous ts + gap (windows merge while they
+    * overlap) — the oracle derives the same break flags with lag() and
+    * assigns session ids by running sum.
+    */
+  private val sessionWindows = Q(
+    "stream_session_windows",
+    (s, d) => Tables.events(s, d)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"), max(col("n")).as("max_events"),
+        sum(col("n")).as("n_events"))
+      .orderBy(col("user_id")),
+    Some("""WITH g AS (SELECT user_id, ts, event_id,
+           |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           |         IS NULL
+           |        OR ts >= lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           |         + INTERVAL 30 MINUTE
+           |       THEN 1 ELSE 0 END AS brk
+           | FROM events),
+           |s AS (SELECT user_id, sum(brk) OVER (PARTITION BY user_id
+           |   ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM g),
+           |c AS (SELECT user_id, sid, count(*) AS n FROM s GROUP BY 1, 2)
+           |SELECT user_id, count(*) AS n_sessions, max(n) AS max_events,
+           | CAST(sum(n) AS BIGINT) AS n_events
+           |FROM c GROUP BY 1 ORDER BY 1""".stripMargin),
+    headline = true)
+
+  val qs: Seq[Q] = Seq(asof, asofBucketed, tumbling, jsonExtract, sliding,
+    sessionWindows)
 }

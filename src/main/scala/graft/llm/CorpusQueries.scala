@@ -1,0 +1,159 @@
+package graft.llm
+
+import graft.{Q, QueryPack, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a training-data pipeline runs between raw
+  * crawl and tokenizer: winnowing overlap fingerprints, repetition
+  * scoring, PII scrubbing, and exact stratified sampling. Every query
+  * aggregates to a bounded (per-lang / per-source) result and carries an
+  * independent DuckDB oracle.
+  */
+object CorpusQueries extends QueryPack {
+
+  /** Winnowing fingerprints (MOSS selection over md5'd word 3-grams,
+    * window 4) aggregated per language: document counts, fingerprints
+    * selected, distinct fingerprints. At 100 TB this is the overlap-
+    * detection index build: ~2/(w+1) of the hashes survive selection, and
+    * the guarantee (any shared w+n−1 = 6-word run yields a shared
+    * fingerprint) is what exact dedup by full-document hash cannot give.
+    */
+  private val winnowing = Q(
+    "text_winnowing_fingerprint",
+    (s, d) => {
+      val fps = Tables.documents(s, d)
+        .select(col("lang"),
+          TextAnalysis.winnowedFingerprints(col("text")).as("fps"))
+      val base = fps.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(size(col("fps"))).as("sum_fps"))
+      val dist = fps.select(col("lang"), explode(col("fps")).as("fp"))
+        .groupBy(col("lang"))
+        .agg(count_distinct(col("fp")).as("n_distinct"))
+      base.join(dist, Seq("lang"), "left")
+        .na.fill(0L, Seq("n_distinct"))
+        .orderBy(col("lang"))
+    },
+    // independent winnowing rebuild: positional 3-gram md5 prefixes,
+    // window-4 minima (a doc with ≤4 hashes yields its single global min)
+    Some("""WITH t AS (SELECT lang, string_split_regex(trim(text), '\s+') AS w
+           |  FROM documents),
+           |g AS (SELECT lang, CASE WHEN len(w) < 3 THEN CAST([] AS VARCHAR[])
+           |   ELSE [substring(md5(array_to_string(w[i:i+2], ' ')), 1, 16)
+           |         for i in range(1, len(w) - 1)] END AS h
+           |  FROM t),
+           |f AS (SELECT lang, CASE WHEN len(h) = 0 THEN CAST([] AS VARCHAR[])
+           |   WHEN len(h) <= 4 THEN [list_min(h)]
+           |   ELSE list_distinct([list_min(h[i:i+3])
+           |         for i in range(1, len(h) - 2)]) END AS fps
+           |  FROM g),
+           |b AS (SELECT lang, count(*) AS n_docs,
+           |   CAST(sum(len(fps)) AS BIGINT) AS sum_fps FROM f GROUP BY 1),
+           |u AS (SELECT lang, unnest(fps) AS fp FROM f),
+           |dd AS (SELECT lang, count(DISTINCT fp) AS n_distinct FROM u GROUP BY 1)
+           |SELECT b.lang, n_docs, sum_fps, COALESCE(n_distinct, 0) AS n_distinct
+           |FROM b LEFT JOIN dd USING (lang) ORDER BY b.lang""".stripMargin),
+    headline = true)
+
+  /** Duplicate-2-gram repetition signal per language. All verified
+    * aggregates are integral (gram totals / distinct counts / max dup
+    * count) — the ratio itself is FP-division-order safe only per doc, so
+    * it stays in [[TextAnalysis.repetitionRatio]] + its spec.
+    */
+  private val repetition = Q(
+    "text_repetition_ratio",
+    (s, d) => Tables.documents(s, d)
+      .select(col("lang"),
+        TextAnalysis.bigramTotal(col("text")).as("tg"),
+        TextAnalysis.bigramDistinct(col("text")).as("dg"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("tg")).as("sum_grams"),
+        sum(col("dg")).as("sum_distinct"),
+        max(col("tg") - col("dg")).as("max_dups"))
+      .orderBy(col("lang")),
+    Some("""WITH t AS (SELECT lang, string_split_regex(trim(text), '\s+') AS w
+           |  FROM documents),
+           |g AS (SELECT lang, greatest(len(w) - 1, 0) AS tg,
+           |   CASE WHEN len(w) < 2 THEN 0
+           |    ELSE len(list_distinct([w[i] || ' ' || w[i+1]
+           |          for i in range(1, len(w))])) END AS dg
+           |  FROM t)
+           |SELECT lang, count(*) AS n, CAST(sum(tg) AS BIGINT) AS sum_grams,
+           | CAST(sum(dg) AS BIGINT) AS sum_distinct,
+           | CAST(max(tg - dg) AS BIGINT) AS max_dups
+           |FROM g GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** PII scrub accounting per source: match counts per pattern class and
+    * the post-redaction character total (proving the replacement itself
+    * agrees across engines). The harness corpus is synthetic word soup,
+    * so counts are typically zero here — planted-PII redaction behavior
+    * is pinned in CorpusSpec.
+    */
+  private val pii = Q(
+    "text_pii_scrub",
+    (s, d) => Tables.documents(s, d)
+      .select(col("source"),
+        TextAnalysis.emailCount(col("text")).as("ec"),
+        TextAnalysis.phoneCount(col("text")).as("pc"),
+        TextAnalysis.ipv4Count(col("text")).as("ic"),
+        length(TextAnalysis.scrubPii(col("text"))).as("sl"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("ec")).as("sum_emails"),
+        sum(col("pc")).as("sum_phones"),
+        sum(col("ic")).as("sum_ips"),
+        sum(col("sl")).as("sum_scrub_chars"))
+      .orderBy(col("source")),
+    Some("""WITH t AS (SELECT source,
+           |  len(regexp_extract_all(text,
+           |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS ec,
+           |  len(regexp_extract_all(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS pc,
+           |  len(regexp_extract_all(text,
+           |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS ic,
+           |  length(regexp_replace(regexp_replace(regexp_replace(text,
+           |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+           |    '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g')) AS sl
+           | FROM documents)
+           |SELECT source, count(*) AS n, CAST(sum(ec) AS BIGINT) AS sum_emails,
+           | CAST(sum(pc) AS BIGINT) AS sum_phones,
+           | CAST(sum(ic) AS BIGINT) AS sum_ips,
+           | CAST(sum(sl) AS BIGINT) AS sum_scrub_chars
+           |FROM t GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** Exact 10% stratified sample: per-language rank over md5(doc_id)
+    * (deterministic spread, reproducible across runs and engines), keep
+    * the first ceil(0.1·|stratum|). The per-stratum window needs a
+    * per-key total, so a stratum serializes through one partition — fine
+    * for bounded strata (languages); open-ended strata at 100 TB should
+    * use [[TextAnalysis.sampleByHash]] per group instead (approximate
+    * fraction, no window, append-stable).
+    */
+  private val stratified = Q(
+    "text_stratified_sample",
+    (s, d) => {
+      val rankW = Window.partitionBy(col("lang"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      val cntW = Window.partitionBy(col("lang"))
+      Tables.documents(s, d)
+        .select(col("lang"), col("doc_id"))
+        .withColumn("rn", row_number().over(rankW))
+        .withColumn("cnt", count(lit(1)).over(cntW))
+        .filter(col("rn") <= ceil(col("cnt") * 0.1))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_sampled"), sum(col("doc_id")).as("sum_ids"))
+        .orderBy(col("lang"))
+    },
+    Some("""WITH r AS (SELECT lang, doc_id,
+           |  row_number() OVER (PARTITION BY lang
+           |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+           |  count(*) OVER (PARTITION BY lang) AS cnt
+           | FROM documents)
+           |SELECT lang, count(*) AS n_sampled,
+           | CAST(sum(doc_id) AS BIGINT) AS sum_ids
+           |FROM r WHERE rn <= ceil(0.1 * cnt)
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  val qs: Seq[Q] = Seq(winnowing, repetition, pii, stratified)
+}

@@ -61,6 +61,61 @@ object Hashing {
     }
   }
 
+  /** Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken's MOSS
+    * scheme, SIGMOD'03): hash every positional word n-gram, slide a
+    * window of `w` consecutive hashes, keep the minimum of each window;
+    * the distinct selected hashes are the document's fingerprints.
+    * Guarantees: any shared run of `w + n − 1` words between two
+    * documents yields at least one shared fingerprint, while storing only
+    * ~2/(w+1) of the hashes — the density/recall dial for corpus-scale
+    * overlap detection.
+    *
+    * Hashes are the first 16 hex chars of md5 so an independent engine
+    * (the DuckDB oracle) reproduces them exactly; the window minimum is a
+    * plain lexicographic min over lowercase hex, which equals byte-order
+    * min. O(m·w) scan — w is small (4); a monotonic deque would be O(m)
+    * but adds no win at these window sizes.
+    */
+  def winnow(text: String, n: Int, w: Int): Array[String] = {
+    val words = text.trim.split("\\s+")
+    if (words.length < n || (words.length == 1 && words(0).isEmpty))
+      return Array.empty
+    val m = words.length - n + 1
+    val hashes = new Array[String](m)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var i = 0
+    while (i < m) {
+      val gram = words.slice(i, i + n).mkString(" ")
+      val dig = md.digest(gram.getBytes("UTF-8"))
+      val sb = new java.lang.StringBuilder(16)
+      var bi = 0
+      while (bi < 8) {
+        sb.append(Character.forDigit((dig(bi) >> 4) & 0xf, 16))
+        sb.append(Character.forDigit(dig(bi) & 0xf, 16))
+        bi += 1
+      }
+      hashes(i) = sb.toString
+      md.reset()
+      i += 1
+    }
+    val out = new scala.collection.mutable.LinkedHashSet[String]
+    if (m <= w) out += hashes.min
+    else {
+      var s = 0
+      while (s + w <= m) {
+        var mn = hashes(s)
+        var j = s + 1
+        while (j < s + w) {
+          if (hashes(j) < mn) mn = hashes(j)
+          j += 1
+        }
+        out += mn
+        s += 1
+      }
+    }
+    out.toArray
+  }
+
   /** k-value MinHash signature over shingles. */
   def minhashSignature(sh: Array[String], k: Int): Array[Long] = {
     val sig = Array.fill(k)(Long.MaxValue)

@@ -124,6 +124,59 @@ object TextAnalysis {
       }
     }).apply(text)
 
+  /** Winnowing fingerprints ([[Hashing.winnow]]): the distinct window-min
+    * md5 hashes of positional word n-grams. UDF-backed for the same
+    * lambda-invariant reason as [[shingles]].
+    */
+  def winnowedFingerprints(text: Column, n: Int = 3, window: Int = 4): Column =
+    udf((t: String) =>
+      if (t == null) Array.empty[String] else Hashing.winnow(t, n, window))
+      .apply(text)
+
+  /** Positional (non-distinct) word 2-gram count: tokens − 1, floored at
+    * 0. The denominator of the repetition ratio.
+    */
+  def bigramTotal(text: Column): Column =
+    greatest(tokenCount(text) - 1, lit(0))
+
+  /** Distinct word 2-gram count — the numerator's complement. */
+  def bigramDistinct(text: Column): Column = size(shingles(text, 2))
+
+  /** Gopher-style repetition signal: fraction of duplicate word 2-grams,
+    * `1 − distinct/total` (0.0 for docs with <2 tokens). Boilerplate,
+    * keyword-stuffed, and looping generated text skew high.
+    */
+  def repetitionRatio(text: Column): Column = {
+    val total = bigramTotal(text)
+    when(total <= 0, lit(0.0)).otherwise(
+      lit(1.0) - bigramDistinct(text).cast("double") / total.cast("double"))
+  }
+
+  /** PII patterns, RE2-safe (no lookaround) so independent engines agree.
+    * Deliberately high-precision/low-recall: a corpus scrub wants few
+    * false redactions; recall comes from running several narrow passes.
+    */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phonePattern = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+  val ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  def emailCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(emailPattern), lit(0)))
+  def phoneCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(phonePattern), lit(0)))
+  def ipv4Count(text: Column): Column =
+    size(regexp_extract_all(text, lit(ipv4Pattern), lit(0)))
+
+  /** Redact PII in place. Email first (an address would otherwise have
+    * its host dots eaten by the IP pass), then IPs, then phones.
+    */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailPattern, "<EMAIL>"),
+        ipv4Pattern, "<IP>"),
+      phonePattern, "<PHONE>")
+
   /** Deterministic hash sampling: keep a row iff its key hashes into the
     * chosen per-mille band — reproducible across runs/clusters (unlike
     * `df.sample`, whose output depends on partitioning), and stable under
