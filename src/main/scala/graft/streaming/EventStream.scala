@@ -93,6 +93,33 @@ object EventStream {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
   }
 
+  /** Sliding 30-minute windows advancing every 15 — the streaming twin of
+    * the batch `stream_sliding_30m` query. Each event contributes to two
+    * open windows; the watermark closes a window 2 hours after its end,
+    * so state holds ≤ (2h+30m)/15m ≈ 10 windows per event_type.
+    */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "30 minutes", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Native session_window aggregation (30-minute gap) per user — the
+    * declarative alternative to [[sessionize]]: Catalyst manages the
+    * merging-session state, the watermark emits a session once no event
+    * can extend it. Use this when per-session aggregates suffice;
+    * [[sessionize]] remains for custom state (e.g. mid-session updates).
+    */
+  def sessionWindowCounts(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("user_id"), col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"), col("n_events"), col("sum_value"))
+
   /** Streaming keyed dedup — D3's unbounded flavor (SURVEY §2.5): drop
     * repeated KEYS (regardless of their timestamps — a producer retry
     * re-stamps ts, and must still dedupe) with state bounded by the

@@ -91,6 +91,35 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q19: part dim broadcast; per-side residuals pushed to scans") {
+    val df = SparkEntry.queries("q19_bracket_revenue")(spark, sf)
+    val s = planString(df)
+    assert(s.contains("BroadcastHashJoin"), s)
+    // the l_quantity bounds (1..30 across brackets) are derivable per
+    // side, so the lineitem scan must carry pushed filters
+    val scan = planOf(df).collectLeaves().map(_.toString).mkString("\n")
+    assert(scan.contains("PushedFilters: ["), scan)
+  }
+
+  test("salted heavy hitters: two aggregation exchanges, then top-K heap") {
+    val s = planString(SparkEntry.queries("agg_salted_heavy_hitters")(spark, sf))
+    assert(s.contains("TakeOrderedAndProject"), s)
+    // phase 1 (key,salt) and phase 2 (key) each need partial+final
+    assert("partial_sum|partial_count".r.findAllIn(s).nonEmpty, s)
+  }
+
+  test("range join keeps its equi key: sort-merge or hash, never nested-loop") {
+    val s = planString(
+      SparkEntry.queries("range_join_clicks_before_purchase")(spark, sf))
+    assert(!s.contains("BroadcastNestedLoopJoin"), s)
+    assert(!s.contains("CartesianProduct"), s)
+  }
+
+  test("q4 EXISTS plans as a semi join, not an aggregate-distinct rewrite") {
+    val s = planString(SparkEntry.queries("q4_priority_returned_orders")(spark, sf))
+    assert(s.contains("LeftSemi"), s)
+  }
+
   test("every registered query plans and executes at sf0.001") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try { fn(spark, sf).collect(); None }

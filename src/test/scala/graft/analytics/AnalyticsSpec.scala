@@ -18,6 +18,22 @@ class AnalyticsSpec extends SparkSpec {
       s"approx $approx vs exact $exact")
   }
 
+  test("approx_percentile tracks exact percentile (the 100 TB quantile path)") {
+    // the oracle-checked agg_order_price_quantiles uses exact percentile
+    // (per-group sort); t-digest approx_percentile is the mergeable-
+    // partials path at scale — pin it within 2% relative error here
+    val df = graft.Tables.orders(spark, "/root/testdata/sf0.001")
+    val row = df.agg(
+      expr("percentile(o_totalprice, array(0.25, 0.5, 0.75))").as("exact"),
+      expr("approx_percentile(o_totalprice, array(0.25, 0.5, 0.75), 1000)").as("approx"))
+      .collect()(0)
+    val exact = row.getSeq[Double](0)
+    val approx = row.getSeq[Double](1)
+    exact.zip(approx).foreach { case (e, a) =>
+      assert(math.abs(a - e) / e < 0.02, s"approx $a vs exact $e")
+    }
+  }
+
   test("profile and profileApprox agree on nonnull counts; distinct close") {
     val df = graft.Tables.orders(spark, "/root/testdata/sf0.001")
     val p = Analytics.profile(df).collect()

@@ -59,6 +59,53 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("slidingCounts: each event lands in exactly two windows, both close") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val q = EventStream.slidingCounts(input.toDF())
+      .writeStream.format("memory").queryName("sliding")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        ev(1, "2024-01-01 10:05:00", 1, "click", 1.0),
+        ev(2, "2024-01-01 10:20:00", 2, "click", 2.0))
+      q.processAllAvailable()
+      input.addData(ev(3, "2024-01-01 14:00:00", 1, "view", 1.0)) // advance watermark
+      q.processAllAvailable()
+      val out = spark.table("sliding").as[(Timestamp, String, Long, Double)]
+        .collect().map(r => (r._1, r._2, r._3, r._4)).toSet
+      // 10:05 → windows [09:45,10:15) and [10:00,10:30); 10:20 → [10:00,10:30) and [10:15,10:45)
+      assert(out.contains((ts("2024-01-01 09:45:00"), "click", 1L, 1.0)))
+      assert(out.contains((ts("2024-01-01 10:00:00"), "click", 2L, 3.0)))
+      assert(out.contains((ts("2024-01-01 10:15:00"), "click", 1L, 2.0)))
+    } finally q.stop()
+  }
+
+  test("sessionWindowCounts: native session merge, emit once watermark passes") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val q = EventStream.sessionWindowCounts(input.toDF())
+      .writeStream.format("memory").queryName("swin")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        ev(1, "2024-01-01 10:00:00", 7, "click", 1.0),
+        ev(2, "2024-01-01 10:10:00", 7, "click", 2.0),
+        ev(3, "2024-01-01 11:30:00", 7, "click", 4.0)) // >30m gap → 2nd session
+      q.processAllAvailable()
+      input.addData(ev(4, "2024-01-01 15:00:00", 8, "view", 1.0)) // advance watermark
+      q.processAllAvailable()
+      val out = spark.table("swin")
+        .as[(Long, Timestamp, Timestamp, Long, Double)].collect()
+        .filter(_._1 == 7L).map(r => (r._2, r._3, r._4, r._5)).toSet
+      // session 1: [10:00, 10:10+gap), 2 events; session 2: single event
+      assert(out.contains((ts("2024-01-01 10:00:00"), ts("2024-01-01 10:40:00"), 2L, 3.0)))
+      assert(out.contains((ts("2024-01-01 11:30:00"), ts("2024-01-01 12:00:00"), 1L, 4.0)))
+    } finally q.stop()
+  }
+
   test("sessionize: gap splits sessions, state closes on timeout") {
     implicit val s = spark
     implicit val sq = spark.sqlContext
