@@ -188,5 +188,81 @@ object RelationalExt extends QueryPack {
            | AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts <= p.ts
            |GROUP BY 1 ORDER BY 1""".stripMargin))
 
-  val qs: Seq[Q] = Seq(q4, q12, q14, q19, quantiles, saltedTopk, rangeJoin)
+  /** Explicit GROUPING SETS (beyond rollup/cube) through the SQL front
+    * end, with grouping() disambiguating the NULL-as-total rows from
+    * genuine NULL keys. Identical text runs in both engines.
+    */
+  private val groupingSets = Q(
+    "sql_grouping_sets_orders",
+    (s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("v_orders_gs")
+      s.sql("""SELECT o_orderstatus, o_orderpriority,
+              | CAST(grouping(o_orderstatus) AS INT) AS g_status,
+              | CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+              | count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+              |FROM v_orders_gs
+              |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+              |ORDER BY g_status, g_prio, o_orderstatus NULLS FIRST,
+              | o_orderpriority NULLS FIRST""".stripMargin)
+    },
+    Some("""SELECT o_orderstatus, o_orderpriority,
+           | CAST(grouping(o_orderstatus) AS INT) AS g_status,
+           | CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+           | count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+           |FROM orders
+           |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+           |ORDER BY g_status, g_prio, o_orderstatus NULLS FIRST,
+           | o_orderpriority NULLS FIRST""".stripMargin))
+
+  /** Wide → long reshape via native unpivot (melt) over a pre-aggregated
+    * (bounded) wide frame — the inverse of the a3 pivot query.
+    */
+  private val unpivotQ = Q(
+    "unpivot_lineitem_measures",
+    (s, d) => Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(round(sum(col("l_quantity")), 2).as("qty"),
+        round(sum(col("l_extendedprice")), 2).as("price"),
+        round(sum(col("l_tax")), 2).as("tax"))
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("qty"), col("price"), col("tax")), "measure", "value")
+      .orderBy(col("l_returnflag"), col("measure")),
+    Some("""WITH w AS (SELECT l_returnflag, round(sum(l_quantity), 2) AS qty,
+           |  round(sum(l_extendedprice), 2) AS price,
+           |  round(sum(l_tax), 2) AS tax
+           | FROM lineitem GROUP BY 1)
+           |SELECT l_returnflag, 'qty' AS measure, qty AS value FROM w
+           |UNION ALL SELECT l_returnflag, 'price', price FROM w
+           |UNION ALL SELECT l_returnflag, 'tax', tax FROM w
+           |ORDER BY l_returnflag, measure""".stripMargin))
+
+  /** Exact equal-count deciles via ntile over a total order (price,
+    * tiebroken by key for determinism). ntile is inherently a global
+    * rank — a single ordering partition; the 100 TB path is bucketing by
+    * approx_percentile cut points (AnalyticsSpec pins the sketch against
+    * the exact quantiles). Output is bounded at 10 rows.
+    */
+  private val ntileDeciles = Q(
+    "window_ntile_price_deciles",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("decile", ntile(10).over(w))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("o_totalprice")), 2).as("min_price"),
+          round(max(col("o_totalprice")), 2).as("max_price"))
+        .orderBy(col("decile"))
+    },
+    Some("""SELECT decile, count(*) AS n,
+           | round(min(o_totalprice), 2) AS min_price,
+           | round(max(o_totalprice), 2) AS max_price
+           |FROM (SELECT o_totalprice,
+           |  ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+           | FROM orders) t
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  val qs: Seq[Q] = Seq(q4, q12, q14, q19, quantiles, saltedTopk, rangeJoin,
+    groupingSets, unpivotQ, ntileDeciles)
 }

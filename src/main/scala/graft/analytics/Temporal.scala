@@ -168,6 +168,40 @@ object Temporal extends QueryPack {
            |FROM c GROUP BY 1 ORDER BY 1""".stripMargin),
     headline = true)
 
+  /** Conversion funnel (view → click → purchase by first occurrence per
+    * user): one conditional-min aggregation pass, then a single global
+    * reduce — no per-step joins, no ordering shuffle. NULL-safe stage
+    * comparisons (a missing stage fails the `when` into the 0 branch in
+    * both engines).
+    */
+  private val funnel = Q(
+    "funnel_view_click_purchase",
+    (s, d) => {
+      val stage = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(
+          min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+          min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("t_purchase"))
+      stage.agg(
+        count(lit(1)).as("n_users"),
+        sum(when(col("t_view").isNotNull, 1).otherwise(0)).as("n_view"),
+        sum(when(col("t_view") <= col("t_click"), 1).otherwise(0)).as("n_view_click"),
+        sum(when(col("t_view") <= col("t_click") &&
+          col("t_click") <= col("t_purchase"), 1).otherwise(0)).as("n_full_funnel"))
+    },
+    Some("""WITH s AS (SELECT user_id,
+           |  min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+           |  min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+           |  min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+           | FROM events GROUP BY 1)
+           |SELECT count(*) AS n_users,
+           | CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+           | CAST(sum(CASE WHEN t_view <= t_click THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click,
+           | CAST(sum(CASE WHEN t_view <= t_click AND t_click <= t_purchase
+           |   THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+           |FROM s""".stripMargin))
+
   val qs: Seq[Q] = Seq(asof, asofBucketed, tumbling, jsonExtract, sliding,
-    sessionWindows)
+    sessionWindows, funnel)
 }

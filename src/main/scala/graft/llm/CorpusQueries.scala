@@ -155,5 +155,36 @@ object CorpusQueries extends QueryPack {
            |FROM r WHERE rn <= ceil(0.1 * cnt)
            |GROUP BY 1 ORDER BY 1""".stripMargin))
 
-  val qs: Seq[Q] = Seq(winnowing, repetition, pii, stratified)
+  /** Winnowing as a dedup operator: pairs sharing ≥5 selected
+    * fingerprints — contiguous-run overlap, the contamination-check
+    * complement to MinHash set similarity. Bucketed by fingerprint with
+    * a doc-frequency cap (mirrored in the oracle; a no-op on this corpus
+    * where max df = 7).
+    */
+  private val winnowPairs = Q(
+    "dedup_winnowing_overlap",
+    (s, d) => Winnowing.overlapPairs(
+      Tables.documents(s, d), "doc_id", "text", minShared = 5)
+      .orderBy(col("i"), col("j")),
+    Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+           |  FROM documents),
+           |g AS (SELECT doc_id, CASE WHEN len(w) < 3 THEN CAST([] AS VARCHAR[])
+           |   ELSE [substring(md5(array_to_string(w[i:i+2], ' ')), 1, 16)
+           |         for i in range(1, len(w) - 1)] END AS h
+           |  FROM t),
+           |f AS (SELECT doc_id, CASE WHEN len(h) = 0 THEN CAST([] AS VARCHAR[])
+           |   WHEN len(h) <= 4 THEN [list_min(h)]
+           |   ELSE list_distinct([list_min(h[i:i+3])
+           |         for i in range(1, len(h) - 2)]) END AS fps
+           |  FROM g),
+           |u AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+           |dfc AS (SELECT fp, count(*) AS c FROM u GROUP BY 1),
+           |uf AS (SELECT u.doc_id, u.fp FROM u JOIN dfc USING (fp) WHERE c <= 1000),
+           |p AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS n_shared
+           |  FROM uf a JOIN uf b ON a.fp = b.fp AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2)
+           |SELECT i, j, CAST(n_shared AS BIGINT) AS n_shared
+           |FROM p WHERE n_shared >= 5 ORDER BY i, j""".stripMargin))
+
+  val qs: Seq[Q] = Seq(winnowing, repetition, pii, stratified, winnowPairs)
 }

@@ -75,6 +75,50 @@ object MinHashLsh {
   }
 }
 
+/** Winnowing-based overlap detection: documents sharing selected
+  * fingerprints ([[Hashing.winnow]]) share actual text runs — the
+  * MOSS/plagiarism-detection complement to MinHash's set-similarity view
+  * (MinHash scores bag overlap; winnowing localizes CONTIGUOUS shared
+  * runs, which is what contamination checks against a training corpus
+  * need).
+  */
+object Winnowing {
+
+  private def winnowUdf(n: Int, w: Int) = udf { (text: String) =>
+    val fps = if (text == null) Array.empty[String] else Hashing.winnow(text, n, w)
+    if (fps.isEmpty) null else fps
+  }
+
+  /** Pairs (i < j) sharing ≥ `minShared` winnowed fingerprints.
+    *
+    * Plan shape: one UDF pass → explode fingerprints → doc-frequency
+    * filter → shuffle by fingerprint → within-bucket self-join → count
+    * shared per pair. Candidate generation is bucket-bounded like the
+    * LSH family — never all-pairs. The df cap drops non-discriminative
+    * fingerprints (ubiquitous boilerplate runs): a fingerprint in k docs
+    * creates k(k−1)/2 candidate rows, so one hot bucket would otherwise
+    * re-create the quadratic blowup; dropping it loses only evidence
+    * that couldn't distinguish documents anyway.
+    */
+  def overlapPairs(docs: DataFrame, idCol: String, textCol: String,
+      minShared: Int = 5, n: Int = 3, window: Int = 4,
+      maxDf: Int = 1000): DataFrame = {
+    val fps = docs
+      .select(col(idCol).as("id"), explode(winnowUdf(n, window)(col(textCol))).as("fp"))
+    val rare = fps
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
+      .filter(col("df") <= maxDf)
+      .drop("df")
+    rare.as("l")
+      .join(rare.as("r"),
+        col("l.fp") === col("r.fp") && col("l.id") < col("r.id"))
+      .groupBy(col("l.id").as("i"), col("r.id").as("j"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+}
+
 /** SimHash: 64-bit locality-sensitive fingerprint — near-identical docs
   * differ in few bits. Hamming-ball search via the pigeonhole band trick:
   * distance ≤ d pairs must agree on ≥1 of d+1 signature chunks, so

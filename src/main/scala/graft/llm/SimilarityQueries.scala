@@ -91,5 +91,25 @@ object SimilarityQueries extends QueryPack {
            | CAST(min(width) AS INT) AS min_w, CAST(max(height) AS INT) AS max_h
            |FROM m GROUP BY 1 ORDER BY 1""".stripMargin))
 
-  val qs: Seq[Q] = Seq(brute, lsh, ivf, embDedup, mmFeatures)
+  /** Per-label histogram of the argmax dimension — an embedding-space
+    * sanity profile (collapsed representations skew the histogram to few
+    * dims). Pure expression over the float array; first-match tie
+    * handling is identical in both engines (ties are measure-zero on
+    * this data anyway).
+    */
+  private val argmaxHist = Q(
+    "emb_argmax_dim_hist",
+    (s, d) => Tables.embeddings(s, d)
+      .select(col("label"),
+        array_position(col("embedding"), array_max(col("embedding"))).as("dim"))
+      .groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("label"), col("dim")),
+    Some("""SELECT label,
+           | CAST(list_position(embedding, list_aggregate(embedding, 'max'))
+           |   AS BIGINT) AS dim,
+           | count(*) AS n
+           |FROM embeddings GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
+  val qs: Seq[Q] = Seq(brute, lsh, ivf, embDedup, mmFeatures, argmaxHist)
 }

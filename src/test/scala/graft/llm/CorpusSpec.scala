@@ -48,6 +48,35 @@ class CorpusSpec extends SparkSpec {
     assert(Hashing.winnow(text, 3, 4).toSeq === expected)
   }
 
+  test("overlapPairs finds planted contiguous runs, ignores unrelated docs") {
+    val run = (1 to 40).map(i => s"shared$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"intro words here $run trailing stuff"),
+      (2L, s"$run completely different ending part"),
+      (3L, "unrelated text with no common runs at all whatsoever in any form"),
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val pairs = Winnowing.overlapPairs(docs, "doc_id", "text", minShared = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
+  test("overlapPairs df cap drops ubiquitous fingerprints (no hot bucket)") {
+    // every doc shares the same boilerplate run → its fingerprints hit
+    // every doc; with maxDf below the corpus size they must be dropped,
+    // yielding no pairs (the run can't discriminate)
+    val boiler = (1 to 30).map(i => s"b$i").mkString(" ")
+    val docs = (1L to 8L).map(i => (i, s"$boiler unique$i tail$i"))
+      .toDF("doc_id", "text")
+    val pairs = Winnowing.overlapPairs(docs, "doc_id", "text",
+      minShared = 1, maxDf = 7)
+    assert(pairs.count() === 0)
+    // and with the cap above corpus size, all pairs surface
+    val all = Winnowing.overlapPairs(docs, "doc_id", "text",
+      minShared = 1, maxDf = 100)
+    assert(all.count() === 8L * 7 / 2)
+  }
+
   private def md5Hex16(s: String): String = {
     val d = java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8"))
