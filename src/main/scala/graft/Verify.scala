@@ -18,7 +18,7 @@ object Verify {
     // 4 queries in flight: Spark schedules concurrent jobs fine, and the
     // small queries overlap the two brute-ish ones — roughly halves the
     // wall time of the correctness dump. Futures only (no shared mutable
-    // state beyond the memoized fixture pipeline, which is a TrieMap).
+    // state beyond the memoized fixture pipeline, a synchronized map).
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
