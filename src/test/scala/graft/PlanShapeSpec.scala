@@ -84,7 +84,8 @@ class PlanShapeSpec extends SparkSpec {
   test("bucketed ops never degenerate to cartesian products") {
     // the LSH family must join through bucket keys — a cartesian or
     // nested-loop join here means candidate generation went all-pairs
-    Seq("dedup_minhash_lsh", "dedup_simhash_pairs", "ann_lsh_topk").foreach { q =>
+    Seq("dedup_minhash_lsh", "dedup_simhash_pairs", "ann_lsh_topk",
+      "dedup_winnowing_overlap").foreach { q =>
       val s = planString(SparkEntry.queries(q)(spark, sf))
       assert(!s.contains("CartesianProduct"), s"$q went cartesian:\n$s")
       assert(!s.contains("BroadcastNestedLoopJoin"), s"$q went nested-loop:\n$s")
