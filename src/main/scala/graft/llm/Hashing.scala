@@ -116,15 +116,37 @@ object Hashing {
     out.toArray
   }
 
+  /** Permutation constants for [[minhashSignature]], derived exactly as
+    * [[affine]] does but hoisted out of the hot loop: computing them
+    * per call costs two extra mix64 rounds per (shingle × hash) — ~2/3
+    * of the signature loop's work for zero output change.
+    */
+  private val permCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]
+  private def perms(k: Int): (Array[Long], Array[Long]) =
+    permCache.computeIfAbsent(k, { kk =>
+      val a = new Array[Long](kk)
+      val b = new Array[Long](kk)
+      var i = 0
+      while (i < kk) {
+        a(i) = ((mix64(i.toLong * 2 + 1) >>> 33) % MersennePrime) | 1L
+        b(i) = (mix64(i.toLong * 2 + 2) >>> 33) % MersennePrime
+        i += 1
+      }
+      (a, b)
+    })
+
   /** k-value MinHash signature over shingles. */
   def minhashSignature(sh: Array[String], k: Int): Array[Long] = {
+    val (pa, pb) = perms(k)
     val sig = Array.fill(k)(Long.MaxValue)
     var si = 0
     while (si < sh.length) {
       val base = hash64(sh(si))
+      val hm = ((base % MersennePrime) + MersennePrime) % MersennePrime
       var i = 0
       while (i < k) {
-        val h = affine(base, i)
+        val h = (pa(i) * hm + pb(i)) % MersennePrime
         if (h < sig(i)) sig(i) = h
         i += 1
       }
