@@ -64,8 +64,11 @@ object RelationalExt extends QueryPack {
            |  AND l_shipdate < TIMESTAMP '1997-01-01'
            |GROUP BY 1 ORDER BY 1""".stripMargin))
 
-  /** TPC-H Q14 shape: promo revenue share — ratio of two sums over the
-    * same scan, part dim broadcast.
+  /** TPC-H Q14 shape: promo vs total revenue — the ratio-of-sums query
+    * verified through its two conditional sums at money precision (the
+    * Q14 percentage itself is a division of FP sums, which the oracle
+    * rules keep out of hash-compares — consumers derive it from the two
+    * verified components).
     */
   private val q14 = Q(
     "q14_promo_revenue_share",
@@ -75,13 +78,16 @@ object RelationalExt extends QueryPack {
         .filter(col("l_shipdate") >= lit("1996-03-01") &&
           col("l_shipdate") < lit("1996-06-01"))
         .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
-        .agg(round(sum(when(col("p_type") === "PROMO", rev).otherwise(0.0))
-          * 100.0 / sum(rev), 4).as("promo_pct"),
+        .agg(
+          round(sum(when(col("p_type") === "PROMO", rev).otherwise(0.0)), 2)
+            .as("promo_revenue"),
+          round(sum(rev), 2).as("total_revenue"),
           count(lit(1)).as("n"))
     },
-    Some("""SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
-           |   THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END)
-           |  / sum(l_extendedprice * (1.0 - l_discount)), 4) AS promo_pct,
+    Some("""SELECT round(sum(CASE WHEN p_type = 'PROMO'
+           |   THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END), 2)
+           |   AS promo_revenue,
+           | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS total_revenue,
            | count(*) AS n
            |FROM lineitem JOIN part ON l_partkey = p_partkey
            |WHERE l_shipdate >= TIMESTAMP '1996-03-01'
@@ -118,25 +124,27 @@ object RelationalExt extends QueryPack {
            |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin),
     headline = true)
 
-  /** Exact (interpolated) quantiles of order price — Spark `percentile`
-    * and DuckDB `quantile_cont` share the rank = p·(n−1) linear-
-    * interpolation definition. Exact percentile sorts per group; the
-    * 100 TB path is `approx_percentile` (t-digest, mergeable partials) —
-    * pinned against this exact result in AnalyticsSpec rather than
-    * cross-engine (sketch internals are engine-specific).
+  /** Exact (interpolated) quantiles — Spark `percentile` and DuckDB
+    * `quantile_cont` share the rank = p·(n−1) linear-interpolation
+    * definition. Taken over the integer-valued l_quantity so every
+    * interpolated value lands on the exact dyadic .25 grid: bit-identical
+    * across engines with NO rounding in the compare (FP-ratio/rounding
+    * boundary rules don't apply). Price quantiles live in AnalyticsSpec,
+    * where approx_percentile (t-digest, the mergeable 100 TB path) is
+    * pinned against the exact result.
     */
   private val quantiles = Q(
-    "agg_order_price_quantiles",
-    (s, d) => Tables.orders(s, d)
+    "agg_exact_quantiles_quantity",
+    (s, d) => Tables.lineitem(s, d)
       .agg(count(lit(1)).as("n"),
-        round(percentile(col("o_totalprice"), lit(0.25)), 2).as("p25"),
-        round(percentile(col("o_totalprice"), lit(0.5)), 2).as("p50"),
-        round(percentile(col("o_totalprice"), lit(0.75)), 2).as("p75")),
+        percentile(col("l_quantity"), lit(0.25)).as("p25"),
+        percentile(col("l_quantity"), lit(0.5)).as("p50"),
+        percentile(col("l_quantity"), lit(0.75)).as("p75")),
     Some("""SELECT count(*) AS n,
-           | round(quantile_cont(o_totalprice, 0.25), 2) AS p25,
-           | round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
-           | round(quantile_cont(o_totalprice, 0.75), 2) AS p75
-           |FROM orders""".stripMargin))
+           | quantile_cont(l_quantity, 0.25) AS p25,
+           | quantile_cont(l_quantity, 0.5) AS p50,
+           | quantile_cont(l_quantity, 0.75) AS p75
+           |FROM lineitem""".stripMargin))
 
   /** Two-phase salted heavy hitters — the skew-mitigation pattern as an
     * explicit operator: phase 1 counts per (key, salt) so a hot key fans

@@ -21,19 +21,20 @@ object CorpusQueries extends QueryPack {
     */
   private val winnowing = Q(
     "text_winnowing_fingerprint",
-    (s, d) => {
-      val fps = Tables.documents(s, d)
-        .select(col("lang"),
-          TextAnalysis.winnowedFingerprints(col("text")).as("fps"))
-      val base = fps.groupBy(col("lang"))
-        .agg(count(lit(1)).as("n_docs"), sum(size(col("fps"))).as("sum_fps"))
-      val dist = fps.select(col("lang"), explode(col("fps")).as("fp"))
-        .groupBy(col("lang"))
-        .agg(count_distinct(col("fp")).as("n_distinct"))
-      base.join(dist, Seq("lang"), "left")
-        .na.fill(0L, Seq("n_distinct"))
-        .orderBy(col("lang"))
-    },
+    // single corpus pass: explode_outer keeps zero-fingerprint docs (a
+    // null fp row) so doc counts survive, and the md5 winnowing UDF runs
+    // exactly once — the two-branch formulation re-scanned the corpus
+    // and re-hashed every 3-gram for each branch. The two distinct
+    // aggregates plan through one Expand (~2× exploded rows), far
+    // cheaper than a second UDF pass at corpus scale.
+    (s, d) => Tables.documents(s, d)
+      .select(col("lang"), col("doc_id"),
+        explode_outer(TextAnalysis.winnowedFingerprints(col("text"))).as("fp"))
+      .groupBy(col("lang"))
+      .agg(count_distinct(col("doc_id")).as("n_docs"),
+        count(col("fp")).as("sum_fps"),
+        count_distinct(col("fp")).as("n_distinct"))
+      .orderBy(col("lang")),
     // independent winnowing rebuild: positional 3-gram md5 prefixes,
     // window-4 minima (a doc with ≤4 hashes yields its single global min)
     Some("""WITH t AS (SELECT lang, string_split_regex(trim(text), '\s+') AS w
@@ -130,21 +131,29 @@ object CorpusQueries extends QueryPack {
     * use [[TextAnalysis.sampleByHash]] per group instead (approximate
     * fraction, no window, append-stable).
     */
+  /** The reusable operator behind `text_stratified_sample` — public so
+    * the spec exercises the SAME code the query (and its oracle) bind
+    * to, not a private re-derivation.
+    */
+  def stratifiedSample(df: org.apache.spark.sql.DataFrame, strata: String,
+      key: String, fraction: Double): org.apache.spark.sql.DataFrame = {
+    val rankW = Window.partitionBy(col(strata))
+      .orderBy(md5(col(key).cast("string")), col(key))
+    val cntW = Window.partitionBy(col(strata))
+    df.withColumn("_rn", row_number().over(rankW))
+      .withColumn("_cnt", count(lit(1)).over(cntW))
+      .filter(col("_rn") <= ceil(col("_cnt") * fraction))
+      .drop("_rn", "_cnt")
+  }
+
   private val stratified = Q(
     "text_stratified_sample",
-    (s, d) => {
-      val rankW = Window.partitionBy(col("lang"))
-        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-      val cntW = Window.partitionBy(col("lang"))
-      Tables.documents(s, d)
-        .select(col("lang"), col("doc_id"))
-        .withColumn("rn", row_number().over(rankW))
-        .withColumn("cnt", count(lit(1)).over(cntW))
-        .filter(col("rn") <= ceil(col("cnt") * 0.1))
-        .groupBy(col("lang"))
-        .agg(count(lit(1)).as("n_sampled"), sum(col("doc_id")).as("sum_ids"))
-        .orderBy(col("lang"))
-    },
+    (s, d) => stratifiedSample(
+      Tables.documents(s, d).select(col("lang"), col("doc_id")),
+      "lang", "doc_id", 0.1)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sampled"), sum(col("doc_id")).as("sum_ids"))
+      .orderBy(col("lang")),
     Some("""WITH r AS (SELECT lang, doc_id,
            |  row_number() OVER (PARTITION BY lang
            |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,

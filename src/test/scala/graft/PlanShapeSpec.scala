@@ -96,16 +96,20 @@ class PlanShapeSpec extends SparkSpec {
     val df = SparkEntry.queries("q19_bracket_revenue")(spark, sf)
     val s = planString(df)
     assert(s.contains("BroadcastHashJoin"), s)
-    // the l_quantity bounds (1..30 across brackets) are derivable per
-    // side, so the lineitem scan must carry pushed filters
+    // the OR-of-brackets must reach BOTH scans as per-side residuals —
+    // 'PushedFilters: [' alone would pass even when the list is empty
     val scan = planOf(df).collectLeaves().map(_.toString).mkString("\n")
-    assert(scan.contains("PushedFilters: ["), scan)
+    assert(scan.contains("GreaterThanOrEqual(l_quantity"), scan)
+    assert(scan.contains("EqualTo(p_brand"), scan)
   }
 
   test("salted heavy hitters: two aggregation exchanges, then top-K heap") {
     val s = planString(SparkEntry.queries("agg_salted_heavy_hitters")(spark, sf))
     assert(s.contains("TakeOrderedAndProject"), s)
-    // phase 1 (key,salt) and phase 2 (key) each need partial+final
+    // the salt column must survive into phase 1's grouping keys — its
+    // disappearance means the two-phase rewrite collapsed back to a
+    // single hot-key groupBy (the regression this test exists to catch)
+    assert(s.contains("_salt"), s)
     assert("partial_sum|partial_count".r.findAllIn(s).nonEmpty, s)
   }
 

@@ -141,14 +141,8 @@ class CorpusSpec extends SparkSpec {
   test("stratified sample keeps exactly ceil(10%) per stratum, deterministically") {
     val docs = (1L to 137L).map(i => (i, if (i % 3 == 0) "en" else "de"))
       .toDF("doc_id", "lang")
-    import org.apache.spark.sql.expressions.Window
-    val rankW = Window.partitionBy(col("lang"))
-      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-    val cntW = Window.partitionBy(col("lang"))
-    def sample() = docs
-      .withColumn("rn", row_number().over(rankW))
-      .withColumn("cnt", count(lit(1)).over(cntW))
-      .filter(col("rn") <= ceil(col("cnt") * 0.1))
+    // exercises the SAME operator the registered query binds to
+    def sample() = CorpusQueries.stratifiedSample(docs, "lang", "doc_id", 0.1)
     val byLang = sample().groupBy("lang").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(byLang("en") === math.ceil(45 * 0.1).toLong)
