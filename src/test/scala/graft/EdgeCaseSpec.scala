@@ -31,6 +31,14 @@ class EdgeCaseSpec extends SparkSpec {
     val chunks = withNull.select(TextAnalysis.chunkByTokens(col("text"), 2)).collect()
     assert(chunks(1).getSeq[String](0).isEmpty)
     assert(withNull.filter(TextAnalysis.sampleByHash(col("text"), 999)).count() <= 1)
+    assert(graft.llm.Winnowing.overlapPairs(withNull, "doc_id", "text").count() === 0)
+    // null text: scrub/counts propagate null (SQL semantics — aggregate
+    // sums skip them identically in both engines); ratio is 0.0
+    val r = withNull.select(
+      TextAnalysis.scrubPii(col("text")).as("s"),
+      TextAnalysis.emailCount(col("text")).as("ec"),
+      TextAnalysis.repetitionRatio(col("text")).as("rr")).collect()(1)
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.getDouble(2) === 0.0)
   }
 
   test("minhash-lsh on empty and single-doc input") {
