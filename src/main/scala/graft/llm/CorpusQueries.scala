@@ -195,5 +195,88 @@ object CorpusQueries extends QueryPack {
            |SELECT i, j, CAST(n_shared AS BIGINT) AS n_shared
            |FROM p WHERE n_shared >= 5 ORDER BY i, j""".stripMargin))
 
-  val qs: Seq[Q] = Seq(winnowing, repetition, pii, stratified, winnowPairs)
+  /** Decontamination against an in-corpus "benchmark" (doc_id < 50
+    * stands in for an eval set): corpus docs sharing ≥2 winnowed
+    * fingerprints with any benchmark doc. The benchmark fingerprint set
+    * broadcasts; the corpus side never shuffles.
+    */
+  private val decontaminate = Q(
+    "dedup_decontaminate_winnow",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      Winnowing.contaminated(
+        docs.filter(col("doc_id") >= 50), docs.filter(col("doc_id") < 50),
+        "doc_id", "text", minShared = 2)
+        .orderBy(col("id"))
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+           |  FROM documents),
+           |g AS (SELECT doc_id, CASE WHEN len(w) < 3 THEN CAST([] AS VARCHAR[])
+           |   ELSE [substring(md5(array_to_string(w[i:i+2], ' ')), 1, 16)
+           |         for i in range(1, len(w) - 1)] END AS h
+           |  FROM t),
+           |f AS (SELECT doc_id, CASE WHEN len(h) = 0 THEN CAST([] AS VARCHAR[])
+           |   WHEN len(h) <= 4 THEN [list_min(h)]
+           |   ELSE list_distinct([list_min(h[i:i+3])
+           |         for i in range(1, len(h) - 2)]) END AS fps
+           |  FROM g),
+           |u AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+           |b AS (SELECT DISTINCT fp FROM u WHERE doc_id < 50)
+           |SELECT u.doc_id AS id, count(*) AS n_shared
+           |FROM u JOIN b USING (fp) WHERE u.doc_id >= 50
+           |GROUP BY 1 HAVING count(*) >= 2 ORDER BY 1""".stripMargin))
+
+  /** Corpus-wide top-20 word 2-grams by document frequency (the
+    * vocabulary/boilerplate-discovery heavy-hitter query). Distinct
+    * grams per doc (so a looping doc can't dominate), tie-broken on
+    * md5(gram) — ASCII-only, collation-safe across engines where raw
+    * multilingual grams are not.
+    */
+  private val topNgrams = Q(
+    "text_top_ngrams_df",
+    (s, d) => Tables.documents(s, d)
+      .select(col("doc_id"), explode(TextAnalysis.shingles(col("text"), 2)).as("gram"))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, md5(col("gram")))
+      .limit(20),
+    Some("""WITH g AS (SELECT doc_id,
+           |  unnest(list_distinct([w[i] || ' ' || w[i+1]
+           |    for i in range(1, len(w))])) AS gram
+           | FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+           |       FROM documents)
+           | WHERE len(w) >= 2)
+           |SELECT gram, count(*) AS df FROM g
+           |GROUP BY 1 ORDER BY df DESC, md5(gram) LIMIT 20""".stripMargin))
+
+  /** Token document-frequency profile: distinct-token vocabulary size,
+    * stopword-like tokens (df > 50% of docs), and the max df — the
+    * corpus statistics that drive stopword lists and IDF weighting.
+    */
+  private val tokenDf = Q(
+    "text_token_df_stats",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      docs.select(col("doc_id"),
+          explode(array_distinct(TextAnalysis.tokens(col("text")))).as("tok"))
+        .groupBy(col("tok"))
+        .agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(nDocs))
+        .agg(count(lit(1)).as("n_vocab"),
+          sum(when(col("df") * 2 > col("n_docs"), 1).otherwise(0)).as("n_stop_like"),
+          max(col("df")).as("max_df"))
+    },
+    Some("""WITH tok AS (SELECT doc_id, unnest(list_distinct(
+           |    string_split_regex(trim(text), '\s+'))) AS tok FROM documents),
+           |d AS (SELECT tok, count(*) AS df FROM tok GROUP BY 1),
+           |n AS (SELECT count(*) AS n_docs FROM documents)
+           |SELECT count(*) AS n_vocab,
+           | CAST(sum(CASE WHEN df * 2 > n_docs THEN 1 ELSE 0 END) AS BIGINT)
+           |   AS n_stop_like,
+           | max(df) AS max_df
+           |FROM d, n""".stripMargin))
+
+  val qs: Seq[Q] = Seq(winnowing, repetition, pii, stratified, winnowPairs,
+    decontaminate, topNgrams, tokenDf)
 }

@@ -77,6 +77,20 @@ class CorpusSpec extends SparkSpec {
     assert(all.count() === 8L * 7 / 2)
   }
 
+  test("contaminated flags corpus docs sharing runs with the benchmark only") {
+    val leak = (1 to 30).map(i => s"eval$i").mkString(" ")
+    val bench = Seq((100L, s"benchmark question text $leak end"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, s"scraped page containing $leak verbatim plus commentary"),
+      (2L, "clean document about something else entirely with many words"),
+      (3L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val hits = Winnowing.contaminated(corpus, bench, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(hits === Set(1L))
+  }
+
   private def md5Hex16(s: String): String = {
     val d = java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8"))
