@@ -12,6 +12,36 @@ import org.apache.spark.sql.functions._
   */
 object CorpusQueries extends QueryPack {
 
+  /** Clean tokenization every shingle-family oracle uses — mirrors
+    * [[Hashing.words]] exactly (edge-strip \s, split \s+, drop empties).
+    * Shared with [[DedupQueries]]' shingle oracles: one convention, one
+    * definition.
+    */
+  private[llm] val WordsExpr =
+    """list_filter(string_split_regex(
+      |    regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'), x -> x <> '')"""
+      .stripMargin
+
+  /** Shared DuckDB rebuild of [[Hashing.winnow]] (3-gram md5 prefixes,
+    * window-4 minima, a doc with ≤4 hashes yields its single global
+    * min), parameterized on the carried column. ONE copy: a change to
+    * the winnowing scheme lands here and in Hashing.winnow, nowhere
+    * else. Ends with `u` = (keep, fp) exploded fingerprints.
+    */
+  private def winnowCte(keep: String): String =
+    s"""WITH t AS (SELECT $keep, $WordsExpr AS w
+       |  FROM documents),
+       |g AS (SELECT $keep, CASE WHEN len(w) < 3 THEN CAST([] AS VARCHAR[])
+       |   ELSE [substring(md5(array_to_string(w[i:i+2], ' ')), 1, 16)
+       |         for i in range(1, len(w) - 1)] END AS h
+       |  FROM t),
+       |f AS (SELECT $keep, CASE WHEN len(h) = 0 THEN CAST([] AS VARCHAR[])
+       |   WHEN len(h) <= 4 THEN [list_min(h)]
+       |   ELSE list_distinct([list_min(h[i:i+3])
+       |         for i in range(1, len(h) - 2)]) END AS fps
+       |  FROM g),
+       |u AS (SELECT $keep, unnest(fps) AS fp FROM f)""".stripMargin
+
   /** Winnowing fingerprints (MOSS selection over md5'd word 3-grams,
     * window 4) aggregated per language: document counts, fingerprints
     * selected, distinct fingerprints. At 100 TB this is the overlap-
@@ -35,25 +65,13 @@ object CorpusQueries extends QueryPack {
         count(col("fp")).as("sum_fps"),
         count_distinct(col("fp")).as("n_distinct"))
       .orderBy(col("lang")),
-    // independent winnowing rebuild: positional 3-gram md5 prefixes,
-    // window-4 minima (a doc with ≤4 hashes yields its single global min)
-    Some("""WITH t AS (SELECT lang, string_split_regex(trim(text), '\s+') AS w
-           |  FROM documents),
-           |g AS (SELECT lang, CASE WHEN len(w) < 3 THEN CAST([] AS VARCHAR[])
-           |   ELSE [substring(md5(array_to_string(w[i:i+2], ' ')), 1, 16)
-           |         for i in range(1, len(w) - 1)] END AS h
-           |  FROM t),
-           |f AS (SELECT lang, CASE WHEN len(h) = 0 THEN CAST([] AS VARCHAR[])
-           |   WHEN len(h) <= 4 THEN [list_min(h)]
-           |   ELSE list_distinct([list_min(h[i:i+3])
-           |         for i in range(1, len(h) - 2)]) END AS fps
-           |  FROM g),
-           |b AS (SELECT lang, count(*) AS n_docs,
-           |   CAST(sum(len(fps)) AS BIGINT) AS sum_fps FROM f GROUP BY 1),
-           |u AS (SELECT lang, unnest(fps) AS fp FROM f),
-           |dd AS (SELECT lang, count(DISTINCT fp) AS n_distinct FROM u GROUP BY 1)
-           |SELECT b.lang, n_docs, sum_fps, COALESCE(n_distinct, 0) AS n_distinct
-           |FROM b LEFT JOIN dd USING (lang) ORDER BY b.lang""".stripMargin),
+    Some(winnowCte("lang") +
+      """,
+        |b AS (SELECT lang, count(*) AS n_docs,
+        |   CAST(sum(len(fps)) AS BIGINT) AS sum_fps FROM f GROUP BY 1),
+        |dd AS (SELECT lang, count(DISTINCT fp) AS n_distinct FROM u GROUP BY 1)
+        |SELECT b.lang, n_docs, sum_fps, COALESCE(n_distinct, 0) AS n_distinct
+        |FROM b LEFT JOIN dd USING (lang) ORDER BY b.lang""".stripMargin),
     headline = true)
 
   /** Duplicate-2-gram repetition signal per language. All verified
@@ -73,17 +91,17 @@ object CorpusQueries extends QueryPack {
         sum(col("dg")).as("sum_distinct"),
         max(col("tg") - col("dg")).as("max_dups"))
       .orderBy(col("lang")),
-    Some("""WITH t AS (SELECT lang, string_split_regex(trim(text), '\s+') AS w
-           |  FROM documents),
-           |g AS (SELECT lang, greatest(len(w) - 1, 0) AS tg,
-           |   CASE WHEN len(w) < 2 THEN 0
-           |    ELSE len(list_distinct([w[i] || ' ' || w[i+1]
-           |          for i in range(1, len(w))])) END AS dg
-           |  FROM t)
-           |SELECT lang, count(*) AS n, CAST(sum(tg) AS BIGINT) AS sum_grams,
-           | CAST(sum(dg) AS BIGINT) AS sum_distinct,
-           | CAST(max(tg - dg) AS BIGINT) AS max_dups
-           |FROM g GROUP BY 1 ORDER BY 1""".stripMargin))
+    Some(s"""WITH t AS (SELECT lang, $WordsExpr AS w
+            |  FROM documents),
+            |g AS (SELECT lang, greatest(len(w) - 1, 0) AS tg,
+            |   CASE WHEN len(w) < 2 THEN 0
+            |    ELSE len(list_distinct([w[i] || ' ' || w[i+1]
+            |          for i in range(1, len(w))])) END AS dg
+            |  FROM t)
+            |SELECT lang, count(*) AS n, CAST(sum(tg) AS BIGINT) AS sum_grams,
+            | CAST(sum(dg) AS BIGINT) AS sum_distinct,
+            | CAST(max(tg - dg) AS BIGINT) AS max_dups
+            |FROM g GROUP BY 1 ORDER BY 1""".stripMargin))
 
   /** PII scrub accounting per source: match counts per pattern class and
     * the post-redaction character total (proving the replacement itself
@@ -123,17 +141,14 @@ object CorpusQueries extends QueryPack {
            | CAST(sum(sl) AS BIGINT) AS sum_scrub_chars
            |FROM t GROUP BY 1 ORDER BY 1""".stripMargin))
 
-  /** Exact 10% stratified sample: per-language rank over md5(doc_id)
+  /** Exact stratified sampling: per-stratum rank over md5(key)
     * (deterministic spread, reproducible across runs and engines), keep
-    * the first ceil(0.1·|stratum|). The per-stratum window needs a
+    * the first ceil(fraction·|stratum|). The per-stratum window needs a
     * per-key total, so a stratum serializes through one partition — fine
     * for bounded strata (languages); open-ended strata at 100 TB should
     * use [[TextAnalysis.sampleByHash]] per group instead (approximate
-    * fraction, no window, append-stable).
-    */
-  /** The reusable operator behind `text_stratified_sample` — public so
-    * the spec exercises the SAME code the query (and its oracle) bind
-    * to, not a private re-derivation.
+    * fraction, no window, append-stable). Public so the spec exercises
+    * the SAME code the registered query binds to.
     */
   def stratifiedSample(df: org.apache.spark.sql.DataFrame, strata: String,
       key: String, fraction: Double): org.apache.spark.sql.DataFrame = {
@@ -175,25 +190,15 @@ object CorpusQueries extends QueryPack {
     (s, d) => Winnowing.overlapPairs(
       Tables.documents(s, d), "doc_id", "text", minShared = 5)
       .orderBy(col("i"), col("j")),
-    Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
-           |  FROM documents),
-           |g AS (SELECT doc_id, CASE WHEN len(w) < 3 THEN CAST([] AS VARCHAR[])
-           |   ELSE [substring(md5(array_to_string(w[i:i+2], ' ')), 1, 16)
-           |         for i in range(1, len(w) - 1)] END AS h
-           |  FROM t),
-           |f AS (SELECT doc_id, CASE WHEN len(h) = 0 THEN CAST([] AS VARCHAR[])
-           |   WHEN len(h) <= 4 THEN [list_min(h)]
-           |   ELSE list_distinct([list_min(h[i:i+3])
-           |         for i in range(1, len(h) - 2)]) END AS fps
-           |  FROM g),
-           |u AS (SELECT doc_id, unnest(fps) AS fp FROM f),
-           |dfc AS (SELECT fp, count(*) AS c FROM u GROUP BY 1),
-           |uf AS (SELECT u.doc_id, u.fp FROM u JOIN dfc USING (fp) WHERE c <= 1000),
-           |p AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS n_shared
-           |  FROM uf a JOIN uf b ON a.fp = b.fp AND a.doc_id < b.doc_id
-           |  GROUP BY 1, 2)
-           |SELECT i, j, CAST(n_shared AS BIGINT) AS n_shared
-           |FROM p WHERE n_shared >= 5 ORDER BY i, j""".stripMargin))
+    Some(winnowCte("doc_id") +
+      """,
+        |dfc AS (SELECT fp, count(*) AS c FROM u GROUP BY 1),
+        |uf AS (SELECT u.doc_id, u.fp FROM u JOIN dfc USING (fp) WHERE c <= 1000),
+        |p AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS n_shared
+        |  FROM uf a JOIN uf b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT i, j, CAST(n_shared AS BIGINT) AS n_shared
+        |FROM p WHERE n_shared >= 5 ORDER BY i, j""".stripMargin))
 
   /** Decontamination against an in-corpus "benchmark" (doc_id < 50
     * stands in for an eval set): corpus docs sharing ≥2 winnowed
@@ -209,22 +214,12 @@ object CorpusQueries extends QueryPack {
         "doc_id", "text", minShared = 2)
         .orderBy(col("id"))
     },
-    Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
-           |  FROM documents),
-           |g AS (SELECT doc_id, CASE WHEN len(w) < 3 THEN CAST([] AS VARCHAR[])
-           |   ELSE [substring(md5(array_to_string(w[i:i+2], ' ')), 1, 16)
-           |         for i in range(1, len(w) - 1)] END AS h
-           |  FROM t),
-           |f AS (SELECT doc_id, CASE WHEN len(h) = 0 THEN CAST([] AS VARCHAR[])
-           |   WHEN len(h) <= 4 THEN [list_min(h)]
-           |   ELSE list_distinct([list_min(h[i:i+3])
-           |         for i in range(1, len(h) - 2)]) END AS fps
-           |  FROM g),
-           |u AS (SELECT doc_id, unnest(fps) AS fp FROM f),
-           |b AS (SELECT DISTINCT fp FROM u WHERE doc_id < 50)
-           |SELECT u.doc_id AS id, count(*) AS n_shared
-           |FROM u JOIN b USING (fp) WHERE u.doc_id >= 50
-           |GROUP BY 1 HAVING count(*) >= 2 ORDER BY 1""".stripMargin))
+    Some(winnowCte("doc_id") +
+      """,
+        |b AS (SELECT DISTINCT fp FROM u WHERE doc_id < 50)
+        |SELECT u.doc_id AS id, count(*) AS n_shared
+        |FROM u JOIN b USING (fp) WHERE u.doc_id >= 50
+        |GROUP BY 1 HAVING count(*) >= 2 ORDER BY 1""".stripMargin))
 
   /** Corpus-wide top-20 word 2-grams by document frequency (the
     * vocabulary/boilerplate-discovery heavy-hitter query). Distinct
@@ -240,14 +235,14 @@ object CorpusQueries extends QueryPack {
       .agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, md5(col("gram")))
       .limit(20),
-    Some("""WITH g AS (SELECT doc_id,
-           |  unnest(list_distinct([w[i] || ' ' || w[i+1]
-           |    for i in range(1, len(w))])) AS gram
-           | FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
-           |       FROM documents)
-           | WHERE len(w) >= 2)
-           |SELECT gram, count(*) AS df FROM g
-           |GROUP BY 1 ORDER BY df DESC, md5(gram) LIMIT 20""".stripMargin))
+    Some(s"""WITH g AS (SELECT doc_id,
+            |  unnest(list_distinct([w[i] || ' ' || w[i+1]
+            |    for i in range(1, len(w))])) AS gram
+            | FROM (SELECT doc_id, $WordsExpr AS w
+            |       FROM documents)
+            | WHERE len(w) >= 2)
+            |SELECT gram, count(*) AS df FROM g
+            |GROUP BY 1 ORDER BY df DESC, md5(gram) LIMIT 20""".stripMargin))
 
   /** Token document-frequency profile: distinct-token vocabulary size,
     * stopword-like tokens (df > 50% of docs), and the max df — the

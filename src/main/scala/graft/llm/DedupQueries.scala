@@ -38,18 +38,18 @@ object DedupQueries extends QueryPack {
     // ground truth: brute-force 3-shingle Jaccard over ALL pairs. The
     // engine's banded LSH (r=4, b=32) has miss probability ≈1e-15 at the
     // J≥0.8 range this data contains, so the verified outputs coincide.
-    Some("""WITH d AS (SELECT doc_id,
-           |  list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-           |    for i in range(1, len(w)-1)]) AS sh
-           | FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
-           |       FROM documents)
-           | WHERE len(w) >= 3),
-           |p AS (SELECT a.doc_id AS i, b.doc_id AS j,
-           |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-           |    / len(list_distinct(list_concat(a.sh, b.sh))) AS jac
-           | FROM d a JOIN d b ON a.doc_id < b.doc_id)
-           |SELECT i, j, round(jac, 3) AS jaccard FROM p
-           |WHERE jac >= 0.8 ORDER BY i, j""".stripMargin),
+    Some(s"""WITH d AS (SELECT doc_id,
+            |  list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+            |    for i in range(1, len(w)-1)]) AS sh
+            | FROM (SELECT doc_id, ${CorpusQueries.WordsExpr} AS w
+            |       FROM documents)
+            | WHERE len(w) >= 3),
+            |p AS (SELECT a.doc_id AS i, b.doc_id AS j,
+            |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            |    / len(list_distinct(list_concat(a.sh, b.sh))) AS jac
+            | FROM d a JOIN d b ON a.doc_id < b.doc_id)
+            |SELECT i, j, round(jac, 3) AS jaccard FROM p
+            |WHERE jac >= 0.8 ORDER BY i, j""".stripMargin),
     headline = true)
 
   private val simhash = Q(
@@ -71,17 +71,18 @@ object DedupQueries extends QueryPack {
         .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
         .orderBy(col("bucket"))
     },
-    Some("""WITH d AS (SELECT doc_id,
-           |  list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-           |    for i in range(1, len(w)-1)]) AS sh
-           | FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
-           |       FROM documents)),
-           |p AS (SELECT floor(CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0
-           |    THEN 0.0 ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-           |    / len(list_distinct(list_concat(a.sh, b.sh))) END * 20) AS bucket
-           | FROM d a JOIN d b ON a.doc_id + 1 = b.doc_id)
-           |SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n
-           |FROM p GROUP BY 1 ORDER BY 1""".stripMargin))
+    Some(s"""WITH d AS (SELECT doc_id,
+            |  CASE WHEN len(w) < 3 THEN CAST([] AS VARCHAR[])
+            |   ELSE list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+            |    for i in range(1, len(w)-1)]) END AS sh
+            | FROM (SELECT doc_id, ${CorpusQueries.WordsExpr} AS w
+            |       FROM documents)),
+            |p AS (SELECT floor(CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0
+            |    THEN 0.0 ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            |    / len(list_distinct(list_concat(a.sh, b.sh))) END * 20) AS bucket
+            | FROM d a JOIN d b ON a.doc_id + 1 = b.doc_id)
+            |SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n
+            |FROM p GROUP BY 1 ORDER BY 1""".stripMargin))
 
   /** The composite a training-data team actually runs, end-to-end with a
     * FULL independent oracle: quality filter → exact-fingerprint dedup
@@ -108,25 +109,25 @@ object DedupQueries extends QueryPack {
           sum(TextAnalysis.tokenCount(col("text"))).as("sum_tokens"))
         .orderBy(col("lang"))
     },
-    Some("""WITH q AS (SELECT * FROM documents
-           | WHERE (CASE WHEN length(regexp_replace(text, '\s', '', 'g')) = 0 THEN 0
-           |   ELSE len(string_split_regex(trim(text), '\s+')) END) >= 20
+    Some(s"""WITH q AS (SELECT * FROM documents
+           | WHERE (CASE WHEN length(regexp_replace(text, '\\s', '', 'g')) = 0 THEN 0
+           |   ELSE len(string_split_regex(trim(text), '\\s+')) END) >= 20
            |  AND (CASE WHEN length(text) = 0 THEN 0.0
            |   ELSE CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
            |      / length(text) END) >= 0.5),
            |e AS (SELECT * FROM (SELECT *, row_number() OVER (
-           |   PARTITION BY substring(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 16)
+           |   PARTITION BY substring(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), 1, 16)
            |   ORDER BY doc_id) AS rn FROM q) WHERE rn = 1),
            |sh AS (SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
            |    for i in range(1, len(w)-1)]) AS sh
-           |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM e)
+           |  FROM (SELECT doc_id, ${CorpusQueries.WordsExpr} AS w FROM e)
            |  WHERE len(w) >= 3),
            |pairs AS (SELECT b.doc_id AS j FROM sh a JOIN sh b ON a.doc_id < b.doc_id
            |  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
            |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
            |s AS (SELECT * FROM e WHERE doc_id NOT IN (SELECT j FROM pairs))
            |SELECT lang, count(*) AS n,
-           | CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS sum_tokens
+           | CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS sum_tokens
            |FROM s GROUP BY 1 ORDER BY 1""".stripMargin),
     headline = true)
 

@@ -35,21 +35,21 @@ object Hashing {
 
   private val MersennePrime = (1L << 31) - 1
 
-  /** i-th affine permutation of a base hash — (a_i·h + b_i) mod p with
-    * splitmix-derived odd a_i. p = 2³¹−1 keeps every product within a
-    * long (31-bit × 31-bit ≤ 2⁶²), so the hot loop is allocation-free.
+  /** Whitespace tokenization shared by [[shingles]] and [[winnow]]:
+    * edge-strip the full \s class, split on \s+, drop empties. This is
+    * the ONE convention the shingle-family DuckDB oracles mirror
+    * (list_filter(string_split_regex(regexp_replace(^\s+|\s+$), \s+)));
+    * Java String.trim / bare split would diverge from SQL semantics on
+    * tab/newline-edged text (trim eats ≤U+0020; split drops trailing
+    * empties only).
     */
-  def affine(h: Long, i: Int): Long = {
-    val a = ((mix64(i.toLong * 2 + 1) >>> 33) % MersennePrime) | 1L
-    val b = (mix64(i.toLong * 2 + 2) >>> 33) % MersennePrime
-    val hm = ((h % MersennePrime) + MersennePrime) % MersennePrime
-    (a * hm + b) % MersennePrime
-  }
+  def words(text: String): Array[String] =
+    text.replaceAll("^\\s+|\\s+$", "").split("\\s+").filter(_.nonEmpty)
 
   /** Distinct word n-gram shingles. */
   def shingles(text: String, n: Int): Array[String] = {
-    val w = text.trim.split("\\s+")
-    if (w.length < n || (w.length == 1 && w(0).isEmpty)) Array.empty
+    val w = words(text)
+    if (w.length < n) Array.empty
     else {
       val out = new scala.collection.mutable.LinkedHashSet[String]
       var i = 0
@@ -77,15 +77,14 @@ object Hashing {
     * but adds no win at these window sizes.
     */
   def winnow(text: String, n: Int, w: Int): Array[String] = {
-    val words = text.trim.split("\\s+")
-    if (words.length < n || (words.length == 1 && words(0).isEmpty))
-      return Array.empty
-    val m = words.length - n + 1
+    val ws = words(text)
+    if (ws.length < n) return Array.empty
+    val m = ws.length - n + 1
     val hashes = new Array[String](m)
     val md = java.security.MessageDigest.getInstance("MD5")
     var i = 0
     while (i < m) {
-      val gram = words.slice(i, i + n).mkString(" ")
+      val gram = ws.slice(i, i + n).mkString(" ")
       val dig = md.digest(gram.getBytes("UTF-8"))
       val sb = new java.lang.StringBuilder(16)
       var bi = 0
@@ -116,10 +115,13 @@ object Hashing {
     out.toArray
   }
 
-  /** Permutation constants for [[minhashSignature]], derived exactly as
-    * [[affine]] does but hoisted out of the hot loop: computing them
-    * per call costs two extra mix64 rounds per (shingle × hash) — ~2/3
-    * of the signature loop's work for zero output change.
+  /** Permutation constants for [[minhashSignature]]: the i-th affine
+    * permutation is (a_i·h + b_i) mod p with splitmix-derived odd a_i
+    * and p = 2³¹−1 (31-bit × 31-bit products stay within a long, so the
+    * hot loop is allocation-free). Hoisted: deriving a_i/b_i inline
+    * costs two mix64 rounds per (shingle × hash) — ~2/3 of the
+    * signature loop's work. This is the single source of the
+    * derivation; there is deliberately no per-call variant.
     */
   private val permCache =
     new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]

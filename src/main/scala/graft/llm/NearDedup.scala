@@ -84,9 +84,28 @@ object MinHashLsh {
   */
 object Winnowing {
 
-  private def winnowUdf(n: Int, w: Int) = udf { (text: String) =>
-    val fps = if (text == null) Array.empty[String] else Hashing.winnow(text, n, w)
-    if (fps.isEmpty) null else fps
+  private def fps(n: Int, w: Int)(c: org.apache.spark.sql.Column) =
+    TextAnalysis.winnowedFingerprints(c, n, w)
+
+  /** Benchmark decontamination: corpus documents sharing ≥ `minShared`
+    * winnowed fingerprints with ANY benchmark document. The benchmark
+    * side is small by definition (an eval set), so its distinct
+    * fingerprint set is broadcast — the corpus side streams through a
+    * broadcast hash join with no shuffle at all, which is the shape that
+    * lets a contamination check ride along a 100 TB ingest scan.
+    */
+  def contaminated(corpus: DataFrame, benchmark: DataFrame, idCol: String,
+      textCol: String, minShared: Int = 2, n: Int = 3,
+      window: Int = 4): DataFrame = {
+    val benchFps = benchmark
+      .select(explode(fps(n, window)(col(textCol))).as("fp"))
+      .distinct()
+    corpus
+      .select(col(idCol).as("id"), explode(fps(n, window)(col(textCol))).as("fp"))
+      .join(broadcast(benchFps), "fp")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
   }
 
   /** Pairs (i < j) sharing ≥ `minShared` winnowed fingerprints.
@@ -100,33 +119,12 @@ object Winnowing {
     * re-create the quadratic blowup; dropping it loses only evidence
     * that couldn't distinguish documents anyway.
     */
-  /** Benchmark decontamination: corpus documents sharing ≥ `minShared`
-    * winnowed fingerprints with ANY benchmark document. The benchmark
-    * side is small by definition (an eval set), so its distinct
-    * fingerprint set is broadcast — the corpus side streams through a
-    * broadcast hash join with no shuffle at all, which is the shape that
-    * lets a contamination check ride along a 100 TB ingest scan.
-    */
-  def contaminated(corpus: DataFrame, benchmark: DataFrame, idCol: String,
-      textCol: String, minShared: Int = 2, n: Int = 3,
-      window: Int = 4): DataFrame = {
-    val benchFps = benchmark
-      .select(explode(winnowUdf(n, window)(col(textCol))).as("fp"))
-      .distinct()
-    corpus
-      .select(col(idCol).as("id"), explode(winnowUdf(n, window)(col(textCol))).as("fp"))
-      .join(broadcast(benchFps), "fp")
-      .groupBy(col("id"))
-      .agg(count(lit(1)).as("n_shared"))
-      .filter(col("n_shared") >= minShared)
-  }
-
   def overlapPairs(docs: DataFrame, idCol: String, textCol: String,
       minShared: Int = 5, n: Int = 3, window: Int = 4,
       maxDf: Int = 1000): DataFrame = {
-    val fps = docs
-      .select(col(idCol).as("id"), explode(winnowUdf(n, window)(col(textCol))).as("fp"))
-    val rare = fps
+    val exploded = docs
+      .select(col(idCol).as("id"), explode(fps(n, window)(col(textCol))).as("fp"))
+    val rare = exploded
       .withColumn("df", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
       .filter(col("df") <= maxDf)

@@ -133,13 +133,26 @@ object TextAnalysis {
       if (t == null) Array.empty[String] else Hashing.winnow(t, n, window))
       .apply(text)
 
-  /** Positional (non-distinct) word 2-gram count: tokens − 1, floored at
-    * 0. The denominator of the repetition ratio.
+  /** Clean tokenization matching [[Hashing.words]] (edge-strip the full
+    * \s class, split, drop empties) — the convention every shingle-
+    * family oracle mirrors. [[tokens]] above keeps SQL split semantics
+    * (phantom empties on edge whitespace) for the token-count family,
+    * whose oracles mirror THAT; the two conventions must not be mixed
+    * within one compared quantity.
+    */
+  private def cleanTokens(text: Column): Column =
+    filter(split(regexp_replace(text, "^\\s+|\\s+$", ""), "\\s+"),
+      t => t =!= "")
+
+  /** Positional (non-distinct) word 2-gram count: clean tokens − 1,
+    * floored at 0. The denominator of the repetition ratio.
     */
   def bigramTotal(text: Column): Column =
-    greatest(tokenCount(text) - 1, lit(0))
+    greatest(size(cleanTokens(text)) - 1, lit(0))
 
-  /** Distinct word 2-gram count — the numerator's complement. */
+  /** Distinct word 2-gram count — the numerator's complement. Shares
+    * [[Hashing.words]] tokenization with [[bigramTotal]]'s clean tokens.
+    */
   def bigramDistinct(text: Column): Column = size(shingles(text, 2))
 
   /** Gopher-style repetition signal: fraction of duplicate word 2-grams,

@@ -19,9 +19,10 @@ class AnalyticsSpec extends SparkSpec {
   }
 
   test("approx_percentile tracks exact percentile (the 100 TB quantile path)") {
-    // the oracle-checked agg_order_price_quantiles uses exact percentile
-    // (per-group sort); t-digest approx_percentile is the mergeable-
-    // partials path at scale — pin it within 2% relative error here
+    // the oracle-checked agg_exact_quantiles_quantity covers the exact
+    // path cross-engine; price quantiles live here, where t-digest
+    // approx_percentile (the mergeable-partials path at scale) is
+    // pinned within 2% relative error of exact percentile
     val df = graft.Tables.orders(spark, "/root/testdata/sf0.001")
     val row = df.agg(
       expr("percentile(o_totalprice, array(0.25, 0.5, 0.75))").as("exact"),
