@@ -202,6 +202,40 @@ object Temporal extends QueryPack {
            |   THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
            |FROM s""".stripMargin))
 
+  /** Weekly cohort retention matrix: users bucketed by first-activity
+    * week, counted distinct in each later week they return. One
+    * first-seen aggregation + one equi-join on user_id + one grouped
+    * distinct count — no window, no per-user state; the standard
+    * retention triangle at any scale.
+    */
+  private val cohorts = Q(
+    "cohort_weekly_retention",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val wk = (c: org.apache.spark.sql.Column) =>
+        floor(datediff(to_date(c), lit("2024-01-01")) / 7).cast("long")
+      val firstSeen = ev.groupBy(col("user_id"))
+        .agg(min(col("ts")).as("first_ts"))
+      ev.join(firstSeen, "user_id")
+        .select(col("user_id"), wk(col("first_ts")).as("cohort_week"),
+          (wk(col("ts")) - wk(col("first_ts"))).as("week_offset"))
+        .groupBy(col("cohort_week"), col("week_offset"))
+        .agg(count_distinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort_week"), col("week_offset"))
+    },
+    Some("""WITH f AS (SELECT user_id, min(ts) AS first_ts
+           |  FROM events GROUP BY 1),
+           |x AS (SELECT e.user_id,
+           |  CAST(floor(date_diff('day', DATE '2024-01-01',
+           |    CAST(f.first_ts AS DATE)) / 7.0) AS BIGINT) AS cohort_week,
+           |  CAST(floor(date_diff('day', DATE '2024-01-01',
+           |    CAST(e.ts AS DATE)) / 7.0) AS BIGINT)
+           |  - CAST(floor(date_diff('day', DATE '2024-01-01',
+           |    CAST(f.first_ts AS DATE)) / 7.0) AS BIGINT) AS week_offset
+           | FROM events e JOIN f USING (user_id))
+           |SELECT cohort_week, week_offset, count(DISTINCT user_id) AS n_users
+           |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
   val qs: Seq[Q] = Seq(asof, asofBucketed, tumbling, jsonExtract, sliding,
-    sessionWindows, funnel)
+    sessionWindows, funnel, cohorts)
 }
