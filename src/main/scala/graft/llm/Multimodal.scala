@@ -73,6 +73,23 @@ object Multimodal {
       (col(idCol) % 64 + 1).cast("int").as("width"),
       (col(idCol) % 48 + 1).cast("int").as("height"))
 
+  final case class FrameRow(media_id: Long, media: Array[Byte], format: String)
+
+  /** Partition-wise frame sampling — every-Nth-frame selection through
+    * the same batched decode boundary as [[extractFeatures]] (the stub
+    * treats every Nth byte as every Nth frame; a real codec samples
+    * keyframes). Returns (media_id, format, n_sampled).
+    */
+  def sampleFrameCounts(media: DataFrame, everyN: Int)
+      (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    media.select("media_id", "media", "format").as[FrameRow]
+      .mapPartitions { rows =>
+        rows.map(r => (r.media_id, r.format,
+          MediaCodec.sampleFrames(r.media, everyN).length))
+      }.toDF("media_id", "format", "n_sampled")
+  }
+
   /** Partition-wise feature extraction — the mapInPandas-equivalent
     * batched decode. Decoder init happens once per partition, not per
     * row; partition sizing (spark.sql.files.maxPartitionBytes) is the

@@ -111,5 +111,37 @@ object SimilarityQueries extends QueryPack {
            | count(*) AS n
            |FROM embeddings GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
-  val qs: Seq[Q] = Seq(brute, lsh, ivf, embDedup, mmFeatures, argmaxHist)
+  /** Frame sampling over variable-length binary payloads (md5 repeated
+    * doc_id%5+1 times → 16–80 bytes standing in for frame streams),
+    * every 4th "frame" kept via the batched mapPartitions decode
+    * boundary. The oracle reproduces the sampled counts arithmetically:
+    * ceil(len/4) per payload.
+    */
+  private val mmFrames = Q(
+    "mm_frame_sampling",
+    (s, d) => {
+      implicit val sp = s
+      val media = Tables.documents(s, d).select(
+        col("doc_id").as("media_id"),
+        unhex(expr("repeat(md5(text), CAST(doc_id % 5 + 1 AS INT))")).as("media"),
+        element_at(array(lit("png"), lit("jpeg"), lit("wav")),
+          (col("doc_id") % 3 + 1).cast("int")).as("format"))
+      Multimodal.sampleFrameCounts(media, everyN = 4)
+        .groupBy(col("format"))
+        .agg(count(lit(1)).as("n"), sum(col("n_sampled")).as("sum_sampled"),
+          max(col("n_sampled")).as("max_sampled"))
+        .orderBy(col("format"))
+    },
+    Some("""WITH m AS (SELECT
+           |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'wav' END
+           |    AS format,
+           |  16 * (doc_id % 5 + 1) AS len
+           | FROM documents)
+           |SELECT format, count(*) AS n,
+           | CAST(sum(CAST(ceil(len / 4.0) AS BIGINT)) AS BIGINT) AS sum_sampled,
+           | CAST(max(CAST(ceil(len / 4.0) AS BIGINT)) AS INT) AS max_sampled
+           |FROM m GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  val qs: Seq[Q] = Seq(brute, lsh, ivf, embDedup, mmFeatures, argmaxHist,
+    mmFrames)
 }

@@ -157,6 +157,19 @@ class MultimodalSpec extends SparkSpec {
     val feats = Multimodal.MediaCodec.decodeToFeatures(payload, 4)
     assert(feats.length === 4 && feats.sum > 0)
   }
+
+  test("sampleFrameCounts: ceil(len/N) per payload through batched decode") {
+    implicit val s = spark
+    import spark.implicits._
+    val media = Seq(
+      (1L, Array.tabulate(10)(_.toByte), "wav"), // indices 0,4,8 → 3
+      (2L, Array.empty[Byte], "wav"),
+      (3L, Array.tabulate(16)(_.toByte), "png"))
+      .toDF("media_id", "media", "format")
+    val got = Multimodal.sampleFrameCounts(media, everyN = 4)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(got === Map(1L -> 3, 2L -> 0, 3L -> 4))
+  }
 }
 
 class TextAnalysisSpec extends SparkSpec {
