@@ -35,16 +35,20 @@ object Hashing {
 
   private val MersennePrime = (1L << 31) - 1
 
-  /** Whitespace tokenization shared by [[shingles]] and [[winnow]]:
-    * edge-strip the full \s class, split on \s+, drop empties. This is
-    * the ONE convention the shingle-family DuckDB oracles mirror
-    * (list_filter(string_split_regex(regexp_replace(^\s+|\s+$), \s+)));
-    * Java String.trim / bare split would diverge from SQL semantics on
-    * tab/newline-edged text (trim eats ≤U+0020; split drops trailing
-    * empties only).
+  /** Whitespace tokenization shared by [[shingles]], [[winnow]], and
+    * [[TextAnalysis.chunkByTokens]]: edge-strip whitespace, split on
+    * whitespace runs, drop empties. This is the ONE convention the
+    * shingle-family DuckDB oracles mirror
+    * (list_filter(string_split_regex(regexp_replace(^\s+|\s+$), \s+))).
+    * The class is written out explicitly as RE2's \s = [\t\n\f\r ]:
+    * Java's \s additionally matches vertical tab U+000B, which would
+    * silently diverge the oracles on such input; Java String.trim /
+    * bare split diverge further (trim eats ≤U+0020, split drops only
+    * trailing empties).
     */
+  private final val Ws = "[ \t\n\f\r]"
   def words(text: String): Array[String] =
-    text.replaceAll("^\\s+|\\s+$", "").split("\\s+").filter(_.nonEmpty)
+    text.replaceAll(s"^$Ws+|$Ws+$$", "").split(s"$Ws+").filter(_.nonEmpty)
 
   /** Distinct word n-gram shingles. */
   def shingles(text: String, n: Int): Array[String] = {

@@ -63,11 +63,17 @@ object Multimodal {
 
   /** Synthesize a deterministic media table from any id+text source —
     * payload bytes derived from md5 so every engine/test run agrees.
+    * `repeatTimesSql` scales payload length (a SQL expression over the
+    * source columns, e.g. "doc_id % 5 + 1") for ops that need
+    * variable-length streams; both mm queries and their oracles derive
+    * from THIS one format/payload convention.
     */
-  def synthesize(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+  def synthesize(docs: DataFrame, idCol: String, textCol: String,
+      repeatTimesSql: String = "1"): DataFrame =
     docs.select(
       col(idCol).cast("long").as("media_id"),
-      unhex(md5(col(textCol))).as("media"),
+      unhex(expr(s"repeat(md5($textCol), CAST(($repeatTimesSql) AS INT))"))
+        .as("media"),
       element_at(array(lit("png"), lit("jpeg"), lit("wav")),
         (col(idCol) % 3 + 1).cast("int")).as("format"),
       (col(idCol) % 64 + 1).cast("int").as("width"),
@@ -85,8 +91,11 @@ object Multimodal {
     import spark.implicits._
     media.select("media_id", "media", "format").as[FrameRow]
       .mapPartitions { rows =>
+        // null payload → zero frames, never an NPE (the EdgeCaseSpec
+        // contract every operator honors)
         rows.map(r => (r.media_id, r.format,
-          MediaCodec.sampleFrames(r.media, everyN).length))
+          if (r.media == null) 0
+          else MediaCodec.sampleFrames(r.media, everyN).length))
       }.toDF("media_id", "format", "n_sampled")
   }
 
@@ -103,8 +112,9 @@ object Multimodal {
       .mapPartitions { rows =>
         // per-partition decoder setup would go here (once per batch)
         rows.map { r =>
-          MediaFeatures(r.media_id, r.media.length, r.format,
-            MediaCodec.decodeToFeatures(r.media, dims))
+          val payload = if (r.media == null) Array.empty[Byte] else r.media
+          MediaFeatures(r.media_id, payload.length, r.format,
+            MediaCodec.decodeToFeatures(payload, dims))
         }
       }
   }

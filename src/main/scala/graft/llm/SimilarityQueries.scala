@@ -121,11 +121,9 @@ object SimilarityQueries extends QueryPack {
     "mm_frame_sampling",
     (s, d) => {
       implicit val sp = s
-      val media = Tables.documents(s, d).select(
-        col("doc_id").as("media_id"),
-        unhex(expr("repeat(md5(text), CAST(doc_id % 5 + 1 AS INT))")).as("media"),
-        element_at(array(lit("png"), lit("jpeg"), lit("wav")),
-          (col("doc_id") % 3 + 1).cast("int")).as("format"))
+      val media = Multimodal.synthesize(
+        Tables.documents(s, d), "doc_id", "text",
+        repeatTimesSql = "doc_id % 5 + 1")
       Multimodal.sampleFrameCounts(media, everyN = 4)
         .groupBy(col("format"))
         .agg(count(lit(1)).as("n"), sum(col("n_sampled")).as("sum_sampled"),

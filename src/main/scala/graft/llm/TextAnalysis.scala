@@ -11,13 +11,24 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace tokenization — the universal baseline tokenizer. */
-  def tokens(text: Column): Column = split(trim(text), "\\s+")
+  /** RE2's \s class written out: the JVM-side regexes must use this
+    * instead of \s because Java's \s also matches vertical tab U+000B —
+    * a DuckDB oracle using '\s' (RE2) would silently diverge on such
+    * input. (Cleaning.scala keeps Java \s deliberately: its parity
+    * partner is the Python reference, whose \s ≈ Java's.)
+    */
+  private[llm] final val Ws = "[ \t\n\f\r]"
+
+  /** Whitespace tokenization — the universal baseline tokenizer. SQL
+    * split semantics end-to-end (edge empties kept, mirrored by the
+    * token-family oracles' string_split_regex(trim(text))).
+    */
+  def tokens(text: Column): Column = split(trim(text), s"$Ws+")
 
   def tokenCount(text: Column): Column =
     // whitespace-class emptiness test: trim() strips only ASCII spaces,
     // so a tabs-only string would otherwise count phantom tokens
-    when(length(regexp_replace(text, "\\s", "")) === 0, 0)
+    when(length(regexp_replace(text, Ws, "")) === 0, 0)
       .otherwise(size(tokens(text)))
 
   /** BPE-ish subword segmentation count: alpha runs, digit runs, and
@@ -107,7 +118,7 @@ object TextAnalysis {
     * independent engines agree.
     */
   def fingerprint(text: Column): Column =
-    substring(md5(regexp_replace(lower(trim(text)), "\\s+", " ")), 1, 16)
+    substring(md5(regexp_replace(lower(trim(text)), s"$Ws+", " ")), 1, 16)
 
   /** Context-window packing: split a document into chunks of at most
     * `maxTokens` whitespace tokens (the training-data prep step that fits
@@ -117,11 +128,7 @@ object TextAnalysis {
   def chunkByTokens(text: Column, maxTokens: Int): Column =
     udf((t: String) => {
       if (t == null) Array.empty[String]
-      else {
-        // \s-class strip for oracle parity (JVM trim stops at  )
-        val w = t.replaceAll("^\\s+|\\s+$", "").split("\\s+").filter(_.nonEmpty)
-        w.grouped(maxTokens).map(_.mkString(" ")).toArray
-      }
+      else Hashing.words(t).grouped(maxTokens).map(_.mkString(" ")).toArray
     }).apply(text)
 
   /** Winnowing fingerprints ([[Hashing.winnow]]): the distinct window-min
@@ -141,7 +148,7 @@ object TextAnalysis {
     * within one compared quantity.
     */
   private def cleanTokens(text: Column): Column =
-    filter(split(regexp_replace(text, "^\\s+|\\s+$", ""), "\\s+"),
+    filter(split(regexp_replace(text, s"^$Ws+|$Ws+$$", ""), s"$Ws+"),
       t => t =!= "")
 
   /** Positional (non-distinct) word 2-gram count: clean tokens − 1,

@@ -41,6 +41,20 @@ class EdgeCaseSpec extends SparkSpec {
     assert(r.isNullAt(0) && r.isNullAt(1) && r.getDouble(2) === 0.0)
   }
 
+  test("null media payloads flow through multimodal ops without NPE") {
+    implicit val s = spark
+    val media = Seq((1L, Array[Byte](1, 2, 3, 4, 5), "wav"),
+      (2L, null.asInstanceOf[Array[Byte]], "png"))
+      .toDF("media_id", "media", "format")
+      .withColumn("width", lit(1)).withColumn("height", lit(1))
+    val frames = graft.llm.Multimodal.sampleFrameCounts(media, everyN = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(frames === Map(1L -> 3, 2L -> 0))
+    val feats = graft.llm.Multimodal.extractFeatures(media, dims = 4)
+      .collect().map(f => f.media_id -> f.n_bytes).toMap
+    assert(feats === Map(1L -> 5, 2L -> 0))
+  }
+
   test("minhash-lsh on empty and single-doc input") {
     assert(MinHashLsh.nearDupPairs(emptyDocs, "doc_id", "text", 0.8).count() === 0)
     val one = Seq((1L, "a b c d e f")).toDF("doc_id", "text")

@@ -47,8 +47,10 @@ class PartitionPruningSpec extends SparkSpec {
     } finally {
       // don't leak a partitioned copy of the events table per run
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(dirPath).iterator().asScala.toSeq
-        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+      scala.util.Using.resource(java.nio.file.Files.walk(dirPath)) { walk =>
+        walk.iterator().asScala.toSeq
+          .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+      }
     }
   }
 }
