@@ -271,6 +271,105 @@ object RelationalExt extends QueryPack {
            | FROM orders) t
            |GROUP BY 1 ORDER BY 1""".stripMargin))
 
-  val qs: Seq[Q] = Seq(q4, q12, q14, q19, quantiles, saltedTopk, rangeJoin,
-    groupingSets, unpivotQ, ntileDeciles)
+  /** TPC-H Q8 shape: national market share — per-year revenue of one
+    * supplier nation within a region's customer market. Verified through
+    * the two conditional sums per year at money precision (the share
+    * ratio is FP-division-order sensitive; consumers derive it).
+    */
+  private val q8 = Q(
+    "q8_national_market_share",
+    (s, d) => {
+      val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      val suppNation = Tables.nation(s, d)
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+      val custNation = Tables.nation(s, d)
+        .select(col("n_nationkey").as("cn_key"), col("n_regionkey").as("cn_region"))
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d).filter(
+          col("o_orderdate") >= lit("1995-01-01") &&
+            col("o_orderdate") < lit("1997-01-01")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(suppNation), col("s_nationkey") === col("sn_key"))
+        .join(broadcast(custNation), col("c_nationkey") === col("cn_key"))
+        .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+          col("cn_region") === col("r_regionkey"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(round(sum(when(col("supp_nation") === "NATION_1", rev)
+          .otherwise(0.0)), 2).as("nation_revenue"),
+          round(sum(rev), 2).as("total_revenue"))
+        .orderBy(col("o_year"))
+    },
+    Some("""SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+           | round(sum(CASE WHEN ns.n_name = 'NATION_1'
+           |   THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END), 2)
+           |   AS nation_revenue,
+           | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS total_revenue
+           |FROM lineitem
+           | JOIN orders ON l_orderkey = o_orderkey
+           | JOIN supplier ON l_suppkey = s_suppkey
+           | JOIN customer ON o_custkey = c_custkey
+           | JOIN nation ns ON s_nationkey = ns.n_nationkey
+           | JOIN nation nc ON c_nationkey = nc.n_nationkey
+           | JOIN region ON nc.n_regionkey = r_regionkey
+           |WHERE r_name = 'ASIA'
+           |  AND o_orderdate >= TIMESTAMP '1995-01-01'
+           |  AND o_orderdate < TIMESTAMP '1997-01-01'
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** TPC-H Q17 shape: small-quantity lineitems of one brand, where
+    * "small" is a correlated per-part average — the aggregate-then-
+    * rejoin decorrelation (a broadcast of |parts-of-brand| averages).
+    */
+  private val q17 = Q(
+    "q17_small_quantity_revenue",
+    (s, d) => {
+      val brandParts = Tables.part(s, d).filter(col("p_brand") === "Brand#23")
+        .select(col("p_partkey"))
+      val li = Tables.lineitem(s, d)
+      val avgQty = li.join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_partkey").as("ap_key"))
+        .agg((avg(col("l_quantity")) * 0.2).as("qty_limit"))
+      li.join(broadcast(avgQty), col("l_partkey") === col("ap_key"))
+        .filter(col("l_quantity") < col("qty_limit"))
+        .agg(round(sum(col("l_extendedprice")), 2).as("small_order_revenue"),
+          count(lit(1)).as("n"))
+    },
+    Some("""SELECT round(sum(l_extendedprice), 2) AS small_order_revenue,
+           | count(*) AS n
+           |FROM lineitem l JOIN part ON l_partkey = p_partkey
+           |WHERE p_brand = 'Brand#23'
+           |  AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem
+           |    WHERE l_partkey = l.l_partkey)""".stripMargin))
+
+  /** TPC-H Q18 shape: large-volume orders — HAVING over a fact
+    * aggregation, semi-joined back to the order/customer detail, top-N
+    * by price via TakeOrderedAndProject.
+    */
+  private val q18 = Q(
+    "q18_large_volume_customers",
+    (s, d) => {
+      val bigOrders = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(round(sum(col("l_quantity")), 2).as("total_qty"))
+        .filter(col("total_qty") > 300)
+      Tables.orders(s, d)
+        .join(bigOrders, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("o_orderkey"), col("o_totalprice"),
+          col("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+    },
+    Some("""SELECT c_custkey, o_orderkey, o_totalprice, total_qty
+           |FROM orders
+           | JOIN (SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+           |   FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 300) b
+           |  ON o_orderkey = b.l_orderkey
+           | JOIN customer ON o_custkey = c_custkey
+           |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin))
+
+  val qs: Seq[Q] = Seq(q4, q8, q12, q14, q17, q18, q19, quantiles,
+    saltedTopk, rangeJoin, groupingSets, unpivotQ, ntileDeciles)
 }
