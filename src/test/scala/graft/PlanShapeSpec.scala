@@ -125,6 +125,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(s.contains("LeftSemi"), s)
   }
 
+  test("q8: five dimension broadcasts; only the fact-fact join shuffles") {
+    val s = planString(SparkEntry.queries("q8_national_market_share")(spark, sf))
+    assert(s.contains("BroadcastHashJoin"), s)
+    val smj = "SortMergeJoin".r.findAllIn(s).length
+    assert(smj <= 1, s"expected <=1 fact-fact SMJ, got $smj\n$s")
+  }
+
+  test("q17: correlated average decorrelates to a broadcast, not a shuffle join") {
+    val s = planString(SparkEntry.queries("q17_small_quantity_revenue")(spark, sf))
+    // the per-part averages (bounded by |parts of the brand|) must reach
+    // the fact scan as a broadcast — a sort-merge here re-shuffles the
+    // whole fact table against a dim-sized side
+    assert(s.contains("BroadcastHashJoin"), s)
+    assert(!s.contains("SortMergeJoin"), s)
+  }
+
+  test("q18: top-10 large orders plans as TakeOrderedAndProject") {
+    val s = planString(SparkEntry.queries("q18_large_volume_customers")(spark, sf))
+    assert(s.contains("TakeOrderedAndProject"), s)
+  }
+
   test("every registered query plans and executes at sf0.001") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try { fn(spark, sf).collect(); None }
