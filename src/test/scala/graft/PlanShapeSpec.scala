@@ -146,6 +146,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(s.contains("TakeOrderedAndProject"), s)
   }
 
+  test("decontamination joins the benchmark fingerprints by broadcast") {
+    val s = planString(SparkEntry.queries("dedup_decontaminate_winnow")(spark, sf))
+    assert(s.contains("BroadcastHashJoin"), s)
+    assert(!s.contains("SortMergeJoin"), s)
+  }
+
   test("every registered query plans and executes at sf0.001") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try { fn(spark, sf).collect(); None }
