@@ -191,6 +191,21 @@ object Dashboard extends QueryPack {
            |FROM events WHERE event_type = 'error'
            |GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** Approximate frequent items (Spark's Karp/Misra-Gries variant): the
+    * one-pass mergeable heavy-hitter sketch — A2's scale path when exact
+    * top-K's full groupBy is too expensive. Guarantee: every item with
+    * relative frequency above the support threshold IS returned (false
+    * positives possible, false negatives not) — pinned against exact
+    * counts in AnalyticsSpec; no SQL oracle (sketch contents depend on
+    * merge order).
+    */
+  private val a2freq = Q(
+    "a2_freq_items_approx",
+    (s, d) => Tables.events(s, d).stat.freqItems(Array("event_type"), 0.1)
+      .select(explode(col("event_type_freqItems")).as("item"))
+      .orderBy(col("item")),
+    None)
+
   val qs: Seq[Q] = Seq(a1, a2, a3, a3pivot, a4, a4approx, a5, a5groups,
-    a6num, a6time, a6tsEqui, a7, a8, profileQ, f6, f7, f8)
+    a6num, a6time, a6tsEqui, a7, a8, profileQ, f6, f7, f8, a2freq)
 }

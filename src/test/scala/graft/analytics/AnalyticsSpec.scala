@@ -35,6 +35,17 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("freqItems returns every item above the support threshold") {
+    // Misra-Gries guarantee: no false negatives above support
+    val exact = events.groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = exact.values.sum.toDouble
+    val heavy = exact.filter { case (_, n) => n / total > 0.15 }.keySet
+    val got = events.stat.freqItems(Array("event_type"), 0.15)
+      .collect()(0).getSeq[String](0).toSet
+    assert(heavy.subsetOf(got), s"missing heavy hitters: ${heavy -- got}")
+  }
+
   test("profile and profileApprox agree on nonnull counts; distinct close") {
     val df = graft.Tables.orders(spark, "/root/testdata/sf0.001")
     val p = Analytics.profile(df).collect()
