@@ -17,30 +17,45 @@ object CorpusQueries extends QueryPack {
     * Shared with [[DedupQueries]]' shingle oracles: one convention, one
     * definition.
     */
-  private[llm] val WordsExpr =
-    """list_filter(string_split_regex(
-      |    regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'), x -> x <> '')"""
+  private[llm] def wordsExpr(textCol: String): String =
+    s"""list_filter(string_split_regex(
+       |    regexp_replace($textCol, '^\\s+|\\s+$$', '', 'g'), '\\s+'), x -> x <> '')"""
       .stripMargin
+  private[llm] val WordsExpr = wordsExpr("text")
+
+  /** The PII redaction chain as DuckDB SQL, built from the SAME pattern
+    * constants the engine compiles ([[TextAnalysis.scrubPii]] order:
+    * email → IP → phone).
+    */
+  private[llm] def scrubExpr(textCol: String): String =
+    s"regexp_replace(regexp_replace(regexp_replace($textCol, '" +
+      TextAnalysis.emailPattern + "', '<EMAIL>', 'g'), '" +
+      TextAnalysis.ipv4Pattern + "', '<IP>', 'g'), '" +
+      TextAnalysis.phonePattern + "', '<PHONE>', 'g')"
 
   /** Shared DuckDB rebuild of [[Hashing.winnow]] (3-gram md5 prefixes,
     * window-4 minima, a doc with ≤4 hashes yields its single global
-    * min), parameterized on the carried column. ONE copy: a change to
-    * the winnowing scheme lands here and in Hashing.winnow, nowhere
-    * else. Ends with `u` = (keep, fp) exploded fingerprints.
+    * min). ONE copy: a change to the winnowing scheme lands here and in
+    * Hashing.winnow, nowhere else. Emits a CTE chain (no WITH keyword)
+    * ending in `${p}u` = (keep, fp) exploded fingerprints; `p` prefixes
+    * the CTE names so two instantiations can coexist in one query.
     */
-  private def winnowCte(keep: String): String =
-    s"""WITH t AS (SELECT $keep, $WordsExpr AS w
-       |  FROM documents),
-       |g AS (SELECT $keep, CASE WHEN len(w) < 3 THEN CAST([] AS VARCHAR[])
+  private[llm] def winnowChain(keep: String, from: String = "documents",
+      textCol: String = "text", p: String = ""): String =
+    s"""${p}t AS (SELECT $keep, ${wordsExpr(textCol)} AS w
+       |  FROM $from),
+       |${p}g AS (SELECT $keep, CASE WHEN len(w) < 3 THEN CAST([] AS VARCHAR[])
        |   ELSE [substring(md5(array_to_string(w[i:i+2], ' ')), 1, 16)
        |         for i in range(1, len(w) - 1)] END AS h
-       |  FROM t),
-       |f AS (SELECT $keep, CASE WHEN len(h) = 0 THEN CAST([] AS VARCHAR[])
+       |  FROM ${p}t),
+       |${p}f AS (SELECT $keep, CASE WHEN len(h) = 0 THEN CAST([] AS VARCHAR[])
        |   WHEN len(h) <= 4 THEN [list_min(h)]
        |   ELSE list_distinct([list_min(h[i:i+3])
        |         for i in range(1, len(h) - 2)]) END AS fps
-       |  FROM g),
-       |u AS (SELECT $keep, unnest(fps) AS fp FROM f)""".stripMargin
+       |  FROM ${p}g),
+       |${p}u AS (SELECT $keep, unnest(fps) AS fp FROM ${p}f)""".stripMargin
+
+  private def winnowCte(keep: String): String = "WITH " + winnowChain(keep)
 
   /** Winnowing fingerprints (MOSS selection over md5'd word 3-grams,
     * window 4) aggregated per language: document counts, fingerprints

@@ -131,5 +131,84 @@ object DedupQueries extends QueryPack {
            |FROM s GROUP BY 1 ORDER BY 1""".stripMargin),
     headline = true)
 
-  val qs: Seq[Q] = Seq(exact, minhash, simhash, ngramJaccard, trainingPipeline)
+  /** The round-3 flagship: the full curation pipeline a training-data
+    * team runs, composing EVERY corpus operator class — PII scrub →
+    * quality gate (length, alpha ratio, repetition) → exact-fingerprint
+    * dedup → MinHash-LSH near-dup removal → winnowing decontamination
+    * against a benchmark set (doc_id < 50 stands in for the eval set and
+    * is excluded from the corpus) → per-language stats. Deterministic at
+    * every stage, so the independent DuckDB rebuild (brute-force where
+    * the engine is bucketed/broadcast) must agree bit-for-bit.
+    */
+  private val trainingV2 = Q(
+    "docs_training_pipeline_v2",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      def scrub(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("doc_id"), col("lang"),
+          TextAnalysis.scrubPii(col("text")).as("text2"))
+      val corpus = scrub(docs.filter(col("doc_id") >= 50))
+      val bench = scrub(docs.filter(col("doc_id") < 50))
+      val quality = corpus.filter(
+        TextAnalysis.tokenCount(col("text2")) >= 20 &&
+          TextAnalysis.alphaRatio(col("text2")) >= 0.5 &&
+          TextAnalysis.repetitionRatio(col("text2")) <= 0.5)
+      val (exactKept, _) = Dedup.keepFirst(
+        quality.withColumn("fp", TextAnalysis.fingerprint(col("text2"))),
+        Seq(col("fp")), col("doc_id"))
+      val pairs = MinHashLsh.nearDupPairs(exactKept, "doc_id", "text2", 0.8)
+      val deduped = exactKept.join(
+        pairs.select(col("j").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+      val contaminated = Winnowing.contaminated(
+        deduped, bench, "doc_id", "text2", minShared = 2)
+      val clean = deduped.join(
+        contaminated.select(col("id").as("doc_id")), Seq("doc_id"), "left_anti")
+      clean.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(TextAnalysis.tokenCount(col("text2"))).as("sum_tokens"))
+        .orderBy(col("lang"))
+    },
+    Some(s"""WITH sc AS (SELECT doc_id, lang,
+            |   ${CorpusQueries.scrubExpr("text")} AS text2 FROM documents),
+            |q0 AS (SELECT sc.*, ${CorpusQueries.wordsExpr("text2")} AS w2
+            |  FROM sc WHERE doc_id >= 50),
+            |q AS (SELECT doc_id, lang, text2 FROM q0
+            |  WHERE (CASE WHEN length(regexp_replace(text2, '\\s', '', 'g')) = 0
+            |     THEN 0 ELSE len(string_split_regex(trim(text2), '\\s+')) END) >= 20
+            |    AND (CASE WHEN length(text2) = 0 THEN 0.0
+            |     ELSE CAST(length(regexp_replace(lower(text2), '[^a-z]', '', 'g'))
+            |       AS DOUBLE) / length(text2) END) >= 0.5
+            |    AND (CASE WHEN greatest(len(w2) - 1, 0) <= 0 THEN 0.0
+            |     ELSE 1.0 - CAST(CASE WHEN len(w2) < 2 THEN 0
+            |       ELSE len(list_distinct([w2[i] || ' ' || w2[i+1]
+            |         for i in range(1, len(w2))])) END AS DOUBLE)
+            |       / greatest(len(w2) - 1, 0) END) <= 0.5),
+            |e AS (SELECT * FROM (SELECT q.*, row_number() OVER (
+            |   PARTITION BY substring(md5(regexp_replace(lower(trim(text2)),
+            |     '\\s+', ' ', 'g')), 1, 16)
+            |   ORDER BY doc_id) AS rn FROM q) WHERE rn = 1),
+            |sh AS (SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+            |    for i in range(1, len(w)-1)]) AS sh
+            |  FROM (SELECT doc_id, ${CorpusQueries.wordsExpr("text2")} AS w FROM e)
+            |  WHERE len(w) >= 3),
+            |prs AS (SELECT b.doc_id AS j FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            |  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+            |dd AS (SELECT * FROM e WHERE doc_id NOT IN (SELECT j FROM prs)),
+            |${CorpusQueries.winnowChain("doc_id", "dd", "text2", "c")},
+            |${CorpusQueries.winnowChain("doc_id",
+                 "(SELECT * FROM sc WHERE doc_id < 50)", "text2", "b")},
+            |bfp AS (SELECT DISTINCT fp FROM bu),
+            |cont AS (SELECT cu.doc_id FROM cu JOIN bfp USING (fp)
+            |  GROUP BY 1 HAVING count(*) >= 2),
+            |fin AS (SELECT * FROM dd
+            |  WHERE doc_id NOT IN (SELECT doc_id FROM cont))
+            |SELECT lang, count(*) AS n,
+            | CAST(sum(len(string_split_regex(trim(text2), '\\s+'))) AS BIGINT)
+            |   AS sum_tokens
+            |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin),
+    headline = true)
+
+  val qs: Seq[Q] = Seq(exact, minhash, simhash, ngramJaccard,
+    trainingPipeline, trainingV2)
 }
