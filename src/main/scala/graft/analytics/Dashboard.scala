@@ -191,18 +191,22 @@ object Dashboard extends QueryPack {
            |FROM events WHERE event_type = 'error'
            |GROUP BY 1 ORDER BY 1""".stripMargin))
 
-  /** Approximate frequent items (Spark's Karp/Misra-Gries variant): the
-    * one-pass mergeable heavy-hitter sketch — A2's scale path when exact
-    * top-K's full groupBy is too expensive. Guarantee: every item with
-    * relative frequency above the support threshold IS returned (false
-    * positives possible, false negatives not) — pinned against exact
-    * counts in AnalyticsSpec; no SQL oracle (sketch contents depend on
-    * merge order).
+  /** Approximate frequent items via the custom Misra-Gries typed
+    * Aggregator ([[graft.functions.FreqItemsAgg]]): the one-pass
+    * mergeable heavy-hitter sketch — A2's scale path when exact top-K's
+    * full groupBy is too expensive. Guarantee: every item with relative
+    * frequency above the support threshold IS returned (false positives
+    * possible, false negatives not) — pinned against exact counts in
+    * AnalyticsSpec; no SQL oracle (sketch contents depend on merge
+    * order). Lazy, unlike `DataFrame.stat.freqItems` which executes at
+    * call time.
     */
   private val a2freq = Q(
     "a2_freq_items_approx",
-    (s, d) => Tables.events(s, d).stat.freqItems(Array("event_type"), 0.1)
-      .select(explode(col("event_type_freqItems")).as("item"))
+    (s, d) => Tables.events(s, d)
+      .agg(graft.functions.FreqItemsAgg
+        .freqItems(col("event_type"), support = 0.1).as("items"))
+      .select(explode(col("items")).as("item"))
       .orderBy(col("item")),
     None)
 

@@ -33,6 +33,38 @@ object CorpusQueries extends QueryPack {
       TextAnalysis.ipv4Pattern + "', '<IP>', 'g'), '" +
       TextAnalysis.phonePattern + "', '<PHONE>', 'g')"
 
+  /** [[TextAnalysis.fingerprint]] as DuckDB SQL — the exact-dedup key. */
+  private[llm] def fingerprintExpr(textCol: String): String =
+    s"substring(md5(regexp_replace(lower(trim($textCol)), '\\s+', ' ', 'g')), 1, 16)"
+
+  /** The training-pipeline quality gate (token count ≥ minTokens, alpha
+    * ratio ≥ minAlpha) as DuckDB SQL — mirrors TextAnalysis.tokenCount's
+    * whitespace-only guard and alphaRatio's empty-text branch.
+    */
+  private[llm] def qualityPredSql(textCol: String, minTokens: Int,
+      minAlpha: Double): String =
+    s"""(CASE WHEN length(regexp_replace($textCol, '\\s', '', 'g')) = 0 THEN 0
+       |   ELSE len(string_split_regex(trim($textCol), '\\s+')) END) >= $minTokens
+       |  AND (CASE WHEN length($textCol) = 0 THEN 0.0
+       |   ELSE CAST(length(regexp_replace(lower($textCol), '[^a-z]', '', 'g'))
+       |     AS DOUBLE) / length($textCol) END) >= $minAlpha""".stripMargin
+
+  /** Brute-force 3-shingle Jaccard near-dup pairs as a DuckDB CTE chain
+    * (no WITH keyword) ending in `${p}prs` = (j) — the doc_ids an exact
+    * pairwise pass marks as near-duplicates of an earlier doc. The
+    * ground truth the banded MinHash-LSH engine is judged against.
+    */
+  private[llm] def shinglePairsChain(from: String, textCol: String,
+      threshold: Double, p: String = ""): String =
+    s"""${p}sh AS (SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+       |    for i in range(1, len(w)-1)]) AS sh
+       |  FROM (SELECT doc_id, ${wordsExpr(textCol)} AS w FROM $from)
+       |  WHERE len(w) >= 3),
+       |${p}prs AS (SELECT b.doc_id AS j FROM ${p}sh a JOIN ${p}sh b
+       |  ON a.doc_id < b.doc_id
+       |  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |      / len(list_distinct(list_concat(a.sh, b.sh))) >= $threshold)""".stripMargin
+
   /** Shared DuckDB rebuild of [[Hashing.winnow]] (3-gram md5 prefixes,
     * window-4 minima, a doc with ≤4 hashes yields its single global
     * min). ONE copy: a change to the winnowing scheme lands here and in
@@ -139,22 +171,19 @@ object CorpusQueries extends QueryPack {
         sum(col("ic")).as("sum_ips"),
         sum(col("sl")).as("sum_scrub_chars"))
       .orderBy(col("source")),
-    Some("""WITH t AS (SELECT source,
-           |  len(regexp_extract_all(text,
-           |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS ec,
-           |  len(regexp_extract_all(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS pc,
-           |  len(regexp_extract_all(text,
-           |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS ic,
-           |  length(regexp_replace(regexp_replace(regexp_replace(text,
-           |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-           |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
-           |    '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g')) AS sl
-           | FROM documents)
-           |SELECT source, count(*) AS n, CAST(sum(ec) AS BIGINT) AS sum_emails,
-           | CAST(sum(pc) AS BIGINT) AS sum_phones,
-           | CAST(sum(ic) AS BIGINT) AS sum_ips,
-           | CAST(sum(sl) AS BIGINT) AS sum_scrub_chars
-           |FROM t GROUP BY 1 ORDER BY 1""".stripMargin))
+    // pattern literals and the scrub chain interpolate from the SAME
+    // constants the engine compiles — they cannot drift independently
+    Some(s"""WITH t AS (SELECT source,
+            |  len(regexp_extract_all(text, '${TextAnalysis.emailPattern}')) AS ec,
+            |  len(regexp_extract_all(text, '${TextAnalysis.phonePattern}')) AS pc,
+            |  len(regexp_extract_all(text, '${TextAnalysis.ipv4Pattern}')) AS ic,
+            |  length(${scrubExpr("text")}) AS sl
+            | FROM documents)
+            |SELECT source, count(*) AS n, CAST(sum(ec) AS BIGINT) AS sum_emails,
+            | CAST(sum(pc) AS BIGINT) AS sum_phones,
+            | CAST(sum(ic) AS BIGINT) AS sum_ips,
+            | CAST(sum(sl) AS BIGINT) AS sum_scrub_chars
+            |FROM t GROUP BY 1 ORDER BY 1""".stripMargin))
 
   /** Exact stratified sampling: per-stratum rank over md5(key)
     * (deterministic spread, reproducible across runs and engines), keep

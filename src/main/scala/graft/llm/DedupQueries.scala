@@ -20,15 +20,15 @@ object DedupQueries extends QueryPack {
       kept.agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("sum_kept"))
         .crossJoin(dropped.agg(count(lit(1)).as("n_dropped")))
     },
-    Some("""WITH d AS (SELECT doc_id,
-           |  substring(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 16) AS fp
-           | FROM documents),
-           |m AS (SELECT doc_id, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
-           | FROM d)
-           |SELECT
-           | (SELECT count(*) FROM m WHERE rn = 1) AS n_kept,
-           | (SELECT CAST(sum(doc_id) AS BIGINT) FROM m WHERE rn = 1) AS sum_kept,
-           | (SELECT count(*) FROM m WHERE rn > 1) AS n_dropped""".stripMargin))
+    Some(s"""WITH d AS (SELECT doc_id,
+            |  ${CorpusQueries.fingerprintExpr("text")} AS fp
+            | FROM documents),
+            |m AS (SELECT doc_id, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+            | FROM d)
+            |SELECT
+            | (SELECT count(*) FROM m WHERE rn = 1) AS n_kept,
+            | (SELECT CAST(sum(doc_id) AS BIGINT) FROM m WHERE rn = 1) AS sum_kept,
+            | (SELECT count(*) FROM m WHERE rn > 1) AS n_dropped""".stripMargin))
 
   private val minhash = Q(
     "dedup_minhash_lsh",
@@ -110,25 +110,15 @@ object DedupQueries extends QueryPack {
         .orderBy(col("lang"))
     },
     Some(s"""WITH q AS (SELECT * FROM documents
-           | WHERE (CASE WHEN length(regexp_replace(text, '\\s', '', 'g')) = 0 THEN 0
-           |   ELSE len(string_split_regex(trim(text), '\\s+')) END) >= 20
-           |  AND (CASE WHEN length(text) = 0 THEN 0.0
-           |   ELSE CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
-           |      / length(text) END) >= 0.5),
-           |e AS (SELECT * FROM (SELECT *, row_number() OVER (
-           |   PARTITION BY substring(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), 1, 16)
-           |   ORDER BY doc_id) AS rn FROM q) WHERE rn = 1),
-           |sh AS (SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-           |    for i in range(1, len(w)-1)]) AS sh
-           |  FROM (SELECT doc_id, ${CorpusQueries.WordsExpr} AS w FROM e)
-           |  WHERE len(w) >= 3),
-           |pairs AS (SELECT b.doc_id AS j FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-           |  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-           |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
-           |s AS (SELECT * FROM e WHERE doc_id NOT IN (SELECT j FROM pairs))
-           |SELECT lang, count(*) AS n,
-           | CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS sum_tokens
-           |FROM s GROUP BY 1 ORDER BY 1""".stripMargin),
+            | WHERE ${CorpusQueries.qualityPredSql("text", 20, 0.5)}),
+            |e AS (SELECT * FROM (SELECT *, row_number() OVER (
+            |   PARTITION BY ${CorpusQueries.fingerprintExpr("text")}
+            |   ORDER BY doc_id) AS rn FROM q) WHERE rn = 1),
+            |${CorpusQueries.shinglePairsChain("e", "text", 0.8)},
+            |s AS (SELECT * FROM e WHERE doc_id NOT IN (SELECT j FROM prs))
+            |SELECT lang, count(*) AS n,
+            | CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS sum_tokens
+            |FROM s GROUP BY 1 ORDER BY 1""".stripMargin),
     headline = true)
 
   /** The round-3 flagship: the full curation pipeline a training-data
@@ -173,27 +163,16 @@ object DedupQueries extends QueryPack {
             |q0 AS (SELECT sc.*, ${CorpusQueries.wordsExpr("text2")} AS w2
             |  FROM sc WHERE doc_id >= 50),
             |q AS (SELECT doc_id, lang, text2 FROM q0
-            |  WHERE (CASE WHEN length(regexp_replace(text2, '\\s', '', 'g')) = 0
-            |     THEN 0 ELSE len(string_split_regex(trim(text2), '\\s+')) END) >= 20
-            |    AND (CASE WHEN length(text2) = 0 THEN 0.0
-            |     ELSE CAST(length(regexp_replace(lower(text2), '[^a-z]', '', 'g'))
-            |       AS DOUBLE) / length(text2) END) >= 0.5
+            |  WHERE ${CorpusQueries.qualityPredSql("text2", 20, 0.5)}
             |    AND (CASE WHEN greatest(len(w2) - 1, 0) <= 0 THEN 0.0
             |     ELSE 1.0 - CAST(CASE WHEN len(w2) < 2 THEN 0
             |       ELSE len(list_distinct([w2[i] || ' ' || w2[i+1]
             |         for i in range(1, len(w2))])) END AS DOUBLE)
             |       / greatest(len(w2) - 1, 0) END) <= 0.5),
             |e AS (SELECT * FROM (SELECT q.*, row_number() OVER (
-            |   PARTITION BY substring(md5(regexp_replace(lower(trim(text2)),
-            |     '\\s+', ' ', 'g')), 1, 16)
+            |   PARTITION BY ${CorpusQueries.fingerprintExpr("text2")}
             |   ORDER BY doc_id) AS rn FROM q) WHERE rn = 1),
-            |sh AS (SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-            |    for i in range(1, len(w)-1)]) AS sh
-            |  FROM (SELECT doc_id, ${CorpusQueries.wordsExpr("text2")} AS w FROM e)
-            |  WHERE len(w) >= 3),
-            |prs AS (SELECT b.doc_id AS j FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-            |  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-            |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+            |${CorpusQueries.shinglePairsChain("e", "text2", 0.8)},
             |dd AS (SELECT * FROM e WHERE doc_id NOT IN (SELECT j FROM prs)),
             |${CorpusQueries.winnowChain("doc_id", "dd", "text2", "c")},
             |${CorpusQueries.winnowChain("doc_id",

@@ -35,15 +35,29 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
-  test("freqItems returns every item above the support threshold") {
-    // Misra-Gries guarantee: no false negatives above support
+  test("FreqItemsAgg returns every item above the support threshold") {
+    // Misra-Gries guarantee: no false negatives above support — must
+    // hold through per-partition reduce AND the parallel merge
     val exact = events.groupBy("event_type").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val total = exact.values.sum.toDouble
     val heavy = exact.filter { case (_, n) => n / total > 0.15 }.keySet
-    val got = events.stat.freqItems(Array("event_type"), 0.15)
+    val got = events.repartition(8)
+      .agg(graft.functions.FreqItemsAgg.freqItems(col("event_type"), 0.15))
       .collect()(0).getSeq[String](0).toSet
     assert(heavy.subsetOf(got), s"missing heavy hitters: ${heavy -- got}")
+  }
+
+  test("FreqItemsAgg on skewed synthetic data and null inputs") {
+    import spark.implicits._
+    // 900 of 'a', 50 'b', 49 distinct tail + nulls: only 'a' exceeds 10%
+    val rows = Seq.fill(900)("a") ++ Seq.fill(50)("b") ++
+      (1 to 49).map(i => s"t$i") ++ Seq.fill(10)(null.asInstanceOf[String])
+    val df = rows.toDF("v").repartition(16)
+    val got = df.agg(graft.functions.FreqItemsAgg.freqItems(col("v"), 0.1))
+      .collect()(0).getSeq[String](0)
+    assert(got.contains("a"))
+    assert(got.size <= 10) // capacity bound: at most ceil(1/support)
   }
 
   test("profile and profileApprox agree on nonnull counts; distinct close") {
