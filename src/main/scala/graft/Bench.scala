@@ -53,10 +53,11 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(json)
     // stdout arrives wrapped in sbt "[info] " noise (both prior rounds
-    // show "parsed": null on the driver) — also drop the line somewhere
-    // machine-readable
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("/tmp/graft_bench.json"), json + "\n")
+    // show "parsed": null on the driver) — also drop the bare line where
+    // it can be read machine-readably: the repo root (sbt's cwd) and /tmp
+    Seq("BENCH_PARSED.json", "/tmp/graft_bench.json").foreach { p =>
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(p), json + "\n")
+    }
     spark.stop()
   }
 }

@@ -208,7 +208,8 @@ object Dashboard extends QueryPack {
         .freqItems(col("event_type"), support = 0.1).as("items"))
       .select(explode(col("items")).as("item"))
       .orderBy(col("item")),
-    None)
+    None,
+    headline = true)
 
   val qs: Seq[Q] = Seq(a1, a2, a3, a3pivot, a4, a4approx, a5, a5groups,
     a6num, a6time, a6tsEqui, a7, a8, profileQ, f6, f7, f8, a2freq)

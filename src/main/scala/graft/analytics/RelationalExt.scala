@@ -316,7 +316,8 @@ object RelationalExt extends QueryPack {
            |WHERE r_name = 'ASIA'
            |  AND o_orderdate >= TIMESTAMP '1995-01-01'
            |  AND o_orderdate < TIMESTAMP '1997-01-01'
-           |GROUP BY 1 ORDER BY 1""".stripMargin))
+           |GROUP BY 1 ORDER BY 1""".stripMargin),
+    headline = true)
 
   /** TPC-H Q17 shape: small-quantity lineitems of one brand, where
     * "small" is a correlated per-part average — the aggregate-then-
@@ -341,7 +342,8 @@ object RelationalExt extends QueryPack {
            |FROM lineitem l JOIN part ON l_partkey = p_partkey
            |WHERE p_brand = 'Brand#23'
            |  AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem
-           |    WHERE l_partkey = l.l_partkey)""".stripMargin))
+           |    WHERE l_partkey = l.l_partkey)""".stripMargin),
+    headline = true)
 
   /** TPC-H Q18 shape: large-volume orders — HAVING over a fact
     * aggregation, semi-joined back to the order/customer detail, top-N
@@ -368,7 +370,8 @@ object RelationalExt extends QueryPack {
            |   FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 300) b
            |  ON o_orderkey = b.l_orderkey
            | JOIN customer ON o_custkey = c_custkey
-           |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin))
+           |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin),
+    headline = true)
 
   val qs: Seq[Q] = Seq(q4, q8, q12, q14, q17, q18, q19, quantiles,
     saltedTopk, rangeJoin, groupingSets, unpivotQ, ntileDeciles)

@@ -234,7 +234,8 @@ object Temporal extends QueryPack {
            |    CAST(f.first_ts AS DATE)) / 7.0) AS BIGINT) AS week_offset
            | FROM events e JOIN f USING (user_id))
            |SELECT cohort_week, week_offset, count(DISTINCT user_id) AS n_users
-           |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+           |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    headline = true)
 
   val qs: Seq[Q] = Seq(asof, asofBucketed, tumbling, jsonExtract, sliding,
     sessionWindows, funnel, cohorts)

@@ -1,5 +1,7 @@
 package graft.functions
 
+import scala.collection.mutable
+
 import org.apache.spark.sql.{Encoder, Encoders}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
@@ -18,41 +20,56 @@ import org.apache.spark.sql.expressions.Aggregator
   * deterministic set. (`DataFrame.stat.freqItems` computes the same
   * sketch but EAGERLY at call time; this Aggregator keeps the query
   * lazy and composable like every other registered plan.)
+  *
+  * The buffer is a mutable map updated in place: Spark plans a typed
+  * Aggregator as a TypedImperativeAggregate, so the buffer stays a JVM
+  * object across every per-row reduce call and the encoder below only
+  * runs at partial-aggregation boundaries (O(k) sketches, once per
+  * partition) — an immutable buffer would instead allocate a fresh map
+  * per input row on the hot path.
   */
-class FreqItemsAgg(k: Int) extends Aggregator[String, Map[String, Long], Seq[String]] {
+class FreqItemsAgg(k: Int)
+    extends Aggregator[String, mutable.HashMap[String, Long], Seq[String]] {
 
-  override def zero: Map[String, Long] = Map.empty
+  override def zero: mutable.HashMap[String, Long] = mutable.HashMap.empty
 
-  override def reduce(b: Map[String, Long], a: String): Map[String, Long] =
-    if (a == null) b
-    else b.get(a) match {
-      case Some(c) => b.updated(a, c + 1)
-      case None if b.size < k => b.updated(a, 1L)
-      case None => // decrement-all step: drop counters reaching zero
-        b.flatMap { case (key, c) => if (c > 1) Some(key -> (c - 1)) else None }
+  override def reduce(b: mutable.HashMap[String, Long], a: String): mutable.HashMap[String, Long] = {
+    if (a != null) {
+      b.get(a) match {
+        case Some(c) => b.update(a, c + 1)
+        case None if b.size < k => b.update(a, 1L)
+        case None => // decrement-all step: drop counters reaching zero
+          b.mapValuesInPlace((_, c) => c - 1)
+          b.filterInPlace((_, c) => c > 0)
+      }
     }
+    b
+  }
 
   /** Parallel MG merge (Agarwal et al., PODS'12): sum counters, then if
     * more than k survive, subtract the (k+1)-th largest count from all
     * and drop the non-positive — preserves the frequency-error bound.
     */
-  override def merge(x: Map[String, Long], y: Map[String, Long]): Map[String, Long] = {
-    val combined = y.foldLeft(x) { case (acc, (key, c)) =>
-      acc.updated(key, acc.getOrElse(key, 0L) + c)
+  override def merge(x: mutable.HashMap[String, Long],
+      y: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] = {
+    y.foreach { case (key, c) => x.update(key, x.getOrElse(key, 0L) + c) }
+    if (x.size > k) {
+      val offset = x.values.toArray.sorted(Ordering[Long].reverse)(k)
+      x.filterInPlace((_, c) => c > offset)
+      x.mapValuesInPlace((_, c) => c - offset)
     }
-    if (combined.size <= k) combined
-    else {
-      val offset = combined.values.toSeq.sorted(Ordering[Long].reverse)(k)
-      combined.flatMap { case (key, c) =>
-        if (c > offset) Some(key -> (c - offset)) else None
-      }
-    }
+    x
   }
 
-  override def finish(b: Map[String, Long]): Seq[String] = b.keys.toSeq.sorted
+  override def finish(b: mutable.HashMap[String, Long]): Seq[String] =
+    b.keys.toSeq.sorted
 
-  override def bufferEncoder: Encoder[Map[String, Long]] =
-    ExpressionEncoder[Map[String, Long]]()
+  /** Kryo, not an expression encoder: the sketch crosses the wire only at
+    * partial-agg boundaries as O(k) opaque state — nothing downstream
+    * reads into it, so a binary payload is the honest representation.
+    */
+  override def bufferEncoder: Encoder[mutable.HashMap[String, Long]] =
+    Encoders.kryo[mutable.HashMap[String, Long]]
   override def outputEncoder: Encoder[Seq[String]] =
     ExpressionEncoder[Seq[String]]()
 }

@@ -242,7 +242,8 @@ object CorpusQueries extends QueryPack {
         |  FROM uf a JOIN uf b ON a.fp = b.fp AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2)
         |SELECT i, j, CAST(n_shared AS BIGINT) AS n_shared
-        |FROM p WHERE n_shared >= 5 ORDER BY i, j""".stripMargin))
+        |FROM p WHERE n_shared >= 5 ORDER BY i, j""".stripMargin),
+    headline = true)
 
   /** Decontamination against an in-corpus "benchmark" (doc_id < 50
     * stands in for an eval set): corpus docs sharing ≥2 winnowed
@@ -263,7 +264,8 @@ object CorpusQueries extends QueryPack {
         |b AS (SELECT DISTINCT fp FROM u WHERE doc_id < 50)
         |SELECT u.doc_id AS id, count(*) AS n_shared
         |FROM u JOIN b USING (fp) WHERE u.doc_id >= 50
-        |GROUP BY 1 HAVING count(*) >= 2 ORDER BY 1""".stripMargin))
+        |GROUP BY 1 HAVING count(*) >= 2 ORDER BY 1""".stripMargin),
+    headline = true)
 
   /** Corpus-wide top-20 word 2-grams by document frequency (the
     * vocabulary/boilerplate-discovery heavy-hitter query). Distinct
@@ -286,7 +288,8 @@ object CorpusQueries extends QueryPack {
             |       FROM documents)
             | WHERE len(w) >= 2)
             |SELECT gram, count(*) AS df FROM g
-            |GROUP BY 1 ORDER BY df DESC, md5(gram) LIMIT 20""".stripMargin))
+            |GROUP BY 1 ORDER BY df DESC, md5(gram) LIMIT 20""".stripMargin),
+    headline = true)
 
   /** Token document-frequency profile: distinct-token vocabulary size,
     * stopword-like tokens (df > 50% of docs), and the max df — the

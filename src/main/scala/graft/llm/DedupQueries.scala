@@ -147,12 +147,19 @@ object DedupQueries extends QueryPack {
         quality.withColumn("fp", TextAnalysis.fingerprint(col("text2"))),
         Seq(col("fp")), col("doc_id"))
       val pairs = MinHashLsh.nearDupPairs(exactKept, "doc_id", "text2", 0.8)
-      val deduped = exactKept.join(
-        pairs.select(col("j").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+      // decontamination is a per-doc predicate (doc vs the broadcast
+      // benchmark fingerprint set), so running it on exactKept instead of
+      // the near-dup-survivor frame changes nothing semantically
+      // (contaminated(deduped) = contaminated(exactKept) ∩ deduped) but
+      // lets ONE anti-join against a unioned drop-list finish the
+      // pipeline — the chained anti-join formulation re-evaluated the
+      // entire LSH stage once per downstream consumer
       val contaminated = Winnowing.contaminated(
-        deduped, bench, "doc_id", "text2", minShared = 2)
-      val clean = deduped.join(
-        contaminated.select(col("id").as("doc_id")), Seq("doc_id"), "left_anti")
+        exactKept, bench, "doc_id", "text2", minShared = 2)
+      val dropIds = pairs.select(col("j").as("doc_id"))
+        .union(contaminated.select(col("id").as("doc_id")))
+        .distinct()
+      val clean = exactKept.join(dropIds, Seq("doc_id"), "left_anti")
       clean.groupBy(col("lang"))
         .agg(count(lit(1)).as("n"),
           sum(TextAnalysis.tokenCount(col("text2"))).as("sum_tokens"))

@@ -40,15 +40,30 @@ object MinHashLsh {
   /** Verified near-duplicate pairs (i < j, exact Jaccard ≥ threshold).
     *
     * Plan shape: docs → one UDF pass (band keys only) → explode bands →
-    * shuffle by band key → within-bucket self-join (candidates) →
-    * distinct pair → join TEXT back for candidates → shingle + exact
-    * Jaccard on the candidate rows only.
+    * shuffle by band key → collect ids per bucket → expand in-bucket
+    * pairs → distinct pair → join TEXT back for the candidate ids →
+    * shingle + exact Jaccard on the candidate rows only.
+    *
+    * The input is evaluated exactly TWICE — once for the band pass, once
+    * for the text fetch — and that bound is structural, not an
+    * AQE-exchange-reuse hope: candidate pairs come from one
+    * groupBy(band, h) + in-bucket expansion (a self-join would evaluate
+    * the band pass per side, and at small SF Spark happily broadcasts
+    * the whole corpus chain to build it), and the text fetch explodes
+    * each pair into its two member ids so ONE join against the source
+    * covers both sides. When the caller's input is itself an expensive
+    * subplan (quality filters, dedup windows — see DedupQueries'
+    * pipelines), each avoided re-evaluation is a full corpus re-scan.
     *
     * Nothing is cached: the band shuffle carries compact (id, hash)
     * pairs, and the verify step re-reads text for just the candidate
-    * ids (broadcast-able when candidates are few; a plain shuffled join
-    * otherwise). At 100 TB this is the only workable lifecycle — caching
-    * full shingle arrays for the corpus is not.
+    * ids. At 100 TB this is the only workable lifecycle — caching full
+    * shingle arrays for the corpus is not. Per-bucket id lists are
+    * bounded by the S-curve math above (a band bucket collects only docs
+    * agreeing on r consecutive minhashes); a pathological cluster of
+    * thousands of true duplicates concentrates in buckets — and in
+    * candidate pairs — under ANY pair-enumeration scheme; cluster-scale
+    * dedup wants keep-first-per-bucket, not all pairs.
     */
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleN: Int = 3): DataFrame = {
@@ -57,17 +72,23 @@ object MinHashLsh {
     val src = docs.select(col(idCol).as("id"), col(textCol).as("txt"))
     val buckets = src.select(col("id"),
       posexplode(bandsUdf(shingleN)(col("txt"))).as(Seq("band", "h")))
-    val candidates = buckets.as("l")
-      .join(buckets.as("r"),
-        col("l.band") === col("r.band") && col("l.h") === col("r.h") &&
-          col("l.id") < col("r.id"))
-      .select(col("l.id").as("i"), col("r.id").as("j"))
+    val candidates = buckets
+      .groupBy(col("band"), col("h"))
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("i"), col("ids"))
+      .select(col("i"), explode(col("ids")).as("j"))
+      .filter(col("i") < col("j"))
       .distinct()
-    // join text first, shingle AFTER: the UDF then runs only on candidate
-    // rows, not on every probe row of the join's stream side
+    // one text join for both pair sides: explode (i, j) into member rows,
+    // fetch txt per member, fold back per pair. The when-max fold is safe
+    // because band keys exist only for docs with non-null text
     candidates
-      .join(src.select(col("id").as("i"), col("txt").as("txt_i")), "i")
-      .join(src.select(col("id").as("j"), col("txt").as("txt_j")), "j")
+      .select(col("i"), col("j"), explode(array(col("i"), col("j"))).as("id"))
+      .join(src, "id")
+      .groupBy(col("i"), col("j"))
+      .agg(max(when(col("id") === col("i"), col("txt"))).as("txt_i"),
+        max(when(col("id") === col("j"), col("txt"))).as("txt_j"))
       .withColumn("jaccard",
         TextAnalysis.jaccard(shUdf(col("txt_i")), shUdf(col("txt_j"))))
       .filter(col("jaccard") >= threshold)
@@ -110,29 +131,31 @@ object Winnowing {
 
   /** Pairs (i < j) sharing ≥ `minShared` winnowed fingerprints.
     *
-    * Plan shape: one UDF pass → explode fingerprints → doc-frequency
-    * filter → shuffle by fingerprint → within-bucket self-join → count
-    * shared per pair. Candidate generation is bucket-bounded like the
-    * LSH family — never all-pairs. The df cap drops non-discriminative
-    * fingerprints (ubiquitous boilerplate runs): a fingerprint in k docs
-    * creates k(k−1)/2 candidate rows, so one hot bucket would otherwise
-    * re-create the quadratic blowup; dropping it loses only evidence
-    * that couldn't distinguish documents anyway.
+    * Plan shape: one UDF pass → explode fingerprints → shuffle by
+    * fingerprint → collect ids per fingerprint (which IS the
+    * doc-frequency filter: list size = df) → expand in-bucket pairs →
+    * count shared per pair. One grouped aggregation replaces the
+    * window-df-filter + self-join formulation, so the winnowing UDF runs
+    * exactly once over the corpus and candidate generation stays
+    * bucket-bounded — never all-pairs. The df cap drops
+    * non-discriminative fingerprints (ubiquitous boilerplate runs): a
+    * fingerprint in k docs creates k(k−1)/2 candidate rows, so one hot
+    * bucket would otherwise re-create the quadratic blowup (and an
+    * unbounded id list); dropping it loses only evidence that couldn't
+    * distinguish documents anyway.
     */
   def overlapPairs(docs: DataFrame, idCol: String, textCol: String,
       minShared: Int = 5, n: Int = 3, window: Int = 4,
       maxDf: Int = 1000): DataFrame = {
-    val exploded = docs
+    docs
       .select(col(idCol).as("id"), explode(fps(n, window)(col(textCol))).as("fp"))
-    val rare = exploded
-      .withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
-      .filter(col("df") <= maxDf)
-      .drop("df")
-    rare.as("l")
-      .join(rare.as("r"),
-        col("l.fp") === col("r.fp") && col("l.id") < col("r.id"))
-      .groupBy(col("l.id").as("i"), col("r.id").as("j"))
+      .groupBy(col("fp"))
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxDf))
+      .select(explode(col("ids")).as("i"), col("ids"))
+      .select(col("i"), explode(col("ids")).as("j"))
+      .filter(col("i") < col("j"))
+      .groupBy(col("i"), col("j"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }

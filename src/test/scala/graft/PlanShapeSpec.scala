@@ -152,6 +152,30 @@ class PlanShapeSpec extends SparkSpec {
     assert(!s.contains("SortMergeJoin"), s)
   }
 
+  test("training pipelines: corpus scan count stays bounded (no stage re-evaluation)") {
+    // the r3 regression: nearDupPairs referenced its input 4x (band
+    // self-join x2 + text join-back x2), so composing it after a quality
+    // filter + dedup window re-ran that whole chain per reference — the
+    // v1 pipeline planned FIVE full corpus scans. The restructured
+    // operator consumes its input exactly twice (grouped band buckets +
+    // one exploded-pair text fetch), bounding v1 at 3 document scans
+    // (bands, text fetch, survivor agg) and v2 at 5 (those three +
+    // decontamination corpus pass + benchmark side). An increase means
+    // someone reintroduced a self-join or a chained anti-join that
+    // re-evaluates an upstream stage.
+    val v1 = planString(SparkEntry.queries("docs_training_pipeline")(spark, sf))
+    val s1 = "Scan parquet".r.findAllIn(v1).length
+    assert(s1 <= 3, s"docs_training_pipeline plans $s1 corpus scans (max 3):\n$v1")
+    val v2 = planString(SparkEntry.queries("docs_training_pipeline_v2")(spark, sf))
+    val s2 = "Scan parquet".r.findAllIn(v2).length
+    assert(s2 <= 5, s"docs_training_pipeline_v2 plans $s2 document scans (max 5):\n$v2")
+    // the full flagship keeps the LSH-family contracts end-to-end:
+    // benchmark fingerprints broadcast, candidate generation bucketed
+    assert(v2.contains("BroadcastHashJoin"), v2)
+    assert(!v2.contains("CartesianProduct"), v2)
+    assert(!v2.contains("BroadcastNestedLoopJoin"), v2)
+  }
+
   test("every registered query plans and executes at sf0.001") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try { fn(spark, sf).collect(); None }
