@@ -125,21 +125,34 @@ object Ann {
     * Everything is deterministic: hash-spread seeds, fixed iteration
     * count, vec_id tiebreaks.
     */
-  def ivfTopK(vectors: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, nCells: Int = 16, nProbe: Int = 4,
-      iters: Int = 2): DataFrame = {
-    val v = vectors.select(col(idCol).as("vec_id"), col(vecCol).as("nv"))
-
-    def nearestUdf(cents: Array[Array[Float]]) = udf { (x: Array[Float]) =>
-      var best = 0; var bestSim = Double.MinValue
-      var c = 0
-      while (c < cents.length) {
-        val sim = Hashing.cosine(x, cents(c))
-        if (sim > bestSim) { bestSim = sim; best = c }
-        c += 1
-      }
-      best
+  /** Nearest-centroid assignment — the cell a database vector lives in.
+    * Package-visible so the spec can verify the exact IVF identity:
+    * rank-1 recall == fraction of true NNs whose cell the query probes.
+    */
+  private[llm] def nearestCellIdx(cents: Array[Array[Float]], x: Array[Float]): Int = {
+    var best = 0; var bestSim = Double.MinValue
+    var c = 0
+    while (c < cents.length) {
+      val sim = Hashing.cosine(x, cents(c))
+      if (sim > bestSim) { bestSim = sim; best = c }
+      c += 1
     }
+    best
+  }
+
+  /** The `n` nearest cells a query probes (deterministic index tiebreak). */
+  private[llm] def probeCellIdxs(cents: Array[Array[Float]], x: Array[Float],
+      n: Int): Array[Int] =
+    cents.indices.sortBy(c => (-Hashing.cosine(x, cents(c)), c)).take(n).toArray
+
+  /** The coarse quantizer: hash-spread deterministic seeds + distributed
+    * Lloyd iterations. Only nCells × dim means ever reach the driver —
+    * the two collects below are centroid-sized by construction.
+    */
+  private[llm] def ivfCentroids(v: DataFrame, nCells: Int,
+      iters: Int): Array[Array[Float]] = {
+    def nearestUdf(cents: Array[Array[Float]]) =
+      udf { (x: Array[Float]) => nearestCellIdx(cents, x) }
 
     // hash-spread deterministic seeds
     var centroids: Array[Array[Float]] = v
@@ -157,10 +170,19 @@ object Ann {
         next(r.getAs[Int]("cell"))(r.getAs[Int]("d")) = r.getAs[Double]("m").toFloat)
       centroids = next
     }
+    centroids
+  }
 
-    def probeUdf(cents: Array[Array[Float]], n: Int) = udf { (x: Array[Float]) =>
-      cents.indices.sortBy(c => (-Hashing.cosine(x, cents(c)), c)).take(n).toArray
-    }
+  def ivfTopK(vectors: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nCells: Int = 16, nProbe: Int = 4,
+      iters: Int = 2): DataFrame = {
+    val v = vectors.select(col(idCol).as("vec_id"), col(vecCol).as("nv"))
+    val centroids = ivfCentroids(v, nCells, iters)
+
+    def nearestUdf(cents: Array[Array[Float]]) =
+      udf { (x: Array[Float]) => nearestCellIdx(cents, x) }
+    def probeUdf(cents: Array[Array[Float]], n: Int) =
+      udf { (x: Array[Float]) => probeCellIdxs(cents, x, n) }
     val nAssigned = v.withColumn("cell_id", nearestUdf(centroids)(col("nv")))
     val qAssigned = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
