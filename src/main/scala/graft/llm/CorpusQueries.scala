@@ -267,6 +267,28 @@ object CorpusQueries extends QueryPack {
         |GROUP BY 1 HAVING count(*) >= 2 ORDER BY 1""".stripMargin),
     headline = true)
 
+  /** [[decontaminate]]'s scale variant: Bloom-sketch pre-filter + exact
+    * verify ([[Winnowing.contaminatedBloom]]). Same oracle — the Bloom
+    * filter only moves pruning earlier; the exact verify join keeps the
+    * output bit-identical to the broadcast-set formulation.
+    */
+  private val decontaminateBloom = Q(
+    "dedup_decontaminate_bloom",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      Winnowing.contaminatedBloom(
+        docs.filter(col("doc_id") >= 50), docs.filter(col("doc_id") < 50),
+        "doc_id", "text", minShared = 2)
+        .orderBy(col("id"))
+    },
+    Some(winnowCte("doc_id") +
+      """,
+        |b AS (SELECT DISTINCT fp FROM u WHERE doc_id < 50)
+        |SELECT u.doc_id AS id, count(*) AS n_shared
+        |FROM u JOIN b USING (fp) WHERE u.doc_id >= 50
+        |GROUP BY 1 HAVING count(*) >= 2 ORDER BY 1""".stripMargin),
+    headline = true)
+
   /** Corpus-wide top-20 word 2-grams by document frequency (the
     * vocabulary/boilerplate-discovery heavy-hitter query). Distinct
     * grams per doc (so a looping doc can't dominate), tie-broken on
@@ -320,5 +342,5 @@ object CorpusQueries extends QueryPack {
            |FROM d, n""".stripMargin))
 
   val qs: Seq[Q] = Seq(winnowing, repetition, pii, stratified, winnowPairs,
-    decontaminate, topNgrams, tokenDf)
+    decontaminate, decontaminateBloom, topNgrams, tokenDf)
 }

@@ -129,6 +129,40 @@ object Winnowing {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** [[contaminated]] for the scale where even the benchmark fingerprint
+    * set no longer broadcasts as an exact hash set (a multi-billion-
+    * fingerprint held-out corpus): build a Bloom filter over the
+    * benchmark fingerprints (distributed aggregation — only the compact
+    * bitset reaches the driver, same contract as IVF's centroids), use
+    * it as a pre-filter on the corpus side, then verify the few
+    * survivors with an exact join so Bloom false positives never reach
+    * the output. Result is bit-identical to [[contaminated]] — the
+    * sketch changes WHERE the pruning happens (before the shuffle, at
+    * ~10 bits/item instead of the full string set), not WHAT qualifies.
+    *
+    * The same shape Spark's own runtime row-level filtering
+    * (InjectRuntimeFilter) uses for big joins: sketch the build side,
+    * prune the probe side early, keep the exact join for correctness.
+    */
+  def contaminatedBloom(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, minShared: Int = 2, n: Int = 3,
+      window: Int = 4, expectedFps: Long = 1000000L,
+      fpp: Double = 0.03): DataFrame = {
+    val benchFps = benchmark
+      .select(explode(fps(n, window)(col(textCol))).as("fp"))
+      .distinct()
+    val bloom = benchFps.stat.bloomFilter("fp", expectedFps, fpp)
+    val bloomBc = corpus.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf((fp: String) => bloomBc.value.mightContainString(fp))
+    corpus
+      .select(col(idCol).as("id"), explode(fps(n, window)(col(textCol))).as("fp"))
+      .filter(mightContain(col("fp")))
+      .join(benchFps, "fp") // exact verify: Bloom false positives drop here
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Pairs (i < j) sharing ≥ `minShared` winnowed fingerprints.
     *
     * Plan shape: one UDF pass → explode fingerprints → shuffle by

@@ -178,6 +178,39 @@ object TextQueries extends QueryPack {
       .orderBy(col("lang")),
     None)
 
+  /** BM25 ranked retrieval ([[Retrieval.bm25TopK]]): top-10 documents
+    * for a fixed seed-term query, compared on (rank, doc_id, score in
+    * integer micro-units) — the BIGINT quantization makes the ranking an
+    * exact cross-engine comparison (see Retrieval's determinism note).
+    * The oracle rebuilds the full formula independently: tf from the
+    * words list, df/N/avgdl from the corpus, identical idf variant.
+    */
+  private val bm25 = Q(
+    "text_bm25_topk",
+    (s, d) => Retrieval.bm25TopK(Tables.documents(s, d), "doc_id", "text",
+      terms = Seq("vector", "stream", "hash"), k = 10)
+      .orderBy(col("rank")),
+    Some(s"""WITH d AS (SELECT doc_id, ${CorpusQueries.WordsExpr} AS w
+            |  FROM documents),
+            |dd AS (SELECT doc_id, w, len(w) AS dl FROM d),
+            |stats AS (SELECT count(*) AS n_docs,
+            |   CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dd),
+            |t(term) AS (VALUES ('vector'), ('stream'), ('hash')),
+            |tf AS (SELECT doc_id, term, dl,
+            |   len(list_filter(w, x -> x = term)) AS tf
+            |  FROM dd, t WHERE len(list_filter(w, x -> x = term)) > 0),
+            |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            |sc AS (SELECT doc_id, CAST(sum(CAST(round(
+            |    ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+            |      * (tf * 2.2) / (tf + (dl / avgdl * 0.75 + 0.25) * 1.2)
+            |      * 1e6) AS BIGINT)) AS BIGINT) AS score_micro
+            |  FROM tf JOIN df USING (term), stats GROUP BY 1),
+            |r AS (SELECT doc_id, score_micro, row_number() OVER (
+            |    ORDER BY score_micro DESC, doc_id) AS rank FROM sc)
+            |SELECT rank, doc_id, score_micro FROM r
+            |WHERE rank <= 10 ORDER BY 1""".stripMargin),
+    headline = true)
+
   val qs: Seq[Q] = Seq(tokenStats, quality, langid, fingerprintQ, subwords,
-    polyFingerprint, chunking, sampling)
+    polyFingerprint, chunking, sampling, bm25)
 }

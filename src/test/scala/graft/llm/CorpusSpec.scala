@@ -91,6 +91,24 @@ class CorpusSpec extends SparkSpec {
     assert(hits === Set(1L))
   }
 
+  test("contaminatedBloom agrees exactly with the broadcast-set formulation") {
+    // the Bloom variant must be bit-identical: the sketch only pre-prunes,
+    // the exact verify join removes every false positive. Run both over
+    // the harness corpus (real winnowed fingerprints, real overlap).
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val corpus = docs.filter(col("doc_id") >= 50)
+    val bench = docs.filter(col("doc_id") < 50)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = rows(Winnowing.contaminated(corpus, bench, "doc_id", "text"))
+    // a deliberately tiny/over-loaded filter (high fpp) still must not
+    // change the output — only the amount of pre-join pruning
+    val viaBloom = rows(Winnowing.contaminatedBloom(corpus, bench,
+      "doc_id", "text", expectedFps = 100L, fpp = 0.3))
+    assert(viaBloom === exact)
+    assert(exact.nonEmpty) // the harness corpus plants real contamination
+  }
+
   private def md5Hex16(s: String): String = {
     val d = java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8"))
