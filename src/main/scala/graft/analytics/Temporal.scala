@@ -237,6 +237,35 @@ object Temporal extends QueryPack {
            |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
     headline = true)
 
+  /** Keyed keep-first dedup (first touch per (user, event_type)) — the
+    * batch twin of [[graft.streaming.EventStream.dedupByKey]]: the
+    * streaming job keeps the first ARRIVAL of a key within the
+    * watermark; the batch twin keeps the event-time first (ties broken
+    * on event_id), which coincides whenever arrival order follows event
+    * time. One window shuffle on the dedup key, bounded output.
+    */
+  private val streamDedup = Q(
+    "stream_dedup_first_touch",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_first"),
+          min(col("ts")).as("earliest"),
+          sum(col("user_id")).as("sum_users"))
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH r AS (SELECT *, row_number() OVER (
+           |   PARTITION BY user_id, event_type
+           |   ORDER BY ts, event_id) AS rn FROM events)
+           |SELECT event_type, count(*) AS n_first, min(ts) AS earliest,
+           | CAST(sum(user_id) AS BIGINT) AS sum_users
+           |FROM r WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val qs: Seq[Q] = Seq(asof, asofBucketed, tumbling, jsonExtract, sliding,
-    sessionWindows, funnel, cohorts)
+    sessionWindows, funnel, cohorts, streamDedup)
 }

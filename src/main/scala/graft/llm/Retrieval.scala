@@ -62,8 +62,14 @@ object Retrieval {
       .groupBy(col("id"), col("tok"), col("dl")) // dl determined by id
       .agg(count(lit(1)).as("tf"))
 
-    // per-term document frequency: |terms| rows, broadcast back
-    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    // per-term document frequency as a window over the (already tiny,
+    // already shuffled) tf frame — one row per (doc, term), so the count
+    // per term IS the document frequency. A groupBy-and-join-back
+    // formulation re-plans the corpus pass a third time (Catalyst
+    // specializes each reference); the window costs one |tf|-sized
+    // exchange instead of a corpus scan.
+    val withDf = tf.withColumn("df", count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("tok"))))
 
     val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
     val idf = log(lit(1.0) +
@@ -73,8 +79,7 @@ object Retrieval {
     val contrib = idf * (col("tf") * (k1 + 1.0)) /
       (col("tf") + (col("dl").cast("double") / avgdl * b + (1.0 - b)) * k1)
 
-    val scored = tf
-      .join(broadcast(dfreq), "tok")
+    val scored = withDf
       .crossJoin(broadcast(stats))
       .withColumn("micro", round(contrib * 1e6, 0).cast("long"))
       .groupBy(col("id"))
