@@ -373,6 +373,118 @@ object RelationalExt extends QueryPack {
            |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin),
     headline = true)
 
-  val qs: Seq[Q] = Seq(q4, q8, q12, q14, q17, q18, q19, quantiles,
-    saltedTopk, rangeJoin, groupingSets, unpivotQ, ntileDeciles)
+  /** TPC-H Q15 shape: the create-view + scalar-max selection. The
+    * revenue view aggregates once; the max is a one-row frame broadcast
+    * into an equality join (Catalyst plans the identical view subtree
+    * twice, and AQE's exchange reuse collapses the duplicate shuffle —
+    * at scale the view is one lineitem pass, the max a 1-row reduction).
+    */
+  private val q15 = Q(
+    "q15_top_supplier",
+    (s, d) => {
+      val rev = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1995-01-01") &&
+          col("l_shipdate") < lit("1995-04-01"))
+        .groupBy(col("l_suppkey"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("total_revenue"))
+      val maxRev = rev.agg(max(col("total_revenue")).as("max_rev"))
+      Tables.supplier(s, d)
+        .join(rev, col("s_suppkey") === col("l_suppkey"))
+        .join(broadcast(maxRev), col("total_revenue") === col("max_rev"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+        .orderBy(col("s_suppkey"))
+    },
+    Some("""WITH rev AS (SELECT l_suppkey,
+           |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS total_revenue
+           | FROM lineitem
+           | WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+           |   AND l_shipdate < TIMESTAMP '1995-04-01'
+           | GROUP BY 1)
+           |SELECT s_suppkey, s_name, total_revenue
+           |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+           |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+           |ORDER BY s_suppkey""".stripMargin))
+
+  /** TPC-H Q21 shape (adapted: this lineitem has no commit/receipt
+    * dates, so "kept waiting" becomes "sole returning supplier" on
+    * l_returnflag): finalized multi-supplier orders where exactly one
+    * supplier's items came back. The correlated EXISTS / NOT EXISTS pair
+    * decorrelates into per-order aggregates computed in ONE extra
+    * lineitem pass each and semi-joined back — the plan that scales,
+    * vs. re-probing lineitem per row. The oracle keeps the textbook
+    * correlated-subquery formulation so the two derivations cross-check.
+    */
+  private val q21 = Q(
+    "q21_sole_return_supplier",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val returns = li.filter(col("l_returnflag") === "R")
+      val multiSupp = li.groupBy(col("l_orderkey").as("ok"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"))
+        .filter(col("n_supp") > 1)
+      val soleReturn = returns.groupBy(col("l_orderkey").as("rk"))
+        .agg(countDistinct(col("l_suppkey")).as("n_ret_supp"))
+        .filter(col("n_ret_supp") === 1)
+      returns
+        .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey")), col("l_orderkey") === col("o_orderkey"))
+        .join(multiSupp, col("l_orderkey") === col("ok"))
+        .join(soleReturn, col("l_orderkey") === col("rk"))
+        .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_suppkey"), col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_suppkey"))
+        .limit(10)
+    },
+    Some("""SELECT s_suppkey, s_name, count(*) AS numwait
+           |FROM supplier
+           | JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+           | JOIN orders ON o_orderkey = l1.l_orderkey
+           |WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+           |  AND EXISTS (SELECT 1 FROM lineitem l2
+           |    WHERE l2.l_orderkey = l1.l_orderkey
+           |      AND l2.l_suppkey <> l1.l_suppkey)
+           |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+           |    WHERE l3.l_orderkey = l1.l_orderkey
+           |      AND l3.l_suppkey <> l1.l_suppkey
+           |      AND l3.l_returnflag = 'R')
+           |GROUP BY 1, 2 ORDER BY numwait DESC, s_suppkey LIMIT 10""".stripMargin))
+
+  /** TPC-H Q22 shape (adapted: no phone column, and every customer here
+    * has SOME order, so the anti-join window is time-bounded): customers
+    * with above-average positive balance and no 1995-H1 orders. Scalar
+    * subquery broadcast as a 1-row frame; the NOT EXISTS is a left-anti
+    * join against the date-filtered order keys.
+    */
+  private val q22 = Q(
+    "q22_idle_rich_customers",
+    (s, d) => {
+      val cust = Tables.customer(s, d)
+      val avgBal = cust.filter(col("c_acctbal") > 0.0)
+        .agg(avg(col("c_acctbal")).as("avg_bal"))
+      val h1Orders = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1995-01-01") &&
+          col("o_orderdate") < lit("1995-07-01"))
+        .select(col("o_custkey"))
+      cust.join(broadcast(avgBal), col("c_acctbal") > col("avg_bal"))
+        .join(h1Orders, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("numcust"),
+          round(sum(col("c_acctbal")), 2).as("totacctbal"))
+        .orderBy(col("segment"))
+    },
+    Some("""SELECT c_mktsegment AS segment, count(*) AS numcust,
+           | round(sum(c_acctbal), 2) AS totacctbal
+           |FROM customer
+           |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+           |  WHERE c_acctbal > 0.0)
+           |  AND NOT EXISTS (SELECT 1 FROM orders
+           |    WHERE o_custkey = c_custkey
+           |      AND o_orderdate >= TIMESTAMP '1995-01-01'
+           |      AND o_orderdate < TIMESTAMP '1995-07-01')
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  val qs: Seq[Q] = Seq(q4, q8, q12, q14, q15, q17, q18, q19, q21, q22,
+    quantiles, saltedTopk, rangeJoin, groupingSets, unpivotQ, ntileDeciles)
 }

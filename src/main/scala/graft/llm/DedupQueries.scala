@@ -1,7 +1,7 @@
 package graft.llm
 
 import graft.{Q, QueryPack, Tables}
-import graft.ops.Dedup
+import graft.ops.{ConnectedComponents, Dedup}
 import org.apache.spark.sql.functions._
 
 /** Deduplication queries over `documents`: exact (fingerprint), MinHash-
@@ -83,6 +83,74 @@ object DedupQueries extends QueryPack {
             | FROM d a JOIN d b ON a.doc_id + 1 = b.doc_id)
             |SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n
             |FROM p GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** Brute-force (i,j) near-dup pairs + min-reachable-label transitive
+    * closure as DuckDB CTEs: the independent ground truth for the
+    * connected-components queries. `WITH RECURSIVE` + UNION (set
+    * semantics) terminates because the reachable-label set is finite.
+    */
+  private def clusterChain: String =
+    s"""d AS (SELECT doc_id,
+       |  list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+       |    for i in range(1, len(w)-1)]) AS sh
+       | FROM (SELECT doc_id, ${CorpusQueries.WordsExpr} AS w
+       |       FROM documents)
+       | WHERE len(w) >= 3),
+       |p AS (SELECT a.doc_id AS i, b.doc_id AS j
+       | FROM d a JOIN d b ON a.doc_id < b.doc_id
+       |  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+       |sym AS (SELECT i AS u, j AS v FROM p UNION SELECT j AS u, i AS v FROM p),
+       |reach(node, lbl) AS (
+       | SELECT u, u FROM (SELECT DISTINCT u FROM sym) t
+       | UNION
+       | SELECT s.u, r.lbl FROM sym s JOIN reach r ON s.v = r.node),
+       |comp AS (SELECT node, min(lbl) AS cluster FROM reach GROUP BY node)""".stripMargin
+
+  /** Transitive near-dup CLUSTER formation: verified LSH pairs →
+    * connected components → per-cluster stats. Pairs alone under-dedup
+    * ((a,b),(b,c) must collapse to one cluster even when (a,c) misses the
+    * 0.8 bar); this is the step that turns pair detection into an actual
+    * dedup decision. Oracle: brute-force pairs + recursive-CTE transitive
+    * closure — the engine's iterative min-label propagation must land on
+    * identical components.
+    */
+  private val lshClusters = Q(
+    "dedup_lsh_clusters",
+    (s, d) => {
+      val pairs = MinHashLsh.nearDupPairs(
+        Tables.documents(s, d), "doc_id", "text", threshold = 0.8)
+      ConnectedComponents.components(pairs, "i", "j")
+        .groupBy(col("comp").as("cluster"))
+        .agg(count(lit(1)).as("n_members"), sum(col("node")).as("sum_members"))
+        .orderBy(col("cluster"))
+    },
+    Some(s"""WITH RECURSIVE ${clusterChain}
+            |SELECT cluster, count(*) AS n_members,
+            | CAST(sum(node) AS BIGINT) AS sum_members
+            |FROM comp GROUP BY 1 ORDER BY 1""".stripMargin),
+    headline = true)
+
+  /** The dedup decision the clusters exist for: keep each cluster's
+    * min-id representative, drop the rest, count the surviving corpus.
+    * Cluster members beyond the representative are the ONLY rows dropped
+    * — singleton docs never enter the edge list and survive untouched.
+    */
+  private val clusterSurvivors = Q(
+    "dedup_cluster_survivors",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = MinHashLsh.nearDupPairs(docs, "doc_id", "text", threshold = 0.8)
+      val drops = ConnectedComponents.components(pairs, "i", "j")
+        .filter(col("node") =!= col("comp"))
+        .select(col("node").as("doc_id"))
+      docs.join(drops, Seq("doc_id"), "left_anti")
+        .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("sum_kept"))
+    },
+    Some(s"""WITH RECURSIVE ${clusterChain}
+            |SELECT count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS sum_kept
+            |FROM documents
+            |WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> cluster)""".stripMargin))
 
   /** The composite a training-data team actually runs, end-to-end with a
     * FULL independent oracle: quality filter → exact-fingerprint dedup
@@ -196,5 +264,5 @@ object DedupQueries extends QueryPack {
     headline = true)
 
   val qs: Seq[Q] = Seq(exact, minhash, simhash, ngramJaccard,
-    trainingPipeline, trainingV2)
+    lshClusters, clusterSurvivors, trainingPipeline, trainingV2)
 }

@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components over an undirected edge list — the
+  * missing step between "near-duplicate PAIRS" and an actually deduped
+  * corpus: pairs (a,b),(b,c) must collapse to ONE cluster {a,b,c} with one
+  * surviving representative, or transitive duplicates leak through
+  * pairwise-only removal (ref's dedup is key-equality only, `etl.py:451`;
+  * similarity dedup needs the transitive closure).
+  *
+  * Algorithm: iterative min-label propagation. Each node starts labeled
+  * with min(self, neighbors); each round every node takes the min label
+  * across its neighborhood; fixpoint = every node holds its component's
+  * minimum id. Each round is ONE hash-shuffle join of the (compact,
+  * two-column) edge list against the (one-row-per-node) label frame plus a
+  * groupBy — no row explosion, nothing driver-side; the convergence check
+  * is a count() on the changed-label frame.
+  *
+  * Round count is the graph DIAMETER. For near-dup clusters that is ~2-3:
+  * LSH components are dense blobs of mutually-similar documents (long
+  * thin chains would require a ladder of just-barely-0.8 neighbors that
+  * similarity graphs don't produce). For general graphs with adversarial
+  * diameter the published fix is the alternating large-star/small-star
+  * contraction (Kiveris et al., "Connected Components in MapReduce and
+  * Beyond", SoCC'14) at O(log²n) rounds — same per-round shuffle shape,
+  * so swapping it in changes this loop body, not the callers.
+  *
+  * Per-round `localCheckpoint` truncates lineage: without it the plan
+  * doubles per iteration (label frame feeds the next join AND the change
+  * count), and Catalyst analysis time — not the data — becomes the
+  * bottleneck by round ~15.
+  */
+object ConnectedComponents {
+
+  /** (node, component) for every node appearing in `edges`; component =
+    * min node id reachable. `maxIter` bounds pathological diameters; the
+    * loop exits as soon as a round changes no label.
+    */
+  def components(edges: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int = 30): DataFrame = {
+    val sym = edges
+      .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+    // materialized once: the edge list is re-joined EVERY round, and the
+    // caller's edge frame is typically an expensive subplan (LSH pair
+    // generation) that must not re-run per iteration
+    val both = sym.union(sym.select(col("v").as("u"), col("u").as("v")))
+      .distinct()
+      .localCheckpoint()
+    var labels = both.groupBy(col("u"))
+      .agg(least(min(col("v")), col("u")).as("comp"))
+      .select(col("u").as("node"), col("comp"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // pull each neighbor's current label, fold min per node
+      val nbrMin = both
+        .join(labels.withColumnRenamed("node", "v"), "v")
+        .groupBy(col("u")).agg(min(col("comp")).as("nbr_comp"))
+        .withColumnRenamed("u", "node")
+      val next = labels.as("l")
+        .join(nbrMin.as("n"), Seq("node"), "left")
+        .select(col("node"),
+          least(col("l.comp"), coalesce(col("n.nbr_comp"), col("l.comp"))).as("comp"),
+          (col("n.nbr_comp") < col("l.comp")).as("_chg"))
+        .localCheckpoint()
+      converged = next.filter(col("_chg")).isEmpty
+      labels = next.drop("_chg")
+      iter += 1
+    }
+    labels
+  }
+}

@@ -1,0 +1,50 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ConnectedComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def comps(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    ConnectedComponents.components(edges.toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+
+  test("chain collapses to one component labeled by its minimum") {
+    // diameter 3 — forces multiple propagation rounds
+    val m = comps(Seq((1L, 2L), (2L, 3L), (3L, 4L)))
+    assert(m == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+  }
+
+  test("disjoint components keep separate minimum labels") {
+    val m = comps(Seq((5L, 9L), (20L, 11L), (11L, 13L)))
+    assert(m == Map(5L -> 5L, 9L -> 5L, 20L -> 11L, 11L -> 11L, 13L -> 11L))
+  }
+
+  test("long path converges within the iteration bound") {
+    // path 0-1-2-...-12: worst-case diameter for min propagation
+    val edges = (0L until 12L).map(i => (i, i + 1))
+    val m = comps(edges)
+    assert(m.size == 13 && m.values.forall(_ == 0L))
+  }
+
+  test("edge direction is irrelevant (symmetrized internally)") {
+    assert(comps(Seq((7L, 3L))) == Map(7L -> 3L, 3L -> 3L))
+  }
+
+  test("duplicate and self edges are harmless") {
+    val m = comps(Seq((1L, 2L), (2L, 1L), (1L, 2L), (3L, 3L)))
+    assert(m == Map(1L -> 1L, 2L -> 1L, 3L -> 3L))
+  }
+
+  test("cluster stats over LSH-style pairs match transitive closure") {
+    // (a,b),(b,c) with no (a,c) edge: pairwise dedup keeps c, cluster
+    // dedup must not
+    val df = ConnectedComponents
+      .components(Seq((10L, 20L), (20L, 30L), (40L, 50L)).toDF("i", "j"), "i", "j")
+      .groupBy(col("comp").as("cluster"))
+      .agg(count(lit(1)).as("n"), sum(col("node")).as("s"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(df == Set((10L, 3L, 60L), (40L, 2L, 90L)))
+  }
+}
