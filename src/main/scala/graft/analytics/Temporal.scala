@@ -266,6 +266,26 @@ object Temporal extends QueryPack {
            | CAST(sum(user_id) AS BIGINT) AS sum_users
            |FROM r WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** Stream-static dimension enrichment — the batch twin of
+    * [[graft.streaming.EventStream.enrichNation]] (same logical join; the
+    * streaming run binds it to an unbounded source where the broadcast
+    * dim join is stateless per micro-batch). Aggregated per nation so the
+    * output is dimension-bounded.
+    */
+  private val enrichStatic = Q(
+    "stream_enrich_static",
+    (s, d) => graft.streaming.EventStream
+      .enrichNation(Tables.events(s, d), Tables.nation(s, d))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value")), 2).as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("n_name")),
+    Some("""SELECT n_name, count(*) AS n, round(sum(value), 2) AS sum_value,
+           | count(DISTINCT user_id) AS n_users
+           |FROM events JOIN nation ON n_nationkey = user_id % 25
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val qs: Seq[Q] = Seq(asof, asofBucketed, tumbling, jsonExtract, sliding,
-    sessionWindows, funnel, cohorts, streamDedup)
+    sessionWindows, funnel, cohorts, streamDedup, enrichStatic)
 }

@@ -32,6 +32,63 @@ object TextQueries extends QueryPack {
            |FROM t GROUP BY 1 ORDER BY 1""".stripMargin),
     headline = true)
 
+  /** Sequence packing for pretraining: concatenate each language's
+    * documents in doc_id order into one token stream, slice it into
+    * fixed-size context windows, and report the packing geometry (window
+    * count, boundary-straddling docs, tail padding). This is the
+    * concat-then-chunk packing real LLM data pipelines run after
+    * curation; the cumulative offset is ONE window-function pass (no
+    * iteration — greedy "close the bin early" packing is sequential by
+    * nature, concat-then-chunk is the parallelizable form that also
+    * wastes zero tokens). All outputs are integer arithmetic on token
+    * counts, so the DuckDB rebuild matches exactly.
+    *
+    * At 100 TB the per-language window partitionBy is the scale knob:
+    * packing is embarrassingly parallel across languages (or any
+    * coarser shard key), and within one partition the running sum is the
+    * same single sort Spark's window operator already does.
+    */
+  private val packWindows = Q(
+    "docs_pack_windows",
+    (s, d) => {
+      val ctx = 512
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("tok"))
+        .withColumn("end_off", sum(col("tok")).over(w))
+        .withColumn("start_off", col("end_off") - col("tok"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("tok")).as("total_tokens"),
+          floor((sum(col("tok")) + lit(ctx - 1)) / lit(ctx)).as("n_windows"),
+          sum(when(col("tok") > 0 &&
+            floor(col("start_off") / ctx) =!= floor((col("end_off") - 1) / ctx), 1L)
+            .otherwise(0L)).as("n_straddling"),
+          (floor((sum(col("tok")) + lit(ctx - 1)) / lit(ctx)) * ctx
+            - sum(col("tok"))).as("tail_padding"))
+        .orderBy(col("lang"))
+    },
+    Some("""WITH t AS (SELECT doc_id, lang,
+           |  CASE WHEN length(regexp_replace(text, '\s', '', 'g')) = 0 THEN 0
+           |   ELSE len(string_split_regex(trim(text), '\s+')) END AS tok
+           | FROM documents),
+           |s AS (SELECT lang, tok,
+           |  sum(tok) OVER (PARTITION BY lang ORDER BY doc_id
+           |    ROWS UNBOUNDED PRECEDING) AS end_off
+           | FROM t)
+           |SELECT lang, count(*) AS n_docs,
+           | CAST(sum(tok) AS BIGINT) AS total_tokens,
+           | CAST(floor((sum(tok) + 511) / 512.0) AS BIGINT) AS n_windows,
+           | CAST(sum(CASE WHEN tok > 0 AND
+           |    floor((end_off - tok) / 512.0) <> floor((end_off - 1) / 512.0)
+           |   THEN 1 ELSE 0 END) AS BIGINT) AS n_straddling,
+           | CAST(floor((sum(tok) + 511) / 512.0) AS BIGINT) * 512
+           |   - CAST(sum(tok) AS BIGINT) AS tail_padding
+           |FROM s GROUP BY 1 ORDER BY 1""".stripMargin))
+
   private val quality = Q(
     "text_quality_scores",
     (s, d) => {
@@ -211,6 +268,6 @@ object TextQueries extends QueryPack {
             |WHERE rank <= 10 ORDER BY 1""".stripMargin),
     headline = true)
 
-  val qs: Seq[Q] = Seq(tokenStats, quality, langid, fingerprintQ, subwords,
-    polyFingerprint, chunking, sampling, bm25)
+  val qs: Seq[Q] = Seq(tokenStats, packWindows, quality, langid, fingerprintQ,
+    subwords, polyFingerprint, chunking, sampling, bm25)
 }

@@ -131,6 +131,23 @@ object EventStream {
     events.withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Stream-static enrichment: tag each event with its user's nation by
+    * joining a broadcast dimension table. Works identically on a batch or
+    * streaming `events` frame — a stream-static equi-join is stateless in
+    * Structured Streaming (each micro-batch probes the static side; no
+    * watermark, no state store), which is why dimension enrichment is the
+    * ONE join a 100 TB/day ingest stream can afford: the dim broadcasts
+    * once per executor, the stream never shuffles.
+    *
+    * The user→nation key is the deterministic `user_id mod |nation|`
+    * assignment (the harness tables carry no FK between them).
+    */
+  def enrichNation(events: DataFrame, nation: DataFrame): DataFrame =
+    events.join(
+      org.apache.spark.sql.functions.broadcast(
+        nation.select(col("n_nationkey"), col("n_name"))),
+      pmod(col("user_id"), lit(25)) === col("n_nationkey"))
+
   /** End-to-end wiring helper: file-source stream of events parquet →
     * hourly counts → sink. The run loop the driver of a real deployment
     * owns; tests use MemoryStream instead.

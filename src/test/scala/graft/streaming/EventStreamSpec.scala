@@ -134,4 +134,28 @@ class EventStreamSpec extends SparkSpec {
           u.start == ts("2024-01-01 09:50:00") && u.end == ts("2024-01-01 10:10:00")))
     } finally q.stop()
   }
+
+  test("enrichNation: stream-static broadcast join is stateless per batch") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val nation = Seq((0, "NATION_0"), (1, "NATION_1"), (26 % 25, "DUP_IGNORED"))
+      .toDF("n_nationkey", "n_name").filter($"n_name" =!= "DUP_IGNORED")
+    val input = MemoryStream[Event]
+    val q = EventStream.enrichNation(input.toDF(), nation)
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        ev(1, "2024-01-01 10:00:00", 25, "click", 1.0), // 25 % 25 = 0
+        ev(2, "2024-01-01 10:01:00", 26, "view", 2.0), //  26 % 25 = 1
+        ev(3, "2024-01-01 10:02:00", 7, "view", 3.0)) //    7 % 25 = 7: no dim row
+      q.processAllAvailable()
+      // second batch re-probes the same static dim — no state carryover
+      input.addData(ev(4, "2024-01-01 10:03:00", 50, "click", 4.0))
+      q.processAllAvailable()
+      val out = spark.table("enriched")
+        .select($"event_id", $"n_name").as[(Long, String)].collect().toSet
+      assert(out == Set((1L, "NATION_0"), (2L, "NATION_1"), (4L, "NATION_0")))
+    } finally q.stop()
+  }
 }
