@@ -167,6 +167,43 @@ object RelationalExt extends QueryPack {
     Some("""SELECT l_partkey, CAST(count(*) AS BIGINT) AS n FROM lineitem
            |GROUP BY 1 ORDER BY n DESC, l_partkey NULLS FIRST LIMIT 10""".stripMargin))
 
+  /** Salted SHUFFLE JOIN — the join-side companion to
+    * [[saltedTopk]]'s salted aggregation. A hot join key concentrates
+    * one reducer at scale; salting spreads it: the fact side gets a
+    * row-deterministic salt, the dim side is replicated once per salt
+    * value, and the join key becomes (key, salt) so each hot key fans
+    * across 16 partitions. The oracle is the UNSALTED plain join —
+    * salting must be result-invariant, and the replicate-explode is
+    * exactly Spark's own AQE skew-join mitigation expressed manually
+    * (for engines/pipelines where AQE can't see the skew, e.g. a
+    * pre-partitioned write). At this SF Catalyst broadcasts the small
+    * replicated dim; at dim sizes past the broadcast threshold the same
+    * plan hash-shuffles both sides on the composite key, which is the
+    * scenario the salt exists for.
+    */
+  private val saltedJoin = Q(
+    "join_salted_skew",
+    (s, d) => {
+      val S = 16
+      val ev = Tables.events(s, d)
+      val dim = ev.groupBy(col("user_id").as("d_uid"))
+        .agg(min(col("ts")).as("first_seen"))
+        .withColumn("_dsalt", explode(array((0 until S).map(lit(_)): _*)))
+      ev.withColumn("_fsalt", pmod(xxhash64(col("event_id")), lit(S)))
+        .join(dim, col("user_id") === col("d_uid") && col("_fsalt") === col("_dsalt"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(unix_timestamp(col("ts")) - unix_timestamp(col("first_seen")))
+            .as("sum_age_sec"))
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH dim AS (SELECT user_id AS d_uid, min(ts) AS first_seen
+           | FROM events GROUP BY 1)
+           |SELECT event_type, count(*) AS n,
+           | CAST(sum(date_diff('second', first_seen, ts)) AS BIGINT) AS sum_age_sec
+           |FROM events JOIN dim ON user_id = d_uid
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
   /** Interval join: clicks within the 10 minutes before each purchase.
     * The equi key (user_id) drives a sort-merge join; the range predicate
     * is a post-join residual — scale-safe because pairs are bounded per
@@ -486,5 +523,6 @@ object RelationalExt extends QueryPack {
            |GROUP BY 1 ORDER BY 1""".stripMargin))
 
   val qs: Seq[Q] = Seq(q4, q8, q12, q14, q15, q17, q18, q19, q21, q22,
-    quantiles, saltedTopk, rangeJoin, groupingSets, unpivotQ, ntileDeciles)
+    quantiles, saltedTopk, saltedJoin, rangeJoin, groupingSets, unpivotQ,
+    ntileDeciles)
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over an embedding column
-  * (`array<float>`). Three paths:
+  * (`array<float>`). Four paths:
   *
   *  - [[bruteTopK]]: exact cosine top-k — the correctness baseline. Cost
   *    O(|Q|·|N|): fine for a broadcast-able query set, the wrong shape
@@ -16,6 +16,8 @@ import org.apache.spark.sql.functions._
   *    scored; recall tunes via tables × bits.
   *  - [[ivfTopK]]: coarse-quantization cells (IVF minus the k-means
   *    iterations) — each vector scored only against its own cell.
+  *  - [[pqTopK]]: product quantization — vectors compressed to per-
+  *    subspace codes (32× here); the scan reads codes, not floats.
   *
   * Dot products run in tight JVM loops (UDF): dense float math is where
   * a compiled loop beats interpreted higher-order functions outright.
@@ -193,6 +195,109 @@ object Ann {
     qAssigned.join(nAssigned, Seq("cell_id"))
       .filter(col("query_id") =!= col("vec_id"))
       .withColumn("score", cosine(col("qv"), col("nv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"))
+  }
+
+  // ---------------- Product quantization (PQ) ----------------
+  //
+  // The third ANN axis: LSH and IVF prune CANDIDATES; PQ compresses the
+  // VECTORS — each is sliced into m subvectors, each subvector snapped to
+  // one of ksub per-subspace k-means centroids, so a vector stores as m
+  // small codes (m=16, ksub=16 ⇒ 16 four-bit codes = 8 B vs 64 floats =
+  // 256 B: 32×).
+  // At 100 TB that is the difference between an index that fits executor
+  // memory and one that doesn't; scan cost is bandwidth-bound on the
+  // 8-byte codes, and scoring reconstructs through codebooks that are a
+  // driver-broadcast constant (m × ksub × subDim floats). Jégou et al.,
+  // "Product Quantization for Nearest Neighbor Search", TPAMI'11.
+
+  /** L2-nearest code in one subspace codebook (index tiebreak) — PQ
+    * assigns by Euclidean distance per subspace; cosine is resolved at
+    * query time against the reconstruction.
+    */
+  private[llm] def nearestSubCode(book: Array[Array[Float]], s: Array[Float]): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < book.length) {
+      val b = book(c)
+      var d = 0.0; var i = 0
+      while (i < s.length) { val t = s(i) - b(i); d += t * t; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  private[llm] def pqEncode(books: Array[Array[Array[Float]]], x: Array[Float]): Array[Int] = {
+    val m = books.length; val sub = x.length / m
+    Array.tabulate(m)(j =>
+      nearestSubCode(books(j), java.util.Arrays.copyOfRange(x, j * sub, (j + 1) * sub)))
+  }
+
+  private[llm] def pqDecode(books: Array[Array[Array[Float]]], codes: Seq[Int]): Array[Float] = {
+    val m = books.length; val sub = books(0)(0).length
+    val out = new Array[Float](m * sub)
+    var j = 0
+    while (j < m) { System.arraycopy(books(j)(codes(j)), 0, out, j * sub, sub); j += 1 }
+    out
+  }
+
+  /** Per-subspace k-means codebooks: hash-spread deterministic seeds +
+    * distributed Lloyd iterations, all m subspaces refined in ONE pass
+    * per iteration (encode → posexplode dims → (subspace, code, dim)
+    * partial means). Only m × ksub × subDim means ever reach the driver
+    * — same codebook-sized-collect contract as [[ivfCentroids]].
+    */
+  private[llm] def pqCodebooks(v: DataFrame, m: Int, ksub: Int,
+      iters: Int): Array[Array[Array[Float]]] = {
+    val seeds = v.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(ksub)
+      .select(col("nv")).collect().map(_.getSeq[Float](0).toArray)
+    val sub = seeds(0).length / m
+    var books = Array.tabulate(m)(j =>
+      seeds.map(x => java.util.Arrays.copyOfRange(x, j * sub, (j + 1) * sub)))
+    for (_ <- 1 to iters) {
+      val b = books
+      val codesUdf = udf((x: Array[Float]) => pqEncode(b, x))
+      val j = (col("d") / sub).cast("int")
+      val means = v.select(codesUdf(col("nv")).as("codes"),
+          posexplode(col("nv")).as(Seq("d", "x")))
+        .select(j.as("j"), col("d"), element_at(col("codes"), j + 1).as("code"), col("x"))
+        .groupBy(col("j"), col("code"), col("d")).agg(avg(col("x")).as("mn"))
+        .collect()
+      // empty codes keep their previous centroid, like IVF's empty cells
+      val next = books.map(_.map(_.clone()))
+      means.foreach { r =>
+        val sj = r.getAs[Int]("j")
+        next(sj)(r.getAs[Int]("code"))(r.getAs[Int]("d") - sj * sub) =
+          r.getAs[Double]("mn").toFloat
+      }
+      books = next
+    }
+    books
+  }
+
+  /** PQ top-k: the scan side reads (id, codes) ONLY — the float vectors
+    * exist solely inside codebook training and are dropped before the
+    * query join. Scoring is cosine against the codebook reconstruction
+    * (equivalent to an ADC table walk, kept as one reconstruct+dot loop
+    * for clarity); ranking mirrors [[bruteTopK]]'s deterministic window.
+    */
+  def pqTopK(vectors: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, m: Int = 16, ksub: Int = 16,
+      iters: Int = 2): DataFrame = {
+    val v = vectors.select(col(idCol).as("vec_id"), col(vecCol).as("nv"))
+    val books = pqCodebooks(v, m, ksub, iters)
+    val encodeUdf = udf((x: Array[Float]) => pqEncode(books, x))
+    val codes = v.select(col("vec_id"), encodeUdf(col("nv")).as("codes"))
+    val adcUdf = udf((q: Array[Float], cs: Seq[Int]) =>
+      Hashing.cosine(q, pqDecode(books, cs)))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    broadcast(q).join(codes, col("query_id") =!= col("vec_id"))
+      .withColumn("score", adcUdf(col("qv"), col("codes")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id"))

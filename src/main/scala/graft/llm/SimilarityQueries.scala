@@ -51,6 +51,15 @@ object SimilarityQueries extends QueryPack {
     },
     None)
 
+  private val pq = Q(
+    "ann_pq_topk",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      Ann.pqTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    None)
+
   /** Embedding-cosine near-dup dedup: LSH-bucketed candidates, exact
     * verify, FULL brute-force oracle. This corpus plants no near-identical
     * vectors (max pairwise cosine ≈ 0.6 — measured), so the verified
@@ -140,6 +149,6 @@ object SimilarityQueries extends QueryPack {
            | CAST(max(CAST(ceil(len / 4.0) AS BIGINT)) AS INT) AS max_sampled
            |FROM m GROUP BY 1 ORDER BY 1""".stripMargin))
 
-  val qs: Seq[Q] = Seq(brute, lsh, ivf, embDedup, mmFeatures, argmaxHist,
+  val qs: Seq[Q] = Seq(brute, lsh, ivf, pq, embDedup, mmFeatures, argmaxHist,
     mmFrames)
 }

@@ -134,6 +134,45 @@ class AnnSpec extends SparkSpec {
       s"quantizer collapsed to ${cellSizes.size} non-empty cells of 8")
   }
 
+  test("pq: ADC ranking IS brute ranking over reconstructions (exact identity)") {
+    import spark.implicits._
+    val q = emb.filter(col("vec_id") < 20)
+    val pq = Ann.pqTopK(emb, q, "vec_id", "embedding", 5)
+      .select(col("query_id"), col("rank"), col("vec_id"))
+      .as[(Long, Int, Long)].collect().toSet
+
+    // rebuild the same deterministic codebooks and rank driver-side over
+    // the decoded vectors — the operator's distributed window must agree
+    // pair-for-pair, which pins encode, decode, AND the ranking tiebreak
+    val books = Ann.pqCodebooks(
+      emb.select(col("vec_id"), col("embedding").as("nv")), m = 16, ksub = 16, iters = 2)
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val recon = vecs.map { case (id, v) =>
+      (id, Ann.pqDecode(books, Ann.pqEncode(books, v).toSeq)) }
+    val expected = vecs.filter(_._1 < 20).flatMap { case (qid, qv) =>
+      recon.filter(_._1 != qid)
+        .map { case (nid, nv) => (nid, graft.llm.Hashing.cosine(qv, nv)) }
+        .sortBy { case (nid, s) => (-s, nid) }.take(5).zipWithIndex
+        .map { case ((nid, _), i) => (qid, i + 1, nid) }
+    }.toSet
+    assert(pq === expected,
+      s"missing=${expected -- pq}, extra=${pq -- expected}")
+
+    // codes are the compressed index: m entries, each < ksub
+    val codes = Ann.pqEncode(books, vecs.head._2)
+    assert(codes.length === 16 && codes.forall(c => c >= 0 && c < 16))
+
+    // recall floor vs the uncompressed ground truth (32× compression
+    // keeps most of the neighborhood structure on this corpus)
+    val brute = Ann.bruteTopK(emb, q, "vec_id", "embedding", 5)
+      .select(col("query_id"), col("vec_id")).as[(Long, Long)].collect().toSet
+    val pqPairs = pq.map { case (a, _, c) => (a, c) }
+    val recall = (brute & pqPairs).size.toDouble / brute.size
+    info(s"pq recall@5 = $recall")
+    assert(recall >= 0.3, s"pq top-5 recall $recall")
+  }
+
   test("lsh rank-1 recall EQUALS collision coverage; coverage matches the S-curve") {
     import spark.implicits._
     val tables = 8; val bits = 8
