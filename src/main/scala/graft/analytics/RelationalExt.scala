@@ -202,7 +202,8 @@ object RelationalExt extends QueryPack {
            |SELECT event_type, count(*) AS n,
            | CAST(sum(date_diff('second', first_seen, ts)) AS BIGINT) AS sum_age_sec
            |FROM events JOIN dim ON user_id = d_uid
-           |GROUP BY 1 ORDER BY 1""".stripMargin))
+           |GROUP BY 1 ORDER BY 1""".stripMargin),
+    headline = true)
 
   /** Interval join: clicks within the 10 minutes before each purchase.
     * The equi key (user_id) drives a sort-merge join; the range predicate
@@ -457,6 +458,11 @@ object RelationalExt extends QueryPack {
     (s, d) => {
       val li = Tables.lineitem(s, d)
       val returns = li.filter(col("l_returnflag") === "R")
+      // two SEPARATE per-order aggregations, deliberately: fusing them
+      // into one agg with two countDistinct()s on different expressions
+      // plans an Expand (×2 row blowup over the FULL fact) — measured
+      // slower than one full-width pass plus one pass over the small
+      // filtered side
       val multiSupp = li.groupBy(col("l_orderkey").as("ok"))
         .agg(countDistinct(col("l_suppkey")).as("n_supp"))
         .filter(col("n_supp") > 1)
@@ -486,7 +492,8 @@ object RelationalExt extends QueryPack {
            |    WHERE l3.l_orderkey = l1.l_orderkey
            |      AND l3.l_suppkey <> l1.l_suppkey
            |      AND l3.l_returnflag = 'R')
-           |GROUP BY 1, 2 ORDER BY numwait DESC, s_suppkey LIMIT 10""".stripMargin))
+           |GROUP BY 1, 2 ORDER BY numwait DESC, s_suppkey LIMIT 10""".stripMargin),
+    headline = true)
 
   /** TPC-H Q22 shape (adapted: no phone column, and every customer here
     * has SOME order, so the anti-join window is time-bounded): customers

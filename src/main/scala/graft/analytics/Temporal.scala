@@ -284,7 +284,8 @@ object Temporal extends QueryPack {
     Some("""SELECT n_name, count(*) AS n, round(sum(value), 2) AS sum_value,
            | count(DISTINCT user_id) AS n_users
            |FROM events JOIN nation ON n_nationkey = user_id % 25
-           |GROUP BY 1 ORDER BY 1""".stripMargin))
+           |GROUP BY 1 ORDER BY 1""".stripMargin),
+    headline = true)
 
   val qs: Seq[Q] = Seq(asof, asofBucketed, tumbling, jsonExtract, sliding,
     sessionWindows, funnel, cohorts, streamDedup, enrichStatic)

@@ -87,7 +87,8 @@ object TextQueries extends QueryPack {
            |   THEN 1 ELSE 0 END) AS BIGINT) AS n_straddling,
            | CAST(floor((sum(tok) + 511) / 512.0) AS BIGINT) * 512
            |   - CAST(sum(tok) AS BIGINT) AS tail_padding
-           |FROM s GROUP BY 1 ORDER BY 1""".stripMargin))
+           |FROM s GROUP BY 1 ORDER BY 1""".stripMargin),
+    headline = true)
 
   private val quality = Q(
     "text_quality_scores",
