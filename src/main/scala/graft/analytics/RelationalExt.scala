@@ -1,6 +1,7 @@
 package graft.analytics
 
 import graft.{Q, QueryPack, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Second wave of relational shapes: existential subqueries (Q4),
@@ -145,6 +146,80 @@ object RelationalExt extends QueryPack {
            | quantile_cont(l_quantity, 0.5) AS p50,
            | quantile_cont(l_quantity, 0.75) AS p75
            |FROM lineitem""".stripMargin))
+
+  /** IQR outlier detection — the quantile-based quality gate every
+    * ingest pipeline runs before training on numeric features: quartiles
+    * in one pass, the fence test applied in a second streaming pass with
+    * the two fence numbers broadcast as a 1-row frame (never a
+    * per-row correlated subquery).
+    */
+  private val iqrOutliers = Q(
+    "agg_iqr_outliers",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val fences = li.agg(
+          percentile(col("l_extendedprice"), lit(0.25)).as("q1"),
+          percentile(col("l_extendedprice"), lit(0.75)).as("q3"))
+        .select(col("q1"), col("q3"),
+          (col("q1") - (col("q3") - col("q1")) * 1.5).as("lo"),
+          (col("q3") + (col("q3") - col("q1")) * 1.5).as("hi"))
+      li.join(broadcast(fences))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("l_extendedprice") < col("lo") ||
+            col("l_extendedprice") > col("hi"), 1L).otherwise(0L)).as("n_outliers"),
+          round(min(col("lo")), 2).as("lo_fence"),
+          round(min(col("hi")), 2).as("hi_fence"))
+    },
+    Some("""WITH f AS (SELECT quantile_cont(l_extendedprice, 0.25) AS q1,
+           |  quantile_cont(l_extendedprice, 0.75) AS q3 FROM lineitem),
+           |b AS (SELECT q1 - (q3 - q1) * 1.5 AS lo, q3 + (q3 - q1) * 1.5 AS hi
+           | FROM f)
+           |SELECT count(*) AS n,
+           | CAST(sum(CASE WHEN l_extendedprice < lo OR l_extendedprice > hi
+           |   THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           | round(min(lo), 2) AS lo_fence, round(min(hi), 2) AS hi_fence
+           |FROM lineitem, b""".stripMargin))
+
+  /** Rolling event-TIME window (RANGE frame): per order, revenue the
+    * same customer placed in the trailing 7 days, reduced to each
+    * customer's peak intensity. RANGE frames are the time-series shape
+    * ROWS frames can't express (the frame is data-dependent: however
+    * many orders fall in the interval); Spark needs the numeric
+    * epoch-seconds ordering for rangeBetween, DuckDB takes the interval
+    * directly — same [t-7d, t] closed frame.
+    */
+  private val rangeWindow = Q(
+    "window_range_7d_revenue",
+    (s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("epoch_s"))
+        .rangeBetween(-7L * 86400, 0)
+      Tables.orders(s, d)
+        // NTZ → timestamp cast before epoch math (UTC session: identity)
+        .withColumn("epoch_s", unix_timestamp(col("o_orderdate").cast("timestamp")))
+        .withColumn("n_7d", count(lit(1)).over(w))
+        .withColumn("rev_7d", sum(col("o_totalprice")).over(w))
+        .groupBy(col("o_custkey"))
+        .agg(max(col("n_7d")).as("peak_orders_7d"),
+          round(max(col("rev_7d")), 2).as("peak_rev_7d"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("peak_orders_7d")).as("sum_peak_orders"),
+          max(col("peak_orders_7d")).as("max_peak_orders"),
+          round(max(col("peak_rev_7d")), 2).as("max_peak_rev"))
+    },
+    Some("""WITH r AS (SELECT o_custkey,
+           |  count(*) OVER w AS n_7d, sum(o_totalprice) OVER w AS rev_7d
+           | FROM orders
+           | WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+           |   RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)),
+           |p AS (SELECT o_custkey, max(n_7d) AS peak_orders_7d,
+           |  round(max(rev_7d), 2) AS peak_rev_7d
+           | FROM r GROUP BY 1)
+           |SELECT count(*) AS n_customers,
+           | CAST(sum(peak_orders_7d) AS BIGINT) AS sum_peak_orders,
+           | max(peak_orders_7d) AS max_peak_orders,
+           | round(max(peak_rev_7d), 2) AS max_peak_rev
+           |FROM p""".stripMargin))
 
   /** Two-phase salted heavy hitters — the skew-mitigation pattern as an
     * explicit operator: phase 1 counts per (key, salt) so a hot key fans
@@ -530,6 +605,6 @@ object RelationalExt extends QueryPack {
            |GROUP BY 1 ORDER BY 1""".stripMargin))
 
   val qs: Seq[Q] = Seq(q4, q8, q12, q14, q15, q17, q18, q19, q21, q22,
-    quantiles, saltedTopk, saltedJoin, rangeJoin, groupingSets, unpivotQ,
-    ntileDeciles)
+    quantiles, iqrOutliers, rangeWindow, saltedTopk, saltedJoin, rangeJoin,
+    groupingSets, unpivotQ, ntileDeciles)
 }

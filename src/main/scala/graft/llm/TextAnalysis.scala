@@ -117,6 +117,17 @@ object TextAnalysis {
     * (lowercase, whitespace-collapsed) — the exact-dedup key. md5-based so
     * independent engines agree.
     */
+  /** Adjacent character pairs within one word — the unit BPE tokenizer
+    * training counts to pick its first merge. One-pass JVM UDF (the
+    * higher-order-function formulation re-evaluates per element and
+    * falls out of codegen — see [[Hashing]]).
+    */
+  def charPairs(word: Column): Column =
+    udf { (w: String) =>
+      if (w == null || w.length < 2) Array.empty[String]
+      else Array.tabulate(w.length - 1)(i => w.substring(i, i + 2))
+    }.apply(word)
+
   def fingerprint(text: Column): Column =
     substring(md5(regexp_replace(lower(trim(text)), s"$Ws+", " ")), 1, 16)
 

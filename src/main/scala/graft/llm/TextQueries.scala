@@ -90,6 +90,32 @@ object TextQueries extends QueryPack {
            |FROM s GROUP BY 1 ORDER BY 1""".stripMargin),
     headline = true)
 
+  /** BPE tokenizer-training's inner loop, distributed: count adjacent
+    * character-pair frequencies across the corpus — the statistic whose
+    * argmax is the next merge rule. One explode chain (words →
+    * char pairs) into a partial-aggregated count; at 100 TB this is the
+    * canonical map-side-combine shape (the pair alphabet is tiny, so
+    * partial aggregation collapses each task's output to ≤ |pairs|
+    * rows before the shuffle). Restricted to [a-z]+ words so the pair
+    * strings are pure ASCII (cross-engine collation-safe ordering).
+    */
+  private val bpePairs = Q(
+    "text_bpe_pair_counts",
+    (s, d) => Tables.documents(s, d)
+      .select(explode(regexp_extract_all(lower(col("text")),
+        lit("[a-z]+"), lit(0))).as("word"))
+      .select(explode(TextAnalysis.charPairs(col("word"))).as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(20),
+    Some("""WITH w AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+'))
+           |   AS word FROM documents),
+           |p AS (SELECT unnest([word[i:i+1] for i in range(1, len(word))]) AS pair
+           | FROM w WHERE len(word) >= 2)
+           |SELECT pair, count(*) AS n FROM p
+           |GROUP BY 1 ORDER BY n DESC, pair LIMIT 20""".stripMargin))
+
   private val quality = Q(
     "text_quality_scores",
     (s, d) => {
@@ -269,6 +295,6 @@ object TextQueries extends QueryPack {
             |WHERE rank <= 10 ORDER BY 1""".stripMargin),
     headline = true)
 
-  val qs: Seq[Q] = Seq(tokenStats, packWindows, quality, langid, fingerprintQ,
-    subwords, polyFingerprint, chunking, sampling, bm25)
+  val qs: Seq[Q] = Seq(tokenStats, packWindows, bpePairs, quality, langid,
+    fingerprintQ, subwords, polyFingerprint, chunking, sampling, bm25)
 }
