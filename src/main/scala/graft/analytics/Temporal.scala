@@ -287,6 +287,50 @@ object Temporal extends QueryPack {
            |GROUP BY 1 ORDER BY 1""".stripMargin),
     headline = true)
 
+  /** Gap-filled hourly resample: the dense time grid a forecasting or
+    * anomaly job needs (missing hours as explicit zeros, not absent
+    * rows). The grid generates from ONE aggregated (min, max) row via
+    * sequence + explode — rows created ∝ hours × |types|, never ∝
+    * events — then left-joins the sparse hourly counts back.
+    */
+  private val gapfill = Q(
+    "ts_gapfill_hourly",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val hourly = ev
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val grid = ev
+        .agg(date_trunc("hour", min(col("ts"))).as("h0"),
+          date_trunc("hour", max(col("ts"))).as("h1"))
+        .select(explode(sequence(col("h0"), col("h1"),
+          expr("INTERVAL 1 HOUR"))).as("hour"))
+        .crossJoin(ev.select(col("event_type")).distinct())
+      grid.join(hourly, Seq("hour", "event_type"), "left")
+        .withColumn("n", coalesce(col("n"), lit(0L)))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_hours"),
+          sum(when(col("n") === 0, 1L).otherwise(0L)).as("n_gap_hours"),
+          sum(col("n")).as("n_events"),
+          max(col("n")).as("peak_hour_events"))
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH b AS (SELECT date_trunc('hour', min(ts)) AS h0,
+           |  date_trunc('hour', max(ts)) AS h1 FROM events),
+           |g AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR))
+           |   AS hour FROM b),
+           |t AS (SELECT DISTINCT event_type FROM events),
+           |h AS (SELECT date_trunc('hour', ts) AS hour, event_type,
+           |  count(*) AS n FROM events GROUP BY 1, 2)
+           |SELECT t.event_type, count(*) AS n_hours,
+           | CAST(sum(CASE WHEN h.n IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |   AS n_gap_hours,
+           | CAST(sum(coalesce(h.n, 0)) AS BIGINT) AS n_events,
+           | CAST(max(coalesce(h.n, 0)) AS BIGINT) AS peak_hour_events
+           |FROM g CROSS JOIN t
+           | LEFT JOIN h ON g.hour = h.hour AND t.event_type = h.event_type
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val qs: Seq[Q] = Seq(asof, asofBucketed, tumbling, jsonExtract, sliding,
-    sessionWindows, funnel, cohorts, streamDedup, enrichStatic)
+    sessionWindows, funnel, cohorts, streamDedup, enrichStatic, gapfill)
 }

@@ -176,6 +176,40 @@ class PlanShapeSpec extends SparkSpec {
     assert(!v2.contains("BroadcastNestedLoopJoin"), v2)
   }
 
+  test("stream enrichment joins the dimension by broadcast, never a shuffle") {
+    val s = planString(SparkEntry.queries("stream_enrich_static")(spark, sf))
+    assert(s.contains("BroadcastHashJoin"), s)
+    assert(!s.contains("SortMergeJoin"), s)
+  }
+
+  test("salted join keys on (key, salt) composite; no cartesian fallback") {
+    val s = planString(SparkEntry.queries("join_salted_skew")(spark, sf))
+    // the salt must be part of the join key (hot-key fan-out), not a
+    // post-join filter — a residual-filter plan would keep the skew
+    assert(s.contains("_fsalt"), s)
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"), s)
+  }
+
+  test("sequence packing: one document scan, one window sort") {
+    val df = SparkEntry.queries("docs_pack_windows")(spark, sf)
+    val s = planString(df)
+    assert("Scan parquet".r.findAllIn(s).length == 1,
+      s"packing should read the corpus exactly once:\n$s")
+    assert("Window".r.findAllIn(s).length == 1,
+      s"packing needs exactly one window pass:\n$s")
+  }
+
+  test("cluster dedup: the CC loop's edge frame is checkpointed (no LSH re-plan)") {
+    // connected components iterates joins against the edge list; if the
+    // localCheckpoint is dropped, every iteration re-plans the ENTIRE
+    // LSH pair generation and the executed plan blows up with repeated
+    // band-explode subtrees. A checkpointed edge frame appears as a
+    // scan over an RDD, so the final plan contains no minhash UDF at all.
+    val s = planString(SparkEntry.queries("dedup_lsh_clusters")(spark, sf))
+    assert(s.contains("Scan ExistingRDD") || s.contains("LocalTableScan"),
+      s"expected checkpointed edges in the final aggregation plan:\n$s")
+  }
+
   test("every registered query plans and executes at sf0.001") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try { fn(spark, sf).collect(); None }
