@@ -221,6 +221,54 @@ object RelationalExt extends QueryPack {
            | round(max(peak_rev_7d), 2) AS max_peak_rev
            |FROM p""".stripMargin))
 
+  /** One PageRank step as a DuckDB CTE: rankᵏ⁺¹(v) = (1−0.85)/N +
+    * 0.85·Σ rankᵏ(u)/deg(u). `(1 - 0.85)` is written as the SUBTRACTION
+    * so both engines evaluate the identical double (the Scala side
+    * computes 1 - damping too — a literal 0.15 differs in the last ulp).
+    */
+  private def prStep(k: Int): String =
+    s"""p$k AS (SELECT e.v AS node,
+       |  (1 - 0.85) / (SELECT n FROM nn)
+       |    + 0.85 * sum(p${k - 1}.r / deg.d) AS r
+       | FROM e JOIN deg ON e.u = deg.u JOIN p${k - 1} ON e.u = p${k - 1}.node
+       | GROUP BY 1)""".stripMargin
+
+  /** PageRank centrality over the customer↔supplier co-purchase graph
+    * (edge per distinct trading pair; supplier ids offset so the two key
+    * spaces don't collide). Three deterministic power iterations via
+    * [[graft.ops.PageRank]]; the oracle unrolls the same three steps as
+    * chained CTEs. Output compares RANKS only (6dp-quantized score
+    * ordering, node tiebreak — the bruteTopK convention), never raw
+    * doubles.
+    */
+  private val pagerank = Q(
+    "graph_pagerank_copurchase",
+    (s, d) => {
+      val edges = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("cu"), (col("l_suppkey") + 1000000L).as("su"))
+        .distinct()
+      val w = Window.orderBy(round(col("r"), 6).desc, col("node"))
+      graft.ops.PageRank.ranks(edges, "cu", "su", iters = 3)
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select(col("rank"), col("node"))
+        .orderBy(col("rank"))
+    },
+    Some(s"""WITH e0 AS (SELECT DISTINCT o_custkey AS u, l_suppkey + 1000000 AS v
+            | FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+            |e AS (SELECT u, v FROM e0 UNION SELECT v AS u, u AS v FROM e0),
+            |deg AS (SELECT u, count(*) AS d FROM e GROUP BY 1),
+            |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
+            |p0 AS (SELECT u AS node, 1.0 / (SELECT n FROM nn) AS r FROM deg),
+            |${prStep(1)},
+            |${prStep(2)},
+            |${prStep(3)}
+            |SELECT CAST(row_number() OVER (ORDER BY round(r, 6) DESC, node)
+            |   AS INT) AS rank, node
+            |FROM p3 ORDER BY 1 LIMIT 10""".stripMargin))
+
   /** Two-phase salted heavy hitters — the skew-mitigation pattern as an
     * explicit operator: phase 1 counts per (key, salt) so a hot key fans
     * out over 16 reducers, phase 2 merges the partials per key. The
@@ -605,6 +653,6 @@ object RelationalExt extends QueryPack {
            |GROUP BY 1 ORDER BY 1""".stripMargin))
 
   val qs: Seq[Q] = Seq(q4, q8, q12, q14, q15, q17, q18, q19, q21, q22,
-    quantiles, iqrOutliers, rangeWindow, saltedTopk, saltedJoin, rangeJoin,
-    groupingSets, unpivotQ, ntileDeciles)
+    quantiles, iqrOutliers, rangeWindow, pagerank, saltedTopk, saltedJoin,
+    rangeJoin, groupingSets, unpivotQ, ntileDeciles)
 }

@@ -99,6 +99,40 @@ object Multimodal {
       }.toDF("media_id", "format", "n_sampled")
   }
 
+  /** 64-bit average-hash perceptual fingerprint: decode to a 64-bin
+    * feature vector (through the same codec boundary as
+    * [[extractFeatures]]), set each bit where the bin exceeds the mean.
+    * The classic aHash construction — near-identical media differ in few
+    * bits, so the SAME pigeonhole hamming search that dedups text
+    * SimHashes ([[SimHash.hammingPairs]]) dedups images/audio. Null or
+    * empty payloads return null (no bits to compare — they'd otherwise
+    * all collide at distance 0, the SimHash empty-shingle failure mode).
+    */
+  def aHash(payload: Array[Byte]): java.lang.Long = {
+    if (payload == null || payload.isEmpty) return null
+    val f = MediaCodec.decodeToFeatures(payload, 64)
+    var mean = 0.0
+    var i = 0
+    while (i < 64) { mean += f(i); i += 1 }
+    mean /= 64
+    var h = 0L
+    i = 0
+    while (i < 64) { if (f(i) > mean) h |= (1L << i); i += 1 }
+    h
+  }
+
+  /** Perceptual near-duplicate media pairs (hamming(aHash) ≤ maxDist):
+    * one decode pass for signatures, then bucketed candidate search —
+    * payloads never pairwise-compared, the 100 TB contract.
+    */
+  def phashNearDup(media: DataFrame, maxDist: Int = 3): DataFrame = {
+    val hashUdf = udf((p: Array[Byte]) => aHash(p))
+    SimHash.hammingPairs(
+      media.select(col("media_id"), hashUdf(col("media")).as("sig"))
+        .filter(col("sig").isNotNull),
+      "media_id", "sig", maxDist)
+  }
+
   /** Partition-wise feature extraction — the mapInPandas-equivalent
     * batched decode. Decoder init happens once per partition, not per
     * row; partition sizing (spark.sql.files.maxPartitionBytes) is the

@@ -217,20 +217,22 @@ object SimHash {
   def hammingDistance(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
     bit_count(a.bitwiseXOR(b))
 
-  /** Pairs within hamming distance `maxDist`, found via d+1 chunk-equality
-    * buckets and verified exactly.
+  /** Generic hamming-ball pair search over precomputed 64-bit signatures
+    * — the pigeonhole bucketing shared by text SimHash and the
+    * multimodal perceptual-hash dedup ([[Multimodal]]): distance ≤ d
+    * pairs agree on ≥1 of d+1 signature chunks, so chunk-equality
+    * buckets bound the candidate set. Input must already exclude
+    * degenerate signatures (see [[simhashUdf]]'s null guard).
     */
-  def nearPairs(docs: DataFrame, idCol: String, textCol: String,
-      maxDist: Int = 3): DataFrame = {
+  def hammingPairs(sigs: DataFrame, idCol: String, sigCol: String,
+      maxDist: Int): DataFrame = {
     val chunks = maxDist + 1
     val width = 64 / chunks
     // not cached: the chunk-key frame self-joins on identical subplans,
     // so AQE reuses the one shuffle exchange — recomputing the cheap
-    // one-pass simhash beats holding corpus-sized blocks with no
+    // one-pass signature beats holding corpus-sized blocks with no
     // unpersist point (the returned frame is lazy)
-    val base = docs
-      .select(col(idCol).as("id"), simhashUdf(col(textCol)).as("sig"))
-      .filter(col("sig").isNotNull)
+    val base = sigs.select(col(idCol).as("id"), col(sigCol).as("sig"))
     val chunkKeys = (0 until chunks).map { c =>
       struct(lit(c).as("chunk"),
         shiftright(col("sig"), c * width)
@@ -245,4 +247,14 @@ object SimHash {
       .distinct()
       .filter(col("dist") <= maxDist)
   }
+
+  /** Pairs within hamming distance `maxDist`, found via d+1 chunk-equality
+    * buckets and verified exactly.
+    */
+  def nearPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 3): DataFrame =
+    hammingPairs(
+      docs.select(col(idCol).as("id"), simhashUdf(col(textCol)).as("sig"))
+        .filter(col("sig").isNotNull),
+      "id", "sig", maxDist)
 }

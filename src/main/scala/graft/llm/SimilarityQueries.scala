@@ -149,6 +149,21 @@ object SimilarityQueries extends QueryPack {
            | CAST(max(CAST(ceil(len / 4.0) AS BIGINT)) AS INT) AS max_sampled
            |FROM m GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** Perceptual-hash media dedup: aHash signatures through the batched
+    * decode boundary, then the shared pigeonhole hamming search. The
+    * hash is engine-defined (no SQL oracle) — planted-duplicate
+    * behavior is pinned in MultimodalSpec; here the corpus run is
+    * registered with a rows-only check, pairs ordered deterministically.
+    */
+  private val mmPhash = Q(
+    "mm_phash_neardup",
+    (s, d) => {
+      val media = Multimodal.synthesize(Tables.documents(s, d), "doc_id", "text")
+      Multimodal.phashNearDup(media, maxDist = 2)
+        .orderBy(col("i"), col("j"))
+    },
+    None)
+
   val qs: Seq[Q] = Seq(brute, lsh, ivf, pq, embDedup, mmFeatures, argmaxHist,
-    mmFrames)
+    mmFrames, mmPhash)
 }

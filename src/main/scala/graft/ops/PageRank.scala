@@ -1,0 +1,46 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Damped PageRank over an undirected edge list — the second iterative
+  * graph operator next to [[ConnectedComponents]] (CC labels components;
+  * PageRank scores CENTRALITY inside them — which suppliers/customers
+  * anchor the co-purchase graph, which documents anchor a near-dup
+  * cluster).
+  *
+  * Fixed-iteration power method, fully deterministic: rank⁰ = 1/N;
+  * rankᵏ⁺¹(v) = (1−d)/N + d · Σ_{u→v} rankᵏ(u)/deg(u). Undirected input
+  * (edges symmetrized) means every node has outdegree ≥ 1, so there is
+  * no dangling-mass correction term to redistribute.
+  *
+  * Scale shape per iteration: one broadcast-or-hash join of the compact
+  * (u, v) edge list against the one-row-per-node rank frame, one
+  * groupBy(v) partial-aggregated sum — the same movement as one CC
+  * round. The node count is the only scalar on the driver; per-round
+  * `localCheckpoint` truncates lineage exactly as in CC.
+  */
+object PageRank {
+
+  def ranks(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 3, damping: Double = 0.85): DataFrame = {
+    val sym0 = edges
+      .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+    val sym = sym0.union(sym0.select(col("v").as("u"), col("u").as("v")))
+      .distinct()
+      .localCheckpoint()
+    val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("d"))
+    val n = deg.count()
+    var ranks = deg.select(col("u").as("node"), lit(1.0 / n).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = sym
+        .join(deg, "u")
+        .join(ranks.withColumnRenamed("node", "u"), "u")
+        .select(col("v").as("node"), (col("r") / col("d")).as("c"))
+      ranks = contrib.groupBy(col("node"))
+        .agg((lit((1 - damping) / n) + lit(damping) * sum(col("c"))).as("r"))
+        .localCheckpoint()
+    }
+    ranks
+  }
+}

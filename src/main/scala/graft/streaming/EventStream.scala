@@ -131,6 +131,30 @@ object EventStream {
     events.withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Stream-STREAM event-time interval join: each purchase matched to
+    * the same user's clicks from the 10 minutes before it — the
+    * streaming twin of the batch `range_join_clicks_before_purchase`
+    * query (same equi key + time-range condition). Watermarks on BOTH
+    * sides plus the range bound are what make unbounded×unbounded
+    * tractable: the state store only retains clicks younger than
+    * watermark − 10 min, because the join condition proves older ones
+    * can never match a future purchase. Without the time bound Spark
+    * rejects the append-mode join outright — state would grow forever.
+    */
+  def clickAttribution(purchases: DataFrame, clicks: DataFrame): DataFrame = {
+    val p = purchases.withWatermark("ts", "30 minutes")
+      .select(col("event_id").as("p_eid"), col("user_id").as("p_uid"),
+        col("ts").as("p_ts"))
+    val c = clicks.withWatermark("ts", "30 minutes")
+      .select(col("event_id").as("c_eid"), col("user_id").as("c_uid"),
+        col("ts").as("c_ts"))
+    p.join(c, col("p_uid") === col("c_uid") &&
+      col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
+      col("c_ts") <= col("p_ts"))
+      .select(col("p_eid"), col("p_uid").as("user_id"), col("p_ts"),
+        col("c_eid"), col("c_ts"))
+  }
+
   /** Stream-static enrichment: tag each event with its user's nation by
     * joining a broadcast dimension table. Works identically on a batch or
     * streaming `events` frame — a stream-static equi-join is stateless in

@@ -265,6 +265,33 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
     assert(got === Map(1L -> 3, 2L -> 0, 3L -> 4))
   }
+
+  test("phashNearDup: planted duplicates found, empty payloads never pair") {
+    import spark.implicits._
+    val base = Array.tabulate(256)(i => (i * 37 % 251).toByte)
+    val nearDup = base.clone // one byte nudged: few aHash bits flip
+    nearDup(0) = (nearDup(0) + 3).toByte
+    val unrelated = Array.tabulate(256)(i => (i * i % 17).toByte)
+    val media = Seq(
+      (1L, base), (2L, base.clone), // exact dup → distance 0
+      (3L, nearDup), //                near dup → small distance
+      (4L, unrelated),
+      (5L, Array.empty[Byte]), (6L, Array.empty[Byte]), // degenerate: no pairs
+      (7L, null.asInstanceOf[Array[Byte]]))
+      .toDF("media_id", "media")
+    val pairs = Multimodal.phashNearDup(media, maxDist = 8)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(pairs.contains((1L, 2L, 0)), s"exact dup missed: $pairs")
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 3L), s"near dup missed: $pairs")
+    assert(!pairs.exists(p => p._1 >= 5L || p._2 >= 5L),
+      s"degenerate payloads paired: $pairs")
+    assert(!pairs.exists(p => p._2 == 4L && p._3 == 0), s"false exact dup: $pairs")
+
+    // aHash determinism + null contract
+    assert(Multimodal.aHash(base) == Multimodal.aHash(base.clone))
+    assert(Multimodal.aHash(Array.empty[Byte]) == null)
+    assert(Multimodal.aHash(null) == null)
+  }
 }
 
 class TextAnalysisSpec extends SparkSpec {

@@ -135,6 +135,31 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("clickAttribution: stream-stream interval join within the time bound") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val purchases = MemoryStream[Event]
+    val clicks = MemoryStream[Event]
+    val q = EventStream.clickAttribution(purchases.toDF(), clicks.toDF())
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode(OutputMode.Append).start()
+    try {
+      clicks.addData(
+        ev(10, "2024-01-01 10:02:00", 1, "click", 0.0), //  8 min before: match
+        ev(11, "2024-01-01 09:55:00", 1, "click", 0.0), // 15 min before: too old
+        ev(12, "2024-01-01 10:05:00", 2, "click", 0.0)) //  other user
+      purchases.addData(ev(1, "2024-01-01 10:10:00", 1, "purchase", 9.0))
+      q.processAllAvailable()
+      // late-but-in-window click arrives in a LATER batch: the stream-
+      // stream state store must still match it to the buffered purchase
+      clicks.addData(ev(13, "2024-01-01 10:08:00", 1, "click", 0.0))
+      q.processAllAvailable()
+      val out = spark.table("attrib")
+        .select($"p_eid", $"c_eid").as[(Long, Long)].collect().toSet
+      assert(out == Set((1L, 10L), (1L, 13L)))
+    } finally q.stop()
+  }
+
   test("enrichNation: stream-static broadcast join is stateless per batch") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
