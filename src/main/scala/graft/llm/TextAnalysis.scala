@@ -117,6 +117,26 @@ object TextAnalysis {
     * (lowercase, whitespace-collapsed) — the exact-dedup key. md5-based so
     * independent engines agree.
     */
+  /** Edit-distance-1 pairs within a word list — SymSpell deletion-
+    * neighborhood candidate generation (two words are within distance 1
+    * iff their {word} ∪ delete-one sets intersect) + exact Levenshtein
+    * verify. Bucket join, never all-pairs over the vocabulary.
+    */
+  def spellVariantPairs(words: org.apache.spark.sql.DataFrame,
+      wordCol: String): org.apache.spark.sql.DataFrame = {
+    val delUdf = udf { (w: String) =>
+      (w +: Array.tabulate(w.length)(i =>
+        w.substring(0, i) + w.substring(i + 1))).distinct
+    }
+    val keyed = words.select(col(wordCol).as("word"),
+      explode(delUdf(col(wordCol))).as("v"))
+    keyed.as("a").join(keyed.as("b"),
+        col("a.v") === col("b.v") && col("a.word") < col("b.word"))
+      .select(col("a.word").as("w1"), col("b.word").as("w2"))
+      .distinct()
+      .filter(levenshtein(col("w1"), col("w2")) <= 1)
+  }
+
   /** Adjacent character pairs within one word — the unit BPE tokenizer
     * training counts to pick its first merge. One-pass JVM UDF (the
     * higher-order-function formulation re-evaluates per element and

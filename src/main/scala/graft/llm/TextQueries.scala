@@ -116,6 +116,42 @@ object TextQueries extends QueryPack {
            |SELECT pair, count(*) AS n FROM p
            |GROUP BY 1 ORDER BY n DESC, pair LIMIT 20""".stripMargin))
 
+  /** Spell-variant detection over the frequent vocabulary — SymSpell's
+    * deletion-neighborhood trick distributed: two words are within edit
+    * distance 1 iff their {word} ∪ delete-one-char sets intersect, so
+    * candidate generation is a bucket join on those variants (never
+    * all-pairs over the vocabulary) and exact Levenshtein verifies the
+    * survivors. The vocabulary cut (top-K by frequency, word tiebreak)
+    * is what a corpus normalizer actually scans for OCR/typo variants.
+    * ASCII-restricted words: cross-engine collation-safe.
+    *
+    * This corpus's synthetic vocabulary (31 distinct words, measured)
+    * contains no distance-1 pairs, so the verified result is the correct
+    * EMPTY set in both engines; find-the-variant behavior is proven on
+    * planted typos in TextAnalysisSpec (mirroring the
+    * `dedup_embedding_cosine` pattern).
+    */
+  private val spellVariants = Q(
+    "text_spell_variants",
+    (s, d) => {
+      val vocab = Tables.documents(s, d)
+        .select(explode(regexp_extract_all(lower(col("text")),
+          lit("[a-z]+"), lit(0))).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word")).limit(200)
+        .select(col("word"))
+      TextAnalysis.spellVariantPairs(vocab, "word")
+        .orderBy(col("w1"), col("w2"))
+    },
+    Some("""WITH w AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+'))
+           |   AS word FROM documents),
+           |v AS (SELECT word FROM (SELECT word, count(*) AS n FROM w GROUP BY 1
+           |   ORDER BY n DESC, word LIMIT 200)),
+           |p AS (SELECT a.word AS w1, b.word AS w2
+           | FROM v a JOIN v b ON a.word < b.word
+           | WHERE levenshtein(a.word, b.word) <= 1)
+           |SELECT w1, w2 FROM p ORDER BY 1, 2""".stripMargin))
+
   private val quality = Q(
     "text_quality_scores",
     (s, d) => {
@@ -295,6 +331,7 @@ object TextQueries extends QueryPack {
             |WHERE rank <= 10 ORDER BY 1""".stripMargin),
     headline = true)
 
-  val qs: Seq[Q] = Seq(tokenStats, packWindows, bpePairs, quality, langid,
-    fingerprintQ, subwords, polyFingerprint, chunking, sampling, bm25)
+  val qs: Seq[Q] = Seq(tokenStats, packWindows, bpePairs, spellVariants,
+    quality, langid, fingerprintQ, subwords, polyFingerprint, chunking,
+    sampling, bm25)
 }

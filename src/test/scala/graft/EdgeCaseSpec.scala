@@ -24,6 +24,32 @@ class EdgeCaseSpec extends SparkSpec {
     assert(k2.count() === 0 && logged.count() === 0)
   }
 
+  test("graph operators on empty and singleton edge lists") {
+    val empty = Seq.empty[(Long, Long)].toDF("i", "j")
+    assert(ops.ConnectedComponents.components(empty, "i", "j").count() === 0)
+    assert(ops.PageRank.ranks(empty, "i", "j").count() === 0)
+    // one self-loop: a single node, rank mass all on it
+    val self = Seq((5L, 5L)).toDF("i", "j")
+    val pr = ops.PageRank.ranks(self, "i", "j").as[(Long, Double)].collect()
+    assert(pr.toSeq == Seq((5L, 1.0)))
+    assert(ops.ConnectedComponents.components(self, "i", "j")
+      .as[(Long, Long)].collect().toSeq == Seq((5L, 5L)))
+  }
+
+  test("sequence packing and gap-fill behave on empty-token and null rows") {
+    // zero-token docs take no space (offsets equal, never straddling);
+    // null text propagates null — SQL semantics, mirrored by the DuckDB
+    // oracle's CASE, so the two engines stay consistent
+    val docs = Seq((1L, "a b c"), (2L, ""), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val tok = docs.select(graft.llm.TextAnalysis.tokenCount(col("text")).as("t"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getInt(0)))
+    assert(tok.toSeq == Seq(Some(3), Some(0), None))
+    val pairs = graft.llm.TextAnalysis.spellVariantPairs(
+      Seq.empty[String].toDF("word"), "word")
+    assert(pairs.count() === 0)
+  }
+
   test("null text rows flow through every text operator without NPE") {
     val withNull = Seq((1L, "a b c d"), (2L, null)).toDF("doc_id", "text")
     assert(MinHashLsh.nearDupPairs(withNull, "doc_id", "text", 0.8).count() === 0)

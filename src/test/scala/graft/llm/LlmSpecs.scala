@@ -296,6 +296,33 @@ class MultimodalSpec extends SparkSpec {
 
 class TextAnalysisSpec extends SparkSpec {
 
+  test("spellVariantPairs: deletion buckets find exactly the distance-1 pairs") {
+    import spark.implicits._
+    val vocab = Seq("model", "modell", "madel", "nodel", // del/sub/sub of model
+      "spark", "sprak", //                                  transposition: dist 2
+      "query", "data" //                                    unrelated
+    ).toDF("word")
+    val got = TextAnalysis.spellVariantPairs(vocab, "word")
+      .as[(String, String)].collect().toSet
+    // brute-force ground truth over the same list
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val words = vocab.as[String].collect()
+    val brute = (for {
+      a <- words; b <- words if a < b && lev(a, b) <= 1
+    } yield (a, b)).toSet
+    assert(got === brute, s"got=$got brute=$brute")
+    assert(got.contains(("madel", "model")) && got.contains(("model", "modell")))
+    assert(!got.exists(p => p._1 == "spark" || p._2 == "sprak"),
+      s"transposition is distance 2: $got")
+  }
+
   test("tokenCount/subwordCount/ratios on literal rows") {
     import spark.implicits._
     val df = Seq("hello world  foo", "a b", "", "one,two 3").toDF("text")
