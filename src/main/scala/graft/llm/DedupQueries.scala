@@ -89,12 +89,13 @@ object DedupQueries extends QueryPack {
     * connected-components queries. `WITH RECURSIVE` + UNION (set
     * semantics) terminates because the reachable-label set is finite.
     */
-  private def clusterChain: String =
+  private[llm] def clusterChain(from: String = "documents",
+      textCol: String = "text"): String =
     s"""d AS (SELECT doc_id,
        |  list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
        |    for i in range(1, len(w)-1)]) AS sh
-       | FROM (SELECT doc_id, ${CorpusQueries.WordsExpr} AS w
-       |       FROM documents)
+       | FROM (SELECT doc_id, ${CorpusQueries.wordsExpr(textCol)} AS w
+       |       FROM $from)
        | WHERE len(w) >= 3),
        |p AS (SELECT a.doc_id AS i, b.doc_id AS j
        | FROM d a JOIN d b ON a.doc_id < b.doc_id
@@ -125,7 +126,7 @@ object DedupQueries extends QueryPack {
         .agg(count(lit(1)).as("n_members"), sum(col("node")).as("sum_members"))
         .orderBy(col("cluster"))
     },
-    Some(s"""WITH RECURSIVE ${clusterChain}
+    Some(s"""WITH RECURSIVE ${clusterChain()}
             |SELECT cluster, count(*) AS n_members,
             | CAST(sum(node) AS BIGINT) AS sum_members
             |FROM comp GROUP BY 1 ORDER BY 1""".stripMargin),
@@ -147,10 +148,65 @@ object DedupQueries extends QueryPack {
       docs.join(drops, Seq("doc_id"), "left_anti")
         .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("sum_kept"))
     },
-    Some(s"""WITH RECURSIVE ${clusterChain}
+    Some(s"""WITH RECURSIVE ${clusterChain()}
             |SELECT count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS sum_kept
             |FROM documents
             |WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> cluster)""".stripMargin))
+
+  /** The round-4 flagship: the curation pipeline with TRANSITIVE dedup —
+    * quality gate → exact-fingerprint keep-first → MinHash-LSH pairs →
+    * connected components → keep each cluster's min-id representative →
+    * sequence-packing geometry of the surviving corpus per language.
+    * Upgrades the pairwise drop-the-j rule of `docs_training_pipeline`:
+    * (a,b),(b,c) chains now collapse to ONE representative even when
+    * (a,c) misses the 0.8 bar. The oracle rebuilds every stage
+    * independently (brute-force pairs + recursive-CTE closure where the
+    * engine is banded + iterative); sum_ids pins the exact surviving
+    * document SET, not just its size.
+    */
+  private val trainingV3 = Q(
+    "docs_training_pipeline_v3",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val quality = docs.filter(
+        TextAnalysis.tokenCount(col("text")) >= 20 &&
+          TextAnalysis.alphaRatio(col("text")) >= 0.5)
+      val (exactKept, _) = Dedup.keepFirst(
+        quality.withColumn("fp", TextAnalysis.fingerprint(col("text"))),
+        Seq(col("fp")), col("doc_id"))
+      val pairs = MinHashLsh.nearDupPairs(exactKept, "doc_id", "text", 0.8)
+      val drops = ConnectedComponents.components(pairs, "i", "j")
+        .filter(col("node") =!= col("comp"))
+        .select(col("node").as("doc_id"))
+      val deduped = exactKept.join(drops, Seq("doc_id"), "left_anti")
+      deduped
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("tok"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).as("sum_ids"),
+          sum(col("tok")).as("total_tokens"),
+          floor((sum(col("tok")) + lit(511)) / lit(512)).as("n_windows"))
+        .orderBy(col("lang"))
+    },
+    Some(s"""WITH RECURSIVE q AS (SELECT * FROM documents
+            | WHERE ${CorpusQueries.qualityPredSql("text", 20, 0.5)}),
+            |e AS (SELECT * FROM (SELECT *, row_number() OVER (
+            |   PARTITION BY ${CorpusQueries.fingerprintExpr("text")}
+            |   ORDER BY doc_id) AS rn FROM q) WHERE rn = 1),
+            |${clusterChain(from = "e")},
+            |dd AS (SELECT * FROM e WHERE doc_id NOT IN
+            |  (SELECT node FROM comp WHERE node <> cluster)),
+            |t AS (SELECT doc_id, lang,
+            |  CASE WHEN length(regexp_replace(text, '\\s', '', 'g')) = 0 THEN 0
+            |   ELSE len(string_split_regex(trim(text), '\\s+')) END AS tok
+            | FROM dd)
+            |SELECT lang, count(*) AS n_docs,
+            | CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+            | CAST(sum(tok) AS BIGINT) AS total_tokens,
+            | CAST(floor((sum(tok) + 511) / 512.0) AS BIGINT) AS n_windows
+            |FROM t GROUP BY 1 ORDER BY 1""".stripMargin),
+    headline = true)
 
   /** The composite a training-data team actually runs, end-to-end with a
     * FULL independent oracle: quality filter → exact-fingerprint dedup
@@ -264,5 +320,5 @@ object DedupQueries extends QueryPack {
     headline = true)
 
   val qs: Seq[Q] = Seq(exact, minhash, simhash, ngramJaccard,
-    lshClusters, clusterSurvivors, trainingPipeline, trainingV2)
+    lshClusters, clusterSurvivors, trainingPipeline, trainingV2, trainingV3)
 }
