@@ -126,6 +126,27 @@ object Dashboard extends QueryPack {
     (s, d) => Analytics.approxDistinct(Tables.events(s, d), "user_id"),
     None)
 
+  /** A4 at fleet scale: Datasketches HLL with explicit partial-sketch
+    * MERGE — per-source sketches union to one estimate, which is the
+    * whole point of a mergeable sketch (per-partition/per-day sketches
+    * stored compact, combined without rescanning raw data; cardinality
+    * of a 100 TB union = merging kilobyte sketches). Sketch internals
+    * are engine-defined → no SQL oracle; AnalyticsSpec pins
+    * merged == direct == within ε of exact.
+    */
+  private val a4sketchMerge = Q(
+    "a4_hll_sketch_merge",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val perType = ev.groupBy(col("event_type"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      perType
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_merged"))
+        .crossJoin(ev.agg(
+          hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est_direct")))
+    },
+    None)
+
   /** A5 exact reference shape: # groups via grouped-distinct-then-count. */
   private val a5groups = Q(
     "a5_groups_with_distinct",
@@ -211,6 +232,7 @@ object Dashboard extends QueryPack {
     None,
     headline = true)
 
-  val qs: Seq[Q] = Seq(a1, a2, a3, a3pivot, a4, a4approx, a5, a5groups,
-    a6num, a6time, a6tsEqui, a7, a8, profileQ, f6, f7, f8, a2freq)
+  val qs: Seq[Q] = Seq(a1, a2, a3, a3pivot, a4, a4approx, a4sketchMerge,
+    a5, a5groups, a6num, a6time, a6tsEqui, a7, a8, profileQ, f6, f7, f8,
+    a2freq)
 }

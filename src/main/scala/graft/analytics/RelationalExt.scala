@@ -147,6 +147,43 @@ object RelationalExt extends QueryPack {
            | quantile_cont(l_quantity, 0.75) AS p75
            |FROM lineitem""".stripMargin))
 
+  /** Exact DECIMAL money arithmetic — the audit-grade path beside the
+    * double-based revenue queries: every value casts to DECIMAL(12,2) at
+    * the scan, products carry scale 4, and sums are EXACT (Tungsten's
+    * decimal aggregation), so the cross-engine compare needs no
+    * rounding convention at all — the one query family where the hash
+    * compare is bit-exact by construction. Final sums cast to a fixed
+    * precision on BOTH sides because Spark and DuckDB widen sum()
+    * precision differently (38 vs input+10) while the VALUES agree.
+    */
+  private val decimalPricing = Q(
+    "q1_pricing_decimal",
+    (s, d) => {
+      val dec = "decimal(12,2)"
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("l_quantity").cast(dec).as("qty"),
+          col("l_extendedprice").cast(dec).as("price"),
+          col("l_discount").cast(dec).as("disc"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("qty")).cast("decimal(20,2)").as("sum_qty"),
+          sum(col("price")).cast("decimal(20,2)").as("sum_price"),
+          sum(col("price") * (lit(1).cast(dec) - col("disc")))
+            .cast("decimal(24,4)").as("sum_disc_price"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+           | CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(20,2))
+           |   AS sum_qty,
+           | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(20,2))
+           |   AS sum_price,
+           | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+           |   * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+           |   AS DECIMAL(24,4)) AS sum_disc_price,
+           | count(*) AS n
+           |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
   /** IQR outlier detection — the quantile-based quality gate every
     * ingest pipeline runs before training on numeric features: quartiles
     * in one pass, the fence test applied in a second streaming pass with
@@ -653,6 +690,6 @@ object RelationalExt extends QueryPack {
            |GROUP BY 1 ORDER BY 1""".stripMargin))
 
   val qs: Seq[Q] = Seq(q4, q8, q12, q14, q15, q17, q18, q19, q21, q22,
-    quantiles, iqrOutliers, rangeWindow, pagerank, saltedTopk, saltedJoin,
-    rangeJoin, groupingSets, unpivotQ, ntileDeciles)
+    quantiles, decimalPricing, iqrOutliers, rangeWindow, pagerank,
+    saltedTopk, saltedJoin, rangeJoin, groupingSets, unpivotQ, ntileDeciles)
 }

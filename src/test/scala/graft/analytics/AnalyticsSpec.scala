@@ -18,6 +18,24 @@ class AnalyticsSpec extends SparkSpec {
       s"approx $approx vs exact $exact")
   }
 
+  test("HLL sketch MERGE: union of per-group sketches equals the direct sketch") {
+    // the property that makes the sketch useful at fleet scale: building
+    // per-partition sketches and unioning them must lose nothing vs one
+    // global pass — and both must track the exact cardinality
+    val exact = events.select("user_id").distinct().count()
+    val merged = events.groupBy(col("event_type"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      .collect()(0).getLong(0)
+    val direct = events
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est"))
+      .collect()(0).getLong(0)
+    assert(merged === direct,
+      s"sketch union is lossy: merged=$merged direct=$direct")
+    assert(math.abs(direct - exact).toDouble / exact < 0.05,
+      s"estimate $direct vs exact $exact")
+  }
+
   test("approx_percentile tracks exact percentile (the 100 TB quantile path)") {
     // the oracle-checked agg_exact_quantiles_quantity covers the exact
     // path cross-engine; price quantiles live here, where t-digest
