@@ -152,6 +152,39 @@ object TextQueries extends QueryPack {
            | WHERE levenshtein(a.word, b.word) <= 1)
            |SELECT w1, w2 FROM p ORDER BY 1, 2""".stripMargin))
 
+  /** Weighted sampling without replacement — the data-MIXING primitive
+    * (upweight long/high-quality documents when drawing a training
+    * subset): Efraimidis-Spirakis keys u^(1/w) with u a hash-derived
+    * uniform, top-k by key. One scan, no RNG state — the sample is a
+    * pure function of (doc_id, weight), so it is reproducible across
+    * engines, retries, and partitionings, and the top-k plans as
+    * per-partition heaps (TakeOrderedAndProject), never a global sort.
+    * Keys quantize to 6dp before ranking (the bruteTopK convention) so
+    * last-ulp pow() differences between engines cannot flip an order.
+    */
+  private val weightedSample = Q(
+    "text_weighted_sample",
+    (s, d) => {
+      val w = TextAnalysis.tokenCount(col("text")).cast("double") + lit(1.0)
+      // 15 hex chars of md5(doc_id) → uniform in (0,1); 16^15 = 2^60
+      val v = conv(substring(md5(col("doc_id").cast("string")), 1, 15),
+        16, 10).cast("double")
+      val u = (v + lit(1.0)) / lit(math.pow(16.0, 15) + 1.0)
+      Tables.documents(s, d)
+        .select(col("doc_id"), round(pow(u, lit(1.0) / w), 6).as("k"))
+        .orderBy(col("k").desc, col("doc_id"))
+        .limit(20)
+    },
+    Some("""WITH t AS (SELECT doc_id,
+           |  round(pow(
+           |   (CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+           |      AS BIGINT) + 1.0) / (1152921504606846976.0 + 1.0),
+           |   1.0 / (1.0 + CASE WHEN length(regexp_replace(text, '\s', '', 'g')) = 0
+           |     THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END)), 6)
+           |   AS k
+           | FROM documents)
+           |SELECT doc_id, k FROM t ORDER BY k DESC, doc_id LIMIT 20""".stripMargin))
+
   private val quality = Q(
     "text_quality_scores",
     (s, d) => {
@@ -332,6 +365,6 @@ object TextQueries extends QueryPack {
     headline = true)
 
   val qs: Seq[Q] = Seq(tokenStats, packWindows, bpePairs, spellVariants,
-    quality, langid, fingerprintQ, subwords, polyFingerprint, chunking,
-    sampling, bm25)
+    weightedSample, quality, langid, fingerprintQ, subwords, polyFingerprint,
+    chunking, sampling, bm25)
 }

@@ -37,6 +37,26 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(m == Map(1L -> 1L, 2L -> 1L, 3L -> 3L))
   }
 
+  test("large-star/small-star variant equals min-label propagation") {
+    // deterministic pseudo-random graphs of several shapes: chains
+    // (worst case for propagation), stars, cliques, and hash-scrambled
+    // sparse graphs — both algorithms must produce identical labelings
+    val graphs: Seq[Seq[(Long, Long)]] = Seq(
+      (0L until 20L).map(i => (i, i + 1)), // long chain
+      (1L until 10L).map(i => (0L, i)), //    star
+      (for { i <- 0L until 6L; j <- 0L until 6L if i < j } yield (i, j)), // clique
+      (0L until 40L).map(i => ((i * 7919) % 23, (i * 104729) % 23)), // scrambled
+      Seq((5L, 5L), (1L, 2L)) //             self-loop + pair
+    )
+    graphs.zipWithIndex.foreach { case (g, gi) =>
+      val viaProp = comps(g)
+      val viaStar = ConnectedComponents
+        .componentsStar(g.toDF("a", "b"), "a", "b")
+        .as[(Long, Long)].collect().toMap
+      assert(viaStar == viaProp, s"graph #$gi: star=$viaStar prop=$viaProp")
+    }
+  }
+
   test("cluster stats over LSH-style pairs match transitive closure") {
     // (a,b),(b,c) with no (a,c) edge: pairwise dedup keeps c, cluster
     // dedup must not
