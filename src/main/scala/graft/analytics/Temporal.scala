@@ -331,6 +331,49 @@ object Temporal extends QueryPack {
            | LEFT JOIN h ON g.hour = h.hour AND t.event_type = h.event_type
            |GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** Z-score anomaly detection over the hourly series: flag (type, hour)
+    * cells whose count deviates > 3σ from that type's mean. The z² > 9
+    * test is algebraically rewritten to (nh·n − s)² > 9·(nh·s2 − s²) —
+    * every operand derives from exact integral aggregates (count, sum,
+    * sum of squares), so there is no mean/stddev rounding to diverge
+    * between engines; the single squaring happens in double from
+    * identical exact integers, hence bit-identically. The sufficient-
+    * statistics join is the scale shape: per-type (nh, s, s2) is tiny
+    * and broadcasts; the hourly frame streams through once.
+    */
+  private val anomalies = Q(
+    "ts_anomalous_hours",
+    (s, d) => {
+      val hourly = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("n"))
+      val stats = hourly.groupBy(col("event_type").as("et"))
+        .agg(count(lit(1)).as("nh"), sum(col("n")).as("s"),
+          sum(col("n") * col("n")).as("s2"))
+      hourly.join(broadcast(stats), col("event_type") === col("et"))
+        .withColumn("dev2",
+          pow((col("nh") * col("n") - col("s")).cast("double"), 2))
+        .withColumn("thresh",
+          (lit(9) * (col("nh") * col("s2") - col("s") * col("s"))).cast("double"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_hours"),
+          sum(when(col("dev2") > col("thresh"), 1L).otherwise(0L))
+            .as("n_anomalous"))
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+           |  count(*) AS n FROM events GROUP BY 1, 2),
+           |st AS (SELECT event_type AS et, count(*) AS nh,
+           |  CAST(sum(n) AS BIGINT) AS s, CAST(sum(n * n) AS BIGINT) AS s2
+           | FROM h GROUP BY 1)
+           |SELECT event_type, count(*) AS n_hours,
+           | CAST(sum(CASE WHEN pow(CAST(nh * n - s AS DOUBLE), 2)
+           |     > CAST(9 * (nh * s2 - s * s) AS DOUBLE)
+           |   THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalous
+           |FROM h JOIN st ON event_type = et
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val qs: Seq[Q] = Seq(asof, asofBucketed, tumbling, jsonExtract, sliding,
-    sessionWindows, funnel, cohorts, streamDedup, enrichStatic, gapfill)
+    sessionWindows, funnel, cohorts, streamDedup, enrichStatic, gapfill,
+    anomalies)
 }
