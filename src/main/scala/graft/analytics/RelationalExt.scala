@@ -147,6 +147,88 @@ object RelationalExt extends QueryPack {
            | quantile_cont(l_quantity, 0.75) AS p75
            |FROM lineitem""".stripMargin))
 
+  /** Data-quality constraint pack — the assertion sweep a warehouse
+    * runs after every load, as ONE query of exact violation counts:
+    * referential integrity (facts without parents, via anti-join),
+    * key uniqueness, null rates, and domain ranges. Each check is a
+    * count the oracle reproduces exactly; at scale the anti-join is the
+    * only shuffle and every other check rides the same scans'
+    * partial aggregation.
+    */
+  private val dqChecks = Q(
+    "dq_constraint_checks",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val ord = Tables.orders(s, d)
+      val orphans = li.join(ord.select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("orphan_lineitems"))
+      val orderChecks = ord.agg(
+        (count(lit(1)) - count_distinct(col("o_orderkey"))).as("dup_orderkeys"),
+        sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("null_custkeys"),
+        sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L))
+          .as("nonpositive_totals"))
+      val liChecks = li.agg(
+        sum(when(col("l_discount") < 0 || col("l_discount") > 1, 1L)
+          .otherwise(0L)).as("bad_discounts"),
+        sum(when(col("l_quantity") <= 0, 1L).otherwise(0L)).as("bad_quantities"),
+        sum(when(col("l_shipdate").isNull, 1L).otherwise(0L)).as("null_shipdates"))
+      orphans.crossJoin(orderChecks).crossJoin(liChecks)
+    },
+    Some("""SELECT
+           | (SELECT count(*) FROM lineitem WHERE NOT EXISTS
+           |   (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey))
+           |   AS orphan_lineitems,
+           | (SELECT count(*) - count(DISTINCT o_orderkey) FROM orders)
+           |   AS dup_orderkeys,
+           | (SELECT CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+           |   AS BIGINT) FROM orders) AS null_custkeys,
+           | (SELECT CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+           |   AS BIGINT) FROM orders) AS nonpositive_totals,
+           | (SELECT CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1
+           |   THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem) AS bad_discounts,
+           | (SELECT CAST(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END)
+           |   AS BIGINT) FROM lineitem) AS bad_quantities,
+           | (SELECT CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+           |   AS BIGINT) FROM lineitem) AS null_shipdates""".stripMargin))
+
+  /** Order-independent table fingerprint — the migration-validation
+    * primitive (did engine B load exactly engine A's rows?): per-row
+    * md5 over a '|'-joined column tuple, folded with XOR so partition
+    * and row order are irrelevant and nothing can overflow. One scan,
+    * pure map-side fold. Key/string columns only: float and timestamp
+    * VARCHAR formatting is engine-specific, so they'd fingerprint the
+    * formatter, not the data.
+    */
+  private val tableChecksum = Q(
+    "dq_table_checksum",
+    (s, d) => {
+      def rowHash(cols: org.apache.spark.sql.Column*) =
+        conv(substring(md5(concat_ws("|", cols: _*)), 1, 15), 16, 10)
+          .cast("long")
+      val oSum = Tables.orders(s, d).agg(
+        count(lit(1)).as("orders_n"),
+        bit_xor(rowHash(col("o_orderkey").cast("string"),
+          col("o_custkey").cast("string"), col("o_orderstatus"),
+          col("o_orderpriority"))).as("orders_fp"))
+      val cSum = Tables.customer(s, d).agg(
+        count(lit(1)).as("customer_n"),
+        bit_xor(rowHash(col("c_custkey").cast("string"), col("c_name"),
+          col("c_mktsegment"))).as("customer_fp"))
+      oSum.crossJoin(cSum)
+    },
+    Some("""SELECT
+           | (SELECT count(*) FROM orders) AS orders_n,
+           | (SELECT bit_xor(('0x' || substring(md5(concat_ws('|',
+           |     CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),
+           |     o_orderstatus, o_orderpriority)), 1, 15))::BIGINT)
+           |  FROM orders) AS orders_fp,
+           | (SELECT count(*) FROM customer) AS customer_n,
+           | (SELECT bit_xor(('0x' || substring(md5(concat_ws('|',
+           |     CAST(c_custkey AS VARCHAR), c_name, c_mktsegment)),
+           |     1, 15))::BIGINT)
+           |  FROM customer) AS customer_fp""".stripMargin))
+
   /** Exact DECIMAL money arithmetic — the audit-grade path beside the
     * double-based revenue queries: every value casts to DECIMAL(12,2) at
     * the scan, products carry scale 4, and sums are EXACT (Tungsten's
@@ -690,6 +772,7 @@ object RelationalExt extends QueryPack {
            |GROUP BY 1 ORDER BY 1""".stripMargin))
 
   val qs: Seq[Q] = Seq(q4, q8, q12, q14, q15, q17, q18, q19, q21, q22,
-    quantiles, decimalPricing, iqrOutliers, rangeWindow, pagerank,
-    saltedTopk, saltedJoin, rangeJoin, groupingSets, unpivotQ, ntileDeciles)
+    quantiles, decimalPricing, dqChecks, tableChecksum, iqrOutliers,
+    rangeWindow, pagerank, saltedTopk, saltedJoin, rangeJoin, groupingSets,
+    unpivotQ, ntileDeciles)
 }
