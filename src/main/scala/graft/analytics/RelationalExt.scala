@@ -771,8 +771,49 @@ object RelationalExt extends QueryPack {
            |      AND o_orderdate < TIMESTAMP '1995-07-01')
            |GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** Partition-skew profiler — the diagnostic you run BEFORE choosing a
+    * repartition/salt strategy at scale: simulate hash-partitioning
+    * lineitem on l_suppkey into 32 buckets (md5-derived, so both engines
+    * agree; Spark's own `hash()` is engine-private) and report the
+    * bucket histogram extremes plus the hottest raw key. Two cheap
+    * aggregations over one scan family — bucket counts are a map-side
+    * partial agg to 32 groups, the hot key a TakeOrdered over the
+    * per-key counts; the 1-row summaries then cross-join. This is the
+    * primitive behind the salted-join decision (`join_salted_skew`): a
+    * max/min bucket ratio near 1 means hash partitioning suffices, a
+    * hot key >> avg means salt that key.
+    */
+  private val partitionSkew = Q(
+    "dq_partition_skew",
+    (s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_suppkey"))
+      val bucket = pmod(conv(substring(md5(col("l_suppkey").cast("string")),
+        1, 15), 16, 10).cast("long"), lit(32L))
+      val bstats = li.groupBy(bucket.as("bucket"))
+        .agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("n_buckets"), sum(col("c")).as("total_rows"),
+          min(col("c")).as("min_bucket_rows"),
+          max(col("c")).as("max_bucket_rows"))
+      val hot = li.groupBy(col("l_suppkey")).agg(count(lit(1)).as("kc"))
+        .orderBy(col("kc").desc, col("l_suppkey"))
+        .limit(1)
+        .select(col("l_suppkey").as("hot_key"), col("kc").as("hot_key_rows"))
+      bstats.crossJoin(hot)
+    },
+    Some("""WITH b AS (SELECT
+           |  ('0x' || substring(md5(CAST(l_suppkey AS VARCHAR)), 1, 15))
+           |    ::BIGINT % 32 AS bucket, count(*) AS c
+           | FROM lineitem GROUP BY 1),
+           |bs AS (SELECT count(*) AS n_buckets,
+           |  CAST(sum(c) AS BIGINT) AS total_rows,
+           |  min(c) AS min_bucket_rows, max(c) AS max_bucket_rows FROM b),
+           |hot AS (SELECT l_suppkey AS hot_key, count(*) AS hot_key_rows
+           | FROM lineitem GROUP BY 1
+           | ORDER BY count(*) DESC, l_suppkey LIMIT 1)
+           |SELECT * FROM bs CROSS JOIN hot""".stripMargin))
+
   val qs: Seq[Q] = Seq(q4, q8, q12, q14, q15, q17, q18, q19, q21, q22,
     quantiles, decimalPricing, dqChecks, tableChecksum, iqrOutliers,
     rangeWindow, pagerank, saltedTopk, saltedJoin, rangeJoin, groupingSets,
-    unpivotQ, ntileDeciles)
+    unpivotQ, ntileDeciles, partitionSkew)
 }

@@ -373,7 +373,65 @@ object Temporal extends QueryPack {
            |FROM h JOIN st ON event_type = et
            |GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** SCD2-style run compression (gaps-and-islands): collapse each user's
+    * event stream into maximal runs of one event_type — the
+    * slowly-changing-dimension build (valid_from = run start, valid_to =
+    * next change) every warehouse does when snapshotting mutable
+    * attributes. Two stacked windows on the SAME (user_id, ts, event_id)
+    * ordering — lag to mark changes, running sum to number runs — so
+    * Catalyst plans ONE shuffle + ONE sort for both (WindowExec chains);
+    * run rows then reduce by plain hash aggregation. Per-user partitions
+    * parallelize arbitrarily; no global sort anywhere. Output is bounded
+    * by |users|×|event types|; per-run validity intervals are exercised
+    * row-by-row in Scd2Spec.
+    */
+  private val scd2Runs = Q(
+    "scd2_event_type_runs",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val runs = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("chg",
+          when(lag(col("event_type"), 1).over(w).isNull ||
+            lag(col("event_type"), 1).over(w) =!= col("event_type"), 1L)
+            .otherwise(0L))
+        .withColumn("run_id", sum(col("chg")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("event_type"), col("run_id"))
+        .agg(count(lit(1)).as("run_events"),
+          (unix_timestamp(max(col("ts"))) - unix_timestamp(min(col("ts"))))
+            .as("run_span_s"))
+      runs.groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n_runs"),
+          sum(col("run_events")).as("n_events"),
+          max(col("run_events")).as("max_run_events"),
+          sum(col("run_span_s")).as("sum_run_span_s"))
+        .orderBy(col("user_id"), col("event_type"))
+    },
+    Some("""WITH m AS (SELECT user_id, ts, event_id, event_type,
+           |  CASE WHEN lag(event_type) OVER
+           |      (PARTITION BY user_id ORDER BY ts, event_id)
+           |    IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+           | FROM events),
+           |r AS (SELECT user_id, ts, event_type,
+           |  CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           |    AS run_id
+           | FROM m),
+           |runs AS (SELECT user_id, event_type, run_id,
+           |  count(*) AS run_events,
+           |  epoch(date_trunc('second', max(ts)))::BIGINT
+           |    - epoch(date_trunc('second', min(ts)))::BIGINT AS run_span_s
+           | FROM r GROUP BY 1, 2, 3)
+           |SELECT user_id, event_type, count(*) AS n_runs,
+           | CAST(sum(run_events) AS BIGINT) AS n_events,
+           | max(run_events) AS max_run_events,
+           | CAST(sum(run_span_s) AS BIGINT) AS sum_run_span_s
+           |FROM runs GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
   val qs: Seq[Q] = Seq(asof, asofBucketed, tumbling, jsonExtract, sliding,
     sessionWindows, funnel, cohorts, streamDedup, enrichStatic, gapfill,
-    anomalies)
+    anomalies, scd2Runs)
 }

@@ -364,7 +364,60 @@ object TextQueries extends QueryPack {
             |WHERE rank <= 10 ORDER BY 1""".stripMargin),
     headline = true)
 
+  /** Mixture sampling to TARGET proportions — the training-mix primitive
+    * (draw a 50%-size corpus with sources equalized, the "rebalance the
+    * web crawl against the curated sources" move): pass 1 counts docs per
+    * source (map-side partial agg to |sources| rows), the per-source keep
+    * rate `min(1, target/n_s)` derives on the driver-free 1-row stats
+    * frame, pass 2 streams the corpus once against the BROADCAST rates
+    * and keeps doc_id where the md5-uniform (same construction as
+    * `text_weighted_sample` — a pure function of doc_id, so the sample
+    * is reproducible across engines/retries/partitionings) falls under
+    * the rate. Undersized sources saturate at rate 1 rather than
+    * upsampling — count columns make the saturation visible. Two scans
+    * total, no shuffle wider than |sources|.
+    */
+  private val mixtureSample = Q(
+    "text_mixture_sample",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+      val stats = counts.agg(sum(col("n_s")).as("n_total"),
+        count(lit(1)).as("n_sources"))
+      val rates = counts.crossJoin(broadcast(stats))
+        .select(col("source").as("src"), col("n_s"),
+          least(lit(1.0),
+            (col("n_total").cast("double") * 0.5 / col("n_sources"))
+              / col("n_s")).as("rate"))
+      val v = conv(substring(md5(col("doc_id").cast("string")), 1, 15),
+        16, 10).cast("double")
+      val u = (v + lit(1.0)) / lit(math.pow(16.0, 15) + 1.0)
+      docs.select(col("doc_id"), col("source"), u.as("u"))
+        .join(broadcast(rates), col("source") === col("src"))
+        .groupBy(col("source"))
+        .agg(max(col("n_s")).as("n_docs"),
+          sum(when(col("u") < col("rate"), 1L).otherwise(0L)).as("n_kept"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH c AS (SELECT source, count(*) AS n_s
+           |  FROM documents GROUP BY 1),
+           |st AS (SELECT CAST(sum(n_s) AS BIGINT) AS n_total,
+           |  count(*) AS n_sources FROM c),
+           |r AS (SELECT source AS src, n_s,
+           |  least(1.0, (CAST(n_total AS DOUBLE) * 0.5 / n_sources) / n_s)
+           |    AS rate
+           | FROM c CROSS JOIN st),
+           |u AS (SELECT doc_id, source,
+           |  (CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+           |     AS BIGINT) + 1.0) / (1152921504606846976.0 + 1.0) AS u
+           | FROM documents)
+           |SELECT source, max(n_s) AS n_docs,
+           | CAST(sum(CASE WHEN u < rate THEN 1 ELSE 0 END) AS BIGINT)
+           |   AS n_kept
+           |FROM u JOIN r ON source = src
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val qs: Seq[Q] = Seq(tokenStats, packWindows, bpePairs, spellVariants,
     weightedSample, quality, langid, fingerprintQ, subwords, polyFingerprint,
-    chunking, sampling, bm25)
+    chunking, sampling, bm25, mixtureSample)
 }
