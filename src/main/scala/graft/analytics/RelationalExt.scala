@@ -812,8 +812,51 @@ object RelationalExt extends QueryPack {
            | ORDER BY count(*) DESC, l_suppkey LIMIT 1)
            |SELECT * FROM bs CROSS JOIN hot""".stripMargin))
 
+  /** Blocked fuzzy entity matching — the record-linkage shape: never
+    * all-pairs; a cheap blocking key (here the 16-char name prefix, ≤100
+    * candidates per block on this name population) bounds the quadratic
+    * edit-distance work to Σ|block|², and the block key is ALSO the
+    * shuffle key, so blocks compare in parallel with no skew (blocks are
+    * uniformly sized by construction of the prefix). levenshtein ≤ 1
+    * catches single-character typos; both engines implement the same
+    * classic DP distance. At 100 TB you'd run several complementary
+    * blocking passes (prefix, phonetic, length) and union candidates —
+    * each pass is this exact plan.
+    */
+  private val erBlockedMatch = Q(
+    "er_blocked_fuzzy_match",
+    (s, d) => {
+      val names = Tables.customer(s, d)
+        .select(substring(col("c_name"), 1, 16).as("blk"), col("c_name"))
+      val counts = names.groupBy(col("blk")).agg(count(lit(1)).as("n_names"))
+      val pairs = names.as("l")
+        .join(names.withColumnRenamed("c_name", "r_name").as("r"), "blk")
+        .filter(col("c_name") < col("r_name"))
+        .withColumn("lev", levenshtein(col("c_name"), col("r_name")))
+        .groupBy(col("blk"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("lev") <= 1, 1L).otherwise(0L)).as("n_match_d1"))
+      counts.join(pairs, Seq("blk"), "left_outer")
+        .select(col("blk"), col("n_names"),
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+          coalesce(col("n_match_d1"), lit(0L)).as("n_match_d1"))
+        .orderBy(col("blk"))
+    },
+    Some("""WITH n AS (SELECT substring(c_name, 1, 16) AS blk, c_name
+           |  FROM customer),
+           |c AS (SELECT blk, count(*) AS n_names FROM n GROUP BY 1),
+           |p AS (SELECT l.blk, count(*) AS n_pairs,
+           |  CAST(sum(CASE WHEN levenshtein(l.c_name, r.c_name) <= 1
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS n_match_d1
+           | FROM n l JOIN n r ON l.blk = r.blk AND l.c_name < r.c_name
+           | GROUP BY 1)
+           |SELECT c.blk, n_names, coalesce(n_pairs, 0) AS n_pairs,
+           | coalesce(n_match_d1, 0) AS n_match_d1
+           |FROM c LEFT JOIN p ON c.blk = p.blk
+           |ORDER BY 1""".stripMargin))
+
   val qs: Seq[Q] = Seq(q4, q8, q12, q14, q15, q17, q18, q19, q21, q22,
     quantiles, decimalPricing, dqChecks, tableChecksum, iqrOutliers,
     rangeWindow, pagerank, saltedTopk, saltedJoin, rangeJoin, groupingSets,
-    unpivotQ, ntileDeciles, partitionSkew)
+    unpivotQ, ntileDeciles, partitionSkew, erBlockedMatch)
 }

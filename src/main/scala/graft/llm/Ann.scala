@@ -302,4 +302,33 @@ object Ann {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id"))
   }
+
+  /** SemDeDup-style semantic dedup (Abbas et al., arXiv:2303.09540):
+    * k-means the embeddings into cells, then near-dup ONLY within each
+    * cell — the candidate set shrinks from O(n²) to Σ|cell|², and the
+    * cells shuffle-partition the work evenly (pick nCells ∝ n/√budget
+    * at scale; the paper runs ~10⁵ cells for 10⁸ docs). Keep-lowest-id
+    * inside each near-dup pair, matching [[cosineNearDupPairs]]'s dedup
+    * convention. Exact duplicates can never escape: identical vectors
+    * assign to the same deterministic nearest cell. Returns (vec_id,
+    * cell, removed) — one row per input vector.
+    */
+  def semDedup(vectors: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nCells: Int = 16, iters: Int = 2): DataFrame = {
+    val v = vectors.select(col(idCol).as("vec_id"), col(vecCol).as("nv"))
+    val centroids = ivfCentroids(v, nCells, iters)
+    val cellUdf = udf((x: Array[Float]) => nearestCellIdx(centroids, x))
+    val cells = v.select(col("vec_id"), col("nv"), cellUdf(col("nv")).as("cell"))
+    val pairs = cells.select(col("cell"), col("vec_id").as("i"), col("nv").as("vi"))
+      .join(cells.select(col("cell"), col("vec_id").as("j"), col("nv").as("vj")),
+        "cell")
+      .filter(col("i") < col("j"))
+      .filter(cosine(col("vi"), col("vj")) >= threshold)
+    val removed = pairs.select(col("j").as("vec_id")).distinct()
+      .withColumn("removed", lit(true))
+    cells.select(col("vec_id"), col("cell"))
+      .join(removed, Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("removed"), lit(false)).as("removed"))
+  }
 }

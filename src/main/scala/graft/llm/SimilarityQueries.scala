@@ -164,6 +164,25 @@ object SimilarityQueries extends QueryPack {
     },
     None)
 
+  /** SemDeDup semantic dedup ([[Ann.semDedup]]): k-means cells bound the
+    * candidate pairs, near-dups removed keep-lowest-id within each cell.
+    * Cell assignments are engine-defined (k-means over engine seeds), so
+    * no SQL oracle; SemDedupSpec pins the identities that hold regardless
+    * of clustering — planted exact dups always removed, removals ⊆ the
+    * brute-force global removal set, determinism across runs.
+    */
+  private val semdedup = Q(
+    "dedup_semdedup_cells",
+    (s, d) => Ann.semDedup(Tables.embeddings(s, d), "vec_id", "embedding",
+        threshold = 0.9)
+      .join(Tables.embeddings(s, d).select(col("vec_id"), col("label")), "vec_id")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(when(col("removed"), 1L).otherwise(0L)).as("n_removed"),
+        count_distinct(col("cell")).as("n_cells"))
+      .orderBy(col("label")),
+    None)
+
   val qs: Seq[Q] = Seq(brute, lsh, ivf, pq, embDedup, mmFeatures, argmaxHist,
-    mmFrames, mmPhash)
+    mmFrames, mmPhash, semdedup)
 }

@@ -386,3 +386,60 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fps(0) !== fps(2))
   }
 }
+
+/** SemDeDup ([[Ann.semDedup]]): identities that hold for ANY clustering —
+  * the spec surface for an operator whose cell assignment is
+  * engine-defined and therefore un-oracle-able.
+  */
+class SemDedupSpec extends SparkSpec {
+
+  import org.apache.spark.sql.functions._
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private def emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  test("planted exact duplicates are always removed (same cell by construction)") {
+    import spark.implicits._
+    val dups = emb.filter(col("vec_id") < 25)
+      .select((col("vec_id") + 10000L).as("vec_id"), col("embedding"))
+    val withDups = emb.select(col("vec_id"), col("embedding")).union(dups)
+    val out = Ann.semDedup(withDups, "vec_id", "embedding", threshold = 0.999)
+      .filter(col("removed")).select(col("vec_id")).as[Long].collect().toSet
+    (0L until 25L).foreach { i =>
+      assert(out.contains(i + 10000L),
+        s"planted duplicate of $i escaped semantic dedup")
+    }
+  }
+
+  test("removal set is a subset of the brute-force global removal set") {
+    import spark.implicits._
+    // the natural corpus has no high-cosine pairs (max ≈ 0.5 at this sf),
+    // so plant jittered near-copies to make the property non-trivial
+    val theta = 0.9
+    val jitter = udf((v: Seq[Float]) => v.map(x => x * 1.001f).toArray)
+    val near = emb.filter(col("vec_id") < 50)
+      .select((col("vec_id") + 10000L).as("vec_id"),
+        jitter(col("embedding")).as("embedding"))
+    val corpus = emb.select(col("vec_id"), col("embedding")).union(near)
+    val removed = Ann.semDedup(corpus, "vec_id", "embedding", threshold = theta)
+      .filter(col("removed")).select(col("vec_id")).as[Long].collect().toSet
+    val vecs = corpus.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val bruteRemoved = (for {
+      ((i, vi), xi) <- vecs.zipWithIndex
+      (j, vj) <- vecs.drop(xi + 1)
+      if Hashing.cosine(vi, vj) >= theta
+    } yield j).toSet
+    assert(removed.subsetOf(bruteRemoved),
+      s"cell-local pair outside the true pair set: ${removed -- bruteRemoved}")
+    assert(bruteRemoved.nonEmpty, "trivial test: no pairs at this threshold")
+  }
+
+  test("deterministic across invocations (hash-seeded k-means, no RNG)") {
+    val a = Ann.semDedup(emb, "vec_id", "embedding", threshold = 0.5)
+      .orderBy("vec_id").collect().toSeq
+    val b = Ann.semDedup(emb, "vec_id", "embedding", threshold = 0.5)
+      .orderBy("vec_id").collect().toSeq
+    assert(a === b)
+  }
+}
