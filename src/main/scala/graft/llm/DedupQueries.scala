@@ -319,6 +319,68 @@ object DedupQueries extends QueryPack {
             |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin),
     headline = true)
 
+  /** EXACT set-similarity self-join via prefix filtering (AllPairs /
+    * PPJoin family, Bayardo et al. WWW'07) — the deterministic
+    * complement to MinHash-LSH: zero false negatives by construction,
+    * no hash functions, fully relational. The filter lemma: sort every
+    * doc's shingles by one global total order (ascending document
+    * frequency, md5 tiebreak — rare-first minimizes collisions and md5
+    * sidesteps cross-engine string collation); if J(A,B) ≥ θ the two
+    * prefixes of length |X| − ceil(θ·|X|) + 1 must share a shingle, so
+    * only prefix-colliding pairs are verified. Verification is integer-
+    * exact: 10·|A∩B| ≥ 8·|A∪B| — no FP thresholds anywhere. Same θ=0.8
+    * ground truth as `dedup_minhash_lsh`, computed by a disjoint
+    * algorithm — the two queries cross-validate (PrefixJoinSpec pins
+    * pair-set equality). Scale shape: DF is one map-side-combined agg,
+    * prefixes shuffle by shingle (rare shingles → tiny buckets), the
+    * quadratic step only ever sees prefix-bucket collisions.
+    */
+  private val prefixJoin = Q(
+    "dedup_prefix_filter_join",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val sh = Tables.documents(s, d).select(col("doc_id"),
+          explode(TextAnalysis.shingles(col("text"))).as("token"))
+      val n = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val dfreq = sh.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("df"), md5(col("token")))
+      val pref = sh.join(dfreq, "token").join(n, "doc_id")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= col("n") - expr("(n * 8 + 9) div 10") + 1)
+        .select(col("doc_id"), col("token"))
+      val cand = pref.as("a")
+        .join(pref.withColumnRenamed("doc_id", "j").as("b"), "token")
+        .filter(col("doc_id") < col("j"))
+        .select(col("doc_id").as("i"), col("j")).distinct()
+      val inter = cand
+        .join(sh.select(col("doc_id").as("i"), col("token")), "i")
+        .join(sh.select(col("doc_id").as("j"), col("token")), Seq("j", "token"))
+        .groupBy(col("i"), col("j")).agg(count(lit(1)).as("inter"))
+      inter
+        .join(n.select(col("doc_id").as("i"), col("n").as("n_i")), "i")
+        .join(n.select(col("doc_id").as("j"), col("n").as("n_j")), "j")
+        .withColumn("un", col("n_i") + col("n_j") - col("inter"))
+        .filter(col("inter") * 10 >= col("un") * 8)
+        .select(col("i"), col("j"), col("inter"), col("un"))
+        .orderBy(col("i"), col("j"))
+    },
+    // the oracle needs no prefix filter — at verify scale it can afford
+    // the all-pairs intersection; same integer-exact threshold
+    Some(s"""WITH d AS (SELECT doc_id,
+            |  list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+            |    for i in range(1, len(w)-1)]) AS sh
+            | FROM (SELECT doc_id, ${CorpusQueries.WordsExpr} AS w
+            |       FROM documents)
+            | WHERE len(w) >= 3),
+            |p AS (SELECT a.doc_id AS i, b.doc_id AS j,
+            |  len(list_intersect(a.sh, b.sh)) AS inter,
+            |  len(list_distinct(list_concat(a.sh, b.sh))) AS un
+            | FROM d a JOIN d b ON a.doc_id < b.doc_id)
+            |SELECT i, j, CAST(inter AS BIGINT) AS inter, CAST(un AS BIGINT) AS un
+            |FROM p WHERE inter * 10 >= un * 8 ORDER BY i, j""".stripMargin))
+
   val qs: Seq[Q] = Seq(exact, minhash, simhash, ngramJaccard,
-    lshClusters, clusterSurvivors, trainingPipeline, trainingV2, trainingV3)
+    lshClusters, clusterSurvivors, trainingPipeline, trainingV2, trainingV3,
+    prefixJoin)
 }

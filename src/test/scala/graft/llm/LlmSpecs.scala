@@ -443,3 +443,20 @@ class SemDedupSpec extends SparkSpec {
     assert(a === b)
   }
 }
+
+/** Prefix-filter exact set-similarity join: cross-validation against the
+  * MinHash-LSH path — two disjoint algorithms, one ground truth.
+  */
+class PrefixJoinSpec extends SparkSpec {
+
+  test("prefix-filter pairs == MinHash-LSH pairs (same theta, disjoint algorithms)") {
+    val sf = "/root/testdata/sf0.001"
+    val prefix = graft.SparkEntry.queries("dedup_prefix_filter_join")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = graft.SparkEntry.queries("dedup_minhash_lsh")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(prefix === lsh,
+      s"prefix-only=${prefix -- lsh} lsh-only=${lsh -- prefix}")
+    assert(prefix.nonEmpty, "trivial test: corpus has no J>=0.8 pairs")
+  }
+}
