@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g: the bench/verify marathons run 30+ query shapes in one JVM at
+  // local[32]; at 8g the accumulated shuffle/broadcast/checkpoint blocks
+  // GC-thrash and individual timed queries spike 2-5× (measured 60s →
+  // 33s total on the 34-query bench). The container has 128 GiB.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
