@@ -15,6 +15,7 @@ object SparkEntry {
     analytics.RelationalExt,
     analytics.Dashboard,
     analytics.Temporal,
+    analytics.StatsQueries,
     etl.EtlQueries,
     llm.TextQueries,
     llm.CorpusQueries,

@@ -1,0 +1,266 @@
+package graft.analytics
+
+import graft.{Q, QueryPack, Tables}
+import graft.functions.ZOrder
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Statistical / structural analytics wave: triangle census over the
+  * co-purchase graph, closed-form trend regression from integral
+  * sufficient statistics, pareto-frontier (skyline), equi-depth
+  * histograms, MAD robust outliers, and z-order clustering layout — each
+  * the Spark-first shape of a capability a 100 TB warehouse leans on, each
+  * hash-compared against an independent DuckDB formulation.
+  *
+  * Cross-engine determinism rules used throughout (the house conventions):
+  * money through DECIMAL or integer cents, comparisons in exact integer
+  * domains, doubles only in identically-written final expressions, ranks
+  * over 6dp-quantized scores.
+  */
+object StatsQueries extends QueryPack {
+
+  /** Triangle census of the supplier co-purchase graph (suppliers linked
+    * when they serve the same order ≥ 5 times). Edge building fans out
+    * only within an order (≤ 7 lineitems ⇒ ≤ 21 pairs); the census runs
+    * on the degree-oriented node-iterator ([[graft.ops.Triangles]]) whose
+    * wedge fan-out is O(√m) per node — the hub-proof shape. The oracle
+    * counts the same triangles orientation-free: x<y<z with all three
+    * canonical edges present.
+    */
+  private val triangles = Q(
+    "graph_triangle_count",
+    (s, d) => {
+      val os = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+        .distinct()
+      val edges = os.as("a").join(os.as("b"),
+          col("a.ok") === col("b.ok") && col("a.sk") < col("b.sk"))
+        .groupBy(col("a.sk").as("u"), col("b.sk").as("v"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 5)
+        .select(col("u"), col("v"))
+      graft.ops.Triangles.census(edges, "u", "v")
+    },
+    Some("""WITH os AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+           |  FROM lineitem),
+           |e AS (SELECT a.sk AS u, b.sk AS v FROM os a
+           |  JOIN os b ON a.ok = b.ok AND a.sk < b.sk
+           |  GROUP BY 1, 2 HAVING count(*) >= 5)
+           |SELECT
+           | CAST((SELECT count(DISTINCT n) FROM
+           |   (SELECT u AS n FROM e UNION ALL SELECT v FROM e)) AS BIGINT)
+           |   AS n_nodes,
+           | CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+           | CAST(count(*) AS BIGINT) AS n_triangles
+           |FROM e e1 JOIN e e2 ON e2.u = e1.v
+           | JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v""".stripMargin),
+    headline = true)
+
+  /** Daily-revenue linear trend — regression as a ONE-PASS aggregation of
+    * integral sufficient statistics (n, Σx, Σy, Σxy, Σx²), the
+    * map-side-combinable shape that replaces any iterative fit for simple
+    * models at scale. Days are integers around a fixed center; daily
+    * revenue goes through exact DECIMAL into 10⁻⁴-dollar integer units
+    * (the q1_pricing_decimal convention), so every sufficient statistic
+    * is an exact BIGINT and the slope is one identically-written double
+    * expression in both engines. The verified payload is the statistics
+    * themselves; the slope is derived.
+    */
+  private val trend = Q(
+    "stats_linear_trend",
+    (s, d) => {
+      val dec = "decimal(12,2)"
+      val daily = Tables.lineitem(s, d)
+        .groupBy(to_date(col("l_shipdate")).as("day"))
+        .agg(sum(col("l_extendedprice").cast(dec) *
+          (lit(1).cast(dec) - col("l_discount").cast(dec))).as("rev4"))
+        .select(
+          datediff(col("day"), lit("1998-06-01").cast("date")).cast("long").as("x"),
+          (col("rev4") * 10000).cast("long").as("y"))
+      val st = daily.agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      val (n, sx, sy, sxy, sxx) = (col("n").cast("double"),
+        col("sx").cast("double"), col("sy").cast("double"),
+        col("sxy").cast("double"), col("sxx").cast("double"))
+      st.select(col("n"), col("sx"), col("sy"), col("sxy"), col("sxx"),
+        round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+          .as("slope_e4_per_day"))
+    },
+    Some("""WITH daily AS (SELECT
+           |  date_diff('day', DATE '1998-06-01', CAST(l_shipdate AS DATE)) AS x,
+           |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+           |    * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+           |    * 10000 AS BIGINT) AS y
+           | FROM lineitem GROUP BY 1),
+           |st AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+           |  CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x*y) AS BIGINT) AS sxy,
+           |  CAST(sum(x*x) AS BIGINT) AS sxx FROM daily)
+           |SELECT n, sx, sy, sxy, sxx,
+           | round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+           |    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           |  / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+           |    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+           |   AS slope_e4_per_day
+           |FROM st""".stripMargin))
+
+  /** Pareto frontier (skyline) of parts on (size ↑, min price ↓): the
+    * points no other point dominates. Reduce-first: aggregate to one
+    * (size, min_price) point per distinct size — a BOUNDED frame (the
+    * size domain), so the running-min dominance sweep is a window over
+    * dozens of rows, not a data-scale sort (the de-scale-killed pattern:
+    * never window the raw table). The oracle states dominance directly
+    * as NOT EXISTS. Comparisons are on raw stored doubles — no
+    * arithmetic, so no cross-engine tails.
+    */
+  private val pareto = Q(
+    "pareto_frontier_parts",
+    (s, d) => {
+      val pts = Tables.part(s, d)
+        .groupBy(col("p_size"))
+        .agg(min(col("p_retailprice")).as("mp"), count(lit(1)).as("n_parts"))
+      // bounded-frame window: |distinct p_size| rows post-aggregation
+      val w = Window.orderBy(col("p_size").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      pts.withColumn("best_larger", min(col("mp")).over(w))
+        .filter(col("best_larger").isNull || col("mp") < col("best_larger"))
+        .select(col("p_size"), round(col("mp"), 2).as("min_price"),
+          col("n_parts"))
+        .orderBy(col("p_size"))
+    },
+    Some("""WITH pts AS (SELECT p_size, min(p_retailprice) AS mp,
+           |  count(*) AS n_parts FROM part GROUP BY 1)
+           |SELECT p_size, round(mp, 2) AS min_price,
+           | CAST(n_parts AS BIGINT) AS n_parts
+           |FROM pts a
+           |WHERE NOT EXISTS (SELECT 1 FROM pts b
+           |  WHERE b.p_size > a.p_size AND b.mp <= a.mp)
+           |ORDER BY p_size""".stripMargin))
+
+  /** Equi-depth (quantile-boundary) histogram of order totals — the
+    * binning that adapts to the distribution where A6's equi-width bins
+    * collapse on skew. Two passes: one exact-percentile aggregation for
+    * the 9 decile boundaries (broadcast as a 1-row frame; the 100 TB
+    * path swaps in approx_percentile, same plan), one streaming bucket
+    * pass. Bucket membership can't diverge across engines: an
+    * interpolated boundary lies strictly between two adjacent sorted
+    * values (no data there), and a boundary that lands on a value
+    * (g = 0, or equal neighbors) is that value EXACTLY in both
+    * interpolation formulas — ties then go to the lower bucket on both
+    * sides. Unrolled 9-term bucket expression keeps both engines
+    * scalar-deterministic (no lambda-evaluation differences).
+    */
+  private val equidepth = Q(
+    "agg_equidepth_hist_price",
+    (s, d) => {
+      val qs = array((1 to 9).map(i => lit(i / 10.0)): _*)
+      val bounds = Tables.orders(s, d)
+        .agg(percentile(col("o_totalprice"), qs).as("bs"))
+      val bucket = (1 to 9).map(i =>
+        (col("o_totalprice") > element_at(col("bs"), i)).cast("int"))
+        .reduce(_ + _) + lit(1)
+      Tables.orders(s, d).crossJoin(broadcast(bounds))
+        .select(bucket.as("bucket"), col("o_totalprice"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("o_totalprice")), 2).as("lo"),
+          round(max(col("o_totalprice")), 2).as("hi"),
+          round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy(col("bucket"))
+    },
+    Some(s"""WITH b AS (SELECT quantile_cont(o_totalprice,
+            |  [${(1 to 9).map(i => s"0.$i").mkString(", ")}]) AS bs
+            | FROM orders)
+            |SELECT (1 ${(1 to 9).map(i =>
+              s"+ CAST(o_totalprice > bs[$i] AS INT)").mkString(" ")})
+            |   AS bucket,
+            | CAST(count(*) AS BIGINT) AS n,
+            | round(min(o_totalprice), 2) AS lo,
+            | round(max(o_totalprice), 2) AS hi,
+            | round(sum(o_totalprice), 2) AS total
+            |FROM orders, b GROUP BY 1 ORDER BY 1""".stripMargin),
+    headline = true)
+
+  /** Median-absolute-deviation outlier gate on event values — the robust
+    * sibling of the IQR fence (MAD shrugs off the outliers themselves,
+    * where mean/stddev z-scores don't). All comparisons run in an EXACT
+    * integer domain: values are quantized to integer centi-units (the
+    * operator's declared resolution — both engines quantize the same
+    * doubles identically), the median doubles to the always-integral
+    * 2·median, deviations to |2c − 2·med|, and the fence test is
+    * `2·dev₂ > 3·mad₄` — integer-valued doubles on both sides, so the
+    * two engines cannot disagree on membership (quantile interpolation
+    * at q=0.5 yields exact halves: (a+b)/2 of integers is exact FP).
+    * Three streaming passes with two broadcast scalars; the scale path
+    * swaps exact percentiles for approx, identically shaped.
+    */
+  private val madOutliers = Q(
+    "dq_mad_outliers",
+    (s, d) => {
+      val o = Tables.events(s, d).filter(col("value").isNotNull)
+        .select(round(col("value") * 100).cast("long").as("c"),
+          col("value").as("p"))
+      val m = o.agg((percentile(col("c"), lit(0.5)) * 2).as("m2"))
+      val dev = o.crossJoin(broadcast(m))
+        .select(col("p"), col("m2"), abs(col("c") * 2 - col("m2")).as("d2"))
+      val mad = dev.agg((percentile(col("d2"), lit(0.5)) * 2).as("mad4"))
+      val flag = col("d2") * 2 > lit(3) * col("mad4")
+      dev.crossJoin(broadcast(mad)).agg(
+        count(when(flag, lit(1))).as("n_outliers"),
+        round(min(when(flag, col("p"))), 2).as("min_outlier"),
+        round(max(when(flag, col("p"))), 2).as("max_outlier"),
+        round(min(col("m2")) / 200.0, 4).as("median_value"),
+        round(min(col("mad4")) / 400.0, 4).as("mad_value"))
+    },
+    Some("""WITH o AS (SELECT CAST(round(value*100) AS BIGINT) AS c,
+           |  value AS p FROM events WHERE value IS NOT NULL),
+           |m AS (SELECT 2*quantile_cont(c, 0.5) AS m2 FROM o),
+           |d AS (SELECT p, m2, abs(2*c - m2) AS d2 FROM o, m),
+           |md AS (SELECT 2*quantile_cont(d2, 0.5) AS mad4 FROM d)
+           |SELECT
+           | CAST(count(CASE WHEN 2*d2 > 3*mad4 THEN 1 END) AS BIGINT)
+           |   AS n_outliers,
+           | round(min(CASE WHEN 2*d2 > 3*mad4 THEN p END), 2) AS min_outlier,
+           | round(max(CASE WHEN 2*d2 > 3*mad4 THEN p END), 2) AS max_outlier,
+           | round(min(m2)/200.0, 4) AS median_value,
+           | round(min(mad4)/400.0, 4) AS mad_value
+           |FROM d, md""".stripMargin))
+
+  /** Z-order clustering layout audit: Morton-interleave (partkey,
+    * suppkey), split the curve into 16 equal-width cells, and report each
+    * cell's row count and per-dimension bounding box — the shrinking
+    * boxes ARE the data-skipping effect `OPTIMIZE ZORDER` buys (parquet
+    * min/max row-group stats become tight on BOTH columns; see
+    * [[graft.functions.ZOrder]] and ZOrderSpec for the write-side
+    * layout). Pure integer bit arithmetic end to end, so the oracle
+    * reproduces the z-values exactly from the same unrolled expression.
+    */
+  private val zorder = Q(
+    "storage_zorder_layout",
+    (s, d) => {
+      val zdf = Tables.lineitem(s, d).select(
+        ZOrder.zValue(col("l_partkey"), col("l_suppkey")).as("z"),
+        col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+      val mz = zdf.agg(max(col("z")).as("mz"))
+      zdf.crossJoin(broadcast(mz))
+        .select(expr("z * 16 div (mz + 1)").as("cell"), col("pk"), col("sk"))
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n"),
+          min(col("pk")).as("pk_min"), max(col("pk")).as("pk_max"),
+          min(col("sk")).as("sk_min"), max(col("sk")).as("sk_max"))
+        .orderBy(col("cell"))
+    },
+    Some(s"""WITH z AS (SELECT
+            |  ${ZOrder.zValueSql("l_partkey", "l_suppkey")} AS z,
+            |  l_partkey AS pk, l_suppkey AS sk FROM lineitem),
+            |m AS (SELECT max(z) AS mz FROM z)
+            |SELECT (z * 16) // (mz + 1) AS cell,
+            | CAST(count(*) AS BIGINT) AS n,
+            | min(pk) AS pk_min, max(pk) AS pk_max,
+            | min(sk) AS sk_min, max(sk) AS sk_max
+            |FROM z, m GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  override def qs: Seq[Q] =
+    Seq(triangles, trend, pareto, equidepth, madOutliers, zorder)
+}

@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Exact triangle counting over an undirected edge list — the third graph
+  * operator next to [[ConnectedComponents]] (membership) and [[PageRank]]
+  * (centrality): triangles measure local clustering, the standard cohesion
+  * signal for co-purchase / co-occurrence graphs.
+  *
+  * Node-iterator with DEGREE ORIENTATION (Schank–Wagner; the MapReduce
+  * formulation is Suri–Vassilvitskii WWW'11): orient every edge from the
+  * endpoint that is smaller in the total order (degree, id) to the larger.
+  * Each triangle then has exactly one node with two out-edges, so counting
+  * wedges (pairs of out-edges at one node) that close with a third oriented
+  * edge counts every triangle exactly once — AND the out-degree of any node
+  * is O(√m), which bounds the wedge fan-out per node regardless of how
+  * skewed the raw degree distribution is. A hub of degree d would otherwise
+  * contribute d² wedges; oriented, it contributes only the edges pointing
+  * to even-better-connected nodes. That bound is the difference between
+  * this running on a 100 TB co-occurrence graph and one hot reducer
+  * receiving the whole hub neighborhood.
+  *
+  * Plan shape: two shuffles build (edges ⋈ degrees), one self-join on the
+  * wedge anchor, one semi-style join closes the wedge against the oriented
+  * edge set. No driver-side state; the only scalars are the final counts.
+  */
+object Triangles {
+
+  /** Count triangles in the undirected graph given by (srcCol, dstCol)
+    * pairs. Input may contain duplicates or both orientations; it is
+    * canonicalized (u < v, distinct) first. Returns a 1-row frame
+    * (n_nodes, n_edges, n_triangles).
+    */
+  def census(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val canon = edges
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("u"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("v"))
+      .filter(col("u") < col("v"))
+      .distinct()
+    val deg = canon.select(explode(array(col("u"), col("v"))).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("dg"))
+    // orient by (degree, id): strictly total, so exactly one direction
+    // survives per edge. Carry the head's (degree, id) key so the wedge
+    // join can order the two heads WITHOUT re-joining degrees.
+    val du = deg.select(col("n").as("u"), col("dg").as("du"))
+    val dv = deg.select(col("n").as("v"), col("dg").as("dv"))
+    val oriented = canon.join(du, "u").join(dv, "v")
+      .select(
+        when(col("du") < col("dv") ||
+            (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("s"), col("v").as("t"),
+            col("dv").as("dt")))
+          .otherwise(struct(col("v").as("s"), col("u").as("t"),
+            col("du").as("dt"))).as("e"))
+      .select(col("e.s").as("s"), col("e.t").as("t"), col("e.dt").as("dt"))
+    // wedges at s: unordered head pairs, ordered by the same (deg, id)
+    // total order so each wedge appears once
+    val wedges = oriented.as("e1").join(oriented.as("e2"),
+      col("e1.s") === col("e2.s") &&
+        (col("e1.dt") < col("e2.dt") ||
+          (col("e1.dt") === col("e2.dt") && col("e1.t") < col("e2.t"))))
+      .select(col("e1.t").as("a"), col("e2.t").as("b"))
+    // a wedge (a, b) closes iff a→b is an oriented edge: a ≺ b holds by
+    // construction, and oriented pairs are unique, so an inner join
+    // preserves the triangle count exactly
+    val closed = wedges.join(
+      oriented.select(col("s").as("a"), col("t").as("b")), Seq("a", "b"))
+    canon.agg(count(lit(1)).as("n_edges")).crossJoin(
+      deg.agg(count(lit(1)).as("n_nodes"))).crossJoin(
+      closed.agg(count(lit(1)).as("n_triangles")))
+      .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
+  }
+}

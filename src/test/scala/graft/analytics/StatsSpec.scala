@@ -1,0 +1,167 @@
+package graft.analytics
+
+import graft.{SparkEntry, SparkSpec}
+import graft.functions.ZOrder
+import org.apache.spark.sql.functions._
+
+/** Statistical/structural wave: triangle census, skyline, MAD outliers,
+  * equi-depth histogram, trend regression, z-order layout. The DuckDB
+  * oracles prove cross-engine agreement on the harness tables; these
+  * specs prove the SEMANTICS against independent in-process
+  * reimplementations (brute-force triangle count, Scala quantile math)
+  * and pin the properties the oracles can't see (the z-curve's
+  * both-dimension skipping effect).
+  */
+class StatsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  import scala.jdk.CollectionConverters._
+
+  private def edgeDf(pairs: Seq[(Long, Long)]) = {
+    val rows = pairs.map { case (a, b) => org.apache.spark.sql.Row(a, b) }
+    spark.createDataFrame(rows.asJava,
+      org.apache.spark.sql.types.StructType.fromDDL("a BIGINT, b BIGINT"))
+  }
+
+  test("Triangles.census counts a planted K4-plus-path exactly") {
+    // K4 on {1,2,3,4} = 4 triangles; path 5-6-7 and pendant 8 add none.
+    // Input includes duplicates and both orientations — canonicalization
+    // must absorb them.
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val noise = Seq((5L, 6L), (6L, 7L), (7L, 8L), (2L, 1L), (3L, 1L), (1L, 2L))
+    val r = graft.ops.Triangles.census(edgeDf(k4 ++ noise), "a", "b").collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((8L, 9L, 4L)))
+  }
+
+  test("Triangles.census matches brute force on a seeded random graph") {
+    val rnd = new scala.util.Random(42)
+    val n = 30
+    val edges = (for {
+      i <- 0 until n; j <- (i + 1) until n if rnd.nextDouble() < 0.2
+    } yield (i.toLong, j.toLong)).toSeq
+    val adj = edges.toSet
+    val brute = (for {
+      i <- 0 until n; j <- (i + 1) until n if adj((i.toLong, j.toLong))
+      k <- (j + 1) until n
+      if adj((j.toLong, k.toLong)) && adj((i.toLong, k.toLong))
+    } yield 1).size.toLong
+    val r = graft.ops.Triangles.census(edgeDf(edges), "a", "b").collect()(0)
+    assert(r.getLong(2) === brute)
+    assert(r.getLong(1) === edges.size.toLong)
+  }
+
+  test("pareto_frontier_parts equals an independent skyline sweep") {
+    val got = SparkEntry.queries("pareto_frontier_parts")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getLong(2)))
+    val pts = graft.Tables.part(spark, sf)
+      .select(col("p_size"), col("p_retailprice")).collect()
+      .map(r => (r.getInt(0), r.getDouble(1)))
+      .groupBy(_._1)
+      .map { case (s, vs) => (s, vs.map(_._2).min, vs.size.toLong) }
+      .toSeq
+    val expected = pts.filter { case (s, mp, _) =>
+      !pts.exists { case (s2, mp2, _) => s2 > s && mp2 <= mp }
+    }.map { case (s, mp, n) =>
+      (s, BigDecimal(mp).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble, n)
+    }.sortBy(_._1)
+    assert(got.toSeq === expected)
+    // along the frontier price strictly INCREASES with size — anything
+    // cheaper at a larger size would have dominated the smaller point
+    assert(got.map(_._2).toSeq === got.map(_._2).toSeq.sorted)
+    assert(got.map(_._2).distinct.length === got.length)
+  }
+
+  /** Linear interpolation percentile (quantile_cont convention). */
+  private def pct(sorted: Array[Double], q: Double): Double = {
+    val pos = q * (sorted.length - 1)
+    val lo = pos.toInt
+    val g = pos - lo
+    if (g == 0) sorted(lo) else sorted(lo) * (1 - g) + sorted(lo + 1) * g
+  }
+
+  test("dq_mad_outliers matches Scala median/MAD arithmetic and finds the tail") {
+    val r = SparkEntry.queries("dq_mad_outliers")(spark, sf).collect()(0)
+    val values = graft.Tables.events(spark, sf)
+      .filter(col("value").isNotNull)
+      .select(col("value")).collect().map(_.getDouble(0))
+    val cents = values.map(p => math.round(p * 100).toDouble).sorted
+    val m2 = 2 * pct(cents, 0.5)
+    val dev2 = cents.map(c => math.abs(2 * c - m2)).sorted
+    val mad4 = 2 * pct(dev2, 0.5)
+    val nOut = dev2.count(d2 => 2 * d2 > 3 * mad4).toLong
+    assert(r.getLong(0) === nOut)
+    assert(r.getDouble(3) ===
+      BigDecimal(m2 / 200.0).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(nOut > 0) // event values really are heavy-tailed
+    assert(r.getDouble(2) > r.getDouble(3)) // max outlier beyond the median
+  }
+
+  test("agg_equidepth_hist_price matches Scala quantile bucketing") {
+    val rows = SparkEntry.queries("agg_equidepth_hist_price")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val prices = graft.Tables.orders(spark, sf)
+      .select(col("o_totalprice")).collect().map(_.getDouble(0))
+    val sorted = prices.sorted
+    val bounds = (1 to 9).map(i => pct(sorted, i / 10.0))
+    val expected = prices.groupBy(v => 1 + bounds.count(v > _))
+      .map { case (b, vs) => (b, vs.size.toLong) }.toSeq.sorted
+    assert(rows.toSeq.sorted === expected)
+    assert(rows.map(_._2).sum === prices.length.toLong)
+  }
+
+  test("stats_linear_trend slope is consistent with its sufficient stats") {
+    val r = SparkEntry.queries("stats_linear_trend")(spark, sf).collect()(0)
+    val (n, sx, sy, sxy, sxx) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    val slope = (n.toDouble * sxy.toDouble - sx.toDouble * sy.toDouble) /
+      (n.toDouble * sxx.toDouble - sx.toDouble * sx.toDouble)
+    assert(r.getDouble(5) ===
+      BigDecimal(slope).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(n > 100) // every fixture day groups to one x
+  }
+
+  test("zValue interleaves bits (x odd positions, y even)") {
+    val df = spark.range(1).select(
+      ZOrder.zValue(lit(3), lit(5), 3).as("a"),   // x=011,y=101 → 0b011011+?
+      ZOrder.zValue(lit(1), lit(0), 8).as("b"),   // → 2
+      ZOrder.zValue(lit(0), lit(1), 8).as("c"),   // → 1
+      ZOrder.zValue(lit(7), lit(7), 3).as("d"))   // → 63
+    val r = df.collect()(0)
+    // z(3,5): x bits {0,1} → z bits {1,3} = 10; y bits {0,2} → z bits {0,4} = 17
+    assert(r.getLong(0) === 27L)
+    assert(r.getLong(1) === 2L)
+    assert(r.getLong(2) === 1L)
+    assert(r.getLong(3) === 63L)
+  }
+
+  test("z-order cells skip on BOTH dimensions; single-column sort only on one") {
+    // the full 64×64 lattice (truly independent dims — deriving both
+    // coordinates from one counter mod m correlates them), 16 layout
+    // cells each way. A thin y-slice (height 4) overlaps ≤ 4 of the 16
+    // z-cells (the 4×4 quadrant decomposition) but ALL 16 x-sorted
+    // cells — that gap is exactly the min/max-stats file skipping
+    // OPTIMIZE ZORDER buys.
+    val pts = spark.range(4096).select(
+      (col("id") / 64).cast("long").as("x"), (col("id") % 64).as("y"))
+    val z = pts.select(ZOrder.zValue(col("x"), col("y"), 6).as("z"),
+      col("x"), col("y"))
+    val zCells = z.select((col("z") / 256).cast("int").as("cell"),
+        col("x"), col("y"))
+      .groupBy("cell")
+      .agg(min("y").as("ylo"), max("y").as("yhi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    val xCells = pts.select((col("x") / 4).cast("int").as("cell"),
+        col("y"))
+      .groupBy("cell")
+      .agg(min("y").as("ylo"), max("y").as("yhi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(zCells.length === 16 && xCells.length === 16)
+    for (k <- 0 until 16) {
+      val (lo, hi) = (k * 4L, k * 4L + 3L)
+      val zOverlap = zCells.count { case (ylo, yhi) => ylo <= hi && yhi >= lo }
+      val xOverlap = xCells.count { case (ylo, yhi) => ylo <= hi && yhi >= lo }
+      assert(zOverlap <= 4, s"slice $k: z-layout overlaps $zOverlap cells")
+      assert(xOverlap === 16, s"slice $k: x-sort should not skip on y")
+    }
+  }
+}
