@@ -30,12 +30,18 @@ object StatsQueries extends QueryPack {
   private val triangles = Q(
     "graph_triangle_count",
     (s, d) => {
-      val os = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
-        .distinct()
-      val edges = os.as("a").join(os.as("b"),
-          col("a.ok") === col("b.ok") && col("a.sk") < col("b.sk"))
-        .groupBy(col("a.sk").as("u"), col("b.sk").as("v"))
+      // one shuffle builds the per-order supplier sets (collect_set does
+      // map-side partial merging), pairs expand WITHIN the array — the
+      // self-join formulation re-shuffles the distinct frame twice more
+      val perOrder = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("l_suppkey"))).as("sks"))
+      val edges = perOrder
+        .select(explode(expr(
+          """flatten(transform(sks, (x, i) ->
+            |  transform(slice(sks, i + 2, size(sks)), y -> struct(x AS u, y AS v))))"""
+            .stripMargin)).as("p"))
+        .groupBy(col("p.u").as("u"), col("p.v").as("v"))
         .agg(count(lit(1)).as("w"))
         .filter(col("w") >= 5)
         .select(col("u"), col("v"))
@@ -261,6 +267,177 @@ object StatsQueries extends QueryPack {
             | min(sk) AS sk_min, max(sk) AS sk_max
             |FROM z, m GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** Analytic window value-function zoo (lag / lead-gap / first_value /
+    * last_value over an explicit full frame), folded to one exact row per
+    * user: ascending-step count (raw double compares, no arithmetic),
+    * max inter-event gap in exact microseconds, first/last event type
+    * under the deterministic (ts, event_id) total order. One shuffle,
+    * one sort per user partition — the canonical windowed-sessionization
+    * movement.
+    */
+  private val windowValues = Q(
+    "window_value_functions",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.events(s, d)
+        .select(col("user_id"), col("value"), col("event_type"),
+          col("ts"), col("event_id"))
+        .select(col("user_id"),
+          (col("value") > lag(col("value"), 1).over(w)).as("asc_step"),
+          (lead(expr("unix_micros(ts)"), 1).over(w) -
+            expr("unix_micros(ts)")).as("gap_us"),
+          first(col("event_type")).over(full).as("first_et"),
+          last(col("event_type")).over(full).as("last_et"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          count(when(col("asc_step"), lit(1))).as("n_asc"),
+          max(col("gap_us")).as("max_gap_us"),
+          min(col("first_et")).as("first_et"),
+          min(col("last_et")).as("last_et"))
+        .orderBy(col("user_id"))
+    },
+    Some("""WITH v AS (SELECT user_id,
+           |  value > lag(value, 1) OVER w AS asc_step,
+           |  lead(epoch_us(ts), 1) OVER w - epoch_us(ts) AS gap_us,
+           |  first_value(event_type) OVER
+           |    (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           |    AS first_et,
+           |  last_value(event_type) OVER
+           |    (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           |    AS last_et
+           | FROM events
+           | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+           |SELECT user_id, count(*) AS n,
+           | CAST(count(CASE WHEN asc_step THEN 1 END) AS BIGINT) AS n_asc,
+           | max(gap_us) AS max_gap_us,
+           | min(first_et) AS first_et, min(last_et) AS last_et
+           |FROM v GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** Rolling 7-day distinct users per day (trailing WAU) — the sliding
+    * DISTINCT that a RANGE window cannot partially aggregate. The
+    * scalable rewrite: dedup to (user, day) first (one partial-agg
+    * shuffle that shrinks events to active-days), then each active day
+    * CONTRIBUTES itself to the 7 window-ending days via a bounded
+    * explode, and a plain count-distinct per day finishes. Linear in
+    * events, ≤ 7× fan-out on the already-deduped frame, no per-day
+    * re-scan — at 100 TB this is the difference between one pass and 7
+    * full self-joins.
+    */
+  private val rollingWau = Q(
+    "agg_rolling_7d_distinct_users",
+    (s, d) => Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+      .select(col("user_id"),
+        explode(sequence(col("day"), date_add(col("day"), 6))).as("day"))
+      .groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+      .orderBy(col("day")),
+    Some("""WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+           |  FROM events),
+           |x AS (SELECT user_id, day + CAST(i AS INT) AS day
+           | FROM ud, range(7) t(i))
+           |SELECT day, count(DISTINCT user_id) AS wau
+           |FROM x GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** Exact per-group order-statistic quantiles (p50/p90/p95/p99 of event
+    * value by type) — DISCRETE quantiles (the k-th smallest actual value,
+    * k = ⌈q·n⌉), not interpolated ones: interpolation at arbitrary q
+    * differs across engines in the last ulp, order statistics of integer
+    * centi-units cannot. One window rank + one grouped conditional-max.
+    * Group partitions are the sort unit — the scale path swaps in
+    * approx_percentile per group, same output shape.
+    */
+  private val groupQuantiles = Q(
+    "agg_group_quantiles_value",
+    (s, d) => {
+      val base = Tables.events(s, d).filter(col("value").isNotNull)
+        .select(col("event_type"),
+          round(col("value") * 100).cast("long").as("c"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("c"))
+      val ranked = base
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      def oq(q: Double) = max(when(col("rn") <= ceil(lit(q) * col("n")), col("c")))
+      ranked.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), oq(0.5).as("p50_centi"),
+          oq(0.9).as("p90_centi"), oq(0.95).as("p95_centi"),
+          oq(0.99).as("p99_centi"))
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH b AS (SELECT event_type,
+           |  CAST(round(value*100) AS BIGINT) AS c
+           | FROM events WHERE value IS NOT NULL),
+           |r AS (SELECT event_type, c,
+           |  row_number() OVER (PARTITION BY event_type ORDER BY c) AS rn,
+           |  count(*) OVER (PARTITION BY event_type) AS n FROM b)
+           |SELECT event_type, count(*) AS n,
+           | max(CASE WHEN rn <= ceil(0.5 * n) THEN c END) AS p50_centi,
+           | max(CASE WHEN rn <= ceil(0.9 * n) THEN c END) AS p90_centi,
+           | max(CASE WHEN rn <= ceil(0.95 * n) THEN c END) AS p95_centi,
+           | max(CASE WHEN rn <= ceil(0.99 * n) THEN c END) AS p99_centi
+           |FROM r GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** First-significant-digit CASE over integer cents, shared between the
+    * engines with only the integer-division operator differing (Spark
+    * `div`, DuckDB `//`). Unrolled magnitude thresholds — no log10, whose
+    * libm tails differ across engines.
+    */
+  private def firstDigitCase(c: String, intDiv: String): String =
+    "CASE " + (1 to 9).map(k =>
+      s"WHEN $c < ${"1" + "0" * k} THEN $c $intDiv ${"1" + "0" * (k - 1)}")
+      .mkString(" ") + s" ELSE $c $intDiv 1000000000 END"
+
+  /** Benford per-digit expectations in basis points — fixed public
+    * constants (⌊log₁₀(1+1/d)·10⁴⌋), inlined as the SAME literals on both
+    * sides rather than computed, so no transcendental function enters the
+    * compared output.
+    */
+  private val benfordBp =
+    Seq(1 -> 3010, 2 -> 1760, 3 -> 1249, 4 -> 969, 5 -> 791,
+      6 -> 669, 7 -> 579, 8 -> 511, 9 -> 457)
+
+  /** Benford's-law first-digit audit of order totals — the classic
+    * fabricated-data screen, as one exact integer query: digit shares in
+    * basis points via integer division against the window total (a
+    * 9-row frame), deviations against the inlined Benford table. A
+    * distribution-level data-quality gate next to the row-level
+    * constraint pack.
+    */
+  private val benford = Q(
+    "dq_benford_first_digit",
+    (s, d) => {
+      val caseSql = firstDigitCase("c", "div")
+      val bSql = "CASE digit " + benfordBp.map { case (k, v) =>
+        s"WHEN $k THEN ${v}L" }.mkString(" ") + " END"
+      Tables.orders(s, d)
+        .select(round(col("o_totalprice") * 100).cast("long").as("c"))
+        .select(expr(caseSql).as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+        .withColumn("share_bp",
+          expr("n * 10000 div sum(n) over ()"))
+        .withColumn("benford_bp", expr(bSql))
+        .select(col("digit"), col("n"), col("share_bp"), col("benford_bp"),
+          abs(col("share_bp") - col("benford_bp")).as("dev_bp"))
+        .orderBy(col("digit"))
+    },
+    Some(s"""WITH c0 AS (SELECT CAST(round(o_totalprice*100) AS BIGINT) AS c
+            | FROM orders),
+            |dg AS (SELECT ${firstDigitCase("c", "//")} AS digit FROM c0),
+            |g AS (SELECT digit, count(*) AS n FROM dg GROUP BY 1),
+            |sh AS (SELECT digit, n,
+            |  (n * 10000) // CAST(sum(n) OVER () AS BIGINT) AS share_bp,
+            |  CASE digit ${benfordBp.map { case (k, v) =>
+              s"WHEN $k THEN CAST($v AS BIGINT)" }.mkString(" ")} END
+            |    AS benford_bp
+            | FROM g)
+            |SELECT digit, n, share_bp, benford_bp,
+            | abs(share_bp - benford_bp) AS dev_bp
+            |FROM sh ORDER BY digit""".stripMargin))
+
   override def qs: Seq[Q] =
-    Seq(triangles, trend, pareto, equidepth, madOutliers, zorder)
+    Seq(triangles, trend, pareto, equidepth, madOutliers, zorder,
+      windowValues, rollingWau, groupQuantiles, benford)
 }

@@ -120,6 +120,92 @@ class StatsSpec extends SparkSpec {
     assert(n > 100) // every fixture day groups to one x
   }
 
+  test("window_value_functions matches a Scala fold per user") {
+    val got = SparkEntry.queries("window_value_functions")(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]),
+        r.getString(4), r.getString(5)))
+      .toMap
+    val raw = graft.Tables.events(spark, sf)
+      .selectExpr("user_id", "unix_micros(ts) AS us", "event_id",
+        "event_type", "value")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        Option(r.get(4)).map(_.asInstanceOf[Double])))
+    val expected = raw.groupBy(_._1).map { case (u, evs) =>
+      val sorted = evs.sortBy(e => (e._2, e._3)).toSeq
+      val vals = sorted.map(_._5)
+      val nAsc = vals.sliding(2).count {
+        case Seq(Some(a), Some(b)) => b > a
+        case _ => false
+      }
+      val gaps = sorted.map(_._2).sliding(2).collect {
+        case Seq(a, b) => b - a }.toSeq
+      u -> ((sorted.size.toLong, nAsc.toLong,
+        if (gaps.isEmpty) None else Some(gaps.max),
+        sorted.head._4, sorted.last._4))
+    }
+    assert(got === expected)
+  }
+
+  test("agg_rolling_7d_distinct_users equals trailing-window recount") {
+    val got = SparkEntry.queries("agg_rolling_7d_distinct_users")(spark, sf)
+      .collect().map(r => (r.getDate(0).toLocalDate, r.getLong(1)))
+    val ud = graft.Tables.events(spark, sf)
+      .selectExpr("user_id", "CAST(ts AS DATE) AS day").distinct()
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    for ((day, wau) <- got) {
+      val recount = ud.filter { case (_, d) =>
+        !d.isAfter(day) && !d.isBefore(day.minusDays(6))
+      }.map(_._1).distinct.length.toLong
+      assert(wau === recount, s"day $day")
+    }
+    // every day in the output has at least one active user, and the
+    // output covers min..max+6 of active days exactly
+    assert(got.forall(_._2 > 0))
+    assert(got.map(_._1).max === ud.map(_._2).max(Ordering.by((d: java.time.LocalDate) => d.toEpochDay)).plusDays(6))
+  }
+
+  test("agg_group_quantiles_value returns the k-th order statistics") {
+    val got = SparkEntry.queries("agg_group_quantiles_value")(spark, sf)
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    val base = graft.Tables.events(spark, sf)
+      .filter(col("value").isNotNull)
+      .selectExpr("event_type", "CAST(round(value*100) AS LONG) AS c")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val expected = base.groupBy(_._1).map { case (et, vs) =>
+      val sorted = vs.map(_._2).sorted
+      def kth(q: Double) = sorted(math.ceil(q * sorted.length).toInt - 1)
+      et -> (sorted.length.toLong, kth(0.5), kth(0.9), kth(0.95), kth(0.99))
+    }
+    assert(got === expected)
+  }
+
+  test("dq_benford_first_digit shares sum to ~10000bp and digits are exact") {
+    val rows = SparkEntry.queries("dq_benford_first_digit")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val prices = graft.Tables.orders(spark, sf)
+      .select(col("o_totalprice")).collect().map(_.getDouble(0))
+    val digits = prices.map(p =>
+      math.round(p * 100).toString.head.asDigit.toLong)
+    val expected = digits.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(rows.map(r => r._1 -> r._2).toMap === expected)
+    assert(rows.map(_._2).sum === prices.length.toLong)
+    // integer-division shares: within 9bp of the whole by construction
+    val bpSum = rows.map(_._3).sum
+    assert(bpSum > 9990 && bpSum <= 10000)
+    // the benford table is the inlined public constant set
+    assert(rows.map(r => r._1 -> r._4).toMap ===
+      Map(1L -> 3010L, 2L -> 1760L, 3L -> 1249L, 4L -> 969L, 5L -> 791L,
+        6L -> 669L, 7L -> 579L, 8L -> 511L, 9L -> 457L).filter {
+        case (d, _) => expected.contains(d) })
+  }
+
   test("zValue interleaves bits (x odd positions, y even)") {
     val df = spark.range(1).select(
       ZOrder.zValue(lit(3), lit(5), 3).as("a"),   // x=011,y=101 → 0b011011+?
