@@ -210,6 +210,42 @@ class PlanShapeSpec extends SparkSpec {
       s"expected checkpointed edges in the final aggregation plan:\n$s")
   }
 
+  test("triangle census: wedge joins broadcast the edge list, never sort-merge") {
+    val s = planString(SparkEntry.queries("graph_triangle_count")(spark, sf))
+    assert("BroadcastHashJoin".r.findAllIn(s).length >= 2, s)
+    assert(!s.contains("SortMergeJoin"), s)
+    assert(!s.contains("CartesianProduct"), s)
+    // the only nested-loop joins permitted are the 1-row scalar
+    // assembly crossJoins of the three final counters
+    assert("BroadcastNestedLoopJoin".r.findAllIn(s).length <= 2, s)
+  }
+
+  test("equi-depth histogram: one boundary broadcast, two scans, no extra shuffle") {
+    val df = SparkEntry.queries("agg_equidepth_hist_price")(spark, sf)
+    val s = planString(df)
+    assert("Scan parquet".r.findAllIn(s).length === 2,
+      s"expected percentile pass + bucket pass only:\n$s")
+    assert("BroadcastExchange".r.findAllIn(s).length === 1, s)
+  }
+
+  test("window value zoo: window and final groupBy share ONE user_id shuffle") {
+    val s = planString(SparkEntry.queries("window_value_functions")(spark, sf))
+    assert("Exchange hashpartitioning".r.findAllIn(s).length === 1,
+      s"the groupBy must reuse the window's user_id partitioning:\n$s")
+  }
+
+  test("rolling WAU: dedup shrinks BEFORE the 7-day fan-out; no join anywhere") {
+    val s = planString(SparkEntry.queries("agg_rolling_7d_distinct_users")(spark, sf))
+    assert("Generate".r.findAllIn(s).length === 1, s)
+    assert(!s.contains("Join"), s"the sliding DISTINCT must not self-join:\n$s")
+    assert("Scan parquet".r.findAllIn(s).length === 1, s)
+  }
+
+  test("benford audit: a single scan feeds digit histogram and shares") {
+    val s = planString(SparkEntry.queries("dq_benford_first_digit")(spark, sf))
+    assert("Scan parquet".r.findAllIn(s).length === 1, s)
+  }
+
   test("every registered query plans and executes at sf0.001") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try { fn(spark, sf).collect(); None }
