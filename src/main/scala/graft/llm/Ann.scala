@@ -331,4 +331,50 @@ object Ann {
       .select(col("vec_id"), col("cell"),
         coalesce(col("removed"), lit(false)).as("removed"))
   }
+
+  /** Top principal direction of the embedding cloud (dominant eigenvector
+    * of the UNCENTERED second-moment matrix XᵀX) via the distributed
+    * power method — the one piece of iterative linear algebra a vector
+    * pipeline leans on (whitening checks, anisotropy audits, fast 1-D
+    * projections).
+    *
+    * Per iteration: project every row onto w (tight JVM dot loop), then
+    * w′_d = Σ_rows p·x_d — a posexplode → groupBy(dim) partial-agg, the
+    * IVF-centroid movement: only `dim` doubles ever reach the driver.
+    * Never materializes XᵀX (d² entries) — at 100 TB both X and XᵀX-free
+    * iteration matter. Deterministic by construction: fixed uniform
+    * start, fixed iteration count; the sign is canonicalized so the
+    * largest-|weight| coordinate (lowest dim on ties at 6dp) is
+    * positive. Float-sum ordering perturbs last ulps only (power
+    * iterations contract perturbations toward the dominant direction),
+    * so consumers compare at the house 6dp-rank convention.
+    */
+  def topComponent(vectors: DataFrame, vecCol: String,
+      iters: Int = 3): Array[Double] = {
+    val v = vectors.select(col(vecCol).as("x")).filter(size(col("x")) > 0)
+    val dim = v.select(size(col("x"))).first().getInt(0)
+    var w = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
+    for (_ <- 1 to iters) {
+      val wNow = w
+      val projUdf = udf { (x: Array[Float]) =>
+        var s = 0.0; var i = 0
+        while (i < x.length) { s += x(i) * wNow(i); i += 1 }
+        s
+      }
+      val sums = v
+        .select(projUdf(col("x")).as("p"), posexplode(col("x")).as(Seq("d", "xi")))
+        .groupBy(col("d")).agg(sum(col("p") * col("xi")).as("s"))
+        .collect()
+      val next = new Array[Double](dim)
+      sums.foreach(r => next(r.getAs[Int]("d")) = r.getAs[Double]("s"))
+      val norm = math.sqrt(next.map(a => a * a).sum)
+      w = next.map(_ / norm)
+    }
+    // canonical sign: the coordinate that ranks first by (|w| desc at
+    // 6dp, dim asc) is positive. math.round == SQL round for the
+    // positive |w|·1e6 (both half-away-from-zero there).
+    val lead = w.indices.minBy(i =>
+      (-math.round(math.abs(w(i)) * 1e6), i))
+    if (w(lead) < 0) w.map(-_) else w
+  }
 }

@@ -183,6 +183,58 @@ object SimilarityQueries extends QueryPack {
       .orderBy(col("label")),
     None)
 
+  /** One power-method step as DuckDB CTEs: project every vector onto
+    * wₖ₋₁ (explicit dim-join dot product), accumulate w′_d = Σ p·x_d,
+    * normalize. Mirrors [[Ann.topComponent]]'s iteration exactly; float
+    * sums differ across engines in last ulps only, which the iteration
+    * contracts and the 6dp rank quantization absorbs (the PageRank
+    * convention).
+    */
+  private def pcaStep(k: Int): String =
+    s"""p$k AS (SELECT vec_id, sum(embedding[d+1] * w) AS p
+       | FROM e, w${k - 1} GROUP BY 1),
+       |s$k AS (SELECT d, sum(p * embedding[d+1]) AS s
+       | FROM e, p$k, dims WHERE e.vec_id = p$k.vec_id GROUP BY 1),
+       |n$k AS (SELECT sqrt(sum(s*s)) AS nn FROM s$k),
+       |w$k AS (SELECT d, s / (SELECT nn FROM n$k) AS w FROM s$k)""".stripMargin
+
+  /** Top principal direction via 3 distributed power iterations
+    * ([[Ann.topComponent]]); output is the top-8 dimensions ranked by
+    * 6dp-quantized |weight| with the canonical-sign convention — pure
+    * integers, the safest cross-engine payload. The oracle unrolls the
+    * same three iterations as chained CTEs (the PageRank pattern).
+    */
+  private val topComponent = Q(
+    "emb_top_component",
+    (s, d) => {
+      val w = Ann.topComponent(Tables.embeddings(s, d), "embedding", iters = 3)
+      val ranked = w.zipWithIndex
+        .sortBy { case (x, i) => (-math.round(math.abs(x) * 1e6), i) }
+        .take(8).zipWithIndex
+        .map { case ((x, dimIdx), r) =>
+          (r + 1, dimIdx, if (x >= 0) 1 else -1) }
+        .toSeq
+      import s.implicits._
+      ranked.toDF("rank", "dim", "sign")
+    },
+    Some(s"""WITH e AS (SELECT vec_id, embedding FROM embeddings
+            |  WHERE len(embedding) > 0),
+            |dims AS (SELECT CAST(unnest(generate_series(0,
+            |  (SELECT max(len(embedding)) FROM e) - 1)) AS INT) AS d),
+            |w0 AS (SELECT d, 1.0 / sqrt((SELECT count(*) FROM dims)) AS w
+            | FROM dims),
+            |${pcaStep(1)},
+            |${pcaStep(2)},
+            |${pcaStep(3)},
+            |lead AS (SELECT CASE WHEN w < 0 THEN -1 ELSE 1 END AS sgn FROM w3
+            | ORDER BY round(abs(w)*1000000) DESC, d LIMIT 1)
+            |SELECT CAST(row_number() OVER
+            |   (ORDER BY round(abs(w)*1000000) DESC, d) AS INT) AS rank,
+            | d AS dim,
+            | CAST(CASE WHEN w * (SELECT sgn FROM lead) >= 0
+            |   THEN 1 ELSE -1 END AS INT) AS sign
+            |FROM w3 ORDER BY 1 LIMIT 8""".stripMargin))
+
   val qs: Seq[Q] = Seq(brute, lsh, ivf, pq, embDedup, mmFeatures, argmaxHist,
-    mmFrames, mmPhash, semdedup)
+    mmFrames, mmPhash, semdedup, topComponent)
 }

@@ -69,6 +69,38 @@ class AnnSpec extends SparkSpec {
     assert(math.abs(Hashing.cosine(Array(1f, 2f), Array(2f, 4f)) - 1.0) < 1e-12)
   }
 
+  test("topComponent: unit norm, variance-dominant over baselines, deterministic") {
+    val w = Ann.topComponent(emb, "embedding", iters = 3)
+    assert(math.abs(w.map(a => a * a).sum - 1.0) < 1e-9)
+    val xs = emb.select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray)
+    def rayleigh(v: Array[Double]): Double = xs.map { x =>
+      var p = 0.0; var i = 0
+      while (i < x.length) { p += x(i) * v(i); i += 1 }
+      p * p
+    }.sum
+    val rw = rayleigh(w)
+    // the power-method direction must capture at least as much second
+    // moment as every basis vector and several hash-deterministic
+    // random unit directions
+    val d = w.length
+    for (b <- 0 until d) {
+      val e = Array.fill(d)(0.0); e(b) = 1.0
+      assert(rw >= rayleigh(e), s"basis $b beats the top component")
+    }
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      val r = Array.fill(d)(rnd.nextGaussian())
+      val n = math.sqrt(r.map(a => a * a).sum)
+      assert(rw >= rayleigh(r.map(_ / n)), s"random dir $seed beats it")
+    }
+    // canonical sign + 6dp-stable across invocations
+    val w2 = Ann.topComponent(emb, "embedding", iters = 3)
+    assert(w.zip(w2).forall { case (a, b) => math.abs(a - b) < 1e-6 })
+    val lead = w.indices.minBy(i => (-math.round(math.abs(w(i)) * 1e6), i))
+    assert(w(lead) > 0)
+  }
+
   test("ivf recall EQUALS probe coverage (the exact IVF identity), above floors") {
     import spark.implicits._
     val q = emb.filter(col("vec_id") < 20)
