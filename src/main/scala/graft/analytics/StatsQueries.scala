@@ -437,7 +437,129 @@ object StatsQueries extends QueryPack {
             | abs(share_bp - benford_bp) AS dev_bp
             |FROM sh ORDER BY digit""".stripMargin))
 
+  /** Latest row per key as an AGGREGATION, not a window: max over a
+    * (sort-key..., payload) struct compares lexicographically, so it
+    * partial-aggregates map-side — at 100 TB the latest-row extraction
+    * ships one struct per key per input partition instead of sorting
+    * whole partitions under a window.
+    */
+  private def latestType(df: org.apache.spark.sql.DataFrame) = df
+    .groupBy(col("user_id"))
+    .agg(max(struct(expr("unix_micros(ts)").as("us"),
+      col("event_id"), col("event_type"))).as("m"))
+    .select(col("user_id"), col("m.event_type").as("et"))
+
+  /** MERGE INTO semantics (SCD1 upsert) as a batch operator: the
+    * dimension snapshot built from history before the cutover
+    * full-outer-joins the post-cutover changes; unmatched-right inserts,
+    * matched updates, unmatched-left carries over. The output is the
+    * merge AUDIT (insert/update/unchanged counts + how many updates
+    * actually changed the tracked attribute) — the row-level merge
+    * itself is the join's projection. One shuffle per side plus the
+    * join; both sides are key-sized, never event-sized.
+    */
+  private val upsertMerge = Q(
+    "warehouse_upsert_merge",
+    (s, d) => {
+      val cut = "2024-01-15"
+      val ev = Tables.events(s, d)
+      val base = latestType(ev.filter(col("ts") < lit(cut)))
+        .withColumnRenamed("et", "base_et")
+      val upd = latestType(ev.filter(col("ts") >= lit(cut)))
+        .withColumnRenamed("et", "upd_et")
+      base.join(upd, Seq("user_id"), "full_outer")
+        .select(
+          when(col("base_et").isNull, "insert")
+            .when(col("upd_et").isNull, "unchanged")
+            .otherwise("update").as("action"),
+          (col("base_et").isNotNull && col("upd_et").isNotNull &&
+            col("base_et") =!= col("upd_et")).as("chg"))
+        .groupBy(col("action"))
+        .agg(count(lit(1)).as("n_users"),
+          count(when(col("chg"), lit(1))).as("n_type_changed"))
+        .orderBy(col("action"))
+    },
+    Some("""WITH b AS (SELECT user_id, event_type AS base_et FROM (
+           |  SELECT user_id, event_type, row_number() OVER (
+           |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+           |  FROM events WHERE ts < TIMESTAMP '2024-01-15') WHERE rn = 1),
+           |u AS (SELECT user_id, event_type AS upd_et FROM (
+           |  SELECT user_id, event_type, row_number() OVER (
+           |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+           |  FROM events WHERE ts >= TIMESTAMP '2024-01-15') WHERE rn = 1),
+           |m AS (SELECT CASE WHEN base_et IS NULL THEN 'insert'
+           |    WHEN upd_et IS NULL THEN 'unchanged' ELSE 'update' END
+           |    AS action,
+           |  (base_et IS NOT NULL AND upd_et IS NOT NULL
+           |    AND base_et <> upd_et) AS chg
+           | FROM b FULL OUTER JOIN u USING (user_id))
+           |SELECT action, count(*) AS n_users,
+           | CAST(count(CASE WHEN chg THEN 1 END) AS BIGINT)
+           |   AS n_type_changed
+           |FROM m GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** Incremental view maintenance as a first-class contract: partial
+    * aggregates computed on disjoint slices MERGE into exactly the
+    * full-recompute result (count/sum in exact integer centi-units, max
+    * on exact micros). This is the algebra that lets a 100 TB nightly
+    * pipeline aggregate only the new partition and fold it into
+    * yesterday's state; the oracle IS the full recompute, so the merge's
+    * result-invariance is hash-verified, not assumed.
+    */
+  private val incMerge = Q(
+    "inc_agg_merge",
+    (s, d) => {
+      val cut = "2024-01-15"
+      val ev = Tables.events(s, d).select(col("user_id"),
+        col("ts"), round(col("value") * 100).cast("long").as("c"))
+      def slice(p: org.apache.spark.sql.Column) = ev.filter(p)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), sum(col("c")).as("sum_centi"),
+          max(expr("unix_micros(ts)")).as("last_us"))
+      slice(col("ts") < lit(cut))
+        .unionByName(slice(col("ts") >= lit(cut)))
+        .groupBy(col("user_id"))
+        .agg(sum(col("n")).as("n"), sum(col("sum_centi")).as("sum_centi"),
+          max(col("last_us")).as("last_us"))
+        .orderBy(col("user_id"))
+    },
+    Some("""SELECT user_id, count(*) AS n,
+           | CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+           |   AS sum_centi,
+           | max(epoch_us(ts)) AS last_us
+           |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** Count-Min point estimates next to exact truth: one CMS pass over
+    * the part keys (4×256 counters — the whole sketch is 8 KiB however
+    * many keys stream through), estimates for the top-10 true heavy
+    * hitters. Estimates are engine-defined (seeded engine hashes), so
+    * no SQL oracle — CountMinSpec pins the one-sided error, the ε·N
+    * bound, and the exact sketch-merge identity that makes per-shard
+    * folding possible.
+    */
+  private val cmsEstimates = Q(
+    "a2_cms_point_estimates",
+    (s, d) => {
+      val depth = 4
+      val width = 256
+      val sk = Tables.lineitem(s, d)
+        .select(col("l_partkey").cast("string").as("k"))
+        .agg(graft.functions.CountMinAgg.sketch(col("k"), depth, width)
+          .as("sk"))
+        .first().getSeq[Long](0).toArray
+      val estU = udf((k: String) =>
+        graft.functions.CountMinAgg.estimate(sk, depth, width, k))
+      Tables.lineitem(s, d).groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("true_n"))
+        .orderBy(col("true_n").desc, col("l_partkey"))
+        .limit(10)
+        .withColumn("est_n", estU(col("l_partkey").cast("string")))
+        .withColumn("overcount", col("est_n") - col("true_n"))
+    },
+    None)
+
   override def qs: Seq[Q] =
     Seq(triangles, trend, pareto, equidepth, madOutliers, zorder,
-      windowValues, rollingWau, groupQuantiles, benford)
+      windowValues, rollingWau, groupQuantiles, benford,
+      upsertMerge, incMerge, cmsEstimates)
 }

@@ -67,3 +67,62 @@ class FunctionsSpec extends SparkSpec {
     assert(pairs.toSeq === Seq((0L, 9000L))) // the plant, nothing else
   }
 }
+
+/** Count-Min sketch: one-sided error, the (ε, δ) bound, and the exact
+  * merge identity that justifies per-shard sketch folding.
+  */
+class CountMinSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+  import graft.functions.CountMinAgg
+
+  private val sf = "/root/testdata/sf0.001"
+  private val depth = 4
+  private val width = 256
+
+  private def sketchOf(df: org.apache.spark.sql.DataFrame): Array[Long] =
+    df.agg(CountMinAgg.sketch(col("k"), depth, width).as("s"))
+      .first().getSeq[Long](0).toArray
+
+  test("estimates are one-sided and within the eps*N bound on real keys") {
+    val keys = graft.Tables.lineitem(spark, sf)
+      .select(col("l_partkey").cast("string").as("k"))
+    val sk = sketchOf(keys)
+    val truth = keys.groupBy("k").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val n = truth.map(_._2).sum
+    val eps = math.E / width
+    var overBound = 0
+    truth.foreach { case (k, t) =>
+      val e = CountMinAgg.estimate(sk, depth, width, k)
+      assert(e >= t, s"CMS undercounted $k: $e < $t")
+      if (e > t + math.ceil(eps * n)) overBound += 1
+    }
+    // P(fail) = delta^... per row; with depth 4 essentially none expected
+    assert(overBound <= math.max(1, truth.length / 20),
+      s"$overBound of ${truth.length} keys exceeded the eps*N bound")
+  }
+
+  test("sketch(A) + sketch(B) == sketch(A union B) bit for bit") {
+    val all = graft.Tables.events(spark, sf)
+      .select(col("event_type").as("k"), col("ts"))
+    val a = sketchOf(all.filter(col("ts") < lit("2024-01-15")).select(col("k")))
+    val b = sketchOf(all.filter(col("ts") >= lit("2024-01-15")).select(col("k")))
+    val whole = sketchOf(all.select(col("k")))
+    val merged = a.zip(b).map { case (x, y) => x + y }
+    assert(merged.toSeq === whole.toSeq)
+  }
+
+  test("nulls don't count; empty input estimates zero") {
+    import scala.jdk.CollectionConverters._
+    val df = spark.createDataFrame(
+      Seq[org.apache.spark.sql.Row](
+        org.apache.spark.sql.Row("x"), org.apache.spark.sql.Row(null),
+        org.apache.spark.sql.Row("x")).asJava,
+      org.apache.spark.sql.types.StructType.fromDDL("k STRING"))
+    val sk = sketchOf(df)
+    assert(CountMinAgg.estimate(sk, depth, width, "x") === 2L)
+    assert(CountMinAgg.estimate(sk, depth, width, "never-seen") <= 0L + 2L)
+    val empty = sketchOf(df.filter(col("k") === "zzz"))
+    assert(CountMinAgg.estimate(empty, depth, width, "x") === 0L)
+  }
+}
