@@ -36,6 +36,39 @@ class EdgeCaseSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSeq == Seq((5L, 5L)))
   }
 
+  test("triangle census on empty, self-loop, and triangle-free inputs") {
+    val empty = Seq.empty[(Long, Long)].toDF("i", "j")
+    val r0 = ops.Triangles.census(empty, "i", "j").collect()(0)
+    assert((r0.getLong(0), r0.getLong(1), r0.getLong(2)) === ((0L, 0L, 0L)))
+    // self-loops are dropped by canonicalization, a bare path has no
+    // triangles, duplicate/reversed edges collapse
+    val path = Seq((1L, 1L), (1L, 2L), (2L, 3L), (3L, 2L)).toDF("i", "j")
+    val r1 = ops.Triangles.census(path, "i", "j").collect()(0)
+    assert((r1.getLong(0), r1.getLong(1), r1.getLong(2)) === ((3L, 2L, 0L)))
+  }
+
+  test("power method on empty-vector rows and a rank-1 cloud") {
+    // empty arrays are filtered, not NPE; a rank-1 cloud recovers its
+    // generating direction exactly (the only eigendirection)
+    val vs = Seq(
+      (1L, Array(2f, 0f, 0f)), (2L, Array(-3f, 0f, 0f)),
+      (3L, Array(0.5f, 0f, 0f)), (4L, Array.empty[Float]))
+      .toDF("vec_id", "embedding")
+    val w = llm.Ann.topComponent(vs, "embedding", iters = 2)
+    assert(w.length === 3)
+    assert(math.abs(math.abs(w(0)) - 1.0) < 1e-9)
+    assert(math.abs(w(1)) < 1e-9 && math.abs(w(2)) < 1e-9)
+    assert(w(0) > 0) // canonical sign
+  }
+
+  test("CMS sketch column on all-null input is the zero sketch") {
+    val nulls = Seq.empty[String].toDF("k")
+      .union(Seq(Option.empty[String]).toDF("k"))
+    val sk = nulls.agg(functions.CountMinAgg.sketch(col("k"), 2, 16).as("s"))
+      .first().getSeq[Long](0)
+    assert(sk.forall(_ === 0L))
+  }
+
   test("sequence packing and gap-fill behave on empty-token and null rows") {
     // zero-token docs take no space (offsets equal, never straddling);
     // null text propagates null — SQL semantics, mirrored by the DuckDB
