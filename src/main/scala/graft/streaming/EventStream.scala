@@ -195,4 +195,60 @@ object EventStream {
       .option("path", outDir)
       .start()
   }
+
+  final case class RunningTotal(
+      user_id: Long, event_id: Long, n_so_far: Long, sum_centi_so_far: Long)
+
+  /** Per-user running totals via `transformWithState` — Spark 4's
+    * arbitrary-state operator (SPARK-46815), the typed-state successor to
+    * [[sessionize]]'s flatMapGroupsWithState: state lives in named
+    * handles (`ValueState`/`ListState`/`MapState`) with optional TTL
+    * rather than one opaque blob, timers replace the single timeout, and
+    * the store runs on RocksDB with changelog checkpointing. Kept next
+    * to the fMGWS sessionizer deliberately — same engine, both stateful
+    * surfaces covered.
+    *
+    * Semantics: events within a micro-batch apply in (ts, event_id)
+    * order, so given in-order feeds the emitted running (count,
+    * centi-sum) per user matches the batch window cumsum EXACTLY
+    * (pinned in EventStreamSpec against `window_running_user_value`'s
+    * formulation). Value quantizes to integer centi-units — the running
+    * sum is exact however many batches it spans. State per user is two
+    * longs; a TTL would bound idle-key state at planetary cardinality.
+    */
+  def runningTotals(events: Dataset[Event])(
+      implicit spark: SparkSession): Dataset[RunningTotal] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningTotalsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+  }
+}
+
+/** State machine for [[EventStream.runningTotals]]: one (n, centi-sum)
+  * ValueState per user, updated in deterministic within-batch order.
+  */
+class RunningTotalsProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[
+    Long, EventStream.Event, EventStream.RunningTotal] {
+  import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+  import org.apache.spark.sql.{Encoders, streaming}
+
+  @transient private var totals: ValueState[(Long, Long)] = _
+
+  override def init(outputMode: streaming.OutputMode, timeMode: TimeMode): Unit =
+    totals = getHandle.getValueState("totals",
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong), TTLConfig.NONE)
+
+  override def handleInputRows(user: Long,
+      rows: Iterator[EventStream.Event],
+      timerValues: TimerValues): Iterator[EventStream.RunningTotal] = {
+    var (n, s) = if (totals.exists()) totals.get() else (0L, 0L)
+    val out = rows.toArray.sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
+      n += 1
+      s += math.round(e.value * 100)
+      EventStream.RunningTotal(user, e.event_id, n, s)
+    }
+    totals.update((n, s))
+    out.iterator
+  }
 }

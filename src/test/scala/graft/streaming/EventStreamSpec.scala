@@ -183,4 +183,59 @@ class EventStreamSpec extends SparkSpec {
       assert(out == Set((1L, "NATION_0"), (2L, "NATION_1"), (4L, "NATION_0")))
     } finally q.stop()
   }
+
+  test("runningTotals (transformWithState): state persists across batches and equals batch cumsum") {
+    implicit val sq = spark.sqlContext
+    implicit val sp = spark
+    import spark.implicits._
+    // transformWithState requires the RocksDB state store
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[Event]
+    val q = EventStream.runningTotals(input.toDS())
+      .writeStream.format("memory").queryName("running")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // wave 1: interleaved users, deliberately out of order within the
+      // batch — the processor must apply them in (ts, event_id) order
+      input.addData(
+        ev(3, "2024-01-01 10:02:00", 1, "view", 2.50),
+        ev(1, "2024-01-01 10:00:00", 1, "click", 1.25),
+        ev(2, "2024-01-01 10:01:00", 2, "click", 10.00))
+      q.processAllAvailable()
+      // wave 2: totals must CONTINUE from wave-1 state
+      input.addData(
+        ev(4, "2024-01-01 10:03:00", 1, "buy", 0.25),
+        ev(5, "2024-01-01 10:04:00", 2, "view", 0.01))
+      q.processAllAvailable()
+      val got = spark.table("running")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got === Set(
+        (1L, 1L, 1L, 125L), (1L, 3L, 2L, 375L), (1L, 4L, 3L, 400L),
+        (2L, 2L, 1L, 1000L), (2L, 5L, 2L, 1001L)))
+      // batch twin: the same events through a window cumsum give the
+      // same running counts and centi-sums
+      val batch = Seq(
+        (1L, 1L, 125L), (3L, 1L, 250L), (2L, 2L, 1000L),
+        (4L, 1L, 25L), (5L, 2L, 1L))
+        .toDF("event_id", "user_id", "centi")
+      import org.apache.spark.sql.functions.{count, lit, sum}
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"event_id")
+      val twin = batch
+        .withColumn("n_so_far", count(lit(1)).over(w))
+        .withColumn("sum_so_far", sum($"centi").over(w))
+        .select($"user_id", $"event_id", $"n_so_far", $"sum_so_far")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(twin === got)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
