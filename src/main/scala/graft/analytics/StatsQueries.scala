@@ -558,8 +558,49 @@ object StatsQueries extends QueryPack {
     },
     None)
 
+  /** KMV set-overlap estimates between the click and purchase audiences:
+    * one sketch per event_type (k=256, O(k) state each), then distinct /
+    * union / intersection / Jaccard estimated from the two sketches
+    * ALONE — the audience-overlap question a 100 TB warehouse answers
+    * without ever shuffling user ids together (HLL unions; only KMV
+    * intersects). Exact counterparts computed alongside so the row shows
+    * estimate vs truth; engine-hash-defined estimates ⇒ no SQL oracle,
+    * KmvSpec pins exactness below k, the bit-exact merge identity, and
+    * the ~1/√k error band.
+    */
+  private val kmvOverlap = Q(
+    "a4_kmv_set_overlap",
+    (s, d) => {
+      val k = 256
+      val ev = Tables.events(s, d)
+      def sketchOf(et: String): Array[Long] = ev
+        .filter(col("event_type") === et)
+        .select(col("user_id").cast("string").as("u"))
+        .agg(graft.functions.KmvAgg.sketch(col("u"), k).as("sk"))
+        .first().getSeq[Long](0).toArray
+      val (a, b) = (sketchOf("click"), sketchOf("purchase"))
+      val exact = ev.filter(col("event_type").isin("click", "purchase"))
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "click", 1).otherwise(0)).as("c"),
+          max(when(col("event_type") === "purchase", 1).otherwise(0)).as("p"))
+        .agg(sum(col("c")).as("n_click"), sum(col("p")).as("n_purchase"),
+          count(lit(1)).as("n_union"),
+          sum(col("c") * col("p")).as("n_both"))
+        .first()
+      import graft.functions.KmvAgg._
+      import s.implicits._
+      Seq((
+        exact.getLong(0), math.round(estimateDistinct(a, k)),
+        exact.getLong(1), math.round(estimateDistinct(b, k)),
+        exact.getLong(2), math.round(estimateDistinct(union(a, b, k), k)),
+        exact.getLong(3), math.round(estimateIntersection(a, b, k))))
+        .toDF("click_exact", "click_est", "purchase_exact", "purchase_est",
+          "union_exact", "union_est", "both_exact", "both_est")
+    },
+    None)
+
   override def qs: Seq[Q] =
     Seq(triangles, trend, pareto, equidepth, madOutliers, zorder,
       windowValues, rollingWau, groupQuantiles, benford,
-      upsertMerge, incMerge, cmsEstimates)
+      upsertMerge, incMerge, cmsEstimates, kmvOverlap)
 }

@@ -1,0 +1,105 @@
+package graft.functions
+
+import scala.collection.mutable
+
+import graft.llm.Hashing
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** K-Minimum-Values distinct sketch (Bar-Yossef et al. '02 / Beyer et
+  * al. SIGMOD'07) — the set-OPERATION sketch of the family: HLL unions,
+  * Misra-Gries ranks, CMS point-estimates, KMV additionally estimates
+  * INTERSECTIONS. The sketch is literally the k smallest distinct
+  * 64-bit hashes seen; because "k smallest of A ∪ B" is a pure function
+  * of the two sketches, merge is EXACT (sketch(A) ⊕ sketch(B) ==
+  * sketch(A ∪ B), bit for bit — pinned in KmvSpec), and two sketches
+  * over different sets share hash space, so |A ∩ B| falls out of
+  * counting shared minima (the Jaccard-style estimator below).
+  *
+  * Estimates: with v_k = k-th smallest hash mapped to (0,1),
+  * D̂ = (k−1)/v_k, relative error ~1/√k. Below k distinct values the
+  * sketch IS the distinct set and estimates are exact.
+  *
+  * State is O(k) per partition (a bounded sorted set), reduce is
+  * O(log k), merge is O(k log k) — the mergeable shape that ships one
+  * sketch per partition/day/shard and folds later.
+  */
+class KmvAgg(k: Int)
+    extends Aggregator[String, mutable.HashSet[Long], Array[Long]] {
+  require(k >= 2, s"k must be >= 2: $k")
+
+  // order hashes as UNSIGNED 64-bit values (flip the sign bit): the
+  // estimator needs the k smallest points of a uniform [0, 2^64) draw.
+  // The buffer is a hash set trimmed LAZILY (sort once when it reaches
+  // 4k, not a tree insert per row) — kryo round-trips HashSet where
+  // ordered collections lose their comparator; the k-smallest semantics
+  // are restored at every trim and at finish.
+  private def ord(h: Long): Long = h ^ Long.MinValue
+
+  private def trim(b: mutable.HashSet[Long]): mutable.HashSet[Long] =
+    if (b.size <= k) b else {
+      val kept = b.toArray.sorted.take(k)
+      b.clear()
+      b ++= kept
+    }
+
+  override def zero: mutable.HashSet[Long] = mutable.HashSet.empty[Long]
+
+  override def reduce(b: mutable.HashSet[Long], a: String): mutable.HashSet[Long] = {
+    if (a != null) {
+      b.add(ord(Hashing.hash64(a)))
+      if (b.size > 4 * k) trim(b)
+    }
+    b
+  }
+
+  override def merge(x: mutable.HashSet[Long],
+      y: mutable.HashSet[Long]): mutable.HashSet[Long] = {
+    x ++= y
+    trim(x)
+  }
+
+  /** The sketch: ascending (unsigned-order) hash minima, exact set below k. */
+  override def finish(b: mutable.HashSet[Long]): Array[Long] =
+    b.toArray.sorted.take(k)
+
+  override def bufferEncoder: Encoder[mutable.HashSet[Long]] =
+    Encoders.kryo[mutable.HashSet[Long]]
+  override def outputEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+}
+
+object KmvAgg {
+
+  /** Column form: aggregate a string key column into one KMV sketch. */
+  def sketch(c: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.udaf(new KmvAgg(k), Encoders.STRING).apply(c)
+
+  private def toUnit(orderedHash: Long): Double =
+    // the stored key is (hash ^ MIN_VALUE) = unsigned value − 2^63, so
+    // subtracting MIN_VALUE recovers the unsigned magnitude; scale to (0, 1)
+    (orderedHash.toDouble - Long.MinValue.toDouble) / math.pow(2, 64)
+
+  /** Distinct-count estimate: exact below k, (k−1)/v_k at capacity. */
+  def estimateDistinct(sketch: Array[Long], k: Int): Double =
+    if (sketch.length < k) sketch.length.toDouble
+    else (k - 1).toDouble / toUnit(sketch.last)
+
+  /** Merge two finished sketches (k smallest of the union). */
+  def union(a: Array[Long], b: Array[Long], k: Int): Array[Long] =
+    (a.toSet ++ b.toSet).toArray.sorted.take(k)
+
+  /** |A ∩ B| estimate: of the union sketch's minima, the fraction
+    * present in BOTH input sketches estimates Jaccard; scaled by the
+    * union estimate it estimates the intersection size.
+    */
+  def estimateIntersection(a: Array[Long], b: Array[Long], k: Int): Double = {
+    val u = union(a, b, k)
+    if (u.isEmpty) return 0.0
+    val (sa, sb) = (a.toSet, b.toSet)
+    val shared = u.count(h => sa(h) && sb(h))
+    val jaccard = shared.toDouble / u.length
+    jaccard * estimateDistinct(u, k)
+  }
+}

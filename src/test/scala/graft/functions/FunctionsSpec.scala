@@ -126,3 +126,57 @@ class CountMinSpec extends SparkSpec {
     assert(CountMinAgg.estimate(empty, depth, width, "x") === 0L)
   }
 }
+
+/** KMV sketch: exactness below capacity, the bit-exact merge identity,
+  * and the ~1/sqrt(k) estimation band for distinct and intersection.
+  */
+class KmvSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+  import graft.functions.KmvAgg
+
+  private val k = 256
+
+  private def sketchOf(df: org.apache.spark.sql.DataFrame): Array[Long] =
+    df.agg(KmvAgg.sketch(col("k"), k).as("s"))
+      .first().getSeq[Long](0).toArray
+
+  private def strings(prefix: String, n: Int, from: Int = 0) = {
+    import spark.implicits._
+    (from until from + n).map(i => s"$prefix$i").toDF("k")
+  }
+
+  test("below capacity the sketch is the distinct set: estimates exact") {
+    val sk = sketchOf(strings("u", 100))
+    assert(sk.length === 100)
+    assert(KmvAgg.estimateDistinct(sk, k) === 100.0)
+    // duplicates don't grow it
+    val dup = sketchOf(strings("u", 100).union(strings("u", 100)))
+    assert(dup.toSeq === sk.toSeq)
+  }
+
+  test("sketch(A) merged with sketch(B) == sketch(A union B) bit for bit") {
+    val a = sketchOf(strings("x", 5000))
+    val b = sketchOf(strings("x", 5000, from = 2500)) // overlapping halves
+    val whole = sketchOf(strings("x", 7500))
+    assert(KmvAgg.union(a, b, k).toSeq === whole.toSeq)
+  }
+
+  test("distinct and intersection estimates land in the 5/sqrt(k) band") {
+    val nA = 20000
+    val nB = 15000
+    val overlap = 5000
+    val a = sketchOf(strings("v", nA)) // v0..v19999
+    val b = sketchOf(strings("v", nB, from = nA - overlap)) // v15000..v29999
+    val tol = 5.0 / math.sqrt(k.toDouble)
+    val dA = KmvAgg.estimateDistinct(a, k)
+    assert(math.abs(dA - nA) / nA < tol, s"distinct est $dA vs $nA")
+    val u = KmvAgg.union(a, b, k)
+    val dU = KmvAgg.estimateDistinct(u, k)
+    val trueU = nA + nB - overlap
+    assert(math.abs(dU - trueU) / trueU < tol, s"union est $dU vs $trueU")
+    val inter = KmvAgg.estimateIntersection(a, b, k)
+    // intersection compounds jaccard + union error; allow a wider band
+    assert(math.abs(inter - overlap) / overlap < 3 * tol,
+      s"intersection est $inter vs $overlap")
+  }
+}
