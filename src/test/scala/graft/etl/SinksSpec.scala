@@ -77,4 +77,34 @@ class SinksSpec extends SparkSpec {
     assert(back.select("reason").distinct().collect()(0).getString(0) ===
       "duplicate_encounter_id")
   }
+
+  test("ORC and JSON-lines sinks round-trip with schema and pushdown intact") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-fmt").toString
+    val df = (0L until 500L).toDF("id")
+      .withColumn("v", col("id") * 3)
+      .withColumn("s", concat(lit("row-"), col("id")))
+
+    // ORC: the second built-in columnar format — same predicate-pushdown
+    // contract as parquet (min/max stripe stats)
+    df.write.mode("overwrite").orc(s"$base/orc")
+    val orcBack = spark.read.orc(s"$base/orc")
+    // files always read back nullable; names and types must be identical
+    assert(orcBack.schema.map(f => (f.name, f.dataType)) ===
+      df.schema.map(f => (f.name, f.dataType)))
+    assert(orcBack.count() === 500)
+    val filtered = orcBack.filter(col("id") === 42L)
+    val scan = filtered.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString
+    assert(scan.contains("PushedFilters") && scan.contains("42"), scan)
+    assert(filtered.select("s").collect()(0).getString(0) === "row-42")
+
+    // JSON lines: the interchange sink — types survive the text round
+    // trip via explicit schema on read (inference would widen)
+    df.write.mode("overwrite").json(s"$base/json")
+    val jsonBack = spark.read.schema(df.schema).json(s"$base/json")
+    assert(jsonBack.count() === 500)
+    assert(jsonBack.agg(sum(col("v"))).collect()(0).getLong(0) ===
+      3L * (499L * 500L) / 2L)
+  }
 }
