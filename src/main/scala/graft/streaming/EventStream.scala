@@ -196,6 +196,51 @@ object EventStream {
       .start()
   }
 
+  /** Streaming MERGE sink: maintain a latest-per-user parquet dimension
+    * from the event stream via foreachBatch — the standard bridge from
+    * append-only micro-batches to an upserted table when no
+    * transactional format is mounted. Each batch reduces to one row per
+    * touched key (max over a (ts, event_id, payload) struct — the
+    * partial-aggregating latest-row idiom from
+    * `warehouse_upsert_merge`), full-outer-merges into the current
+    * snapshot, materializes via localCheckpoint (the read and the
+    * overwrite target the same path), and overwrites. foreachBatch +
+    * checkpointing gives effectively-once maintenance: a replayed batch
+    * re-applies the same idempotent merge. On a cluster the overwrite
+    * becomes a transactional-format MERGE INTO; the batch-side movement
+    * is identical.
+    */
+  def upsertSink(events: DataFrame, dimDir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val sp = batch.sparkSession
+        val updates = latestPerUser(batch)
+        val existing =
+          if (new java.io.File(dimDir).exists) sp.read.parquet(dimDir)
+          else sp.emptyDataFrame
+            .withColumn("user_id", lit(0L)).withColumn("last_us", lit(0L))
+            .withColumn("event_type", lit("")).limit(0)
+        val merged = existing.as("b")
+          .join(updates.as("u"), Seq("user_id"), "full_outer")
+          .select(col("user_id"),
+            coalesce(col("u.last_us"), col("b.last_us")).as("last_us"),
+            coalesce(col("u.event_type"), col("b.event_type")).as("event_type"))
+          .localCheckpoint() // materialize BEFORE overwriting the input dir
+        merged.write.mode("overwrite").parquet(dimDir)
+        ()
+      }
+      .start()
+
+  /** One row per user: latest (event-time, id)-ordered event. */
+  private[streaming] def latestPerUser(batch: DataFrame): DataFrame =
+    batch.groupBy(col("user_id"))
+      .agg(max(struct(expr("unix_micros(ts)").as("us"),
+        col("event_id"), col("event_type"))).as("m"))
+      .select(col("user_id"), col("m.us").as("last_us"),
+        col("m.event_type").as("event_type"))
+
   final case class RunningTotal(
       user_id: Long, event_id: Long, n_so_far: Long, sum_centi_so_far: Long)
 

@@ -184,6 +184,38 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("upsertSink: the parquet dimension tracks latest-per-user across batches") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-upsert").toString
+    val (dim, ckpt) = (s"$base/dim", s"$base/ckpt")
+    val input = MemoryStream[Event]
+    val q = EventStream.upsertSink(input.toDF(), dim, ckpt)
+    try {
+      input.addData(
+        ev(1, "2024-01-01 10:00:00", 1, "click", 1.0),
+        ev(2, "2024-01-01 10:05:00", 1, "view", 1.0),
+        ev(3, "2024-01-01 10:02:00", 2, "click", 1.0))
+      q.processAllAvailable()
+      val snap1 = spark.read.parquet(dim)
+        .select($"user_id", $"event_type").as[(Long, String)].collect().toSet
+      assert(snap1 === Set((1L, "view"), (2L, "click")))
+      // wave 2: user 1 updated, user 3 inserted, user 2 untouched
+      input.addData(
+        ev(4, "2024-01-01 11:00:00", 1, "buy", 1.0),
+        ev(5, "2024-01-01 11:01:00", 3, "view", 1.0))
+      q.processAllAvailable()
+      val snap2 = spark.read.parquet(dim)
+        .select($"user_id", $"event_type", $"last_us")
+        .as[(Long, String, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(snap2(1L)._1 === "buy" && snap2(2L)._1 === "click" &&
+        snap2(3L)._1 === "view")
+      // carried-over row keeps its original event time
+      assert(snap2(2L)._2 === ts("2024-01-01 10:02:00").getTime * 1000)
+    } finally q.stop()
+  }
+
   test("runningTotals (transformWithState): state persists across batches and equals batch cumsum") {
     implicit val sq = spark.sqlContext
     implicit val sp = spark
