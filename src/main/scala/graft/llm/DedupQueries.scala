@@ -186,22 +186,24 @@ object DedupQueries extends QueryPack {
     "docs_training_pipeline_v3",
     (s, d) => {
       val docs = Tables.documents(s, d)
-      val quality = docs.filter(
-        TextAnalysis.tokenCount(col("text")) >= 20 &&
+      // the token count feeds the quality gate AND the final stats:
+      // computed once, carried through the checkpoint, never re-tokenized
+      val quality = docs
+        .withColumn("tc", TextAnalysis.tokenCount(col("text")))
+        .filter(col("tc") >= 20 &&
           TextAnalysis.alphaRatio(col("text")) >= 0.5)
       val (exactDedup, _) = Dedup.keepFirst(
         quality.withColumn("fp", TextAnalysis.fingerprint(col("text"))),
         Seq(col("fp")), col("doc_id"))
       val exactKept = stage(
-        exactDedup.select(col("doc_id"), col("lang"), col("text")))
+        exactDedup.select(col("doc_id"), col("lang"), col("text"), col("tc")))
       val pairs = MinHashLsh.nearDupPairs(exactKept, "doc_id", "text", 0.8)
       val drops = ConnectedComponents.components(pairs, "i", "j")
         .filter(col("node") =!= col("comp"))
         .select(col("node").as("doc_id"))
       val deduped = exactKept.join(drops, Seq("doc_id"), "left_anti")
       deduped
-        .select(col("doc_id"), col("lang"),
-          TextAnalysis.tokenCount(col("text")).cast("long").as("tok"))
+        .select(col("doc_id"), col("lang"), col("tc").cast("long").as("tok"))
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("doc_id")).as("sum_ids"),
@@ -239,20 +241,22 @@ object DedupQueries extends QueryPack {
     "docs_training_pipeline",
     (s, d) => {
       val docs = Tables.documents(s, d)
-      val quality = docs.filter(
-        TextAnalysis.tokenCount(col("text")) >= 20 &&
+      // the token count feeds the quality gate AND the final stats:
+      // computed once, carried through the checkpoint, never re-tokenized
+      val quality = docs
+        .withColumn("tc", TextAnalysis.tokenCount(col("text")))
+        .filter(col("tc") >= 20 &&
           TextAnalysis.alphaRatio(col("text")) >= 0.5)
       val (exactDedup, _) = Dedup.keepFirst(
         quality.withColumn("fp", TextAnalysis.fingerprint(col("text"))),
         Seq(col("fp")), col("doc_id"))
       val exactKept = stage(
-        exactDedup.select(col("doc_id"), col("lang"), col("text")))
+        exactDedup.select(col("doc_id"), col("lang"), col("text"), col("tc")))
       val pairs = MinHashLsh.nearDupPairs(exactKept, "doc_id", "text", 0.8)
       val survivors = exactKept.join(
         pairs.select(col("j").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
       survivors.groupBy(col("lang"))
-        .agg(count(lit(1)).as("n"),
-          sum(TextAnalysis.tokenCount(col("text"))).as("sum_tokens"))
+        .agg(count(lit(1)).as("n"), sum(col("tc")).as("sum_tokens"))
         .orderBy(col("lang"))
     },
     Some(s"""WITH q AS (SELECT * FROM documents
@@ -285,15 +289,17 @@ object DedupQueries extends QueryPack {
           TextAnalysis.scrubPii(col("text")).as("text2"))
       val corpus = scrub(docs.filter(col("doc_id") >= 50))
       val bench = scrub(docs.filter(col("doc_id") < 50))
-      val quality = corpus.filter(
-        TextAnalysis.tokenCount(col("text2")) >= 20 &&
+      // token count computed once for gate + stats (the v1 convention)
+      val quality = corpus
+        .withColumn("tc", TextAnalysis.tokenCount(col("text2")))
+        .filter(col("tc") >= 20 &&
           TextAnalysis.alphaRatio(col("text2")) >= 0.5 &&
           TextAnalysis.repetitionRatio(col("text2")) <= 0.5)
       val (exactDedup, _) = Dedup.keepFirst(
         quality.withColumn("fp", TextAnalysis.fingerprint(col("text2"))),
         Seq(col("fp")), col("doc_id"))
       val exactKept = stage(
-        exactDedup.select(col("doc_id"), col("lang"), col("text2")))
+        exactDedup.select(col("doc_id"), col("lang"), col("text2"), col("tc")))
       val pairs = MinHashLsh.nearDupPairs(exactKept, "doc_id", "text2", 0.8)
       // decontamination is a per-doc predicate (doc vs the broadcast
       // benchmark fingerprint set), so running it on exactKept instead of
@@ -309,8 +315,7 @@ object DedupQueries extends QueryPack {
         .distinct()
       val clean = exactKept.join(dropIds, Seq("doc_id"), "left_anti")
       clean.groupBy(col("lang"))
-        .agg(count(lit(1)).as("n"),
-          sum(TextAnalysis.tokenCount(col("text2"))).as("sum_tokens"))
+        .agg(count(lit(1)).as("n"), sum(col("tc")).as("sum_tokens"))
         .orderBy(col("lang"))
     },
     Some(s"""WITH sc AS (SELECT doc_id, lang,
