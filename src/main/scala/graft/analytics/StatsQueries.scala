@@ -599,8 +599,41 @@ object StatsQueries extends QueryPack {
     },
     None)
 
+  /** Bucketed table checksum — `dq_table_checksum`'s diff-LOCALIZING
+    * companion: the same md5-XOR row fold, but per md5-derived bucket
+    * (16 here; thousands at 100 TB), so when two table copies disagree
+    * the mismatched bucket pins the divergence to 1/N of the keyspace
+    * and only that slice is re-compared row-level. Order-independent by
+    * construction (XOR fold), one scan, pure map-side partials; the
+    * bucketing hash and the row hash are both md5-derived, so the oracle
+    * reproduces every bucket bit-for-bit.
+    */
+  private val checksumBuckets = Q(
+    "dq_checksum_buckets",
+    (s, d) => {
+      val rowKey = concat_ws("|", col("o_orderkey").cast("string"),
+        col("o_custkey").cast("string"), col("o_orderstatus"),
+        col("o_orderpriority"))
+      Tables.orders(s, d)
+        .select(
+          (conv(substring(md5(col("o_orderkey").cast("string")), 1, 4), 16, 10)
+            .cast("long") % 16).as("bucket"),
+          conv(substring(md5(rowKey), 1, 15), 16, 10).cast("long").as("rh"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), bit_xor(col("rh")).as("fp"))
+        .orderBy(col("bucket"))
+    },
+    Some("""SELECT
+           | ('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 4))::BIGINT
+           |   % 16 AS bucket,
+           | count(*) AS n,
+           | bit_xor(('0x' || substring(md5(concat_ws('|',
+           |   CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),
+           |   o_orderstatus, o_orderpriority)), 1, 15))::BIGINT) AS fp
+           |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin))
+
   override def qs: Seq[Q] =
     Seq(triangles, trend, pareto, equidepth, madOutliers, zorder,
       windowValues, rollingWau, groupQuantiles, benford,
-      upsertMerge, incMerge, cmsEstimates, kmvOverlap)
+      upsertMerge, incMerge, cmsEstimates, kmvOverlap, checksumBuckets)
 }
