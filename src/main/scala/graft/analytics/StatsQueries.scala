@@ -632,8 +632,80 @@ object StatsQueries extends QueryPack {
            |   o_orderstatus, o_orderpriority)), 1, 15))::BIGINT) AS fp
            |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** Relative-rank window functions (percent_rank, cume_dist, nth_value)
+    * over customer balances per market segment — deterministic across
+    * engines because both compute the SAME integer ratios
+    * ((rank−1)/(n−1), peers/n) as one double division of identical
+    * integers, and ties break on the unique key. Completes the window-
+    * function surface next to ranking (rank/ntile), value (lag/lead/
+    * first/last), and frame (RANGE) queries.
+    */
+  private val rankMetrics = Q(
+    "window_rank_metrics",
+    (s, d) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.customer(s, d)
+        .select(col("c_mktsegment"), col("c_custkey"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"),
+          nth_value(col("c_custkey"), 3).over(full).as("third_poorest"))
+        .filter(col("pr") >= 0.99)
+        .select(col("c_mktsegment"), col("c_custkey"),
+          round(col("pr"), 6).as("pr"), round(col("cd"), 6).as("cd"),
+          col("third_poorest"))
+        .orderBy(col("c_mktsegment"), col("c_custkey"))
+    },
+    Some("""WITH r AS (SELECT c_mktsegment, c_custkey,
+           |  percent_rank() OVER w AS pr,
+           |  cume_dist() OVER w AS cd,
+           |  nth_value(c_custkey, 3) OVER
+           |    (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           |    AS third_poorest
+           | FROM customer
+           | WINDOW w AS (PARTITION BY c_mktsegment
+           |   ORDER BY c_acctbal, c_custkey))
+           |SELECT c_mktsegment, c_custkey, round(pr, 6) AS pr,
+           | round(cd, 6) AS cd, third_poorest
+           |FROM r WHERE pr >= 0.99 ORDER BY 1, 2""".stripMargin))
+
+  /** Generated calendar dimension — the warehouse's standard conformed
+    * dimension, built from nothing: one `sequence` over the date range,
+    * one explode, pure date arithmetic. Day-of-week derives from epoch
+    * days ((d+4) mod 7, Thursday-anchored) rather than each engine's
+    * dayofweek builtin, whose numbering conventions differ; all other
+    * fields are integer date parts. Generation is a single task until
+    * the explode — at scale the range splits first.
+    */
+  private val calendarDim = Q(
+    "gen_calendar_dim",
+    (s, d) => s.range(1)
+      .select(explode(sequence(
+        lit("1995-01-01").cast("date"), lit("1996-12-31").cast("date")))
+        .as("day"))
+      .select(col("day"),
+        year(col("day")).as("y"), quarter(col("day")).as("q"),
+        month(col("day")).as("m"), dayofmonth(col("day")).as("dom"),
+        (pmod(datediff(col("day"), lit("1970-01-01").cast("date")) + 4, lit(7)))
+          .as("dow"),
+        (floor(datediff(col("day"), lit("1995-01-01").cast("date")) / 7) + 1)
+          .cast("long").as("week_no"))
+      .orderBy(col("day")),
+    Some("""SELECT CAST(gd AS DATE) AS day,
+           | CAST(year(gd) AS INT) AS y, CAST(quarter(gd) AS INT) AS q,
+           | CAST(month(gd) AS INT) AS m, CAST(day(gd) AS INT) AS dom,
+           | CAST((date_diff('day', DATE '1970-01-01', CAST(gd AS DATE)) + 4) % 7
+           |   AS INT) AS dow,
+           | CAST(date_diff('day', DATE '1995-01-01', CAST(gd AS DATE)) // 7 + 1
+           |   AS BIGINT) AS week_no
+           |FROM (SELECT unnest(generate_series(DATE '1995-01-01',
+           |  DATE '1996-12-31', INTERVAL 1 DAY)) AS gd)
+           |ORDER BY 1""".stripMargin))
+
   override def qs: Seq[Q] =
     Seq(triangles, trend, pareto, equidepth, madOutliers, zorder,
       windowValues, rollingWau, groupQuantiles, benford,
-      upsertMerge, incMerge, cmsEstimates, kmvOverlap, checksumBuckets)
+      upsertMerge, incMerge, cmsEstimates, kmvOverlap, checksumBuckets,
+      rankMetrics, calendarDim)
 }
