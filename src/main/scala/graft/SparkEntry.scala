@@ -16,6 +16,7 @@ object SparkEntry {
     analytics.Dashboard,
     analytics.Temporal,
     analytics.StatsQueries,
+    analytics.WarehouseQueries,
     etl.EtlQueries,
     llm.TextQueries,
     llm.CorpusQueries,

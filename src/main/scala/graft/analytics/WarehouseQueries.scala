@@ -1,0 +1,247 @@
+package graft.analytics
+
+import graft.{Q, QueryPack, Tables}
+import org.apache.spark.sql.functions._
+
+/** Warehouse-maintenance wave: MERGE/SCD1 upsert audit, incremental
+  * aggregate maintenance, the mergeable sketches (Count-Min point
+  * estimates, KMV set overlap), diff-localizing bucketed checksums, and
+  * the generated calendar dimension — the operations that keep a 100 TB
+  * warehouse correct and current between full rebuilds. Split from
+  * [[StatsQueries]] (statistical/structural analytics) along the
+  * maintain-vs-analyze line.
+  */
+object WarehouseQueries extends QueryPack {
+
+  /** Latest row per key as an AGGREGATION, not a window: max over a
+    * (sort-key..., payload) struct compares lexicographically, so it
+    * partial-aggregates map-side — at 100 TB the latest-row extraction
+    * ships one struct per key per input partition instead of sorting
+    * whole partitions under a window.
+    */
+  private def latestType(df: org.apache.spark.sql.DataFrame) = df
+    .groupBy(col("user_id"))
+    .agg(max(struct(expr("unix_micros(ts)").as("us"),
+      col("event_id"), col("event_type"))).as("m"))
+    .select(col("user_id"), col("m.event_type").as("et"))
+
+  /** MERGE INTO semantics (SCD1 upsert) as a batch operator: the
+    * dimension snapshot built from history before the cutover
+    * full-outer-joins the post-cutover changes; unmatched-right inserts,
+    * matched updates, unmatched-left carries over. The output is the
+    * merge AUDIT (insert/update/unchanged counts + how many updates
+    * actually changed the tracked attribute) — the row-level merge
+    * itself is the join's projection. One shuffle per side plus the
+    * join; both sides are key-sized, never event-sized.
+    */
+  private val upsertMerge = Q(
+    "warehouse_upsert_merge",
+    (s, d) => {
+      val cut = "2024-01-15"
+      val ev = Tables.events(s, d)
+      val base = latestType(ev.filter(col("ts") < lit(cut)))
+        .withColumnRenamed("et", "base_et")
+      val upd = latestType(ev.filter(col("ts") >= lit(cut)))
+        .withColumnRenamed("et", "upd_et")
+      base.join(upd, Seq("user_id"), "full_outer")
+        .select(
+          when(col("base_et").isNull, "insert")
+            .when(col("upd_et").isNull, "unchanged")
+            .otherwise("update").as("action"),
+          (col("base_et").isNotNull && col("upd_et").isNotNull &&
+            col("base_et") =!= col("upd_et")).as("chg"))
+        .groupBy(col("action"))
+        .agg(count(lit(1)).as("n_users"),
+          count(when(col("chg"), lit(1))).as("n_type_changed"))
+        .orderBy(col("action"))
+    },
+    Some("""WITH b AS (SELECT user_id, event_type AS base_et FROM (
+           |  SELECT user_id, event_type, row_number() OVER (
+           |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+           |  FROM events WHERE ts < TIMESTAMP '2024-01-15') WHERE rn = 1),
+           |u AS (SELECT user_id, event_type AS upd_et FROM (
+           |  SELECT user_id, event_type, row_number() OVER (
+           |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+           |  FROM events WHERE ts >= TIMESTAMP '2024-01-15') WHERE rn = 1),
+           |m AS (SELECT CASE WHEN base_et IS NULL THEN 'insert'
+           |    WHEN upd_et IS NULL THEN 'unchanged' ELSE 'update' END
+           |    AS action,
+           |  (base_et IS NOT NULL AND upd_et IS NOT NULL
+           |    AND base_et <> upd_et) AS chg
+           | FROM b FULL OUTER JOIN u USING (user_id))
+           |SELECT action, count(*) AS n_users,
+           | CAST(count(CASE WHEN chg THEN 1 END) AS BIGINT)
+           |   AS n_type_changed
+           |FROM m GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** Incremental view maintenance as a first-class contract: partial
+    * aggregates computed on disjoint slices MERGE into exactly the
+    * full-recompute result (count/sum in exact integer centi-units, max
+    * on exact micros). This is the algebra that lets a 100 TB nightly
+    * pipeline aggregate only the new partition and fold it into
+    * yesterday's state; the oracle IS the full recompute, so the merge's
+    * result-invariance is hash-verified, not assumed.
+    */
+  private val incMerge = Q(
+    "inc_agg_merge",
+    (s, d) => {
+      val cut = "2024-01-15"
+      val ev = Tables.events(s, d).select(col("user_id"),
+        col("ts"), round(col("value") * 100).cast("long").as("c"))
+      def slice(p: org.apache.spark.sql.Column) = ev.filter(p)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), sum(col("c")).as("sum_centi"),
+          max(expr("unix_micros(ts)")).as("last_us"))
+      slice(col("ts") < lit(cut))
+        .unionByName(slice(col("ts") >= lit(cut)))
+        .groupBy(col("user_id"))
+        .agg(sum(col("n")).as("n"), sum(col("sum_centi")).as("sum_centi"),
+          max(col("last_us")).as("last_us"))
+        .orderBy(col("user_id"))
+    },
+    Some("""SELECT user_id, count(*) AS n,
+           | CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+           |   AS sum_centi,
+           | max(epoch_us(ts)) AS last_us
+           |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** Count-Min point estimates next to exact truth: one CMS pass over
+    * the part keys (4×256 counters — the whole sketch is 8 KiB however
+    * many keys stream through), estimates for the top-10 true heavy
+    * hitters. Estimates are engine-defined (seeded engine hashes), so
+    * no SQL oracle — CountMinSpec pins the one-sided error, the ε·N
+    * bound, and the exact sketch-merge identity that makes per-shard
+    * folding possible.
+    */
+  private val cmsEstimates = Q(
+    "a2_cms_point_estimates",
+    (s, d) => {
+      val depth = 4
+      val width = 256
+      val sk = Tables.lineitem(s, d)
+        .select(col("l_partkey").cast("string").as("k"))
+        .agg(graft.functions.CountMinAgg.sketch(col("k"), depth, width)
+          .as("sk"))
+        .first().getSeq[Long](0).toArray
+      val estU = udf((k: String) =>
+        graft.functions.CountMinAgg.estimate(sk, depth, width, k))
+      Tables.lineitem(s, d).groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("true_n"))
+        .orderBy(col("true_n").desc, col("l_partkey"))
+        .limit(10)
+        .withColumn("est_n", estU(col("l_partkey").cast("string")))
+        .withColumn("overcount", col("est_n") - col("true_n"))
+    },
+    None)
+
+  /** KMV set-overlap estimates between the click and purchase audiences:
+    * one sketch per event_type (k=256, O(k) state each), then distinct /
+    * union / intersection / Jaccard estimated from the two sketches
+    * ALONE — the audience-overlap question a 100 TB warehouse answers
+    * without ever shuffling user ids together (HLL unions; only KMV
+    * intersects). Exact counterparts computed alongside so the row shows
+    * estimate vs truth; engine-hash-defined estimates ⇒ no SQL oracle,
+    * KmvSpec pins exactness below k, the bit-exact merge identity, and
+    * the ~1/√k error band.
+    */
+  private val kmvOverlap = Q(
+    "a4_kmv_set_overlap",
+    (s, d) => {
+      val k = 256
+      val ev = Tables.events(s, d)
+      def sketchOf(et: String): Array[Long] = ev
+        .filter(col("event_type") === et)
+        .select(col("user_id").cast("string").as("u"))
+        .agg(graft.functions.KmvAgg.sketch(col("u"), k).as("sk"))
+        .first().getSeq[Long](0).toArray
+      val (a, b) = (sketchOf("click"), sketchOf("purchase"))
+      val exact = ev.filter(col("event_type").isin("click", "purchase"))
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "click", 1).otherwise(0)).as("c"),
+          max(when(col("event_type") === "purchase", 1).otherwise(0)).as("p"))
+        .agg(sum(col("c")).as("n_click"), sum(col("p")).as("n_purchase"),
+          count(lit(1)).as("n_union"),
+          sum(col("c") * col("p")).as("n_both"))
+        .first()
+      import graft.functions.KmvAgg._
+      import s.implicits._
+      Seq((
+        exact.getLong(0), math.round(estimateDistinct(a, k)),
+        exact.getLong(1), math.round(estimateDistinct(b, k)),
+        exact.getLong(2), math.round(estimateDistinct(union(a, b, k), k)),
+        exact.getLong(3), math.round(estimateIntersection(a, b, k))))
+        .toDF("click_exact", "click_est", "purchase_exact", "purchase_est",
+          "union_exact", "union_est", "both_exact", "both_est")
+    },
+    None)
+
+  /** Bucketed table checksum — `dq_table_checksum`'s diff-LOCALIZING
+    * companion: the same md5-XOR row fold, but per md5-derived bucket
+    * (16 here; thousands at 100 TB), so when two table copies disagree
+    * the mismatched bucket pins the divergence to 1/N of the keyspace
+    * and only that slice is re-compared row-level. Order-independent by
+    * construction (XOR fold), one scan, pure map-side partials; the
+    * bucketing hash and the row hash are both md5-derived, so the oracle
+    * reproduces every bucket bit-for-bit.
+    */
+  private val checksumBuckets = Q(
+    "dq_checksum_buckets",
+    (s, d) => {
+      val rowKey = concat_ws("|", col("o_orderkey").cast("string"),
+        col("o_custkey").cast("string"), col("o_orderstatus"),
+        col("o_orderpriority"))
+      Tables.orders(s, d)
+        .select(
+          (conv(substring(md5(col("o_orderkey").cast("string")), 1, 4), 16, 10)
+            .cast("long") % 16).as("bucket"),
+          conv(substring(md5(rowKey), 1, 15), 16, 10).cast("long").as("rh"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), bit_xor(col("rh")).as("fp"))
+        .orderBy(col("bucket"))
+    },
+    Some("""SELECT
+           | ('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 4))::BIGINT
+           |   % 16 AS bucket,
+           | count(*) AS n,
+           | bit_xor(('0x' || substring(md5(concat_ws('|',
+           |   CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),
+           |   o_orderstatus, o_orderpriority)), 1, 15))::BIGINT) AS fp
+           |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** Generated calendar dimension — the warehouse's standard conformed
+    * dimension, built from nothing: one `sequence` over the date range,
+    * one explode, pure date arithmetic. Day-of-week derives from epoch
+    * days ((d+4) mod 7, Thursday-anchored) rather than each engine's
+    * dayofweek builtin, whose numbering conventions differ; all other
+    * fields are integer date parts. Generation is a single task until
+    * the explode — at scale the range splits first.
+    */
+  private val calendarDim = Q(
+    "gen_calendar_dim",
+    (s, d) => s.range(1)
+      .select(explode(sequence(
+        lit("1995-01-01").cast("date"), lit("1996-12-31").cast("date")))
+        .as("day"))
+      .select(col("day"),
+        year(col("day")).as("y"), quarter(col("day")).as("q"),
+        month(col("day")).as("m"), dayofmonth(col("day")).as("dom"),
+        (pmod(datediff(col("day"), lit("1970-01-01").cast("date")) + 4, lit(7)))
+          .as("dow"),
+        (floor(datediff(col("day"), lit("1995-01-01").cast("date")) / 7) + 1)
+          .cast("long").as("week_no"))
+      .orderBy(col("day")),
+    Some("""SELECT CAST(gd AS DATE) AS day,
+           | CAST(year(gd) AS INT) AS y, CAST(quarter(gd) AS INT) AS q,
+           | CAST(month(gd) AS INT) AS m, CAST(day(gd) AS INT) AS dom,
+           | CAST((date_diff('day', DATE '1970-01-01', CAST(gd AS DATE)) + 4) % 7
+           |   AS INT) AS dow,
+           | CAST(date_diff('day', DATE '1995-01-01', CAST(gd AS DATE)) // 7 + 1
+           |   AS BIGINT) AS week_no
+           |FROM (SELECT unnest(generate_series(DATE '1995-01-01',
+           |  DATE '1996-12-31', INTERVAL 1 DAY)) AS gd)
+           |ORDER BY 1""".stripMargin))
+
+  override def qs: Seq[Q] =
+    Seq(upsertMerge, incMerge, cmsEstimates, kmvOverlap, checksumBuckets,
+      calendarDim)
+}
