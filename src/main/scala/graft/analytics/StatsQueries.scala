@@ -340,7 +340,8 @@ object StatsQueries extends QueryPack {
            |x AS (SELECT user_id, day + CAST(i AS INT) AS day
            | FROM ud, range(7) t(i))
            |SELECT day, count(DISTINCT user_id) AS wau
-           |FROM x GROUP BY 1 ORDER BY 1""".stripMargin))
+           |FROM x GROUP BY 1 ORDER BY 1""".stripMargin),
+    headline = true)
 
   /** Exact per-group order-statistic quantiles (p50/p90/p95/p99 of event
     * value by type) — DISCRETE quantiles (the k-th smallest actual value,

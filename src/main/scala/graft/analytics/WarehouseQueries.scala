@@ -72,7 +72,8 @@ object WarehouseQueries extends QueryPack {
            |SELECT action, count(*) AS n_users,
            | CAST(count(CASE WHEN chg THEN 1 END) AS BIGINT)
            |   AS n_type_changed
-           |FROM m GROUP BY 1 ORDER BY 1""".stripMargin))
+           |FROM m GROUP BY 1 ORDER BY 1""".stripMargin),
+    headline = true)
 
   /** Incremental view maintenance as a first-class contract: partial
     * aggregates computed on disjoint slices MERGE into exactly the
@@ -206,7 +207,8 @@ object WarehouseQueries extends QueryPack {
            | bit_xor(('0x' || substring(md5(concat_ws('|',
            |   CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),
            |   o_orderstatus, o_orderpriority)), 1, 15))::BIGINT) AS fp
-           |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin))
+           |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin),
+    headline = true)
 
   /** Generated calendar dimension — the warehouse's standard conformed
     * dimension, built from nothing: one `sequence` over the date range,

@@ -233,7 +233,8 @@ object SimilarityQueries extends QueryPack {
             | d AS dim,
             | CAST(CASE WHEN w * (SELECT sgn FROM lead) >= 0
             |   THEN 1 ELSE -1 END AS INT) AS sign
-            |FROM w3 ORDER BY 1 LIMIT 8""".stripMargin))
+            |FROM w3 ORDER BY 1 LIMIT 8""".stripMargin),
+    headline = true)
 
   val qs: Seq[Q] = Seq(brute, lsh, ivf, pq, embDedup, mmFeatures, argmaxHist,
     mmFrames, mmPhash, semdedup, topComponent)
