@@ -476,7 +476,36 @@ object StatsQueries extends QueryPack {
            | round(cd, 6) AS cd, third_poorest
            |FROM r WHERE pr >= 0.99 ORDER BY 1, 2""".stripMargin))
 
+  /** Statistical MODE per group with a DETERMINISTIC tie-break — both
+    * engines' built-in `mode()` returns an arbitrary row on ties, which
+    * a hash-compared (or reproducible) pipeline can't use. The exact
+    * formulation: count per (group, value), rank by (count desc, value
+    * asc), keep rank 1 — two partial-aggregating shuffles, and the
+    * ranking window runs over the already-aggregated (group, value)
+    * frame, never the raw data.
+    */
+  private val groupedMode = Q(
+    "agg_grouped_mode",
+    (s, d) => {
+      val counts = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_quantity").cast("int").as("qty"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("n").desc, col("qty"))
+      counts.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("l_returnflag"), col("qty").as("mode_qty"), col("n"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""WITH c AS (SELECT l_returnflag, CAST(l_quantity AS INT) AS qty,
+           |  count(*) AS n FROM lineitem GROUP BY 1, 2),
+           |r AS (SELECT *, row_number() OVER (PARTITION BY l_returnflag
+           |  ORDER BY n DESC, qty) AS rn FROM c)
+           |SELECT l_returnflag, qty AS mode_qty, n
+           |FROM r WHERE rn = 1 ORDER BY 1""".stripMargin))
+
   override def qs: Seq[Q] =
     Seq(triangles, trend, pareto, equidepth, madOutliers, zorder,
-      windowValues, rollingWau, groupQuantiles, benford, rankMetrics)
+      windowValues, rollingWau, groupQuantiles, benford, rankMetrics,
+      groupedMode)
 }
