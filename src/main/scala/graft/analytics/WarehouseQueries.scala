@@ -243,7 +243,32 @@ object WarehouseQueries extends QueryPack {
            |  DATE '1996-12-31', INTERVAL 1 DAY)) AS gd)
            |ORDER BY 1""".stripMargin))
 
+  /** JSON key-set profile of the event `props` payload — the
+    * schema-drift audit for semi-structured columns: every distinct
+    * sorted key set becomes one row with its frequency and how many of
+    * its payloads parse the expected `k` field as a number. A pipeline
+    * alerts when a new key-set row appears. Key sets are joined to one
+    * string (arrays format differently across engines; strings hash
+    * identically), sorted so key ORDER drift doesn't fragment groups.
+    */
+  private val jsonKeyProfile = Q(
+    "dq_json_key_profile",
+    (s, d) => Tables.events(s, d)
+      .select(
+        coalesce(array_join(sort_array(json_object_keys(col("props"))), ","),
+          lit("<unparsed>")).as("key_set"),
+        get_json_object(col("props"), "$.k").cast("long").as("kv"))
+      .groupBy(col("key_set"))
+      .agg(count(lit(1)).as("n"), count(col("kv")).as("n_numeric_k"))
+      .orderBy(col("key_set")),
+    Some("""SELECT coalesce(array_to_string(list_sort(json_keys(props)), ','),
+           |  '<unparsed>') AS key_set,
+           | count(*) AS n,
+           | count(CAST(json_extract_string(props, '$.k') AS BIGINT))
+           |   AS n_numeric_k
+           |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
+
   override def qs: Seq[Q] =
     Seq(upsertMerge, incMerge, cmsEstimates, kmvOverlap, checksumBuckets,
-      calendarDim)
+      calendarDim, jsonKeyProfile)
 }
