@@ -504,8 +504,29 @@ object StatsQueries extends QueryPack {
            |SELECT l_returnflag, qty AS mode_qty, n
            |FROM r WHERE rn = 1 ORDER BY 1""".stripMargin))
 
+  /** 2-D histogram (quantity × price decade grid) — the heatmap/density
+    * primitive behind every scatter-density dashboard panel, as one
+    * grouped aggregation over integer-exact cell ids: quantity is already
+    * integral, price buckets by integer division of cents, so cell
+    * membership cannot diverge across engines. One scan, partial-agg
+    * combine, |cells| output rows regardless of input size.
+    */
+  private val hist2d = Q(
+    "a6_histogram_2d_qty_price",
+    (s, d) => Tables.lineitem(s, d)
+      .select(col("l_quantity").cast("int").as("qx"),
+        (round(col("l_extendedprice") * 100).cast("long") / lit(1000000L))
+          .cast("long").as("py"))
+      .groupBy(col("qx"), col("py"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("qx"), col("py")),
+    Some("""SELECT CAST(l_quantity AS INT) AS qx,
+           | CAST(round(l_extendedprice*100) AS BIGINT) // 1000000 AS py,
+           | count(*) AS n
+           |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
   override def qs: Seq[Q] =
     Seq(triangles, trend, pareto, equidepth, madOutliers, zorder,
       windowValues, rollingWau, groupQuantiles, benford, rankMetrics,
-      groupedMode)
+      groupedMode, hist2d)
 }
