@@ -251,3 +251,69 @@ class StatsSpec extends SparkSpec {
     }
   }
 }
+
+/** Late-wave operators: grouped mode, calendar dimension, upsert audit,
+  * JSON key profile — semantics against java.time / Scala recounts.
+  */
+class LateWaveSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("agg_grouped_mode returns the true argmax count with lowest-value ties") {
+    val got = SparkEntry.queries("agg_grouped_mode")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val raw = graft.Tables.lineitem(spark, sf)
+      .selectExpr("l_returnflag", "CAST(l_quantity AS INT) AS q")
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+    val expected = raw.groupBy(_._1).map { case (flag, vs) =>
+      val counts = vs.groupBy(_._2).view.mapValues(_.size.toLong)
+      val (qty, n) = counts.toSeq.minBy { case (q, c) => (-c, q) }
+      (flag, qty, n)
+    }.toSeq.sortBy(_._1)
+    assert(got.toSeq === expected)
+  }
+
+  test("gen_calendar_dim fields agree with java.time over the whole range") {
+    val rows = SparkEntry.queries("gen_calendar_dim")(spark, sf).collect()
+    assert(rows.length === 731) // 1995 + leap 1996
+    rows.foreach { r =>
+      val d = r.getDate(0).toLocalDate
+      assert(r.getInt(1) === d.getYear)
+      assert(r.getInt(2) === (d.getMonthValue + 2) / 3)
+      assert(r.getInt(3) === d.getMonthValue)
+      assert(r.getInt(4) === d.getDayOfMonth)
+      // the (epochDay+4) mod 7 anchor yields 0=Sunday — i.e. ISO dow mod 7
+      val isoDow = d.getDayOfWeek.getValue // 1=Mon..7=Sun
+      assert(r.getInt(5) === isoDow % 7)
+      assert(r.getInt(5) === ((d.toEpochDay + 4) % 7 + 7) % 7)
+    }
+  }
+
+  test("warehouse_upsert_merge actions partition the merged key space") {
+    val rows = SparkEntry.queries("warehouse_upsert_merge")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val ev = graft.Tables.events(spark, sf)
+    val before = ev.filter(org.apache.spark.sql.functions.col("ts") <
+      org.apache.spark.sql.functions.lit("2024-01-15"))
+      .select("user_id").distinct().collect().map(_.getLong(0)).toSet
+    val after = ev.filter(org.apache.spark.sql.functions.col("ts") >=
+      org.apache.spark.sql.functions.lit("2024-01-15"))
+      .select("user_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(rows.get("insert").map(_._1).getOrElse(0L) === (after -- before).size.toLong)
+    assert(rows.get("unchanged").map(_._1).getOrElse(0L) === (before -- after).size.toLong)
+    assert(rows.get("update").map(_._1).getOrElse(0L) === (before & after).size.toLong)
+    // type changes only possible among updates
+    assert(rows.forall { case (a, (_, chg)) => a == "update" || chg == 0L })
+  }
+
+  test("dq_json_key_profile totals reconcile with the table") {
+    val rows = SparkEntry.queries("dq_json_key_profile")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val total = graft.Tables.events(spark, sf).count()
+    assert(rows.map(_._2).sum === total)
+    rows.foreach { case (ks, n, nk) =>
+      assert(nk <= n)
+      if (ks.split(",").contains("k")) assert(nk > 0)
+    }
+  }
+}
