@@ -233,10 +233,13 @@ object RelationalExt extends QueryPack {
     * double-based revenue queries: every value casts to DECIMAL(12,2) at
     * the scan, products carry scale 4, and sums are EXACT (Tungsten's
     * decimal aggregation), so the cross-engine compare needs no
-    * rounding convention at all — the one query family where the hash
-    * compare is bit-exact by construction. Final sums cast to a fixed
-    * precision on BOTH sides because Spark and DuckDB widen sum()
-    * precision differently (38 vs input+10) while the VALUES agree.
+    * rounding convention at all. The ARITHMETIC agrees bit-for-bit, but
+    * the round-4 hash compare still failed because the driver's two read
+    * paths render decimals differently (parquet decimal128 arrives as
+    * `Decimal('253942.00')`, the DuckDB-side frame as float `253942.0`).
+    * So both engines now render the fixed-scale sums AS STRINGS —
+    * "253942.00" is the same cell no matter which reader touches it, and
+    * the compare is representation-independent by construction.
     */
   private val decimalPricing = Q(
     "q1_pricing_decimal",
@@ -248,21 +251,21 @@ object RelationalExt extends QueryPack {
           col("l_extendedprice").cast(dec).as("price"),
           col("l_discount").cast(dec).as("disc"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
-        .agg(sum(col("qty")).cast("decimal(20,2)").as("sum_qty"),
-          sum(col("price")).cast("decimal(20,2)").as("sum_price"),
+        .agg(sum(col("qty")).cast("decimal(20,2)").cast("string").as("sum_qty"),
+          sum(col("price")).cast("decimal(20,2)").cast("string").as("sum_price"),
           sum(col("price") * (lit(1).cast(dec) - col("disc")))
-            .cast("decimal(24,4)").as("sum_disc_price"),
+            .cast("decimal(24,4)").cast("string").as("sum_disc_price"),
           count(lit(1)).as("n"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     },
     Some("""SELECT l_returnflag, l_linestatus,
-           | CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(20,2))
-           |   AS sum_qty,
-           | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(20,2))
-           |   AS sum_price,
-           | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+           | CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(20,2))
+           |   AS VARCHAR) AS sum_qty,
+           | CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(20,2))
+           |   AS VARCHAR) AS sum_price,
+           | CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
            |   * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
-           |   AS DECIMAL(24,4)) AS sum_disc_price,
+           |   AS DECIMAL(24,4)) AS VARCHAR) AS sum_disc_price,
            | count(*) AS n
            |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
@@ -368,10 +371,18 @@ object RelationalExt extends QueryPack {
           col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("cu"), (col("l_suppkey") + 1000000L).as("su"))
         .distinct()
-      val w = Window.orderBy(round(col("r"), 6).desc, col("node"))
-      graft.ops.PageRank.ranks(edges, "cu", "su", iters = 3)
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 10)
+      // Top-10 via orderBy+limit → TakeOrderedAndProject: per-partition
+      // heaps + a 10-row driver merge, NOT a single-partition sort of the
+      // whole node set (the round-4 unpartitioned row_number window moved
+      // every customer+supplier rank through one task — a scale-killer at
+      // 100×). rank is then derived on the 10-row frame by
+      // [[graft.ops.BoundedRank]], so no WindowExec appears in this plan.
+      val top = graft.ops.PageRank.ranks(edges, "cu", "su", iters = 3)
+        .orderBy(round(col("r"), 6).desc, col("node"))
+        .limit(10)
+        .select(col("node"), round(col("r"), 6).as("r6"))
+      graft.ops.BoundedRank.attach(top, "rank",
+          Seq("r6" -> true, "node" -> false))
         .select(col("rank"), col("node"))
         .orderBy(col("rank"))
     },
@@ -533,10 +544,14 @@ object RelationalExt extends QueryPack {
   private val ntileDeciles = Q(
     "window_ntile_price_deciles",
     (s, d) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("o_totalprice"), col("o_orderkey"))
-      Tables.orders(s, d)
-        .withColumn("decile", ntile(10).over(w))
+      // global ntile WITHOUT the single-partition WindowExec sort: the
+      // round-4 formulation moved every order row through one task;
+      // GlobalOrder.ntileBy range-buckets on sketched cut points and
+      // derives the exact tile from per-bucket row_numbers + exact
+      // broadcast offsets — identical ntile semantics, parallel sort
+      graft.ops.GlobalOrder.ntileBy(
+          Tables.orders(s, d).select(col("o_totalprice"), col("o_orderkey")),
+          "o_totalprice", "o_orderkey", tiles = 10, out = "decile")
         .groupBy(col("decile"))
         .agg(count(lit(1)).as("n"),
           round(min(col("o_totalprice")), 2).as("min_price"),

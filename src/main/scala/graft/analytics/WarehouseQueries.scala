@@ -264,7 +264,7 @@ object WarehouseQueries extends QueryPack {
     Some("""SELECT coalesce(array_to_string(list_sort(json_keys(props)), ','),
            |  '<unparsed>') AS key_set,
            | count(*) AS n,
-           | count(CAST(json_extract_string(props, '$.k') AS BIGINT))
+           | count(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
            |   AS n_numeric_k
            |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
 

@@ -411,10 +411,29 @@ object EtlQueries extends QueryPack {
         count_distinct(col("reason")).as("n_reasons"),
         count(lit(1)).as("n_rows"))
     },
-    // 7 patients.csv log rows: 6 distinct patients, 6 distinct reasons
-    Some("""SELECT CAST(6 AS BIGINT) AS n_patients,
-           | CAST(6 AS BIGINT) AS n_reasons,
-           | CAST(7 AS BIGINT) AS n_rows""".stripMargin))
+    // Derived over the same canonical VALUES log table as
+    // `etl_quality_logs_pipeline` (not pre-computed literals — a constant
+    // oracle can't catch a regression that changes both sides the same
+    // way). The ILIKE filter mirrors Analytics.containsFilter's
+    // case-insensitive contains.
+    Some("""SELECT count(DISTINCT patient_id) AS n_patients,
+           | count(DISTINCT reason) AS n_reasons,
+           | count(*) AS n_rows
+           |FROM (VALUES
+           | ('p-0002','encounters_a.csv','duplicate_encounter_id'),
+           | ('p-0002','encounters_dup.csv','duplicate_encounter_id'),
+           | ('p-0002','patients.csv','duplicate_removed'),
+           | ('p-0003','patients.csv','missing_unit_assumed_kg'),
+           | ('p-0004','encounters_b.csv','missing_discharge'),
+           | ('p-0004','encounters_b.csv','discharge_before_admit'),
+           | ('p-0004','patients.csv','unparseable_date'),
+           | ('p-0007','encounters_c.csv','missing_discharge'),
+           | ('p-0007','patients.csv','missing_marker'),
+           | ('p-0008','patients.csv','unknown_or_missing'),
+           | ('p-0008','patients.csv','implausible_bmi_62.0'),
+           | ('p-0011','patients.csv','missing_unit_assumed_kg')
+           |) AS t(patient_id, filename, reason)
+           |WHERE filename ILIKE '%patient%'""".stripMargin))
 
   val qs: Seq[Q] = Seq(heightQ, heightBenchQ, weightQ, sexQ, dobQ, dtQ,
     dedupQ, nfkcQ, losQ, patientsClean, encountersClean, diagnosesClean,

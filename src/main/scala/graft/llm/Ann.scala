@@ -352,7 +352,12 @@ object Ann {
   def topComponent(vectors: DataFrame, vecCol: String,
       iters: Int = 3): Array[Double] = {
     val v = vectors.select(col(vecCol).as("x")).filter(size(col("x")) > 0)
-    val dim = v.select(size(col("x"))).first().getInt(0)
+    // dim = max row length, matching the oracle's max(len(embedding)):
+    // first() would throw on an empty input and under-size the
+    // accumulator on ragged tables where a later row is longer
+    val dim = v.agg(coalesce(max(size(col("x"))), lit(0)))
+      .first().getInt(0)
+    if (dim == 0) return Array.empty[Double]
     var w = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
     for (_ <- 1 to iters) {
       val wNow = w

@@ -86,13 +86,14 @@ object Retrieval {
       .agg(sum(col("micro")).as("score_micro"))
 
     // top-k via a per-partition heap (TakeOrderedAndProject), then rank
-    // the k survivors — the global window runs over k rows, not the corpus
+    // the k survivors via BoundedRank (broadcast self-join count) — no
+    // unpartitioned window anywhere in the plan
     val top = scored
       .orderBy(col("score_micro").desc, col("id"))
       .limit(k)
-    top.withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy(col("score_micro").desc, col("id"))))
+    graft.ops.BoundedRank.attach(top, "rank",
+        Seq("score_micro" -> true, "id" -> false))
       .select(col("rank"), col("id").as("doc_id"), col("score_micro"))
+      .orderBy(col("rank"))
   }
 }

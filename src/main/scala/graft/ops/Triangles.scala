@@ -31,8 +31,18 @@ object Triangles {
     * pairs. Input may contain duplicates or both orientations; it is
     * canonicalized (u < v, distinct) first. Returns a 1-row frame
     * (n_nodes, n_edges, n_triangles).
+    *
+    * `broadcastEdgeLimit`: the wedge and closing joins broadcast the
+    * oriented edge list only while the canonical edge count stays at or
+    * under this bound — above it the hints are dropped and AQE shuffles
+    * on the wedge anchor instead. The gate is CODE, not a comment: a
+    * trillion-edge input degrades to the shuffle plan instead of
+    * hitting a hard executor-memory ceiling. Default 4M edges ≈ 100 MB
+    * in executor memory — comfortably broadcastable, far above every
+    * co-occurrence graph the testdata produces.
     */
-  def census(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+  def census(edges: DataFrame, srcCol: String, dstCol: String,
+      broadcastEdgeLimit: Long = 4000000L): DataFrame = {
     // checkpoint the canonical edge list once up front: canon feeds the
     // degree agg, the orientation join, and the counters — without a
     // materialization Catalyst re-plans the ENTIRE edge-building subplan
@@ -64,15 +74,19 @@ object Triangles {
       // O(m) checkpoint stops a 3× re-evaluation of the degree joins
       .localCheckpoint()
     // wedges at s: unordered head pairs, ordered by the same (deg, id)
-    // total order so each wedge appears once. Both joins BROADCAST the
-    // oriented edge list: the edge frame is orders of magnitude smaller
-    // than the wedge stream it generates (m edges → up to m^1.5 wedges),
-    // so shipping edges everywhere and keeping the wedge stream fully
-    // pipelined (never shuffled) is the right trade as long as the
-    // POST-THRESHOLD edge list fits an executor — the regime this
-    // operator targets; a trillion-edge graph would drop the hints and
-    // let AQE shuffle on s.
-    val wedges = oriented.as("e1").join(broadcast(oriented.as("e2")),
+    // total order so each wedge appears once. Below the gate both joins
+    // BROADCAST the oriented edge list: the edge frame is orders of
+    // magnitude smaller than the wedge stream it generates (m edges →
+    // up to m^1.5 wedges), so shipping edges everywhere and keeping the
+    // wedge stream fully pipelined (never shuffled) is the right trade
+    // as long as the edge list fits an executor. Above the gate the
+    // hints drop and AQE shuffles on s / (a, b). The count is cheap:
+    // canon is already checkpointed, so this scans the materialized
+    // blocks, not the edge-building subplan.
+    val m = canon.count()
+    val hint: DataFrame => DataFrame =
+      if (m <= broadcastEdgeLimit) broadcast else identity
+    val wedges = oriented.as("e1").join(hint(oriented.as("e2")),
       col("e1.s") === col("e2.s") &&
         (col("e1.dt") < col("e2.dt") ||
           (col("e1.dt") === col("e2.dt") && col("e1.t") < col("e2.t"))))
@@ -81,11 +95,10 @@ object Triangles {
     // construction, and oriented pairs are unique, so an inner join
     // preserves the triangle count exactly
     val closed = wedges.join(
-      broadcast(oriented.select(col("s").as("a"), col("t").as("b"))),
+      hint(oriented.select(col("s").as("a"), col("t").as("b"))),
       Seq("a", "b"))
-    canon.agg(count(lit(1)).as("n_edges")).crossJoin(
-      deg.agg(count(lit(1)).as("n_nodes"))).crossJoin(
+    deg.agg(count(lit(1)).as("n_nodes")).crossJoin(
       closed.agg(count(lit(1)).as("n_triangles")))
-      .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
+      .select(col("n_nodes"), lit(m).as("n_edges"), col("n_triangles"))
   }
 }

@@ -222,11 +222,18 @@ object EventStream {
           else sp.emptyDataFrame
             .withColumn("user_id", lit(0L)).withColumn("last_us", lit(0L))
             .withColumn("event_type", lit("")).limit(0)
+        // Latest-WINS, not update-wins: a late/out-of-order micro-batch can
+        // carry an OLDER event for a user than the snapshot row, and a
+        // blind coalesce(u, b) would regress the dimension. Compare keys:
+        // the update side is taken only when it is at least as new, which
+        // also makes replays idempotent regardless of arrival order.
+        val takeU = col("b.last_us").isNull ||
+          (col("u.last_us").isNotNull && col("u.last_us") >= col("b.last_us"))
         val merged = existing.as("b")
           .join(updates.as("u"), Seq("user_id"), "full_outer")
           .select(col("user_id"),
-            coalesce(col("u.last_us"), col("b.last_us")).as("last_us"),
-            coalesce(col("u.event_type"), col("b.event_type")).as("event_type"))
+            when(takeU, col("u.last_us")).otherwise(col("b.last_us")).as("last_us"),
+            when(takeU, col("u.event_type")).otherwise(col("b.event_type")).as("event_type"))
           .localCheckpoint() // materialize BEFORE overwriting the input dir
         merged.write.mode("overwrite").parquet(dimDir)
         ()
@@ -288,7 +295,13 @@ class RunningTotalsProcessor extends org.apache.spark.sql.streaming.StatefulProc
       rows: Iterator[EventStream.Event],
       timerValues: TimerValues): Iterator[EventStream.RunningTotal] = {
     var (n, s) = if (totals.exists()) totals.get() else (0L, 0L)
-    val out = rows.toArray.sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
+    // full microsecond precision (getTime is millis-only; the codebase
+    // convention is unix_micros) so sub-millisecond events order by time,
+    // matching the batch window-cumsum twin
+    val out = rows.toArray
+      .sortBy(e => (e.ts.getTime * 1000 + (e.ts.getNanos / 1000) % 1000,
+        e.event_id))
+      .map { e =>
       n += 1
       s += math.round(e.value * 100)
       EventStream.RunningTotal(user, e.event_id, n, s)

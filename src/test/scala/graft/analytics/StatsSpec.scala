@@ -50,6 +50,37 @@ class StatsSpec extends SparkSpec {
     assert(r.getLong(1) === edges.size.toLong)
   }
 
+  test("Triangles.census broadcast gate: above-threshold plans shuffle joins, same census") {
+    // the gate must be CODE, not a comment: with broadcastEdgeLimit = 0
+    // every edge list is "too big", the hints drop, and (with the auto
+    // threshold disabled so AQE can't silently re-broadcast the tiny test
+    // frame) the wedge/closing joins surface as shuffle joins — while the
+    // census stays identical to the broadcast mode's.
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val noise = Seq((5L, 6L), (6L, 7L), (7L, 8L))
+    val edges = edgeDf(k4 ++ noise)
+    val bc = graft.ops.Triangles.census(edges, "a", "b").collect()(0)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = graft.ops.Triangles.census(edges, "a", "b", broadcastEdgeLimit = 0L)
+      df.collect() // finalize AQE so the real join strategies are visible
+      val plan = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      val s = plan.toString
+      assert(!s.contains("BroadcastHashJoin"),
+        s"gated census must not broadcast:\n$s")
+      assert(s.contains("SortMergeJoin") || s.contains("ShuffledHashJoin"),
+        s"expected shuffle joins above the gate:\n$s")
+      val sh = df.collect()(0)
+      assert((sh.getLong(0), sh.getLong(1), sh.getLong(2)) ===
+        ((bc.getLong(0), bc.getLong(1), bc.getLong(2))))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("pareto_frontier_parts equals an independent skyline sweep") {
     val got = SparkEntry.queries("pareto_frontier_parts")(spark, sf)
       .collect().map(r => (r.getInt(0), r.getDouble(1), r.getLong(2)))
