@@ -60,7 +60,36 @@ object Patients {
     val withWeight = Cleaning
       .withWeightKg(withHeight, col("weight"), col("height_cm"), "_w")
       .withColumn("weight_kg", col("_w.weight_kg"))
-    val weightLog = withWeight
+
+    // --- P5 sex → ISO 5218 ---
+    val withSex = withWeight.withColumn("sex_iso", Cleaning.sexToIso(col("sex")))
+      .withColumn("_sex_reason", Cleaning.sexLogReason(col("sex")))
+
+    // --- P6 dob two-pass parse: pass 1 (dayfirst=False incl. dateutil's
+    // month>12 auto-swap) then pass 2 (yyyy-d-M retry, logged) ---
+    val withDob = withSex
+      .withColumn("_dob_p1", Cleaning.parseDate(col("dob")))
+      .withColumn("_dob_p2", Cleaning.parseDatePass2(col("dob")))
+      .withColumn("dob_parsed", coalesce(col("_dob_p1"), col("_dob_p2")))
+
+    // ONE materialization point between the derive chain and its five
+    // consumers (three log selects, the dedup cascade, the cleaned
+    // output). Without it, Catalyst's project collapse re-inlines the
+    // whole height/weight/sex/dob when-chain into EVERY union branch —
+    // the generated processNext() blows janino's 64 KB method limit
+    // (interpreted fallback + an ERROR line per run), and each log
+    // channel re-plans the CSV scan. Checkpointed, the chain runs once
+    // and the fan-out reads 11 materialized rows; at 100 TB this is the
+    // ingest→fan-out stage boundary a real deployment wants anyway.
+    val keyed = withDob
+      // bround = HALF_EVEN, matching pandas/numpy .round(0); Spark's
+      // round() is HALF_UP and diverges on exact .5 values (54.5 → 55
+      // instead of 54), silently changing which rows count as dups
+      .withColumn("_hr", bround(col("height_cm"), 0))
+      .withColumn("_wr", bround(col("weight_kg"), 0))
+      .localCheckpoint()
+
+    val weightLog = keyed
       .filter(col("_w.flagged"))
       .select(
         col("patient_id"),
@@ -71,10 +100,7 @@ object Patients {
         lit("weight").as("column_name"),
         col("_w.reason").as("reason"))
 
-    // --- P5 sex → ISO 5218 ---
-    val withSex = withWeight.withColumn("sex_iso", Cleaning.sexToIso(col("sex")))
-      .withColumn("_sex_reason", Cleaning.sexLogReason(col("sex")))
-    val sexLog = withSex
+    val sexLog = keyed
       .filter(col("_sex_reason").isNotNull)
       .select(
         col("patient_id"),
@@ -87,13 +113,7 @@ object Patients {
         when(col("_sex_reason") === "unknown_or_missing", "0").as("cleaned_value"),
         col("_sex_reason").as("reason"))
 
-    // --- P6 dob two-pass parse: pass 1 (dayfirst=False incl. dateutil's
-    // month>12 auto-swap) then pass 2 (yyyy-d-M retry, logged) ---
-    val withDob = withSex
-      .withColumn("_dob_p1", Cleaning.parseDate(col("dob")))
-      .withColumn("_dob_p2", Cleaning.parseDatePass2(col("dob")))
-      .withColumn("dob_parsed", coalesce(col("_dob_p1"), col("_dob_p2")))
-    val dobLog = withDob
+    val dobLog = keyed
       .filter(col("dob").isNull || col("dob_parsed").isNull ||
         col("_dob_p1").isNull)
       .select(
@@ -114,12 +134,6 @@ object Patients {
     // but the drop CASCADES (person-dedup runs on id-dedup survivors), so
     // a person-dup whose group head was id-dropped may survive while
     // still being logged — pandas quirk, kept (SURVEY §7 hard part (a)).
-    val keyed = withDob
-      // bround = HALF_EVEN, matching pandas/numpy .round(0); Spark's
-      // round() is HALF_UP and diverges on exact .5 values (54.5 → 55
-      // instead of 54), silently changing which rows count as dups
-      .withColumn("_hr", bround(col("height_cm"), 0))
-      .withColumn("_wr", bround(col("weight_kg"), 0))
     val personKeys = Seq(col("given_name"), col("family_name"), col("dob"),
       col("_hr"), col("_wr"))
     val (deduped, dupRows) = graft.ops.Dedup.cascade(

@@ -81,6 +81,31 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("full ETL pipeline compiles under codegen (no 64KB janino fallback)") {
+    // the round-4 defect: project collapse re-inlined the patients
+    // cleaning chain into every log-union branch, the generated
+    // processNext() grew past janino's 64 KB method limit, and the whole
+    // stage silently ran interpreted (4 ERROR lines per Verify/Bench).
+    // fallback=false turns any recurrence into a hard test failure.
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val r = graft.etl.EtlPipeline.run(spark,
+        "/root/repo/fixtures/patients.csv",
+        "/root/repo/fixtures/encounters.csv",
+        "/root/repo/fixtures/diagnoses.xml")
+      assert(r.patients.collect().nonEmpty)
+      assert(r.encounters.collect().nonEmpty)
+      assert(r.diagnoses.collect().nonEmpty)
+      assert(r.logs.collect().nonEmpty)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+        case None => spark.conf.unset("spark.sql.codegen.fallback")
+      }
+    }
+  }
+
   test("bucketed ops never degenerate to cartesian products") {
     // the LSH family must join through bucket keys — a cartesian or
     // nested-loop join here means candidate generation went all-pairs
