@@ -15,6 +15,7 @@ object SparkEntry {
     analytics.RelationalExt,
     analytics.Dashboard,
     analytics.Temporal,
+    analytics.SequenceQueries,
     analytics.StatsQueries,
     analytics.WarehouseQueries,
     etl.EtlQueries,

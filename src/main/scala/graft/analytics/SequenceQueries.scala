@@ -1,0 +1,148 @@
+package graft.analytics
+
+import graft.{Q, QueryPack, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-sequence and change-data-capture operators over `events` —
+  * the behavioral-analytics layer beside [[Temporal]]'s windows/as-of:
+  * Markov transition mining, interval sweep concurrency, and snapshot
+  * diffing. All window passes partition on `user_id` (unbounded key
+  * space — scales with the cluster); the only global structures are
+  * the bounded outputs (event-type pairs, days, one diff row).
+  */
+object SequenceQueries extends QueryPack {
+
+  /** First-order Markov transition counts over each user's event
+    * stream: lead() within (user_id, ts, event_id) order, then a count
+    * per (from, to) pair — the |types|² transition matrix every
+    * session-modeling pipeline starts from. One user-partitioned window
+    * pass and one tiny aggregation; at 100 TB the shuffle key is
+    * user_id and the result stays |types|²-bounded.
+    */
+  private val transitions = Q(
+    "seq_event_transitions",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("to_type", lead(col("event_type"), 1).over(w))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("from_type"), col("to_type"))
+    },
+    Some("""SELECT event_type AS from_type, to_type, count(*) AS n,
+           | count(DISTINCT user_id) AS n_users
+           |FROM (SELECT user_id, event_type,
+           |   lead(event_type) OVER (PARTITION BY user_id
+           |     ORDER BY ts, event_id) AS to_type
+           |  FROM events)
+           |WHERE to_type IS NOT NULL
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
+  /** Peak concurrency per day, treating each event as a 15-minute
+    * session anchored at its minute bucket. The classic sweep-line
+    * (sort all boundaries, running ±1 sum) needs a single global
+    * time-ordered pass — a scale-killer — so this uses the bounded
+    * fan-out shape instead: explode each session into its 15 covered
+    * minute buckets (constant ×15), aggregate concurrency per minute,
+    * then reduce per day. Both aggregations partial-aggregate map-side;
+    * nothing is ordered globally.
+    */
+  private val concurrency = Q(
+    "ts_peak_concurrency",
+    (s, d) => Tables.events(s, d)
+      .select(date_trunc("minute", col("ts")).as("m0"))
+      .select(explode(expr(
+        "sequence(m0, m0 + INTERVAL 14 minutes, INTERVAL 1 minute)")).as("minute"))
+      .groupBy(col("minute")).agg(count(lit(1)).as("conc"))
+      .groupBy(to_date(col("minute")).as("day"))
+      .agg(max(col("conc")).as("peak_conc"),
+        count(lit(1)).as("minutes_active"),
+        sum(col("conc")).as("sum_conc"))
+      .orderBy(col("day")),
+    Some("""WITH mins AS (SELECT unnest(generate_series(m0,
+           |    m0 + INTERVAL 14 minutes, INTERVAL 1 minute)) AS minute
+           |  FROM (SELECT date_trunc('minute', ts) AS m0 FROM events)),
+           |conc AS (SELECT minute, count(*) AS conc FROM mins GROUP BY 1)
+           |SELECT CAST(minute AS DATE) AS day, max(conc) AS peak_conc,
+           | count(*) AS minutes_active, CAST(sum(conc) AS BIGINT) AS sum_conc
+           |FROM conc GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** CDC snapshot diff: per-user activity snapshots for two halves of
+    * the event stream (count + exact centi-unit value sum — integral,
+    * so the compare needs no FP rounding convention), full-outer-joined
+    * on user_id and classified added / removed / changed / unchanged.
+    * The join is keyed (both sides shuffle on user_id once) and the
+    * output is one row of class counts — the shape a warehouse diff job
+    * keeps at any scale.
+    */
+  private val cdcDiff = Q(
+    "cdc_snapshot_diff",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("ts"),
+          round(col("value") * 100).cast("long").as("cents"))
+      def snap(p: org.apache.spark.sql.Column) = ev.filter(p)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+      val mid = lit("2024-02-01").cast("timestamp")
+      val a = snap(col("ts") < mid)
+      val b = snap(col("ts") >= mid)
+      a.as("a").join(b.as("b"), col("a.user_id") === col("b.user_id"), "full_outer")
+        .select(
+          when(col("a.user_id").isNull, "added")
+            .when(col("b.user_id").isNull, "removed")
+            .when(col("a.n") === col("b.n") && col("a.cents") === col("b.cents"),
+              "unchanged")
+            .otherwise("changed").as("cls"))
+        .groupBy()
+        .agg(sum(when(col("cls") === "added", 1L).otherwise(0L)).as("n_added"),
+          sum(when(col("cls") === "removed", 1L).otherwise(0L)).as("n_removed"),
+          sum(when(col("cls") === "changed", 1L).otherwise(0L)).as("n_changed"),
+          sum(when(col("cls") === "unchanged", 1L).otherwise(0L)).as("n_unchanged"))
+    },
+    Some("""WITH e AS (SELECT user_id, ts,
+           |   CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events),
+           |a AS (SELECT user_id, count(*) AS n, sum(cents) AS cents
+           |  FROM e WHERE ts < TIMESTAMP '2024-02-01' GROUP BY 1),
+           |b AS (SELECT user_id, count(*) AS n, sum(cents) AS cents
+           |  FROM e WHERE ts >= TIMESTAMP '2024-02-01' GROUP BY 1),
+           |j AS (SELECT CASE WHEN a.user_id IS NULL THEN 'added'
+           |   WHEN b.user_id IS NULL THEN 'removed'
+           |   WHEN a.n = b.n AND a.cents = b.cents THEN 'unchanged'
+           |   ELSE 'changed' END AS cls
+           | FROM a FULL OUTER JOIN b ON a.user_id = b.user_id)
+           |SELECT CAST(sum(CASE WHEN cls = 'added' THEN 1 ELSE 0 END) AS BIGINT)
+           |   AS n_added,
+           | CAST(sum(CASE WHEN cls = 'removed' THEN 1 ELSE 0 END) AS BIGINT)
+           |   AS n_removed,
+           | CAST(sum(CASE WHEN cls = 'changed' THEN 1 ELSE 0 END) AS BIGINT)
+           |   AS n_changed,
+           | CAST(sum(CASE WHEN cls = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT)
+           |   AS n_unchanged
+           |FROM j""".stripMargin))
+
+  /** Grouped top-K through the bounded-heap typed Aggregator
+    * ([[graft.ops.TopKByGroup]]) instead of a rank window: partial
+    * buffers hold at most K rows per group ON THE MAP SIDE, so the
+    * shuffle moves |groups|·K structs — not the whole table into
+    * per-group sort partitions. The window formulation ships every row
+    * of a group through one task; at 100 TB with a hot group that task
+    * is the job. Oracle is the rank window in DuckDB — an equivalence
+    * proof between the two formulations.
+    */
+  private val topkHeap = Q(
+    "topk_per_group_heap",
+    (s, d) => graft.ops.TopKByGroup.topOrdersByPriority(
+      Tables.orders(s, d), k = 3),
+    Some("""SELECT o_orderpriority, rnk, o_orderkey, o_totalprice
+           |FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+           |   CAST(row_number() OVER (PARTITION BY o_orderpriority
+           |     ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rnk
+           |  FROM orders)
+           |WHERE rnk <= 3 ORDER BY o_orderpriority, rnk""".stripMargin))
+
+  val qs: Seq[Q] = Seq(transitions, concurrency, cdcDiff, topkHeap)
+}

@@ -126,11 +126,17 @@ object StatsQueries extends QueryPack {
       val pts = Tables.part(s, d)
         .groupBy(col("p_size"))
         .agg(min(col("p_retailprice")).as("mp"), count(lit(1)).as("n_parts"))
-      // bounded-frame window: |distinct p_size| rows post-aggregation
-      val w = Window.orderBy(col("p_size").desc)
-        .rowsBetween(Window.unboundedPreceding, -1)
-      pts.withColumn("best_larger", min(col("mp")).over(w))
-        .filter(col("best_larger").isNull || col("mp") < col("best_larger"))
+      // dominance as a broadcast NOT-EXISTS anti-join over the BOUNDED
+      // post-aggregation frame (|distinct p_size| rows) — same shape as
+      // the oracle. The earlier unpartitioned cumulative-min window was
+      // equally bounded but logged the "WindowExec: No Partition Defined"
+      // scale warning on every run, indistinguishable in a log tail from
+      // a genuine single-partition sort; k² comparisons on a dim-sized k
+      // buy a warning-free plan.
+      pts.as("a")
+        .join(broadcast(pts.as("b")),
+          col("b.p_size") > col("a.p_size") && col("b.mp") <= col("a.mp"),
+          "left_anti")
         .select(col("p_size"), round(col("mp"), 2).as("min_price"),
           col("n_parts"))
         .orderBy(col("p_size"))

@@ -341,6 +341,79 @@ object CorpusQueries extends QueryPack {
            | max(df) AS max_df
            |FROM d, n""".stripMargin))
 
+  /** Paragraph-granularity exact dedup (the C4/RefinedWeb line-dedup
+    * shape): documents split into 10-token chunks (reusing
+    * [[TextAnalysis.chunkByTokens]], the oracle-proven splitter), each
+    * chunk fingerprinted, and only the globally FIRST occurrence in
+    * (doc_id, chunk_idx) order survives. Doc-level dedup misses the
+    * boilerplate this catches: two distinct pages sharing a navigation
+    * paragraph. The keep-first window partitions on the fingerprint
+    * (bounded by that paragraph's duplicate count), so no global sort
+    * exists anywhere; output rolls up per source.
+    */
+  private val paraDedup = Q(
+    "docs_paragraph_dedup",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val paras = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          posexplode(TextAnalysis.chunkByTokens(col("text"), 10))
+            .as(Seq("idx", "chunk")))
+        .withColumn("fp", md5(col("chunk")))
+      val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"), col("idx"))
+      paras
+        .withColumn("rn", row_number().over(w))
+        .groupBy(col("doc_id"), col("source"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chunks")).as("n_chunks"),
+          sum(col("n_kept")).as("n_kept"),
+          sum(when(col("n_kept") === col("n_chunks"), 1L).otherwise(0L))
+            .as("n_docs_intact"))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH t AS (SELECT doc_id, source, $WordsExpr AS w FROM documents),
+            |c AS (SELECT doc_id, source, i AS idx,
+            |  array_to_string(w[(i-1)*10+1 : least(i*10, len(w))], ' ') AS chunk
+            | FROM t, UNNEST(range(1, CAST(ceil(len(w)/10.0) AS BIGINT)+1)) AS u(i)),
+            |k AS (SELECT doc_id, source,
+            |  row_number() OVER (PARTITION BY md5(chunk)
+            |    ORDER BY doc_id, idx) AS rn
+            | FROM c),
+            |pd AS (SELECT doc_id, source, count(*) AS n_chunks,
+            |   sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept
+            |  FROM k GROUP BY 1, 2)
+            |SELECT source, count(*) AS n_docs,
+            | CAST(sum(n_chunks) AS BIGINT) AS n_chunks,
+            | CAST(sum(n_kept) AS BIGINT) AS n_kept,
+            | CAST(sum(CASE WHEN n_kept = n_chunks THEN 1 ELSE 0 END) AS BIGINT)
+            |   AS n_docs_intact
+            |FROM pd GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** Deterministic training-shard assignment: shard = md5-uniform of
+    * doc_id mod 16 — the write-side layout step of every training run
+    * (N reproducible shards, balanced by hash, no coordination). The
+    * md5→BIGINT convention is the engine's standard cross-engine
+    * uniform; per-shard stats verify both the assignment and balance.
+    */
+  private val shards = Q(
+    "docs_shuffle_shards",
+    (s, d) => Tables.documents(s, d)
+      .withColumn("shard",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+          .cast("long") % 16)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .orderBy(col("shard")),
+    Some("""SELECT ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+           |   % 16 AS shard,
+           | count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           | min(doc_id) AS min_doc, max(doc_id) AS max_doc
+           |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val qs: Seq[Q] = Seq(winnowing, repetition, pii, stratified, winnowPairs,
-    decontaminate, decontaminateBloom, topNgrams, tokenDf)
+    decontaminate, decontaminateBloom, topNgrams, tokenDf, paraDedup, shards)
 }

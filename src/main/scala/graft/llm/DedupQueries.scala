@@ -171,6 +171,49 @@ object DedupQueries extends QueryPack {
             |FROM documents
             |WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> cluster)""".stripMargin))
 
+  /** Quality-aware cluster survivor selection: instead of the min-id
+    * representative, each near-dup cluster keeps its argmax-quality
+    * member (token count desc, doc_id tiebreak) — the curation policy
+    * real pipelines use, since the longest variant usually carries the
+    * least truncation. The argmax is one `max(struct)` per component
+    * (partial-aggregates map-side; no window over members), and the
+    * integral token count keeps the cross-engine compare exact.
+    * sum_kept pins the surviving SET — a different survivor choice than
+    * the oracle's cannot slip through as a matching count.
+    */
+  private val clusterBestSurvivors = Q(
+    "dedup_cluster_best_survivors",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("tc", TextAnalysis.tokenCount(col("text")).cast("long"))
+      val pairs = MinHashLsh.nearDupPairs(docs, "doc_id", "text", threshold = 0.8)
+      val members = ConnectedComponents.components(pairs, "i", "j")
+        .join(docs.select(col("doc_id").as("node"), col("tc")), Seq("node"))
+      val drops = members
+        .groupBy(col("comp"))
+        .agg(max(struct(col("tc"), (-col("node")).as("neg"))).as("b"))
+        .select(col("comp"), (-col("b.neg")).as("keep_id"))
+        .join(members, Seq("comp"))
+        .filter(col("node") =!= col("keep_id"))
+        .select(col("node").as("doc_id"))
+      docs.join(drops, Seq("doc_id"), "left_anti")
+        .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("sum_kept"),
+          sum(col("tc")).as("sum_tc_kept"))
+    },
+    Some(s"""WITH RECURSIVE ${clusterChain()},
+            |t AS (SELECT doc_id,
+            |  CASE WHEN length(regexp_replace(text, '\\s', '', 'g')) = 0 THEN 0
+            |   ELSE len(string_split_regex(trim(text), '\\s+')) END AS tc
+            | FROM documents),
+            |m AS (SELECT c.node, c.cluster, t.tc FROM comp c
+            | JOIN t ON t.doc_id = c.node),
+            |k AS (SELECT node, row_number() OVER (PARTITION BY cluster
+            |   ORDER BY tc DESC, node) AS rn FROM m),
+            |drops AS (SELECT node FROM k WHERE rn > 1)
+            |SELECT count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS sum_kept,
+            | CAST(sum(tc) AS BIGINT) AS sum_tc_kept
+            |FROM t WHERE doc_id NOT IN (SELECT node FROM drops)""".stripMargin))
+
   /** The round-4 flagship: the curation pipeline with TRANSITIVE dedup —
     * quality gate → exact-fingerprint keep-first → MinHash-LSH pairs →
     * connected components → keep each cluster's min-id representative →
@@ -410,6 +453,6 @@ object DedupQueries extends QueryPack {
             |FROM p WHERE inter * 10 >= un * 8 ORDER BY i, j""".stripMargin))
 
   val qs: Seq[Q] = Seq(exact, minhash, simhash, ngramJaccard,
-    lshClusters, clusterSurvivors, trainingPipeline, trainingV2, trainingV3,
-    prefixJoin)
+    lshClusters, clusterSurvivors, clusterBestSurvivors, trainingPipeline,
+    trainingV2, trainingV3, prefixJoin)
 }

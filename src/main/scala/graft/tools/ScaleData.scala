@@ -10,21 +10,29 @@ import org.apache.spark.sql.functions._
   * superlinear operator — timing the heavy queries at sf0.1 vs K× and
   * fitting t ∝ n^e exposes it.
   *
-  * Fact tables replicate K times with key offsets (orderkey spaces stay
-  * disjoint per copy; o_orderkey/l_orderkey offset TOGETHER so joins
-  * stay consistent); dimension tables pass through unchanged, so every
-  * replicated fact still references a valid dim row — the TPC-H scaling
-  * convention at the granularity this measurement needs.
+  * Fact AND entity-dimension tables replicate K times with key offsets
+  * (order/customer/supplier/part key spaces stay disjoint per copy, and
+  * fact FKs offset TOGETHER with their dims so every join stays valid)
+  * — the TPC-H scaling convention, where only the fixed-cardinality
+  * region/nation dims stay constant. Replicating facts against an
+  * UNSCALED customer/supplier key space was the round-5 measurement
+  * bug: the co-purchase graph kept the same nodes while edges tripled,
+  * so triangle counting measured DENSIFICATION (inherently superlinear)
+  * instead of growth — t(3×)/t(1×) read 11.6 when the honest same-
+  * density exponent is ~1.
   *
   * Two tables get per-copy PERTURBATION, not plain replication, because
   * identical copies would change the workload's combinatorics, not just
-  * its size: duplicate documents multiply LSH bucket collisions
-  * quadratically (a near-dup measurement over K identical corpora is
-  * measuring a different, artificially-quadratic problem), and identical
-  * embeddings pile into the same sign-LSH buckets. Documents get a
-  * copy-tagged token appended (breaks exact/near-dup identity, keeps
-  * length distribution); embeddings rotate by the copy index (preserves
-  * norms and pairwise-similarity distribution, decorrelates copies).
+  * its size: near-identical documents multiply LSH bucket collisions
+  * quadratically (the first cut appended a tag token, which breaks
+  * EXACT identity but leaves Jaccard ≈ 0.98 — every doc gained K-1
+  * planted near-dups and the LSH measurement went quadratic the same
+  * way). Copies now Caesar-shift the text's letters by the copy index:
+  * token lengths, whitespace structure, and n_chars stay identical
+  * (same tokenizer work, same quality scores) while every shingle set
+  * becomes disjoint across copies. Embeddings rotate by the copy index
+  * (preserves norms and pairwise-similarity distribution, decorrelates
+  * copies).
   */
 object ScaleData {
   def main(args: Array[String]): Unit = {
@@ -48,22 +56,36 @@ object ScaleData {
     // generated key)
     val off = col("_copy") * 1000000000000L
 
-    // dims: unchanged
-    Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
+    // fixed-cardinality dims: unchanged (TPC-H keeps 5 regions/25 nations
+    // at every SF)
+    Seq("region", "nation").foreach { t =>
       val p = s"$src/$t.parquet"
       if (new java.io.File(p).exists)
         spark.read.parquet(p).write.mode("overwrite").parquet(s"$dst/$t.parquet")
     }
 
+    // entity dims scale WITH the facts so join fan-in density (orders per
+    // customer, lineitems per supplier/part) stays constant
+    Seq("customer" -> "c_custkey", "supplier" -> "s_suppkey",
+        "part" -> "p_partkey").foreach { case (t, key) =>
+      copies(spark.read.parquet(s"$src/$t.parquet"))
+        .withColumn(key, col(key) + off)
+        .drop("_copy")
+        .write.mode("overwrite").parquet(s"$dst/$t.parquet")
+    }
+
     val orders = spark.read.parquet(s"$src/orders.parquet")
     copies(orders)
       .withColumn("o_orderkey", col("o_orderkey") + off)
+      .withColumn("o_custkey", col("o_custkey") + off)
       .drop("_copy")
       .write.mode("overwrite").parquet(s"$dst/orders.parquet")
 
     val lineitem = spark.read.parquet(s"$src/lineitem.parquet")
     copies(lineitem)
       .withColumn("l_orderkey", col("l_orderkey") + off)
+      .withColumn("l_partkey", col("l_partkey") + off)
+      .withColumn("l_suppkey", col("l_suppkey") + off)
       .drop("_copy")
       .write.mode("overwrite").parquet(s"$dst/lineitem.parquet")
 
@@ -80,14 +102,24 @@ object ScaleData {
       .drop("_copy")
       .write.mode("overwrite").parquet(s"$dst/events.parquet")
 
+    // Caesar-shift letters by the copy index: identical lengths and
+    // whitespace (same tokenizer/quality work per doc), disjoint shingle
+    // sets across copies (no planted cross-copy near-dups)
+    val caesar = udf { (text: String, c: Long) =>
+      if (text == null || c == 0L) text
+      else {
+        val s = (c % 26).toInt
+        text.map {
+          case ch if ch >= 'a' && ch <= 'z' => (((ch - 'a' + s) % 26) + 'a').toChar
+          case ch if ch >= 'A' && ch <= 'Z' => (((ch - 'A' + s) % 26) + 'A').toChar
+          case ch => ch
+        }
+      }
+    }
     val documents = spark.read.parquet(s"$src/documents.parquet")
     copies(documents)
       .withColumn("doc_id", col("doc_id") + off)
-      .withColumn("text",
-        when(col("_copy") === 0, col("text"))
-          .otherwise(concat(col("text"), lit(" cvariant"),
-            col("_copy").cast("string"), lit("x"),
-            (col("doc_id") % 1000).cast("string"))))
+      .withColumn("text", caesar(col("text"), col("_copy")))
       .drop("_copy")
       .write.mode("overwrite").parquet(s"$dst/documents.parquet")
 

@@ -213,6 +213,22 @@ class EventStreamSpec extends SparkSpec {
         snap2(3L)._1 === "view")
       // carried-over row keeps its original event time
       assert(snap2(2L)._2 === ts("2024-01-01 10:02:00").getTime * 1000)
+      // wave 3: a LATE batch carrying an out-of-order event for user 1
+      // (10:30, older than the 11:00 snapshot row) plus a genuinely newer
+      // event for user 3 — the merge must keep user 1's newer snapshot
+      // (the round-4 coalesce(u, b) bug regressed it) and advance user 3
+      input.addData(
+        ev(6, "2024-01-01 10:30:00", 1, "stale", 1.0),
+        ev(7, "2024-01-01 11:30:00", 3, "buy", 1.0))
+      q.processAllAvailable()
+      val snap3 = spark.read.parquet(dim)
+        .select($"user_id", $"event_type", $"last_us")
+        .as[(Long, String, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(snap3(1L)._1 === "buy" && snap3(1L)._2 ===
+        ts("2024-01-01 11:00:00").getTime * 1000,
+        s"late event regressed the user-1 snapshot: ${snap3(1L)}")
+      assert(snap3(3L)._1 === "buy")
     } finally q.stop()
   }
 
