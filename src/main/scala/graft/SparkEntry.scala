@@ -13,6 +13,7 @@ object SparkEntry {
   private def packs: Seq[QueryPack] = Seq(
     analytics.Relational,
     analytics.RelationalExt,
+    analytics.GraphQueries,
     analytics.Dashboard,
     analytics.Temporal,
     analytics.SequenceQueries,

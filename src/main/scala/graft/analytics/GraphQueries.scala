@@ -1,0 +1,112 @@
+package graft.analytics
+
+import graft.{Q, QueryPack, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over the customer↔supplier co-purchase graph (the
+  * same edge construction as `graph_pagerank_copurchase`: one edge per
+  * distinct trading pair, supplier ids offset into a disjoint key
+  * space). Complements PageRank/triangles/CC with the degree profile
+  * and community structure — all iterative state is edge-partitioned,
+  * all outputs are distribution/summary-sized.
+  */
+object GraphQueries extends QueryPack {
+
+  /** Distinct co-purchase edges (cu, su). Kept in lockstep with the
+    * pagerank query's construction — cited there. */
+  private def edges(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("cu"), (col("l_suppkey") + 1000000L).as("su"))
+      .distinct()
+
+  private val edgeSql =
+    """SELECT DISTINCT o_custkey AS cu, l_suppkey + 1000000 AS su
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey""".stripMargin
+
+  /** Degree distribution per side: how many customers (suppliers) have
+    * exactly d trading partners. The first diagnostic run on any graph
+    * before choosing join strategies (it bounds wedge fan-out and
+    * exposes hubs needing salting). Two keyed aggregations; output is
+    * |distinct degrees|-sized.
+    */
+  private val degreeDist = Q(
+    "graph_degree_distribution",
+    (s, d) => {
+      val e = edges(s, d)
+      val cu = e.groupBy(col("cu")).agg(count(lit(1)).as("deg"))
+        .select(lit("customer").as("role"), col("deg"))
+      val su = e.groupBy(col("su")).agg(count(lit(1)).as("deg"))
+        .select(lit("supplier").as("role"), col("deg"))
+      cu.unionByName(su)
+        .groupBy(col("role"), col("deg"))
+        .agg(count(lit(1)).as("n_nodes"))
+        .orderBy(col("role"), col("deg"))
+    },
+    Some(s"""WITH e AS ($edgeSql),
+            |cd AS (SELECT 'customer' AS role, count(*) AS deg FROM e GROUP BY cu),
+            |sd AS (SELECT 'supplier' AS role, count(*) AS deg FROM e GROUP BY su),
+            |a AS (SELECT * FROM cd UNION ALL SELECT * FROM sd)
+            |SELECT role, deg, count(*) AS n_nodes
+            |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
+  /** Two synchronous label-propagation iterations (Raghavan 2007, the
+    * deterministic argmax-mode variant: most frequent neighbor label,
+    * smallest label breaking ties). Unlike min-label CC this converges
+    * toward dense communities, not connected components. Per iteration:
+    * one edge⋈label join and one mode argmax via `max(struct(count,
+    * -label))` — partial-aggregating, no per-node window. The edge
+    * frame is checkpointed once; label state is node-sized. Output
+    * pins node count, community count, the largest community, and the
+    * surviving label SET (sum over distinct labels).
+    */
+  private val labelProp = Q(
+    "graph_label_propagation",
+    (s, d) => {
+      val sym = {
+        val e = edges(s, d)
+        e.select(col("cu").as("u"), col("su").as("v"))
+          .unionByName(e.select(col("su").as("u"), col("cu").as("v")))
+          .localCheckpoint()
+      }
+      var lbl = sym.select(col("u").as("node")).distinct()
+        .withColumn("lbl", col("node"))
+      for (_ <- 1 to 2) {
+        lbl = sym
+          .join(lbl.select(col("node").as("v"), col("lbl")), Seq("v"))
+          .groupBy(col("u").as("node"), col("lbl"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy(col("node"))
+          .agg(max(struct(col("c"), (-col("lbl")).as("neg"))).as("b"))
+          .select(col("node"), (-col("b.neg")).as("lbl"))
+      }
+      lbl.groupBy(col("lbl")).agg(count(lit(1)).as("sz"))
+        .agg(sum(col("sz")).as("n_nodes"),
+          count(lit(1)).as("n_communities"),
+          max(col("sz")).as("max_community"),
+          sum(col("lbl")).as("sum_labels"))
+    },
+    Some(s"""WITH e0 AS ($edgeSql),
+            |sym AS (SELECT cu AS u, su AS v FROM e0
+            |  UNION ALL SELECT su AS u, cu AS v FROM e0),
+            |l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM sym),
+            |c1 AS (SELECT s.u AS node, l.lbl, count(*) AS c
+            |  FROM sym s JOIN l0 l ON s.v = l.node GROUP BY 1, 2),
+            |l1 AS (SELECT node, lbl FROM (SELECT node, lbl,
+            |   row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn
+            |  FROM c1) WHERE rn = 1),
+            |c2 AS (SELECT s.u AS node, l.lbl, count(*) AS c
+            |  FROM sym s JOIN l1 l ON s.v = l.node GROUP BY 1, 2),
+            |l2 AS (SELECT node, lbl FROM (SELECT node, lbl,
+            |   row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn
+            |  FROM c2) WHERE rn = 1),
+            |sizes AS (SELECT lbl, count(*) AS sz FROM l2 GROUP BY 1)
+            |SELECT CAST(sum(sz) AS BIGINT) AS n_nodes,
+            | count(*) AS n_communities, max(sz) AS max_community,
+            | CAST(sum(lbl) AS BIGINT) AS sum_labels
+            |FROM sizes""".stripMargin))
+
+  val qs: Seq[Q] = Seq(degreeDist, labelProp)
+}

@@ -870,7 +870,41 @@ object RelationalExt extends QueryPack {
            |FROM c LEFT JOIN p ON c.blk = p.blk
            |ORDER BY 1""".stripMargin))
 
-  val qs: Seq[Q] = Seq(q4, q8, q12, q14, q15, q17, q18, q19, q21, q22,
+  /** TPC-H Q9 shape: product-line profit by supplier nation and order
+    * year — the widest join tree in the suite (two facts + three
+    * broadcast dims). The testdata carries no partsupp table, so unit
+    * cost is the deterministic 60%-of-retail proxy; the SHAPE under
+    * test is the fact-fact shuffle join feeding three broadcast hash
+    * joins and a two-key rollup, identical to real Q9. Both engines
+    * compute the identical double expression per row before summing.
+    */
+  private val q9 = Q(
+    "q9_profit_by_nation_year",
+    (s, d) => {
+      val profit = col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+        lit(0.6) * col("p_retailprice") * col("l_quantity")
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+        .agg(round(sum(profit), 2).as("profit"), count(lit(1)).as("n"))
+        .orderBy(col("nation"), col("o_year"))
+    },
+    Some("""SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+           | round(sum(l_extendedprice * (1.0 - l_discount)
+           |   - 0.6 * p_retailprice * l_quantity), 2) AS profit,
+           | count(*) AS n
+           |FROM lineitem
+           | JOIN orders ON l_orderkey = o_orderkey
+           | JOIN part ON l_partkey = p_partkey
+           | JOIN supplier ON l_suppkey = s_suppkey
+           | JOIN nation ON s_nationkey = n_nationkey
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    headline = true)
+
+  val qs: Seq[Q] = Seq(q4, q8, q9, q12, q14, q15, q17, q18, q19, q21, q22,
     quantiles, decimalPricing, dqChecks, tableChecksum, iqrOutliers,
     rangeWindow, pagerank, saltedTopk, saltedJoin, rangeJoin, groupingSets,
     unpivotQ, ntileDeciles, partitionSkew, erBlockedMatch)

@@ -268,7 +268,36 @@ object WarehouseQueries extends QueryPack {
            |   AS n_numeric_k
            |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** Cross-column functional-dependency audit on `documents` — the
+    * consistency class `dq_constraint_checks` (per-column domains) and
+    * `dq_table_checksum` (content drift) don't cover: does the derived
+    * column actually equal its derivation (n_chars = length(text)), is
+    * the declared key unique, does the enum column match its format?
+    * One scan, all checks ride the same partial aggregation; exact
+    * violation counts both engines reproduce.
+    */
+  private val fdAudit = Q(
+    "dq_functional_dependency",
+    (s, d) => Tables.documents(s, d)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("n_chars") =!= length(col("text")), 1L).otherwise(0L))
+          .as("n_chars_mismatch"),
+        (count(lit(1)) - countDistinct(col("doc_id"))).as("n_dup_keys"),
+        sum(when(!col("lang").rlike("^[a-z]{2}$"), 1L).otherwise(0L))
+          .as("n_bad_lang"),
+        sum(when(col("text").isNull || col("source").isNull, 1L).otherwise(0L))
+          .as("n_nulls")),
+    Some("""SELECT count(*) AS n_rows,
+           | CAST(sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END)
+           |   AS BIGINT) AS n_chars_mismatch,
+           | count(*) - count(DISTINCT doc_id) AS n_dup_keys,
+           | CAST(sum(CASE WHEN NOT regexp_matches(lang, '^[a-z]{2}$')
+           |   THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_lang,
+           | CAST(sum(CASE WHEN text IS NULL OR source IS NULL THEN 1 ELSE 0 END)
+           |   AS BIGINT) AS n_nulls
+           |FROM documents""".stripMargin))
+
   override def qs: Seq[Q] =
     Seq(upsertMerge, incMerge, cmsEstimates, kmvOverlap, checksumBuckets,
-      calendarDim, jsonKeyProfile)
+      calendarDim, jsonKeyProfile, fdAudit)
 }
