@@ -128,6 +128,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(scan.contains("EqualTo(p_brand"), scan)
   }
 
+  test("q9: one fact-fact shuffle join; part/supplier/nation broadcast") {
+    val s = planString(SparkEntry.queries("q9_profit_by_nation_year")(spark, sf))
+    assert("BroadcastHashJoin".r.findAllIn(s).length >= 3, s)
+    val smj = "SortMergeJoin".r.findAllIn(s).length
+    assert(smj <= 1, s"expected <=1 fact-fact SMJ, got $smj\n$s")
+  }
+
+  test("label propagation: edge frame checkpointed; mode argmax never windows or goes cartesian") {
+    val s = planString(SparkEntry.queries("graph_label_propagation")(spark, sf))
+    // the sym edge list must come from the one checkpoint, not a re-plan
+    // of the orders x lineitem join per iteration
+    assert(s.contains("Scan ExistingRDD"), s)
+    assert(!s.contains("Window"), s"per-node mode must be max(struct), not a window:\n$s")
+    assert(!s.contains("CartesianProduct"), s)
+  }
+
   test("salted heavy hitters: two aggregation exchanges, then top-K heap") {
     val s = planString(SparkEntry.queries("agg_salted_heavy_hitters")(spark, sf))
     assert(s.contains("TakeOrderedAndProject"), s)
