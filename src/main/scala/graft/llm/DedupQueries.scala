@@ -452,7 +452,93 @@ object DedupQueries extends QueryPack {
             |SELECT i, j, CAST(inter AS BIGINT) AS inter, CAST(un AS BIGINT) AS un
             |FROM p WHERE inter * 10 >= un * 8 ORDER BY i, j""".stripMargin))
 
+  /** The round-5 flagship: paragraph-granular curation. Quality gate →
+    * paragraph-level global keep-first dedup (docs keep a strict
+    * majority of their 10-token chunks or drop — the C4-style
+    * boilerplate filter) → transitive near-dup clusters keeping each
+    * cluster's argmax-quality member → deterministic md5 shard layout
+    * with per-shard token budgets. Composes the round's new operators
+    * into the end-to-end shape a training-data run actually ships:
+    * every stage boundary is a `localCheckpoint` (band/chunk fan-outs
+    * never re-plan), and the oracle rebuilds all four stages
+    * independently — chunk comprehension, brute-force pairwise Jaccard,
+    * recursive-CTE closure, argmax window — sharing no engine code.
+    * sum_ids per shard pins the exact surviving document set AND its
+    * placement.
+    */
+  private val trainingV4 = Q(
+    "docs_training_pipeline_v4",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val quality = Tables.documents(s, d)
+        .withColumn("tc", TextAnalysis.tokenCount(col("text")).cast("long"))
+        .filter(col("tc") >= 20 && TextAnalysis.alphaRatio(col("text")) >= 0.5)
+      val paras = quality
+        .select(col("doc_id"),
+          posexplode(TextAnalysis.chunkByTokens(col("text"), 10))
+            .as(Seq("idx", "chunk")))
+        .withColumn("fp", md5(col("chunk")))
+      val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"), col("idx"))
+      val majorityKept = paras
+        .withColumn("rn", row_number().over(w))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"))
+        .filter(col("n_kept") * 2 > col("n_chunks"))
+        .select(col("doc_id"))
+      val survivors = stage(quality.join(majorityKept, Seq("doc_id"))
+        .select(col("doc_id"), col("text"), col("tc")))
+      val pairs = MinHashLsh.nearDupPairs(survivors, "doc_id", "text", 0.8)
+      val members = ConnectedComponents.components(pairs, "i", "j")
+        .join(survivors.select(col("doc_id").as("node"), col("tc")), Seq("node"))
+      val drops = members
+        .groupBy(col("comp"))
+        .agg(max(struct(col("tc"), (-col("node")).as("neg"))).as("b"))
+        .select(col("comp"), (-col("b.neg")).as("keep_id"))
+        .join(members, Seq("comp"))
+        .filter(col("node") =!= col("keep_id"))
+        .select(col("node").as("doc_id"))
+      survivors.join(drops, Seq("doc_id"), "left_anti")
+        .withColumn("shard",
+          conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+            .cast("long") % 4)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("tc")).as("sum_tokens"),
+          sum(col("doc_id")).as("sum_ids"))
+        .orderBy(col("shard"))
+    },
+    Some(s"""WITH RECURSIVE q AS (SELECT doc_id, text,
+            |  CASE WHEN length(regexp_replace(text, '\\s', '', 'g')) = 0 THEN 0
+            |   ELSE len(string_split_regex(trim(text), '\\s+')) END AS tc
+            | FROM documents
+            | WHERE ${CorpusQueries.qualityPredSql("text", 20, 0.5)}),
+            |t AS (SELECT doc_id, ${CorpusQueries.WordsExpr} AS w FROM q),
+            |c AS (SELECT doc_id, i AS idx,
+            |  array_to_string(w[(i-1)*10+1 : least(i*10, len(w))], ' ') AS chunk
+            | FROM t, UNNEST(range(1, CAST(ceil(len(w)/10.0) AS BIGINT)+1)) AS u(i)),
+            |k AS (SELECT doc_id, row_number() OVER (PARTITION BY md5(chunk)
+            |   ORDER BY doc_id, idx) AS rn FROM c),
+            |pd AS (SELECT doc_id, count(*) AS n_chunks,
+            |   sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept
+            |  FROM k GROUP BY 1),
+            |s1 AS (SELECT q.doc_id, q.text, q.tc FROM q
+            |  JOIN pd ON q.doc_id = pd.doc_id WHERE pd.n_kept * 2 > pd.n_chunks),
+            |${clusterChain(from = "s1")},
+            |m AS (SELECT cc.node, cc.cluster, s.tc FROM comp cc
+            |  JOIN s1 s ON s.doc_id = cc.node),
+            |kk AS (SELECT node, row_number() OVER (PARTITION BY cluster
+            |   ORDER BY tc DESC, node) AS rn FROM m),
+            |drops AS (SELECT node FROM kk WHERE rn > 1),
+            |cur AS (SELECT * FROM s1
+            |  WHERE doc_id NOT IN (SELECT node FROM drops))
+            |SELECT ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+            |   % 4 AS shard,
+            | count(*) AS n_docs, CAST(sum(tc) AS BIGINT) AS sum_tokens,
+            | CAST(sum(doc_id) AS BIGINT) AS sum_ids
+            |FROM cur GROUP BY 1 ORDER BY 1""".stripMargin),
+    headline = true)
+
   val qs: Seq[Q] = Seq(exact, minhash, simhash, ngramJaccard,
     lshClusters, clusterSurvivors, clusterBestSurvivors, trainingPipeline,
-    trainingV2, trainingV3, prefixJoin)
+    trainingV2, trainingV3, trainingV4, prefixJoin)
 }

@@ -210,6 +210,14 @@ class PlanShapeSpec extends SparkSpec {
     val v2 = planString(SparkEntry.queries("docs_training_pipeline_v2")(spark, sf))
     val s2 = "Scan parquet".r.findAllIn(v2).length
     assert(s2 <= 5, s"docs_training_pipeline_v2 plans $s2 document scans (max 5):\n$v2")
+    // v4's LSH/CC stages read the checkpointed paragraph-survivor frame,
+    // so the corpus parquet itself is scanned only by the quality +
+    // paragraph stages (chunk fan-out, keep-first window, join-back)
+    val v4 = planString(SparkEntry.queries("docs_training_pipeline_v4")(spark, sf))
+    val s4 = "Scan parquet".r.findAllIn(v4).length
+    assert(s4 <= 3, s"docs_training_pipeline_v4 plans $s4 corpus scans (max 3):\n$v4")
+    assert(!v4.contains("CartesianProduct") &&
+      !v4.contains("BroadcastNestedLoopJoin"), v4)
     // the full flagship keeps the LSH-family contracts end-to-end:
     // benchmark fingerprints broadcast, candidate generation bucketed
     assert(v2.contains("BroadcastHashJoin"), v2)
