@@ -62,6 +62,29 @@ object GraphQueries extends QueryPack {
     * pins node count, community count, the largest community, and the
     * surviving label SET (sum over distinct labels).
     */
+  /** The LPA iteration itself, shared between the registered query and
+    * the planted-structure spec (GraphQueriesSpec) so the ground-truth
+    * tests exercise THIS code, not a copy. `sym` must hold both edge
+    * directions as (u, v); returns (node, lbl) after `iters` synchronous
+    * rounds. Each round is one edge⋈label join plus a two-level
+    * partial-aggregating mode argmax — label state stays node-sized and
+    * no per-node window appears in the plan.
+    */
+  def lpa(sym: DataFrame, iters: Int): DataFrame = {
+    var lbl = sym.select(col("u").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+    for (_ <- 1 to iters) {
+      lbl = sym
+        .join(lbl.select(col("node").as("v"), col("lbl")), Seq("v"))
+        .groupBy(col("u").as("node"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("node"))
+        .agg(max(struct(col("c"), (-col("lbl")).as("neg"))).as("b"))
+        .select(col("node"), (-col("b.neg")).as("lbl"))
+    }
+    lbl
+  }
+
   private val labelProp = Q(
     "graph_label_propagation",
     (s, d) => {
@@ -71,18 +94,7 @@ object GraphQueries extends QueryPack {
           .unionByName(e.select(col("su").as("u"), col("cu").as("v")))
           .localCheckpoint()
       }
-      var lbl = sym.select(col("u").as("node")).distinct()
-        .withColumn("lbl", col("node"))
-      for (_ <- 1 to 2) {
-        lbl = sym
-          .join(lbl.select(col("node").as("v"), col("lbl")), Seq("v"))
-          .groupBy(col("u").as("node"), col("lbl"))
-          .agg(count(lit(1)).as("c"))
-          .groupBy(col("node"))
-          .agg(max(struct(col("c"), (-col("lbl")).as("neg"))).as("b"))
-          .select(col("node"), (-col("b.neg")).as("lbl"))
-      }
-      lbl.groupBy(col("lbl")).agg(count(lit(1)).as("sz"))
+      lpa(sym, 2).groupBy(col("lbl")).agg(count(lit(1)).as("sz"))
         .agg(sum(col("sz")).as("n_nodes"),
           count(lit(1)).as("n_communities"),
           max(col("sz")).as("max_community"),

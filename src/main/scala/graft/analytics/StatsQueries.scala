@@ -419,12 +419,18 @@ object StatsQueries extends QueryPack {
       val caseSql = firstDigitCase("c", "div")
       val bSql = "CASE digit " + benfordBp.map { case (k, v) =>
         s"WHEN $k THEN ${v}L" }.mkString(" ") + " END"
-      Tables.orders(s, d)
+      val g = Tables.orders(s, d)
         .select(round(col("o_totalprice") * 100).cast("long").as("c"))
         .select(expr(caseSql).as("digit"))
         .groupBy(col("digit")).agg(count(lit(1)).as("n"))
-        .withColumn("share_bp",
-          expr("n * 10000 div sum(n) over ()"))
+      // The grand total joins back as a broadcast 1-row frame instead of
+      // `sum(n) over ()`: the digit frame is ≤9 rows so the window was
+      // never a scale risk, but an empty-partition WindowExec is the one
+      // plan shape this engine bans outright (see ops/BoundedRank) — a
+      // map-side aggregate + broadcast join expresses the same total
+      // with no single-partition sort anywhere in the plan.
+      g.join(broadcast(g.agg(sum(col("n")).as("_total"))))
+        .withColumn("share_bp", expr("n * 10000 div _total"))
         .withColumn("benford_bp", expr(bSql))
         .select(col("digit"), col("n"), col("share_bp"), col("benford_bp"),
           abs(col("share_bp") - col("benford_bp")).as("dev_bp"))
