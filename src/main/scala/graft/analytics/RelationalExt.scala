@@ -904,7 +904,77 @@ object RelationalExt extends QueryPack {
            |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
     headline = true)
 
-  val qs: Seq[Q] = Seq(q4, q8, q9, q12, q14, q15, q17, q18, q19, q21, q22,
+  /** TPC-H Q13 shape: the customer order-count distribution. The LEFT
+    * join keeps zero-order customers (their c_count must surface as 0 —
+    * the classic trap is an inner join silently dropping them), and the
+    * priority predicate lives in the JOIN CONDITION, not a post-filter,
+    * exactly like Q13's `NOT LIKE` — pushing it below the join would
+    * change which customers count as order-less. Shape at scale: one
+    * shuffle join on custkey, then two partial-aggregating group-bys
+    * whose second input is |customers| rows collapsing to |distinct
+    * counts| — nothing single-partition anywhere.
+    */
+  private val q13 = Q(
+    "q13_customer_order_dist",
+    (s, d) => {
+      val perCust = Tables.customer(s, d)
+        .join(Tables.orders(s, d),
+          col("c_custkey") === col("o_custkey") &&
+            col("o_orderpriority") =!= "4-NOT SPECIFIED",
+          "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+      perCust.groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+    Some("""SELECT c_count, count(*) AS custdist FROM (
+           | SELECT c_custkey, count(o_orderkey) AS c_count
+           | FROM customer LEFT OUTER JOIN orders
+           |   ON c_custkey = o_custkey
+           |  AND o_orderpriority <> '4-NOT SPECIFIED'
+           | GROUP BY c_custkey)
+           |GROUP BY c_count
+           |ORDER BY custdist DESC, c_count DESC""".stripMargin))
+
+  /** TPC-H Q16 shape: supplier diversity per part attribute. The
+    * testdata has no partsupp table, so the supply relation is the
+    * OBSERVED one — distinct (l_partkey, l_suppkey) trade pairs — and
+    * Q16's "complaints" supplier exclusion becomes the negative-balance
+    * set, applied as a broadcast anti-join (the excluded set is a
+    * fraction of an already-dim-sized table). There is deliberately NO
+    * pre-`distinct()` on the trade pairs: `countDistinct` already
+    * dedups map-side in its partial aggregate, so a distinct would add
+    * a third full-lineitem shuffle for nothing — the whole query runs
+    * in two exchanges (distinct-count partial on attr+suppkey, final on
+    * attr), both carrying already-collapsed rows.
+    */
+  private val q16 = Q(
+    "q16_supplier_part_diversity",
+    (s, d) => {
+      val pairs = Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_suppkey"))
+      val excluded = Tables.supplier(s, d)
+        .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+      pairs
+        .join(broadcast(excluded), col("l_suppkey") === col("s_suppkey"),
+          "left_anti")
+        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+    },
+    Some("""WITH sp AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+           |ex AS (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+           |SELECT p_brand, p_type, p_size,
+           | count(DISTINCT l_suppkey) AS supplier_cnt
+           |FROM sp JOIN part ON p_partkey = l_partkey
+           |WHERE l_suppkey NOT IN (SELECT s_suppkey FROM ex)
+           |GROUP BY 1, 2, 3
+           |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin))
+
+  val qs: Seq[Q] = Seq(q4, q8, q9, q12, q13, q14, q15, q16, q17, q18, q19, q21, q22,
     quantiles, decimalPricing, dqChecks, tableChecksum, iqrOutliers,
     rangeWindow, pagerank, saltedTopk, saltedJoin, rangeJoin, groupingSets,
     unpivotQ, ntileDeciles, partitionSkew, erBlockedMatch)
