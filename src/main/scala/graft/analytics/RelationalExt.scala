@@ -904,15 +904,16 @@ object RelationalExt extends QueryPack {
            |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
     headline = true)
 
-  /** TPC-H Q13 shape: the customer order-count distribution. The LEFT
-    * join keeps zero-order customers (their c_count must surface as 0 —
-    * the classic trap is an inner join silently dropping them), and the
-    * priority predicate lives in the JOIN CONDITION, not a post-filter,
-    * exactly like Q13's `NOT LIKE` — pushing it below the join would
-    * change which customers count as order-less. Shape at scale: one
-    * shuffle join on custkey, then two partial-aggregating group-bys
-    * whose second input is |customers| rows collapsing to |distinct
-    * counts| — nothing single-partition anywhere.
+  /** FULL TPC-H Q13: the customer order-count distribution WITH the
+    * non-key predicate inside the LEFT join's ON clause — the part of
+    * Q13 that `join_left_outer_custdist` (the plain outer-join twin in
+    * [[Relational]]) doesn't exercise. The placement is semantic, not
+    * style: `ON c=o AND priority<>X` keeps a customer whose every order
+    * is priority X and counts them at 0, while the same predicate as a
+    * WHERE would drop the row entirely — Catalyst must NOT push it
+    * below the outer join, and the oracle proves it doesn't. Shape at
+    * scale: one shuffle join on custkey, then two partial-aggregating
+    * group-bys collapsing |customers| → |distinct counts|.
     */
   private val q13 = Q(
     "q13_customer_order_dist",
