@@ -144,5 +144,42 @@ object SequenceQueries extends QueryPack {
            |  FROM orders)
            |WHERE rnk <= 3 ORDER BY o_orderpriority, rnk""".stripMargin))
 
-  val qs: Seq[Q] = Seq(transitions, concurrency, cdcDiff, topkHeap)
+  /** Clamped running balance per user — the NONLINEAR recurrence
+    * (`bal' = max(0, bal + delta)`) that no window frame can express,
+    * implemented in [[graft.ops.StatefulScan]] as the secondary-sort +
+    * single-pass `mapPartitions` idiom. The oracle replays the exact
+    * trajectory as a DuckDB recursive CTE stepping per-user row numbers
+    * — a full independent reimplementation, in integer centi-units on
+    * both sides so the compare is bit-exact.
+    */
+  private val cappedBalance = Q(
+    "seq_capped_running_balance",
+    (s, d) => graft.ops.StatefulScan.cappedBalanceQuery(s, d),
+    Some("""WITH RECURSIVE e0 AS (SELECT user_id,
+           |   CAST(round(value * 100) AS BIGINT)
+           |     * (CASE WHEN event_type = 'purchase' THEN -1 ELSE 1 END)
+           |     AS delta,
+           |   row_number() OVER (PARTITION BY user_id
+           |     ORDER BY ts, event_id) AS rn
+           |  FROM events),
+           |cnt AS (SELECT user_id, count(*) AS n FROM e0 GROUP BY 1),
+           |walk AS (
+           | SELECT user_id, rn, greatest(0, delta) AS bal,
+           |   greatest(0, delta) AS peak,
+           |   CASE WHEN delta < 0 THEN 1 ELSE 0 END AS hits
+           | FROM e0 WHERE rn = 1
+           | UNION ALL
+           | SELECT e.user_id, e.rn, greatest(0, w.bal + e.delta),
+           |   greatest(w.peak, greatest(0, w.bal + e.delta)),
+           |   w.hits + CASE WHEN w.bal + e.delta < 0 THEN 1 ELSE 0 END
+           | FROM walk w JOIN e0 e
+           |   ON e.user_id = w.user_id AND e.rn = w.rn + 1)
+           |SELECT w.user_id, w.bal AS final_balance_c,
+           | w.peak AS peak_balance_c, CAST(w.hits AS BIGINT) AS floor_hits
+           |FROM walk w JOIN cnt c
+           |  ON w.user_id = c.user_id AND w.rn = c.n
+           |ORDER BY w.user_id""".stripMargin))
+
+  val qs: Seq[Q] = Seq(transitions, concurrency, cdcDiff, topkHeap,
+    cappedBalance)
 }

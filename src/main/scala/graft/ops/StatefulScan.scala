@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Per-key ordered scans with NONLINEAR state — the recurrence class
+  * (`bal' = max(floor, bal + delta)`) that no window frame can express:
+  * a clamped running balance depends on every prior clamp, so unlike a
+  * plain cumulative sum it cannot be rewritten as an aggregate over a
+  * frame. This is the one operator family where dropping below the
+  * DataFrame algebra is the *right* call, and the implementation is the
+  * scalable idiom for it: hash-repartition by key, sort WITHIN each
+  * partition by (key, time, id) — Spark's secondary-sort, one shuffle,
+  * no global ordering — then a single `mapPartitions` pass holding O(1)
+  * state per key with key-change detection. At 100 TB the cost is one
+  * shuffle of the fact table and a streaming scan per partition; skew
+  * is bounded by the largest single key's row count, same as any
+  * keyed aggregation.
+  *
+  * All arithmetic is integer centi-units so the DuckDB recursive-CTE
+  * oracle can replay the identical trajectory bit-for-bit.
+  */
+object StatefulScan {
+
+  /** (user, final/peak balance, floor-hit count) after replaying the
+    * user's events in (ts, event_id) order: credits add `round(value *
+    * 100)` cents, debits (the purchase type) subtract it, and the
+    * balance clamps at zero — every clamp counts as a floor hit.
+    */
+  def cappedBalance(events: DataFrame, debitType: String = "purchase"): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val delta = (round(col("value") * 100).cast("long") *
+      when(col("event_type") === debitType, lit(-1L)).otherwise(lit(1L)))
+    val prepared: Dataset[(Long, Long, Long, Long)] = events
+      .select(col("user_id"), expr("unix_micros(ts)").as("us"),
+        col("event_id"), delta.as("delta_c"))
+      .repartition(col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("us"), col("event_id"))
+      .as[(Long, Long, Long, Long)]
+    prepared.mapPartitions { rows =>
+      // one (user, bal, peak, hits) register; emit on key change / end.
+      // The iterator arrives user-contiguous and time-ordered by the
+      // sortWithinPartitions above, so this is a single forward pass.
+      new Iterator[(Long, Long, Long, Long)] {
+        private var pending: Option[(Long, Long, Long, Long)] = None
+        private var cur = Option.empty[Long]
+        private var bal, peak, hits = 0L
+        private def roll(): Unit = {
+          while (pending.isEmpty && rows.hasNext) {
+            val (u, _, _, d) = rows.next()
+            if (cur.exists(_ != u)) {
+              pending = Some((cur.get, bal, peak, hits))
+              bal = 0L; peak = 0L; hits = 0L
+            }
+            cur = Some(u)
+            val raw = bal + d
+            if (raw < 0L) { bal = 0L; hits += 1 } else bal = raw
+            if (bal > peak) peak = bal
+          }
+          if (pending.isEmpty && rows.isEmpty && cur.nonEmpty) {
+            pending = Some((cur.get, bal, peak, hits))
+            cur = None
+          }
+        }
+        override def hasNext: Boolean = { roll(); pending.nonEmpty }
+        override def next(): (Long, Long, Long, Long) = {
+          roll(); val r = pending.get; pending = None; r
+        }
+      }
+    }.toDF("user_id", "final_balance_c", "peak_balance_c", "floor_hits")
+  }
+
+  /** Registered-query wrapper: deterministic user order. */
+  def cappedBalanceQuery(s: SparkSession, dir: String): DataFrame =
+    cappedBalance(graft.Tables.events(s, dir)).orderBy(col("user_id"))
+}
