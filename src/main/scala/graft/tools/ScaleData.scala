@@ -89,16 +89,23 @@ object ScaleData {
       .drop("_copy")
       .write.mode("overwrite").parquet(s"$dst/lineitem.parquet")
 
-    // events: nanos timestamp handled by Tables.events at READ time; here
-    // a plain passthrough replicate with offset ids keeps the file's
-    // physical type intact. user_id offsets too: K× users, same activity
-    // per user — the per-key state distribution the stream/window
-    // operators see stays constant while volume scales.
+    // events: the source file is TIMESTAMP(NANOS), which Spark can only
+    // read as Long (nanosAsLong) — but writing that Long back out would
+    // change the column's LOGICAL type to plain BIGINT, and every DuckDB
+    // oracle that does timestamp arithmetic on the derivative would
+    // break (first seen as `epoch(BIGINT)` binder errors in the round-5
+    // sf0.3 sweep). So the derivative rewrites ts at MICRO precision —
+    // a faithful TIMESTAMP for DuckDB, and a no-op passthrough for
+    // Tables.events' Long-detecting read shim. user_id offsets too: K×
+    // users, same activity per user — the per-key state distribution
+    // the stream/window operators see stays constant while volume
+    // scales.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val events = spark.read.parquet(s"$src/events.parquet")
     copies(events)
       .withColumn("event_id", col("event_id") + off)
       .withColumn("user_id", col("user_id") + off)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       .drop("_copy")
       .write.mode("overwrite").parquet(s"$dst/events.parquet")
 
