@@ -18,6 +18,7 @@ object SparkEntry {
     analytics.Temporal,
     analytics.SequenceQueries,
     analytics.StatsQueries,
+    analytics.SupplyQueries,
     analytics.WarehouseQueries,
     etl.EtlQueries,
     llm.TextQueries,
