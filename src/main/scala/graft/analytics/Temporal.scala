@@ -431,7 +431,49 @@ object Temporal extends QueryPack {
            | CAST(sum(run_span_s) AS BIGINT) AS sum_run_span_s
            |FROM runs GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
+  /** Keyless point-in-interval join through [[graft.ops.RangeJoin]]:
+    * traffic inside ±10-minute windows around the 20 highest-value
+    * purchases. There is NO equi key (windows are global, not per-user),
+    * the shape Spark would otherwise plan as BroadcastNestedLoopJoin —
+    * the bucketed reduction keeps it an equi join that survives an
+    * interval side too big to broadcast. 5-minute grain ≈ half the
+    * 20-minute window length (≤5 bucket copies per interval). The window
+    * dimension is top-k bounded (TakeOrderedAndProject), so at any SF the
+    * interval side stays 20 rows; the genuine fact-sized-both-sides case
+    * is exercised in RangeJoinSpec against a naive cross-join oracle.
+    */
+  private val peakWindows = Q(
+    "range_join_peak_windows",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val peaks = ev.filter(col("event_type") === "purchase")
+        .orderBy(col("value").desc, col("event_id"))
+        .limit(20)
+        .select(col("event_id").as("peak_id"),
+          (col("ts") - expr("INTERVAL 10 MINUTES")).as("w_start"),
+          (col("ts") + expr("INTERVAL 10 MINUTES")).as("w_end"))
+      graft.ops.RangeJoin.pointInInterval(
+          ev.select(col("ts"), col("user_id")), peaks,
+          ptTs = "ts", ivStart = "w_start", ivEnd = "w_end",
+          grainSec = 300L)
+        .groupBy(col("peak_id"))
+        .agg(count(lit(1)).as("n_events"),
+          count_distinct(col("user_id")).as("n_users"))
+        .orderBy(col("peak_id"))
+    },
+    Some("""WITH peaks AS (
+           |  SELECT event_id AS peak_id,
+           |   ts - INTERVAL 10 MINUTE AS w_start,
+           |   ts + INTERVAL 10 MINUTE AS w_end
+           |  FROM events WHERE event_type = 'purchase'
+           |  ORDER BY value DESC, event_id LIMIT 20)
+           |SELECT peak_id, count(*) AS n_events,
+           | count(DISTINCT user_id) AS n_users
+           |FROM peaks JOIN events e
+           |  ON e.ts >= w_start AND e.ts <= w_end
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val qs: Seq[Q] = Seq(asof, asofBucketed, tumbling, jsonExtract, sliding,
     sessionWindows, funnel, cohorts, streamDedup, enrichStatic, gapfill,
-    anomalies, scd2Runs)
+    anomalies, scd2Runs, peakWindows)
 }
