@@ -538,7 +538,39 @@ object DedupQueries extends QueryPack {
             |FROM cur GROUP BY 1 ORDER BY 1""".stripMargin),
     headline = true)
 
+  /** Exact repeated-span coverage ([[NearDedup.RepeatedSpans]], the
+    * Lee et al. ACL'22 exact-substring dedup family): per document, the
+    * 8-gram windows that occur more than once corpus-wide and the word
+    * positions they cover. The oracle rebuilds positional gram hashes
+    * with the shared words/md5 convention ([[CorpusQueries.wordsExpr]] +
+    * zipped unnest), flags fps with count>1, and unions covered
+    * positions per doc — an independent derivation of the same spans.
+    */
+  private val repeatedSpans = Q(
+    "dedup_repeated_spans",
+    (s, d) => RepeatedSpans.coverage(
+        Tables.documents(s, d), "doc_id", "text", n = 8)
+      .orderBy(col("doc_id")),
+    Some(s"""WITH t AS (SELECT doc_id, ${CorpusQueries.WordsExpr} AS w
+            |  FROM documents),
+            |g AS (SELECT doc_id, len(w) AS n_tokens,
+            |  CASE WHEN len(w) < 8 THEN CAST([] AS VARCHAR[])
+            |   ELSE [substring(md5(array_to_string(w[i:i+7], ' ')), 1, 16)
+            |         for i in range(1, len(w) - 6)] END AS h
+            |  FROM t),
+            |u AS (SELECT doc_id, unnest(h) AS fp,
+            |  unnest(range(1, len(h) + 1)) AS pos FROM g),
+            |r AS (SELECT fp FROM u GROUP BY fp HAVING count(*) > 1),
+            |f AS (SELECT u.doc_id, u.pos FROM u JOIN r USING (fp)),
+            |c AS (SELECT doc_id, pos, unnest(range(pos, pos + 8)) AS cv
+            |  FROM f)
+            |SELECT c.doc_id, CAST(max(g.n_tokens) AS BIGINT) AS n_tokens,
+            | count(DISTINCT c.pos) AS n_rep_windows,
+            | count(DISTINCT c.cv) AS n_rep_tokens
+            |FROM c JOIN g ON c.doc_id = g.doc_id
+            |GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val qs: Seq[Q] = Seq(exact, minhash, simhash, ngramJaccard,
     lshClusters, clusterSurvivors, clusterBestSurvivors, trainingPipeline,
-    trainingV2, trainingV3, trainingV4, prefixJoin)
+    trainingV2, trainingV3, trainingV4, prefixJoin, repeatedSpans)
 }

@@ -80,7 +80,13 @@ object Hashing {
     * min. O(m·w) scan — w is small (4); a monotonic deque would be O(m)
     * but adds no win at these window sizes.
     */
-  def winnow(text: String, n: Int, w: Int): Array[String] = {
+  /** Positional word n-gram hashes: the md5-prefix of every consecutive
+    * n-gram, index-aligned with word position (hashes(i) covers words
+    * i..i+n-1). The shared primitive under [[winnow]] and the
+    * repeated-span (exact-substring) dedup family; the DuckDB twin is
+    * the list comprehension in CorpusQueries' gram chains.
+    */
+  def gramHashes(text: String, n: Int): Array[String] = {
     val ws = words(text)
     if (ws.length < n) return Array.empty
     val m = ws.length - n + 1
@@ -101,6 +107,13 @@ object Hashing {
       md.reset()
       i += 1
     }
+    hashes
+  }
+
+  def winnow(text: String, n: Int, w: Int): Array[String] = {
+    val hashes = gramHashes(text, n)
+    if (hashes.isEmpty) return Array.empty
+    val m = hashes.length
     val out = new scala.collection.mutable.LinkedHashSet[String]
     if (m <= w) out += hashes.min
     else {

@@ -258,3 +258,55 @@ object SimHash {
         .filter(col("sig").isNotNull),
       "id", "sig", maxDist)
 }
+
+/** Exact repeated-span detection — the distributed surrogate for
+  * suffix-array exact-substring dedup (Lee et al., "Deduplicating
+  * Training Data Makes Language Models Better", ACL'22: remove any
+  * substring occurring more than once in the corpus). A suffix array is
+  * a single-node structure; the shuffle-native equivalent is positional
+  * n-gram fingerprints: any repeated run of ≥ n words shares at least
+  * one repeated n-gram, so flagging repeated n-grams and counting the
+  * word positions they cover yields per-document repeated-span coverage
+  * with one corpus pass and one fingerprint-keyed shuffle.
+  *
+  * Cost shape at 100 TB: the gram stream is |tokens| rows but carries
+  * only (doc_id, pos, 16-hex fp); repetition flagging is a window count
+  * partitioned by fp (no global sort, no self-join); the coverage
+  * explode is proportional to FLAGGED windows only (the duplicate tail,
+  * not the corpus). A pathological common-phrase fp concentrates its
+  * occurrences in one fp-partition — ordinary aggregation skew, handled
+  * by AQE, never a cross product.
+  */
+object RepeatedSpans {
+  import org.apache.spark.sql.expressions.Window
+
+  /** Per-document repeated-span coverage: documents containing at least
+    * one word n-gram that occurs more than once corpus-wide (including
+    * twice within one document — the paper's criterion), with the count
+    * of flagged windows and of distinct word positions they cover.
+    */
+  def coverage(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 8): DataFrame = {
+    val gh = udf((t: String) => Hashing.gramHashes(t, n))
+    val nTok = udf((t: String) => Hashing.words(t).length)
+    val grams = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(gh(col(textCol))).as(Seq("pos", "fp")))
+    val flagged = grams
+      .withColumn("occ", count(lit(1)).over(Window.partitionBy(col("fp"))))
+      .filter(col("occ") > 1)
+      .select(col("doc_id"), col("pos"))
+    // Two countDistincts plan an Expand (x2 input), but the input here is
+    // the flagged tail only — bounded by actual duplication, not corpus
+    // size.
+    val cov = flagged
+      .select(col("doc_id"), col("pos"),
+        explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("cv"))
+      .groupBy(col("doc_id"))
+      .agg(count_distinct(col("pos")).as("n_rep_windows"),
+        count_distinct(col("cv")).as("n_rep_tokens"))
+    docs.select(col(idCol).as("doc_id"),
+        nTok(col(textCol)).cast("long").as("n_tokens"))
+      .join(cov, "doc_id")
+  }
+}

@@ -492,3 +492,35 @@ class PrefixJoinSpec extends SparkSpec {
     assert(prefix.nonEmpty, "trivial test: corpus has no J>=0.8 pairs")
   }
 }
+
+/** Planted-case pin for the exact repeated-span (substring-dedup) family:
+  * coverage math is easy to get off by one at window edges, so assert the
+  * exact token counts a hand-checkable fixture implies.
+  */
+class RepeatedSpansSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("shared 9-word run covers 9 tokens via two 8-gram windows; unique docs absent") {
+    val shared = "alpha bravo charlie delta echo foxtrot golf hotel india"
+    val docs = Seq(
+      (1L, s"$shared juliet kilo"),
+      (2L, s"prefix0 prefix1 $shared"),
+      (3L, "uniq0 uniq1 uniq2 uniq3 uniq4 uniq5 uniq6 uniq7 uniq8 uniq9"))
+      .toDF("doc_id", "text")
+    val out = RepeatedSpans.coverage(docs, "doc_id", "text", n = 8)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // A 9-word shared run has two 8-gram windows (positions 0,1 within
+    // the run); their union covers all 9 run tokens in each doc.
+    assert(out.toSeq === Seq((1L, 11L, 2L, 9L), (2L, 11L, 2L, 9L)))
+  }
+
+  test("a doc repeating its own 8-gram is flagged without a partner doc") {
+    val run = "w1 w2 w3 w4 w5 w6 w7 w8"
+    val docs = Seq((7L, s"$run sep0 sep1 $run")).toDF("doc_id", "text")
+    val out = RepeatedSpans.coverage(docs, "doc_id", "text", n = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    // two windows (one per occurrence), covering 16 distinct positions
+    assert(out.toSeq === Seq((7L, 2L, 16L)))
+  }
+}
