@@ -414,6 +414,72 @@ object CorpusQueries extends QueryPack {
            | min(doc_id) AS min_doc, max(doc_id) AS max_doc
            |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** DSIR-style importance weighting (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS'23): score every
+    * document by how target-like its hashed unigram distribution is,
+    * weight = Σ_tokens [ln P̂_target(bucket) − ln P̂_corpus(bucket)] with
+    * add-1 smoothing over B=1024 md5 buckets. Hashing the vocabulary into
+    * a FIXED number of buckets is the scale move — the per-bucket
+    * log-ratio table is 1024 rows at any corpus size, so the scoring join
+    * broadcasts and the whole pipeline is two corpus scans (distribution
+    * estimate, then scoring — DSIR's inherent two-pass shape) with
+    * map-side-combined aggregations. Target set: lang='en'.
+    *
+    * Determinism: per-bucket log-ratios quantize to integer micro-units
+    * before the per-document sum (the BM25/ANN convention), so weights
+    * are exact BIGINTs — immune to summation order and ln() ulp skew.
+    * The bucket-stats frame is localCheckpoint'd: the totals row and the
+    * ratio table both consume it, and without the checkpoint each
+    * consumer re-derives the corpus scan.
+    */
+  private val dsirWords = udf { (t: String) =>
+    if (t == null) Array.empty[String] else Hashing.words(t)
+  }
+
+  private val dsir = Q(
+    "docs_dsir_importance",
+    (s, d) => {
+      val B = 1024
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          explode(dsirWords(col("text"))).as("tok"))
+        .withColumn("b",
+          conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long") % B)
+      val bt = toks.groupBy(col("b")).agg(
+          count(lit(1)).as("c_all"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("c_tgt"))
+        .localCheckpoint()
+      val tot = bt.agg(sum(col("c_all")).as("ca"), sum(col("c_tgt")).as("ct"))
+      val lr = bt.join(broadcast(tot))
+        .select(col("b"),
+          round((log((col("c_tgt") + lit(1.0)) / (col("ct") + lit(B.toDouble))) -
+            log((col("c_all") + lit(1.0)) / (col("ca") + lit(B.toDouble)))) * lit(1e6))
+            .cast("long").as("lr_micro"))
+      toks.join(broadcast(lr), "b")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(col("lr_micro")).as("weight_micro"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH t AS (SELECT doc_id, lang, unnest($WordsExpr) AS tok
+            |  FROM documents),
+            |bk AS (SELECT doc_id, lang,
+            |  ('0x' || substring(md5(tok), 1, 15))::BIGINT % 1024 AS b
+            |  FROM t),
+            |bt AS (SELECT b, count(*) AS c_all,
+            |  sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS c_tgt
+            |  FROM bk GROUP BY 1),
+            |tot AS (SELECT sum(c_all) AS ca, sum(c_tgt) AS ct FROM bt),
+            |lr AS (SELECT b, CAST(round((ln((c_tgt + 1.0) / (ct + 1024.0))
+            |    - ln((c_all + 1.0) / (ca + 1024.0))) * 1e6) AS BIGINT)
+            |    AS lr_micro
+            |  FROM bt, tot)
+            |SELECT doc_id, count(*) AS n_tokens,
+            | CAST(sum(lr_micro) AS BIGINT) AS weight_micro
+            |FROM bk JOIN lr USING (b)
+            |GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val qs: Seq[Q] = Seq(winnowing, repetition, pii, stratified, winnowPairs,
-    decontaminate, decontaminateBloom, topNgrams, tokenDf, paraDedup, shards)
+    decontaminate, decontaminateBloom, topNgrams, tokenDf, paraDedup, shards,
+    dsir)
 }
