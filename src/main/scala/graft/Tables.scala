@@ -20,22 +20,37 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** The events table carries TIMESTAMP(NANOS) parquet timestamps, which
-    * Spark 4 rejects outright (PARQUET_TYPE_ILLEGAL). Read them as raw
-    * nanos (legacy conf) and truncate to microseconds — exactly what
-    * DuckDB's micro-precision TIMESTAMP does on the same file, so oracle
-    * and engine see identical instants. Conversion is schema-conditional:
-    * if the file is ever rewritten at micro precision the branch is a
-    * no-op and the plain timestamp column passes through.
+  /** The events table's `ts` has shipped in three physical parquet
+    * encodings across harness generations, and the engine must read all
+    * of them to the SAME session-UTC TIMESTAMP instants the oracle sees:
+    *
+    *  - TIMESTAMP(NANOS): Spark 4 rejects it outright
+    *    (PARQUET_TYPE_ILLEGAL) — read as raw nanos (legacy conf) and
+    *    truncate to micros, exactly what DuckDB's micro-precision
+    *    TIMESTAMP does on the same file.
+    *  - timestamp[us] with isAdjustedToUTC=false: Spark 4 infers
+    *    TIMESTAMP_NTZ, on which instant functions (`unix_micros`,
+    *    `window`) don't resolve — cast to TIMESTAMP; under the engine's
+    *    fixed UTC session zone the wall-clock is preserved bit-for-bit,
+    *    which is also how DuckDB treats the same naive value.
+    *  - timestamp[us] UTC-adjusted: plain TIMESTAMP, passes through.
+    *
+    * Normalizing at the load boundary keeps every downstream operator
+    * written against one type; conversion is schema-conditional so each
+    * branch is a no-op for the other encodings.
     */
   private def loadNanosSafe(spark: SparkSession, dir: String, name: String,
       tsCols: Seq[String]): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = load(spark, dir, name)
     tsCols.foldLeft(df) { (d, c) =>
-      if (d.schema(c).dataType == org.apache.spark.sql.types.LongType)
-        d.withColumn(c, expr(s"timestamp_micros($c div 1000)"))
-      else d
+      d.schema(c).dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          d.withColumn(c, expr(s"timestamp_micros($c div 1000)"))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          d.withColumn(c, col(c).cast("timestamp"))
+        case _ => d
+      }
     }
   }
 

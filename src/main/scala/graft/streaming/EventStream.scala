@@ -178,16 +178,20 @@ object EventStream {
     */
   def runFileStream(spark: SparkSession, srcDir: String, outDir: String,
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
-    // the harness events parquet carries TIMESTAMP(NANOS): read as long
-    // and truncate to micros, exactly like Tables.events — without this
-    // the schema inference itself throws PARQUET_TYPE_ILLEGAL
+    // normalize ts to a session-UTC TIMESTAMP whatever the parquet
+    // encoding (nanos-as-long / NTZ micros / adjusted micros), exactly
+    // like Tables.events — without the legacy conf the schema inference
+    // itself throws PARQUET_TYPE_ILLEGAL on nanos files
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(srcDir).schema
     val raw = spark.readStream.schema(schema).parquet(srcDir)
-    val in =
-      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+    val in = schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      else raw
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
     hourlyCounts(in).writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
