@@ -70,6 +70,67 @@ object SequenceQueries extends QueryPack {
            | count(*) AS minutes_active, CAST(sum(conc) AS BIGINT) AS sum_conc
            |FROM conc GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** Per-user interval-UNION coverage (merge overlapping sessions, total
+    * covered time) — the other half of the interval algebra next to
+    * [[concurrency]]'s sweep: how LONG was each user active, counting
+    * overlapping sessions once. Classic gaps-and-islands: per-user
+    * running max of interval ends marks island starts, a running sum of
+    * those marks numbers the islands, and each island contributes
+    * max(end)−min(start). All three window passes partition on user_id
+    * (the scale axis) and share one shuffle+sort; arithmetic is integer
+    * epoch-minutes end-to-end so the compare is exact.
+    */
+  private val intervalCoverage = Q(
+    "ts_interval_coverage",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          expr("unix_micros(date_trunc('minute', ts)) div 60000000").as("st"))
+        .withColumn("en", col("st") + 15)
+      val ord = Window.partitionBy(col("user_id"))
+        .orderBy(col("st"), col("event_id"))
+      val prevMax = max(col("en")).over(
+        ord.rowsBetween(Window.unboundedPreceding, -1))
+      ev.withColumn("new_island",
+          when(prevMax.isNull || col("st") > prevMax, 1L).otherwise(0L))
+        .withColumn("island", sum(col("new_island")).over(
+          ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("island"))
+        .agg(count(lit(1)).as("n_ev"),
+          (max(col("en")) - min(col("st"))).as("span"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_islands"),
+          sum(col("span")).as("covered_min"),
+          sum(col("n_ev")).as("n_events"))
+        .orderBy(col("user_id"))
+    },
+    Some("""WITH iv AS (SELECT user_id, event_id,
+           |   date_diff('minute', TIMESTAMP '1970-01-01',
+           |     date_trunc('minute', ts)) AS st,
+           |   date_diff('minute', TIMESTAMP '1970-01-01',
+           |     date_trunc('minute', ts)) + 15 AS en
+           |  FROM events),
+           |m AS (SELECT user_id, event_id, st, en,
+           |   max(en) OVER (PARTITION BY user_id ORDER BY st, event_id
+           |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+           |  FROM iv),
+           |f AS (SELECT user_id, event_id, st, en,
+           |   CASE WHEN prev_max IS NULL OR st > prev_max THEN 1 ELSE 0 END
+           |     AS new_island
+           |  FROM m),
+           |isl AS (SELECT user_id, st, en,
+           |   sum(new_island) OVER (PARTITION BY user_id ORDER BY st, event_id
+           |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+           |  FROM f),
+           |per AS (SELECT user_id, island, count(*) AS n_ev,
+           |   max(en) - min(st) AS span
+           |  FROM isl GROUP BY 1, 2)
+           |SELECT user_id, count(*) AS n_islands,
+           | CAST(sum(span) AS BIGINT) AS covered_min,
+           | CAST(sum(n_ev) AS BIGINT) AS n_events
+           |FROM per GROUP BY 1 ORDER BY 1""".stripMargin),
+    headline = true)
+
   /** CDC snapshot diff: per-user activity snapshots for two halves of
     * the event stream (count + exact centi-unit value sum — integral,
     * so the compare needs no FP rounding convention), full-outer-joined
@@ -180,6 +241,6 @@ object SequenceQueries extends QueryPack {
            |  ON w.user_id = c.user_id AND w.rn = c.n
            |ORDER BY w.user_id""".stripMargin))
 
-  val qs: Seq[Q] = Seq(transitions, concurrency, cdcDiff, topkHeap,
-    cappedBalance)
+  val qs: Seq[Q] = Seq(transitions, concurrency, intervalCoverage, cdcDiff,
+    topkHeap, cappedBalance)
 }

@@ -273,6 +273,118 @@ object StatsQueries extends QueryPack {
             | min(sk) AS sk_min, max(sk) AS sk_max
             |FROM z, m GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** Compaction (bin-packing) planner — the OPTIMIZE/small-file-problem
+    * operator: assign files (docs stand in, `n_chars` as size) to
+    * sequential target-sized bins and report each bin's fill. Greedy
+    * sequential packing = floor(cumulative-size-before / target), a pure
+    * prefix-sum — deterministic across engines because the pack order is
+    * the md5 of the file id, not arrival order. The cumsum window
+    * partitions by `source` (the table-partition axis): real compaction
+    * plans one partition at a time, so no global sort exists at any
+    * scale; within a partition the planner's sequential scan IS the
+    * algorithm. Integer chars end-to-end; fill reported in basis points
+    * of target via integer division.
+    */
+  private val compactionBins = Q(
+    "storage_compaction_bins",
+    (s, d) => {
+      val target = 25000L
+      val files = Tables.documents(s, d)
+        .select(col("source"), col("doc_id"),
+          col("n_chars").cast("long").as("sz"),
+          md5(col("doc_id").cast("string")).as("ord"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("ord"), col("doc_id"))
+      files
+        .withColumn("cum_before", coalesce(
+          sum(col("sz")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+        .select(col("source"),
+          expr(s"cum_before div $target").as("bin"), col("sz"))
+        .groupBy(col("source"), col("bin"))
+        .agg(count(lit(1)).as("n_files"),
+          sum(col("sz")).as("total_chars"))
+        .withColumn("fill_bp", expr(s"total_chars * 10000 div $target"))
+        .orderBy(col("source"), col("bin"))
+    },
+    Some("""WITH f AS (SELECT source, doc_id, CAST(n_chars AS BIGINT) AS sz,
+           |   md5(CAST(doc_id AS VARCHAR)) AS ord
+           |  FROM documents),
+           |c AS (SELECT source, sz, coalesce(
+           |   sum(sz) OVER (PARTITION BY source ORDER BY ord, doc_id
+           |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |     AS cum_before
+           |  FROM f),
+           |b AS (SELECT source, cum_before // 25000 AS bin, sz FROM c)
+           |SELECT source, bin, count(*) AS n_files,
+           | CAST(sum(sz) AS BIGINT) AS total_chars,
+           | (CAST(sum(sz) AS BIGINT) * 10000) // 25000 AS fill_bp
+           |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
+  /** Train/serve distribution-drift monitor: decile boundaries from the
+    * REFERENCE half of the event stream (exact percentiles of integer
+    * centi-units — partial-aggregating, no global sort; the 100 TB path
+    * swaps in approx_percentile identically shaped), both halves
+    * bucketed by the same broadcast boundaries, shares compared in
+    * integer basis points. Same can't-diverge bucket-membership argument
+    * as [[equidepth]]: an interpolated boundary either falls strictly
+    * between adjacent integers (no data there) or IS a data value
+    * exactly, and ties go to the lower bucket on both engines.
+    */
+  private val distributionDrift = Q(
+    "dq_distribution_drift",
+    (s, d) => {
+      val mid = lit("2024-01-15").cast("timestamp")
+      val ev = Tables.events(s, d).filter(col("value").isNotNull)
+        .select(col("ts"), round(col("value") * 100).cast("long").as("c"))
+      val ref = ev.filter(col("ts") < mid)
+      val cur = ev.filter(col("ts") >= mid)
+      val qs = array((1 to 9).map(i => lit(i / 10.0)): _*)
+      val bounds = ref.agg(percentile(col("c"), qs).as("bs"))
+      val bucket = (1 to 9).map(i =>
+        (col("c") > element_at(col("bs"), i)).cast("int"))
+        .reduce(_ + _) + lit(1)
+      def counted(df: org.apache.spark.sql.DataFrame, nm: String) = df
+        .crossJoin(broadcast(bounds))
+        .select(bucket.as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as(nm))
+      val refTot = ref.agg(count(lit(1)).as("nr"))
+      val curTot = cur.agg(count(lit(1)).as("nc"))
+      counted(ref, "n_ref")
+        .join(counted(cur, "n_cur"), Seq("bucket"), "full_outer")
+        .na.fill(0L, Seq("n_ref", "n_cur"))
+        .crossJoin(broadcast(refTot)).crossJoin(broadcast(curTot))
+        .select(col("bucket"), col("n_ref"), col("n_cur"),
+          expr("n_ref * 10000 div nr").as("ref_bp"),
+          expr("n_cur * 10000 div nc").as("cur_bp"))
+        .withColumn("diff_bp", col("cur_bp") - col("ref_bp"))
+        .orderBy(col("bucket"))
+    },
+    Some(s"""WITH e AS (SELECT ts, CAST(round(value*100) AS BIGINT) AS c
+            |  FROM events WHERE value IS NOT NULL),
+            |r AS (SELECT c FROM e WHERE ts < TIMESTAMP '2024-01-15'),
+            |u AS (SELECT c FROM e WHERE ts >= TIMESTAMP '2024-01-15'),
+            |b AS (SELECT quantile_cont(c,
+            |  [${(1 to 9).map(i => s"0.$i").mkString(", ")}]) AS bs FROM r),
+            |rb AS (SELECT (1 ${(1 to 9).map(i =>
+               s"+ CAST(c > bs[$i] AS INT)").mkString(" ")}) AS bucket,
+            |   count(*) AS n_ref FROM r, b GROUP BY 1),
+            |ub AS (SELECT (1 ${(1 to 9).map(i =>
+               s"+ CAST(c > bs[$i] AS INT)").mkString(" ")}) AS bucket,
+            |   count(*) AS n_cur FROM u, b GROUP BY 1),
+            |t AS (SELECT (SELECT count(*) FROM r) AS nr,
+            |   (SELECT count(*) FROM u) AS nc),
+            |j AS (SELECT coalesce(rb.bucket, ub.bucket) AS bucket,
+            |   coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur
+            |  FROM rb FULL OUTER JOIN ub ON rb.bucket = ub.bucket)
+            |SELECT bucket, CAST(n_ref AS BIGINT) AS n_ref,
+            | CAST(n_cur AS BIGINT) AS n_cur,
+            | (CAST(n_ref AS BIGINT) * 10000) // nr AS ref_bp,
+            | (CAST(n_cur AS BIGINT) * 10000) // nc AS cur_bp,
+            | (CAST(n_cur AS BIGINT) * 10000) // nc
+            |   - (CAST(n_ref AS BIGINT) * 10000) // nr AS diff_bp
+            |FROM j, t ORDER BY 1""".stripMargin))
+
   /** Analytic window value-function zoo (lag / lead-gap / first_value /
     * last_value over an explicit full frame), folded to one exact row per
     * user: ascending-step count (raw double compares, no arithmetic),
@@ -539,6 +651,6 @@ object StatsQueries extends QueryPack {
 
   override def qs: Seq[Q] =
     Seq(triangles, trend, pareto, equidepth, madOutliers, zorder,
-      windowValues, rollingWau, groupQuantiles, benford, rankMetrics,
-      groupedMode, hist2d)
+      compactionBins, distributionDrift, windowValues, rollingWau,
+      groupQuantiles, benford, rankMetrics, groupedMode, hist2d)
 }

@@ -479,7 +479,120 @@ object CorpusQueries extends QueryPack {
             |FROM bk JOIN lr USING (b)
             |GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** The canonical eval-set contamination METRIC (GPT-3/PaLM style):
+    * per-document FRACTION of its distinct word 5-grams that appear
+    * anywhere in the benchmark (doc_id < 50, the same stand-in eval set
+    * as the winnow/Bloom decontamination pair). Where those queries gate
+    * on an absolute shared-fingerprint count, this reports the overlap
+    * fraction itself in integer basis points — the number a curation
+    * report actually publishes — and flags docs ≥ 10%. Benchmark grams
+    * collapse to a broadcast md5-fingerprint set (eval sets are tiny;
+    * the corpus side never shuffles grams, only per-doc counts), and the
+    * division is integer, so both engines agree bit-for-bit.
+    */
+  private val contamFrac = Q(
+    "dedup_contaminate_ngram_frac",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      def grams(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("doc_id"),
+          explode(TextAnalysis.shingles(col("text"), 5)).as("g"))
+        .select(col("doc_id"), substring(md5(col("g")), 1, 16).as("fp"))
+      val bench = grams(docs.filter(col("doc_id") < 50))
+        .select(col("fp")).distinct().withColumn("hit", lit(1))
+      grams(docs.filter(col("doc_id") >= 50))
+        .join(broadcast(bench), Seq("fp"), "left_outer")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_hit"))
+        .withColumn("frac_bp", expr("n_hit * 10000 div n_grams"))
+        .filter(col("frac_bp") >= 1000)
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH t AS (SELECT doc_id, $WordsExpr AS w FROM documents),
+            |g AS (SELECT doc_id, unnest(list_distinct(
+            |   [w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]
+            |    for i in range(1, len(w)-3)])) AS gram
+            |  FROM t WHERE len(w) >= 5),
+            |f AS (SELECT doc_id, substring(md5(gram), 1, 16) AS fp FROM g),
+            |b AS (SELECT DISTINCT fp FROM f WHERE doc_id < 50),
+            |c AS (SELECT f.doc_id, count(*) AS n_grams, count(b.fp) AS n_hit
+            |  FROM f LEFT JOIN b ON f.fp = b.fp
+            |  WHERE f.doc_id >= 50 GROUP BY 1)
+            |SELECT doc_id, n_grams, CAST(n_hit AS BIGINT) AS n_hit,
+            | (CAST(n_hit AS BIGINT) * 10000) // n_grams AS frac_bp
+            |FROM c WHERE (CAST(n_hit AS BIGINT) * 10000) // n_grams >= 1000
+            |ORDER BY 1""".stripMargin),
+    headline = true)
+
+  /** Perplexity-style quality scoring (the CCNet gate): an add-one-
+    * smoothed BIGRAM language model fit on the corpus itself, every doc
+    * scored by its mean negative log-likelihood, top-20 most-surprising
+    * docs reported. The [[dsir]] integer discipline makes the compare
+    * exact despite ln(): each distinct bigram's −ln P = ln(c1+V) −
+    * ln(c2+1) rounds ONCE to integer micro-nats (a 1-ulp libm
+    * difference cannot move the rounded value), then all per-doc math —
+    * Σ k·nll, the mean via `div` — is integer. Counts are three
+    * shuffles keyed on gram/word (map-side combined); the vocabulary
+    * scalar broadcasts; nothing global. Per-doc bigrams keep
+    * MULTIPLICITY (a looping doc must pay per occurrence) — only the
+    * model table is distinct-gram-sized.
+    */
+  private val perplexity = Q(
+    "text_bigram_perplexity",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val wordsU = udf((t: String) => Hashing.words(t))
+      val bigramsU = udf((t: String) => {
+        val w = Hashing.words(t)
+        if (w.length < 2) Array.empty[String]
+        else Array.tabulate(w.length - 1)(i => w(i) + " " + w(i + 1))
+      })
+      val toks = docs.select(explode(wordsU(col("text"))).as("tok"))
+      val c1 = toks.groupBy(col("tok").as("w1")).agg(count(lit(1)).as("c1"))
+      val vTot = toks.agg(countDistinct(col("tok")).as("v"))
+      val bg = docs.select(col("doc_id"), explode(bigramsU(col("text"))).as("bg"))
+      val c2 = bg.groupBy(col("bg")).agg(count(lit(1)).as("n2"))
+      val nll = c2
+        .withColumn("w1", split(col("bg"), " ").getItem(0))
+        .join(c1, "w1")
+        .crossJoin(broadcast(vTot))
+        .select(col("bg"),
+          round((log(col("c1") + col("v")) - log(col("n2") + lit(1.0))) * 1e6)
+            .cast("long").as("nll_micro"))
+      bg.groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("k"))
+        .join(nll, "bg")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("k")).as("n_bigrams"),
+          sum(col("k") * col("nll_micro")).as("nll_sum"))
+        .select(col("doc_id"), col("n_bigrams"),
+          expr("nll_sum div n_bigrams").as("avg_nll_micro"))
+        .orderBy(col("avg_nll_micro").desc, col("doc_id"))
+        .limit(20)
+    },
+    Some(s"""WITH t AS (SELECT doc_id, $WordsExpr AS w FROM documents),
+            |tok AS (SELECT unnest(w) AS tok FROM t),
+            |c1 AS (SELECT tok AS w1, count(*) AS c1 FROM tok GROUP BY 1),
+            |v AS (SELECT count(DISTINCT tok) AS v FROM tok),
+            |bg AS (SELECT doc_id, unnest([w[i] || ' ' || w[i+1]
+            |    for i in range(1, len(w))]) AS bg
+            |  FROM t WHERE len(w) >= 2),
+            |c2 AS (SELECT bg, count(*) AS n2 FROM bg GROUP BY 1),
+            |nll AS (SELECT c2.bg, CAST(round((ln(c1.c1 + v.v)
+            |    - ln(c2.n2 + 1.0)) * 1e6) AS BIGINT) AS nll_micro
+            |  FROM c2 JOIN c1 ON c1.w1 = string_split(c2.bg, ' ')[1]
+            |  CROSS JOIN v),
+            |dbg AS (SELECT doc_id, bg, count(*) AS k FROM bg GROUP BY 1, 2),
+            |sc AS (SELECT doc_id, sum(k) AS n_bigrams, sum(k * nll_micro) AS s
+            |  FROM dbg JOIN nll USING (bg) GROUP BY 1)
+            |SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+            | CAST(s AS BIGINT) // CAST(n_bigrams AS BIGINT) AS avg_nll_micro
+            |FROM sc
+            |ORDER BY CAST(s AS BIGINT) // CAST(n_bigrams AS BIGINT) DESC,
+            | doc_id
+            |LIMIT 20""".stripMargin),
+    headline = true)
+
   val qs: Seq[Q] = Seq(winnowing, repetition, pii, stratified, winnowPairs,
     decontaminate, decontaminateBloom, topNgrams, tokenDf, paraDedup, shards,
-    dsir)
+    dsir, contamFrac, perplexity)
 }

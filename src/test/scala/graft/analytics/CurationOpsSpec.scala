@@ -1,0 +1,162 @@
+package graft.analytics
+
+import graft.{SparkEntry, SparkSpec}
+import org.apache.spark.sql.functions._
+
+/** Planted-data specs for the round-6 curation/maintenance operators
+  * (interval coverage, compaction planning, distribution drift, n-gram
+  * contamination fraction, bigram perplexity). Each test writes a tiny
+  * hand-computable parquet star into a temp dir and drives the REGISTRY
+  * query against it — the same code path Verify/Bench run, with outputs
+  * derivable on paper. The DuckDB oracles prove cross-engine agreement
+  * on the harness tables; these pin the semantics.
+  */
+class CurationOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def tmpDir(): String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_cur").toFile
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
+  private def ts(s: String): java.sql.Timestamp =
+    java.sql.Timestamp.valueOf(s)
+
+  /** Write a planted events table: (event_id, ts, user_id). */
+  private def plantEvents(dir: String,
+      rows: Seq[(Long, java.sql.Timestamp, Long, Double)]): Unit =
+    rows.toDF("event_id", "ts", "user_id", "value")
+      .withColumn("event_type", lit("click"))
+      .withColumn("props", lit(null).cast("string"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+  private def plantDocs(dir: String,
+      rows: Seq[(Long, String, String)]): Unit =
+    rows.toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+  test("ts_interval_coverage merges overlapping 15-minute sessions") {
+    val dir = tmpDir()
+    // user 1: sessions at minute 0, 10, 40 → [0,15]∪[10,25] and [40,55]
+    //   = 2 islands, 25 + 15 = 40 covered minutes, 3 events
+    // user 2: one session → 1 island, 15 minutes
+    plantEvents(dir, Seq(
+      (1L, ts("2024-01-05 10:00:00"), 1L, 1.0),
+      (2L, ts("2024-01-05 10:10:30"), 1L, 1.0),
+      (3L, ts("2024-01-05 10:40:00"), 1L, 1.0),
+      (4L, ts("2024-01-06 00:00:00"), 2L, 1.0)))
+    val got = SparkEntry.queries("ts_interval_coverage")(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 2L, 40L, 3L), (2L, 1L, 15L, 1L)))
+  }
+
+  test("ts_interval_coverage: duplicate-minute events merge into one island") {
+    val dir = tmpDir()
+    plantEvents(dir, Seq(
+      (1L, ts("2024-01-05 10:00:01"), 7L, 1.0),
+      (2L, ts("2024-01-05 10:00:59"), 7L, 1.0)))
+    val got = SparkEntry.queries("ts_interval_coverage")(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq((7L, 1L, 15L, 2L)))
+  }
+
+  test("storage_compaction_bins packs equal-size files deterministically") {
+    val dir = tmpDir()
+    // 12 files of exactly 5000 chars in one source partition, target
+    // 25000 → bins of 5/5/2 files whatever the md5 pack order;
+    // fill_bp = 10000, 10000, 4000
+    val doc = "x" * 5000
+    plantDocs(dir, (1L to 12L).map(i => (i, doc, "s1")))
+    val got = SparkEntry.queries("storage_compaction_bins")(spark, dir)
+      .select(col("bin"), col("n_files"), col("total_chars"), col("fill_bp"))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq((0L, 5L, 25000L, 10000L), (1L, 5L, 25000L, 10000L),
+      (2L, 2L, 10000L, 4000L)))
+  }
+
+  test("storage_compaction_bins conserves bytes and keeps bins contiguous") {
+    val sf = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("storage_compaction_bins")(spark, sf)
+    val perSource = got.groupBy(col("source"))
+      .agg(sum(col("total_chars")).as("chars"), max(col("bin")).as("maxb"),
+        count(lit(1)).as("nbins"))
+      .as[(String, Long, Long, Long)].collect()
+    val truth = graft.Tables.documents(spark, sf)
+      .groupBy(col("source")).agg(sum(col("n_chars")).as("chars"))
+      .as[(String, Long)].collect().toMap
+    perSource.foreach { case (src, chars, maxb, nbins) =>
+      assert(chars === truth(src), s"byte conservation for $src")
+      assert(nbins === maxb + 1, s"contiguous bins for $src")
+    }
+  }
+
+  test("dq_distribution_drift reports zero drift for identical halves") {
+    val dir = tmpDir()
+    // same value multiset 0.01..1.00 on each side of the 2024-01-15 cut
+    val ref = (1 to 100).map(i =>
+      (i.toLong, ts("2024-01-10 00:00:00"), 1L, i / 100.0))
+    val cur = (1 to 100).map(i =>
+      (100L + i, ts("2024-01-20 00:00:00"), 1L, i / 100.0))
+    plantEvents(dir, ref ++ cur)
+    val got = SparkEntry.queries("dq_distribution_drift")(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got.size === 10)
+    got.foreach { case (bucket, nRef, nCur, refBp, curBp, diffBp) =>
+      assert(nRef === 10L && nCur === 10L, s"bucket $bucket counts")
+      assert(refBp === 1000L && curBp === 1000L && diffBp === 0L,
+        s"bucket $bucket shares")
+    }
+  }
+
+  test("dq_distribution_drift flags a one-sided shift") {
+    val dir = tmpDir()
+    val ref = (1 to 100).map(i =>
+      (i.toLong, ts("2024-01-10 00:00:00"), 1L, i / 100.0))
+    // current half sits entirely above the reference max → all mass in
+    // the top bucket
+    val cur = (1 to 50).map(i =>
+      (100L + i, ts("2024-01-20 00:00:00"), 1L, 5.0 + i / 100.0))
+    plantEvents(dir, ref ++ cur)
+    val got = SparkEntry.queries("dq_distribution_drift")(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    val top = got.find(_._1 === 10L).get
+    assert(top._3 === 50L && top._5 === 10000L && top._6 === 9000L)
+    assert(got.filter(_._1 != 10L).forall(_._3 == 0L))
+  }
+
+  test("dedup_contaminate_ngram_frac scores exact copy 100%, partial pro-rata") {
+    val dir = tmpDir()
+    val benchText = "a b c d e f g h" // 4 distinct 5-grams
+    plantDocs(dir, Seq(
+      (1L, benchText, "bench"),
+      (100L, benchText, "web"), // exact copy: 4/4 → 10000 bp
+      (101L, "p q r s t u v w x y", "web"), // disjoint: filtered out
+      (102L, "a b c d e x2 y2 z2 w2 q2", "web"))) // 1 of 6 grams → 1666 bp
+    val got = SparkEntry.queries("dedup_contaminate_ngram_frac")(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq((100L, 4L, 4L, 10000L), (102L, 6L, 1L, 1666L)))
+  }
+
+  test("text_bigram_perplexity ranks the out-of-distribution doc most surprising") {
+    val dir = tmpDir()
+    val common = "the cat sat on the mat"
+    val docs = (1L to 5L).map(i => (i, common, "web")) :+
+      (6L, "zq xv qw er ty ui", "web")
+    plantDocs(dir, docs)
+    val got = SparkEntry.queries("text_bigram_perplexity")(spark, dir)
+      .as[(Long, Long, Long)].collect().toSeq
+    // every bigram of doc 6 is corpus-unique (n2=1) while doc 1-5 share
+    // theirs five ways — doc 6 must head the surprise ranking
+    assert(got.head._1 === 6L)
+    assert(got.head._2 === 5L) // 6 words → 5 bigram tokens
+    // repeated docs tie exactly (identical integer scores), doc_id order
+    assert(got.tail.map(_._1) === Seq(1L, 2L, 3L, 4L, 5L))
+    val repeatedScores = got.tail.map(_._3).distinct
+    assert(repeatedScores.size === 1)
+    assert(got.head._3 > repeatedScores.head)
+  }
+}
