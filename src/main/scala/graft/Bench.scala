@@ -30,6 +30,20 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Several operators localCheckpoint intermediate frames (the staged
+    // pipeline/graph lifecycles); those blocks stay pinned in the block
+    // manager until explicitly unpersisted. Across 45 queries × 3
+    // executions in ONE JVM the leftovers stack into storage-memory
+    // pressure that bills random later queries with eviction + GC pauses
+    // (observed as 5-8× single-query swings between otherwise-identical
+    // runs). A long-running engine scopes per-query state to the query —
+    // do the same here: drop every persisted RDD once its query's sink
+    // has completed. unpersist(blocking=false) so the cleanup itself
+    // isn't billed to the next timed query.
+    def dropQueryState(): Unit =
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+
     def run(name: String): Double = {
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
@@ -38,7 +52,9 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         return -1.0
       }
-      (System.nanoTime() - t0) / 1e9
+      val t = (System.nanoTime() - t0) / 1e9
+      dropQueryState()
+      t
     }
 
     // Warm-up: run EVERY headline query once at the smallest SF (fills
@@ -56,6 +72,7 @@ object Bench {
         try SparkEntry.queries(n)(spark, dir)
           .write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
+        dropQueryState()
       }
     }
     // settle the heap before timing: the warmup passes leave tens of
