@@ -2,6 +2,7 @@ package graft.analytics
 
 import graft.{Q, QueryPack, Tables}
 import graft.ops.AsOfJoin
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Time-series operators over the `events` table: as-of join, tumbling
@@ -473,7 +474,64 @@ object Temporal extends QueryPack {
            |  ON e.ts >= w_start AND e.ts <= w_end
            |GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** Multi-touch (linear) attribution: every purchase distributes
+    * exactly 1,000,000 micro-credits over that user's touches (any
+    * non-purchase event) in the trailing 24 hours; per-channel totals
+    * reported. Credit split is INTEGER — each touch gets 1e6 div n and
+    * the division remainder goes to the last touch (ts, event_id
+    * order), so per-conversion credit sums to exactly 1e6 and the
+    * cross-engine compare is exact. The touch join and the rank window
+    * are both keyed on user_id (the scale axis; per-user event counts
+    * bound the fan-out); output is |channels|-bounded.
+    */
+  private val attribution = Q(
+    "attr_linear_touch_credit",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val conv = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("conv_id"),
+          col("ts").as("conv_ts"))
+      val touch = ev.filter(col("event_type") =!= "purchase")
+        .select(col("user_id"), col("event_id").as("touch_id"),
+          col("ts").as("touch_ts"), col("event_type").as("channel"))
+      val joined = conv.join(touch, Seq("user_id"))
+        .filter(col("touch_ts") < col("conv_ts") &&
+          col("touch_ts") >= col("conv_ts") - expr("INTERVAL 24 hours"))
+      val w = Window.partitionBy(col("user_id"), col("conv_id"))
+      val wOrd = w.orderBy(col("touch_ts").desc, col("touch_id").desc)
+      joined
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("rn", row_number().over(wOrd))
+        .withColumn("credit", expr("1000000 div n") +
+          when(col("rn") === 1, expr("1000000 % n")).otherwise(0L))
+        .groupBy(col("channel"))
+        .agg(count(lit(1)).as("n_touches"),
+          countDistinct(col("conv_id")).as("n_conversions"),
+          sum(col("credit")).as("credit_micro"))
+        .orderBy(col("channel"))
+    },
+    Some("""WITH conv AS (SELECT user_id, event_id AS conv_id, ts AS conv_ts
+           |  FROM events WHERE event_type = 'purchase'),
+           |touch AS (SELECT user_id, event_id AS touch_id, ts AS touch_ts,
+           |   event_type AS channel
+           |  FROM events WHERE event_type <> 'purchase'),
+           |j AS (SELECT c.user_id, conv_id, touch_id, touch_ts, channel
+           |  FROM conv c JOIN touch t ON c.user_id = t.user_id
+           |   AND t.touch_ts < c.conv_ts
+           |   AND t.touch_ts >= c.conv_ts - INTERVAL 24 HOUR),
+           |r AS (SELECT channel, conv_id,
+           |   count(*) OVER (PARTITION BY user_id, conv_id) AS n,
+           |   row_number() OVER (PARTITION BY user_id, conv_id
+           |     ORDER BY touch_ts DESC, touch_id DESC) AS rn
+           |  FROM j)
+           |SELECT channel, count(*) AS n_touches,
+           | count(DISTINCT conv_id) AS n_conversions,
+           | CAST(sum(1000000 // n
+           |   + CASE WHEN rn = 1 THEN 1000000 % n ELSE 0 END) AS BIGINT)
+           |   AS credit_micro
+           |FROM r GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val qs: Seq[Q] = Seq(asof, asofBucketed, tumbling, jsonExtract, sliding,
     sessionWindows, funnel, cohorts, streamDedup, enrichStatic, gapfill,
-    anomalies, scd2Runs, peakWindows)
+    anomalies, scd2Runs, peakWindows, attribution)
 }

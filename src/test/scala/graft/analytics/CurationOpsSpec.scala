@@ -141,6 +141,34 @@ class CurationOpsSpec extends SparkSpec {
     assert(got === Seq((100L, 4L, 4L, 10000L), (102L, 6L, 1L, 1666L)))
   }
 
+  test("attr_linear_touch_credit splits exactly 1e6 per conversion, remainder to last touch") {
+    val dir = tmpDir()
+    val rows = Seq(
+      // user 1: two touches in-window, one outside (36h before)
+      (1L, ts("2024-01-05 11:00:00"), 1L, "click"),
+      (2L, ts("2024-01-05 11:30:00"), 1L, "view"),
+      (3L, ts("2024-01-04 00:00:00"), 1L, "click"),
+      (10L, ts("2024-01-05 12:00:00"), 1L, "purchase"),
+      // user 2: conversion with no touches — contributes nothing
+      (20L, ts("2024-01-06 09:00:00"), 2L, "purchase"),
+      // user 3: three touches → 333333 each, remainder 1 to the last (view)
+      (21L, ts("2024-01-07 10:00:00"), 3L, "click"),
+      (22L, ts("2024-01-07 10:30:00"), 3L, "click"),
+      (23L, ts("2024-01-07 11:00:00"), 3L, "view"),
+      (24L, ts("2024-01-07 11:30:00"), 3L, "purchase"))
+    rows.toDF("event_id", "ts", "user_id", "event_type")
+      .withColumn("value", lit(1.0))
+      .withColumn("props", lit(null).cast("string"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("attr_linear_touch_credit")(spark, dir)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      ("click", 3L, 2L, 500000L + 2 * 333333L),
+      ("view", 2L, 2L, 500000L + 333334L)))
+    // per-conversion credit conservation: 2 credited conversions × 1e6
+    assert(got.map(_._4).sum === 2000000L)
+  }
+
   test("text_bigram_perplexity ranks the out-of-distribution doc most surprising") {
     val dir = tmpDir()
     val common = "the cat sat on the mat"
