@@ -89,23 +89,18 @@ object ScaleData {
       .drop("_copy")
       .write.mode("overwrite").parquet(s"$dst/lineitem.parquet")
 
-    // events: the source file is TIMESTAMP(NANOS), which Spark can only
-    // read as Long (nanosAsLong) — but writing that Long back out would
-    // change the column's LOGICAL type to plain BIGINT, and every DuckDB
-    // oracle that does timestamp arithmetic on the derivative would
-    // break (first seen as `epoch(BIGINT)` binder errors in the round-5
-    // sf0.3 sweep). So the derivative rewrites ts at MICRO precision —
-    // a faithful TIMESTAMP for DuckDB, and a no-op passthrough for
-    // Tables.events' Long-detecting read shim. user_id offsets too: K×
-    // users, same activity per user — the per-key state distribution
-    // the stream/window operators see stays constant while volume
-    // scales.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val events = spark.read.parquet(s"$src/events.parquet")
+    // events: go through Tables.events, which normalizes every physical
+    // ts encoding the harness has shipped (TIMESTAMP(NANOS)-as-long, NTZ
+    // micros, adjusted micros) to one session-UTC TIMESTAMP — the
+    // derivative then always writes a faithful micro-precision TIMESTAMP
+    // that both engines and the read shim handle identically. user_id
+    // offsets too: K× users, same activity per user — the per-key state
+    // distribution the stream/window operators see stays constant while
+    // volume scales.
+    val events = graft.Tables.events(spark, src)
     copies(events)
       .withColumn("event_id", col("event_id") + off)
       .withColumn("user_id", col("user_id") + off)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       .drop("_copy")
       .write.mode("overwrite").parquet(s"$dst/events.parquet")
 
