@@ -120,5 +120,77 @@ object GraphQueries extends QueryPack {
             | CAST(sum(lbl) AS BIGINT) AS sum_labels
             |FROM sizes""".stripMargin))
 
-  val qs: Seq[Q] = Seq(degreeDist, labelProp)
+  /** k-core peeling rounds, shared between the registered query and the
+    * planted-graph spec (GraphQueriesSpec) so ground-truth tests
+    * exercise THIS code. `sym` holds both edge directions; each round
+    * drops every node whose current degree is below `k` (and its
+    * incident edges) — the standard iterative peel whose fixpoint is
+    * the k-core. Per round: one keyed degree aggregation and two
+    * semi-joins, all partitioned on node id; the edge frame is
+    * checkpointed per round so lineage stays flat (the CC lifecycle).
+    * Returns one (round, n_nodes, n_edges) row per peel state — the
+    * driver-side state is the ROUNDS-sized stats list, never graph
+    * data.
+    */
+  def kcorePeel(sym0: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val spark = sym0.sparkSession
+    import spark.implicits._
+    var sym = sym0.localCheckpoint()
+    val stats = scala.collection.mutable.ArrayBuffer[(Int, Long, Long)]()
+    stats += ((0, sym.select(col("u")).distinct().count(), sym.count() / 2))
+    for (r <- 1 to rounds) {
+      val keep = sym.groupBy(col("u")).agg(count(lit(1)).as("n"))
+        .filter(col("n") >= k).select(col("u"))
+      sym = sym.join(keep, Seq("u"), "left_semi")
+        .join(keep.withColumnRenamed("u", "v"), Seq("v"), "left_semi")
+        .select(col("u"), col("v"))
+        .localCheckpoint()
+      stats += ((r, sym.select(col("u")).distinct().count(), sym.count() / 2))
+    }
+    stats.toSeq.toDF("round", "n_nodes", "n_edges")
+  }
+
+  /** DuckDB rebuild of [[kcorePeel]]: the peel unrolled as chained CTEs
+    * (degree filter + two-sided edge semi-join per round), stats row
+    * per round. */
+  private def kcoreSql(k: Int, rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"WITH e0 AS ($edgeSql),\n"
+    sb ++= "s0 AS (SELECT cu AS u, su AS v FROM e0 UNION ALL SELECT su, cu FROM e0)"
+    for (r <- 1 to rounds) {
+      sb ++= s""",
+        |k$r AS (SELECT u FROM (SELECT u, count(*) AS n FROM s${r - 1}
+        |  GROUP BY 1) WHERE n >= $k),
+        |s$r AS (SELECT s.u, s.v FROM s${r - 1} s
+        |  JOIN k$r a ON s.u = a.u JOIN k$r b ON s.v = b.u)""".stripMargin
+    }
+    sb ++= "\nSELECT * FROM (\n"
+    sb ++= (0 to rounds).map { r =>
+      s""" SELECT CAST($r AS INT) AS round,
+         |  (SELECT count(DISTINCT u) FROM s$r) AS n_nodes,
+         |  (SELECT count(*) FROM s$r) // 2 AS n_edges""".stripMargin
+    }.mkString("\n UNION ALL\n")
+    sb ++= "\n) ORDER BY round"
+    sb.toString
+  }
+
+  /** 3 rounds of 3-core peeling over the co-purchase graph: each round
+    * drops every node trading with fewer than 3 partners. The per-round
+    * (nodes, edges) trajectory is the operator's output — the shrinking
+    * curve IS the cohesion profile (where it flattens, the 3-core has
+    * stabilized). Peeling is the degeneracy-ordering building block
+    * (Matula–Beck); at 100 TB each round is one degree aggregation and
+    * two node-keyed semi-joins — no global structure, no window.
+    */
+  private val kcore = Q(
+    "graph_kcore_rounds",
+    (s, d) => {
+      val e = edges(s, d)
+      val sym = e.select(col("cu").as("u"), col("su").as("v"))
+        .unionByName(e.select(col("su").as("u"), col("cu").as("v")))
+      kcorePeel(sym, k = 3, rounds = 3).orderBy(col("round"))
+    },
+    Some(kcoreSql(k = 3, rounds = 3)))
+
+  val qs: Seq[Q] = Seq(degreeDist, labelProp, kcore)
 }

@@ -39,4 +39,39 @@ class GraphQueriesSpec extends SparkSpec {
     // What matters is determinism, not convergence on a 2-cycle.
     assert(got === Map(3L -> 3L, 7L -> 7L))
   }
+
+  private def peel(edges: Seq[(Long, Long)], k: Int, rounds: Int) = {
+    import spark.implicits._
+    val sym = edges.toDF("u", "v")
+      .unionByName(edges.map(_.swap).toDF("u", "v"))
+    GraphQueries.kcorePeel(sym, k, rounds)
+      .as[(Int, Long, Long)].collect().toSeq.sortBy(_._1)
+  }
+
+  test("kcorePeel strips a pendant path in one round and keeps the clique stable") {
+    // 5-clique {0..4} (degrees 4) + path 4-10-11 (10: deg 2, 11: deg 1):
+    // round 1 of 3-core peeling drops 10 and 11 together (simultaneous
+    // peel — both are sub-3 against the CURRENT degrees), leaving the
+    // clique exactly; further rounds are a fixpoint.
+    val clique = for (i <- 0L to 4L; j <- i + 1 to 4L) yield (i, j)
+    val got = peel(clique ++ Seq((4L, 10L), (10L, 11L)), k = 3, rounds = 3)
+    assert(got === Seq((0, 7L, 12L), (1, 5L, 10L), (2, 5L, 10L),
+      (3, 5L, 10L)))
+  }
+
+  test("kcorePeel needs cascading rounds on a chain of marginal nodes") {
+    // clique {0..3} (4-clique, degrees 3) + chain 3-20-21-22: each round
+    // exposes the next chain node (22 first, then 21, then 20) — the
+    // trajectory pins that peeling is iterative, not one-shot
+    val clique = for (i <- 0L to 3L; j <- i + 1 to 3L) yield (i, j)
+    val chain = Seq((3L, 20L), (20L, 21L), (21L, 22L))
+    val got = peel(clique ++ chain, k = 2, rounds = 3)
+    assert(got === Seq((0, 7L, 9L), (1, 6L, 8L), (2, 5L, 7L),
+      (3, 4L, 6L)))
+  }
+
+  test("kcorePeel on an empty edge frame yields zero rows per round") {
+    val got = peel(Seq.empty, k = 3, rounds = 2)
+    assert(got === Seq((0, 0L, 0L), (1, 0L, 0L), (2, 0L, 0L)))
+  }
 }
