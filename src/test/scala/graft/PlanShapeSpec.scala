@@ -295,6 +295,42 @@ class PlanShapeSpec extends SparkSpec {
     assert("Scan parquet".r.findAllIn(s).length === 1, s)
   }
 
+  test("contamination fraction: benchmark fingerprint set joins broadcast") {
+    val s = planString(
+      SparkEntry.queries("dedup_contaminate_ngram_frac")(spark, sf))
+    // the corpus side must never shuffle on gram fingerprints — the
+    // bench set broadcasts and the only exchange keys on doc_id
+    assert(s.contains("BroadcastHashJoin"), s)
+    assert(!s.contains("SortMergeJoin"), s)
+  }
+
+  test("round-6 window operators never plan an unpartitioned window") {
+    // "No Partition Defined" windows move the whole input to one task —
+    // the r4-flagged scale-killer class; every window below must carry
+    // a partition spec
+    Seq("ts_interval_coverage", "storage_compaction_bins",
+      "attr_linear_touch_credit").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sf)
+      val unpartitioned = df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.partitionSpec.isEmpty => w
+      }
+      assert(unpartitioned.isEmpty, s"$q has an unpartitioned window")
+    }
+  }
+
+  test("distribution drift: decile boundaries broadcast to both bucket passes") {
+    val s = planString(SparkEntry.queries("dq_distribution_drift")(spark, sf))
+    // the 1-row boundary frame must reach each half as a broadcast
+    // (nested-loop on the 1-row build side: ref pass, cur pass, plus
+    // the two total scalars), never by shuffling the event stream
+    assert("BroadcastNestedLoopJoin".r.findAllIn(s).length >= 2, s)
+    // the only sort-merge join allowed is the bucket-level FULL OUTER —
+    // a ≤10-row post-aggregation frame, not event-sized data
+    assert("SortMergeJoin".r.findAllIn(s).length <= 1, s)
+    assert(s.contains("FullOuter"), s)
+  }
+
   test("every registered query plans and executes at sf0.001") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try { fn(spark, sf).collect(); None }
