@@ -537,38 +537,45 @@ object CorpusQueries extends QueryPack {
     * MULTIPLICITY (a looping doc must pay per occurrence) — only the
     * model table is distinct-gram-sized.
     */
+  /** The bigram-LM scoring core, shared with the v5 pipeline: fit the
+    * add-one-smoothed model on `docs`' (doc_id, text) and return every
+    * doc's (doc_id, n_bigrams, avg_nll_micro) with the [[dsir]] integer
+    * discipline (each distinct bigram's −ln P rounds ONCE to micro-nats;
+    * all per-doc math is integer). */
+  private[llm] def bigramNllScores(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val wordsU = udf((t: String) => Hashing.words(t))
+    val bigramsU = udf((t: String) => {
+      val w = Hashing.words(t)
+      if (w.length < 2) Array.empty[String]
+      else Array.tabulate(w.length - 1)(i => w(i) + " " + w(i + 1))
+    })
+    val toks = docs.select(explode(wordsU(col("text"))).as("tok"))
+    val c1 = toks.groupBy(col("tok").as("w1")).agg(count(lit(1)).as("c1"))
+    val vTot = toks.agg(countDistinct(col("tok")).as("v"))
+    val bg = docs.select(col("doc_id"), explode(bigramsU(col("text"))).as("bg"))
+    val c2 = bg.groupBy(col("bg")).agg(count(lit(1)).as("n2"))
+    val nll = c2
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+      .join(c1, "w1")
+      .crossJoin(broadcast(vTot))
+      .select(col("bg"),
+        round((log(col("c1") + col("v")) - log(col("n2") + lit(1.0))) * 1e6)
+          .cast("long").as("nll_micro"))
+    bg.groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("k"))
+      .join(nll, "bg")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k")).as("n_bigrams"),
+        sum(col("k") * col("nll_micro")).as("nll_sum"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("nll_sum div n_bigrams").as("avg_nll_micro"))
+  }
+
   private val perplexity = Q(
     "text_bigram_perplexity",
-    (s, d) => {
-      val docs = Tables.documents(s, d)
-      val wordsU = udf((t: String) => Hashing.words(t))
-      val bigramsU = udf((t: String) => {
-        val w = Hashing.words(t)
-        if (w.length < 2) Array.empty[String]
-        else Array.tabulate(w.length - 1)(i => w(i) + " " + w(i + 1))
-      })
-      val toks = docs.select(explode(wordsU(col("text"))).as("tok"))
-      val c1 = toks.groupBy(col("tok").as("w1")).agg(count(lit(1)).as("c1"))
-      val vTot = toks.agg(countDistinct(col("tok")).as("v"))
-      val bg = docs.select(col("doc_id"), explode(bigramsU(col("text"))).as("bg"))
-      val c2 = bg.groupBy(col("bg")).agg(count(lit(1)).as("n2"))
-      val nll = c2
-        .withColumn("w1", split(col("bg"), " ").getItem(0))
-        .join(c1, "w1")
-        .crossJoin(broadcast(vTot))
-        .select(col("bg"),
-          round((log(col("c1") + col("v")) - log(col("n2") + lit(1.0))) * 1e6)
-            .cast("long").as("nll_micro"))
-      bg.groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("k"))
-        .join(nll, "bg")
-        .groupBy(col("doc_id"))
-        .agg(sum(col("k")).as("n_bigrams"),
-          sum(col("k") * col("nll_micro")).as("nll_sum"))
-        .select(col("doc_id"), col("n_bigrams"),
-          expr("nll_sum div n_bigrams").as("avg_nll_micro"))
-        .orderBy(col("avg_nll_micro").desc, col("doc_id"))
-        .limit(20)
-    },
+    (s, d) => bigramNllScores(Tables.documents(s, d))
+      .orderBy(col("avg_nll_micro").desc, col("doc_id"))
+      .limit(20),
     Some(s"""WITH t AS (SELECT doc_id, $WordsExpr AS w FROM documents),
             |tok AS (SELECT unnest(w) AS tok FROM t),
             |c1 AS (SELECT tok AS w1, count(*) AS c1 FROM tok GROUP BY 1),

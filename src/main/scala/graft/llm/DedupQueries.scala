@@ -570,7 +570,113 @@ object DedupQueries extends QueryPack {
             |FROM c JOIN g ON c.doc_id = g.doc_id
             |GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** The round-6 flagship: MODEL-quality curation. Quality gate →
+    * 5-gram contamination-FRACTION gate against the benchmark (the
+    * GPT-3/PaLM metric, ≥10% overlap drops) → bigram-LM perplexity gate
+    * (fit on the decontaminated corpus itself, the 10 most-surprising
+    * docs drop — the CCNet shape) → exact-fingerprint dedup → per-lang
+    * rollup with `sum_ids` pinning the exact surviving set. Composes
+    * the round's contamination + perplexity operators into the
+    * end-to-end curation run; stage boundaries checkpoint (the corpus
+    * feeds the gram pass, the LM fit, the bigram scoring, and the
+    * final rollup — without staging each consumer re-plans the whole
+    * upstream). The LM gate's top-10 plans as TakeOrderedAndProject
+    * over integer scores — no global sort, no FP ordering. The oracle
+    * rebuilds every stage independently in DuckDB (list-comprehension
+    * 5-grams, its own LM fit over the surviving corpus, window-rank
+    * top-10, fingerprint keep-first).
+    */
+  private val trainingV5 = Q(
+    "docs_training_pipeline_v5",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val q = docs
+        .withColumn("tc", TextAnalysis.tokenCount(col("text")).cast("long"))
+        .filter(col("tc") >= 10 && TextAnalysis.alphaRatio(col("text")) >= 0.5)
+      val corpus0 = stage(q.filter(col("doc_id") >= 50)
+        .select(col("doc_id"), col("text"), col("lang"), col("tc")))
+      def gramFps(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("doc_id"),
+          explode(TextAnalysis.shingles(col("text"), 5)).as("g"))
+        .select(col("doc_id"), substring(md5(col("g")), 1, 16).as("fp"))
+      val benchFps = gramFps(docs.filter(col("doc_id") < 50))
+        .select(col("fp")).distinct().withColumn("hit", lit(1))
+      val flagged = gramFps(corpus0)
+        .join(broadcast(benchFps), Seq("fp"), "left_outer")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_hit"))
+        .filter(expr("n_hit * 10000 div n_grams") >= 1000)
+        .select(col("doc_id"))
+      val corpus1 = stage(corpus0.join(flagged, Seq("doc_id"), "left_anti"))
+      val worst = CorpusQueries.bigramNllScores(corpus1)
+        .orderBy(col("avg_nll_micro").desc, col("doc_id"))
+        .limit(10).select(col("doc_id"))
+      val corpus2 = corpus1.join(worst, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("tc"),
+          TextAnalysis.fingerprint(col("text")).as("fp"))
+      val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+      corpus2.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("tc")).as("sum_tokens"),
+          sum(col("doc_id")).as("sum_ids"))
+        .orderBy(col("lang"))
+    },
+    Some(s"""WITH q AS (SELECT doc_id, text, lang,
+            |  CASE WHEN length(regexp_replace(text, '\\s', '', 'g')) = 0 THEN 0
+            |   ELSE len(string_split_regex(trim(text), '\\s+')) END AS tc
+            | FROM documents
+            | WHERE ${CorpusQueries.qualityPredSql("text", 10, 0.5)}),
+            |c0 AS (SELECT doc_id, text, lang, tc FROM q WHERE doc_id >= 50),
+            |bt AS (SELECT doc_id, ${CorpusQueries.WordsExpr} AS w
+            |  FROM documents WHERE doc_id < 50),
+            |bg5 AS (SELECT unnest(list_distinct(
+            |   [w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]
+            |    for i in range(1, len(w)-3)])) AS gram
+            |  FROM bt WHERE len(w) >= 5),
+            |bf AS (SELECT DISTINCT substring(md5(gram), 1, 16) AS fp FROM bg5),
+            |ct AS (SELECT doc_id, ${CorpusQueries.WordsExpr} AS w FROM c0),
+            |cg AS (SELECT doc_id, unnest(list_distinct(
+            |   [w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]
+            |    for i in range(1, len(w)-3)])) AS gram
+            |  FROM ct WHERE len(w) >= 5),
+            |cf AS (SELECT doc_id, substring(md5(gram), 1, 16) AS fp FROM cg),
+            |flag AS (SELECT cf.doc_id FROM cf LEFT JOIN bf ON cf.fp = bf.fp
+            |  GROUP BY 1 HAVING (count(bf.fp) * 10000) // count(*) >= 1000),
+            |c1 AS (SELECT * FROM c0
+            |  WHERE doc_id NOT IN (SELECT doc_id FROM flag)),
+            |t1 AS (SELECT doc_id, ${CorpusQueries.WordsExpr} AS w FROM c1),
+            |tok AS (SELECT unnest(w) AS tok FROM t1),
+            |c1c AS (SELECT tok AS w1, count(*) AS c1 FROM tok GROUP BY 1),
+            |vv AS (SELECT count(DISTINCT tok) AS v FROM tok),
+            |bgs AS (SELECT doc_id, unnest([w[i] || ' ' || w[i+1]
+            |    for i in range(1, len(w))]) AS bg
+            |  FROM t1 WHERE len(w) >= 2),
+            |c2c AS (SELECT bg, count(*) AS n2 FROM bgs GROUP BY 1),
+            |nll AS (SELECT c2c.bg, CAST(round((ln(c1c.c1 + vv.v)
+            |    - ln(c2c.n2 + 1.0)) * 1e6) AS BIGINT) AS nm
+            |  FROM c2c JOIN c1c ON c1c.w1 = string_split(c2c.bg, ' ')[1]
+            |  CROSS JOIN vv),
+            |dbg AS (SELECT doc_id, bg, count(*) AS k FROM bgs GROUP BY 1, 2),
+            |scs AS (SELECT doc_id, sum(k) AS nb, sum(k * nm) AS sm
+            |  FROM dbg JOIN nll USING (bg) GROUP BY 1),
+            |worst AS (SELECT doc_id FROM (SELECT doc_id, row_number() OVER (
+            |   ORDER BY CAST(sm AS BIGINT) // CAST(nb AS BIGINT) DESC, doc_id)
+            |     AS rn FROM scs) WHERE rn <= 10),
+            |c2 AS (SELECT doc_id, lang, tc,
+            |   ${CorpusQueries.fingerprintExpr("text")} AS fp
+            |  FROM c1 WHERE doc_id NOT IN (SELECT doc_id FROM worst)),
+            |kept AS (SELECT doc_id, lang, tc FROM (SELECT doc_id, lang, tc,
+            |   row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+            |  FROM c2) WHERE rn = 1)
+            |SELECT lang, count(*) AS n_docs,
+            | CAST(sum(tc) AS BIGINT) AS sum_tokens,
+            | CAST(sum(doc_id) AS BIGINT) AS sum_ids
+            |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin),
+    headline = true)
+
   val qs: Seq[Q] = Seq(exact, minhash, simhash, ngramJaccard,
     lshClusters, clusterSurvivors, clusterBestSurvivors, trainingPipeline,
-    trainingV2, trainingV3, trainingV4, prefixJoin, repeatedSpans)
+    trainingV2, trainingV3, trainingV4, trainingV5, prefixJoin,
+    repeatedSpans)
 }
