@@ -141,6 +141,38 @@ class CurationOpsSpec extends SparkSpec {
     assert(got === Seq((100L, 4L, 4L, 10000L), (102L, 6L, 1L, 1666L)))
   }
 
+  test("Tables.events reads NTZ and UTC-adjusted micro timestamps to the same instants") {
+    // the harness has shipped events.ts as TIMESTAMP(NANOS), as NTZ
+    // micros, and as adjusted micros across generations — the loader
+    // must normalize all of them to the same session-UTC TIMESTAMP or
+    // instant functions (unix_micros, window) silently break. Write the
+    // same wall-clock data in the two writable encodings and pin that
+    // the loaded instants are identical and unix_micros resolves.
+    val dirNtz = tmpDir()
+    val dirUtc = tmpDir()
+    val base = Seq(
+      (1L, ts("2024-01-05 10:00:00"), 1L, 1.0),
+      (2L, ts("2024-01-05 11:30:45"), 2L, 2.0))
+      .toDF("event_id", "ts", "user_id", "value")
+      .withColumn("event_type", lit("click"))
+      .withColumn("props", lit(null).cast("string"))
+    base.withColumn("ts", col("ts").cast("timestamp_ntz"))
+      .write.mode("overwrite").parquet(s"$dirNtz/events.parquet")
+    base.write.mode("overwrite").parquet(s"$dirUtc/events.parquet")
+    def instants(dir: String): Seq[(Long, Long)] =
+      graft.Tables.events(spark, dir)
+        .select(col("event_id"), expr("unix_micros(ts)"))
+        .as[(Long, Long)].collect().toSeq.sortBy(_._1)
+    val (ntz, utc) = (instants(dirNtz), instants(dirUtc))
+    assert(ntz === utc)
+    assert(ntz.head._2 === 1704448800000000L) // 2024-01-05T10:00Z in micros
+    // both must load as TIMESTAMP (instant), not NTZ
+    Seq(dirNtz, dirUtc).foreach { dir =>
+      assert(graft.Tables.events(spark, dir).schema("ts").dataType ===
+        org.apache.spark.sql.types.TimestampType)
+    }
+  }
+
   test("attr_linear_touch_credit splits exactly 1e6 per conversion, remainder to last touch") {
     val dir = tmpDir()
     val rows = Seq(
