@@ -131,6 +131,38 @@ object SequenceQueries extends QueryPack {
            |FROM per GROUP BY 1 ORDER BY 1""".stripMargin),
     headline = true)
 
+  /** Cumulative unique users per day — the growth-curve metric whose
+    * naive form (COUNT(DISTINCT user) OVER an expanding frame) cannot
+    * partial-aggregate and re-counts the whole prefix per day. The
+    * scale rewrite: a running DISTINCT equals the running sum of
+    * FIRST-APPEARANCES, so one user-keyed min(day) aggregation reduces
+    * the input to |users| rows, one day aggregation to |days| rows, and
+    * the prefix sum runs on the bounded day frame as a broadcast
+    * self-join (the [[StatsQueries]] pareto convention: k² on a
+    * dim-sized k instead of a single-partition window warning).
+    */
+  private val cumulativeUsers = Q(
+    "ts_cumulative_users",
+    (s, d) => {
+      val firstDay = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(min(to_date(col("ts"))).as("day"))
+      val perDay = firstDay.groupBy(col("day"))
+        .agg(count(lit(1)).as("n_new"))
+      perDay.as("a")
+        .join(broadcast(perDay.as("b")), col("b.day") <= col("a.day"))
+        .groupBy(col("a.day").as("day"), col("a.n_new").as("n_new"))
+        .agg(sum(col("b.n_new")).as("cum_users"))
+        .orderBy(col("day"))
+    },
+    Some("""WITH fd AS (SELECT user_id, min(CAST(ts AS DATE)) AS day
+           |  FROM events GROUP BY 1),
+           |pd AS (SELECT day, count(*) AS n_new FROM fd GROUP BY 1)
+           |SELECT a.day, a.n_new,
+           | CAST(sum(b.n_new) AS BIGINT) AS cum_users
+           |FROM pd a JOIN pd b ON b.day <= a.day
+           |GROUP BY 1, 2 ORDER BY 1""".stripMargin))
+
   /** CDC snapshot diff: per-user activity snapshots for two halves of
     * the event stream (count + exact centi-unit value sum — integral,
     * so the compare needs no FP rounding convention), full-outer-joined
@@ -241,6 +273,6 @@ object SequenceQueries extends QueryPack {
            |  ON w.user_id = c.user_id AND w.rn = c.n
            |ORDER BY w.user_id""".stripMargin))
 
-  val qs: Seq[Q] = Seq(transitions, concurrency, intervalCoverage, cdcDiff,
-    topkHeap, cappedBalance)
+  val qs: Seq[Q] = Seq(transitions, concurrency, intervalCoverage,
+    cumulativeUsers, cdcDiff, topkHeap, cappedBalance)
 }

@@ -297,7 +297,77 @@ object WarehouseQueries extends QueryPack {
            |   AS BIGINT) AS n_nulls
            |FROM documents""".stripMargin))
 
+  /** Per-column profile DRIFT between two date halves of `orders` — the
+    * column-level companion to `dq_distribution_drift`'s value-level
+    * monitor: row counts, null counts, and exact distinct counts per
+    * column per half, with the NDV ratio in integer basis points. One
+    * scan: `stack` unpivots the audited columns to (colname, val) rows
+    * (an explicit ×|cols| fan-out — the same work a multi-column
+    * distinct would hide inside an Expand), then a single
+    * (colname, half)-keyed aggregation carries ONE distinct each, and
+    * the |cols|×2 result pivots via conditional max. Values compare as
+    * strings (ints via cast, money via integer cents) so cross-engine
+    * NDV is exact.
+    */
+  private val profileDrift = Q(
+    "dq_profile_drift",
+    (s, d) => Tables.orders(s, d)
+      .select(
+        when(col("o_orderdate") < lit("1997-01-01"), "a").otherwise("b")
+          .as("half"),
+        expr("""stack(4,
+          | 'o_custkey', cast(o_custkey as string),
+          | 'o_orderstatus', o_orderstatus,
+          | 'o_orderpriority', o_orderpriority,
+          | 'o_totalprice_c',
+          |   cast(cast(round(o_totalprice * 100) as long) as string)
+          |) as (colname, val)""".stripMargin))
+      .groupBy(col("colname"), col("half"))
+      .agg(count(lit(1)).as("n"), count(col("val")).as("nn"),
+        countDistinct(col("val")).as("ndv"))
+      .groupBy(col("colname"))
+      .agg(max(when(col("half") === "a", col("n"))).as("n_a"),
+        max(when(col("half") === "b", col("n"))).as("n_b"),
+        max(when(col("half") === "a", col("n") - col("nn"))).as("nulls_a"),
+        max(when(col("half") === "b", col("n") - col("nn"))).as("nulls_b"),
+        max(when(col("half") === "a", col("ndv"))).as("ndv_a"),
+        max(when(col("half") === "b", col("ndv"))).as("ndv_b"))
+      .withColumn("ndv_ratio_bp", expr("ndv_b * 10000 div ndv_a"))
+      .orderBy(col("colname")),
+    Some("""WITH l AS (
+           | SELECT CASE WHEN o_orderdate < TIMESTAMP '1997-01-01'
+           |    THEN 'a' ELSE 'b' END AS half,
+           |  'o_custkey' AS colname, CAST(o_custkey AS VARCHAR) AS val
+           | FROM orders
+           | UNION ALL
+           | SELECT CASE WHEN o_orderdate < TIMESTAMP '1997-01-01'
+           |    THEN 'a' ELSE 'b' END,
+           |  'o_orderstatus', o_orderstatus FROM orders
+           | UNION ALL
+           | SELECT CASE WHEN o_orderdate < TIMESTAMP '1997-01-01'
+           |    THEN 'a' ELSE 'b' END,
+           |  'o_orderpriority', o_orderpriority FROM orders
+           | UNION ALL
+           | SELECT CASE WHEN o_orderdate < TIMESTAMP '1997-01-01'
+           |    THEN 'a' ELSE 'b' END,
+           |  'o_totalprice_c',
+           |  CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR)
+           | FROM orders),
+           |g AS (SELECT colname, half, count(*) AS n, count(val) AS nn,
+           |   count(DISTINCT val) AS ndv
+           |  FROM l GROUP BY 1, 2)
+           |SELECT colname,
+           | max(CASE WHEN half = 'a' THEN n END) AS n_a,
+           | max(CASE WHEN half = 'b' THEN n END) AS n_b,
+           | max(CASE WHEN half = 'a' THEN n - nn END) AS nulls_a,
+           | max(CASE WHEN half = 'b' THEN n - nn END) AS nulls_b,
+           | max(CASE WHEN half = 'a' THEN ndv END) AS ndv_a,
+           | max(CASE WHEN half = 'b' THEN ndv END) AS ndv_b,
+           | max(CASE WHEN half = 'b' THEN ndv END) * 10000
+           |   // max(CASE WHEN half = 'a' THEN ndv END) AS ndv_ratio_bp
+           |FROM g GROUP BY 1 ORDER BY 1""".stripMargin))
+
   override def qs: Seq[Q] =
     Seq(upsertMerge, incMerge, cmsEstimates, kmvOverlap, checksumBuckets,
-      calendarDim, jsonKeyProfile, fdAudit)
+      calendarDim, jsonKeyProfile, fdAudit, profileDrift)
 }

@@ -201,6 +201,32 @@ class CurationOpsSpec extends SparkSpec {
     assert(got.map(_._4).sum === 2000000L)
   }
 
+  test("ts_cumulative_users equals the running distinct and ends at the total") {
+    val sf = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("ts_cumulative_users")(spark, sf)
+      .as[(java.sql.Date, Long, Long)].collect().toSeq
+    // monotone, cum == prefix-sum of n_new, final == |distinct users|
+    assert(got.map(_._2).sum === got.last._3)
+    val prefix = got.map(_._2).scanLeft(0L)(_ + _).tail
+    assert(got.map(_._3) === prefix)
+    val total = graft.Tables.events(spark, sf)
+      .select(col("user_id")).distinct().count()
+    assert(got.last._3 === total)
+  }
+
+  test("dq_profile_drift: halves partition the table and NDVs bound row counts") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("dq_profile_drift")(spark, sf).collect()
+    assert(rows.length === 4)
+    val nOrders = graft.Tables.orders(spark, sf).count()
+    rows.foreach { r =>
+      assert(r.getLong(r.fieldIndex("n_a")) + r.getLong(r.fieldIndex("n_b"))
+        === nOrders, s"halves must partition: $r")
+      assert(r.getLong(r.fieldIndex("ndv_a")) <= r.getLong(r.fieldIndex("n_a")))
+      assert(r.getLong(r.fieldIndex("ndv_b")) <= r.getLong(r.fieldIndex("n_b")))
+    }
+  }
+
   test("text_bigram_perplexity ranks the out-of-distribution doc most surprising") {
     val dir = tmpDir()
     val common = "the cat sat on the mat"
