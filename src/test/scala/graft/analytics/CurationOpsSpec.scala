@@ -227,6 +227,28 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("er_multipass_blocking: the suffix pass recovers matches the prefix pass misses") {
+    val dir = tmpDir()
+    // n1/n2 differ at char 1 (prefix blocks differ, suffix blocks agree,
+    // lev=1): ONLY pass 2 can catch them. n3/n4 share the 16-prefix and
+    // differ in the last char (lev=1): pass 1 catches; their suffixes
+    // differ. n5 collides with nothing.
+    Seq(
+      (1L, "Axxxxxxxxxxxxxxxzzzzzzzz"),
+      (2L, "Bxxxxxxxxxxxxxxxzzzzzzzz"),
+      (3L, "ppppppppppppppppqqqqqqq1"),
+      (4L, "ppppppppppppppppqqqqqqq2"),
+      (5L, "completely-unrelated-name"))
+      .toDF("c_custkey", "c_name")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val r = SparkEntry.queries("er_multipass_blocking")(spark, dir).collect()(0)
+    assert(r.getLong(r.fieldIndex("n_cand_p1")) === 1L) // n3-n4
+    assert(r.getLong(r.fieldIndex("n_cand_p2")) === 1L) // n1-n2
+    assert(r.getLong(r.fieldIndex("n_cand_union")) === 2L)
+    assert(r.getLong(r.fieldIndex("n_matched")) === 2L)
+    assert(r.getLong(r.fieldIndex("n_match_only_p2")) === 1L)
+  }
+
   test("text_bigram_perplexity ranks the out-of-distribution doc most surprising") {
     val dir = tmpDir()
     val common = "the cat sat on the mat"
