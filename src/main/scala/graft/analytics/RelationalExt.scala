@@ -458,6 +458,47 @@ object RelationalExt extends QueryPack {
            |GROUP BY 1 ORDER BY 1""".stripMargin),
     headline = true)
 
+  /** Bloom-PRUNED join — sideways information passing made explicit:
+    * the selective side (top-priority urgent orders) builds a Bloom
+    * filter over its join keys (sketch-sized, ~KBs at any selectivity),
+    * and the fact scan applies it BEFORE the shuffle, so the exchange
+    * carries ~selectivity·|lineitem| rows instead of all of them. False
+    * positives pass the Bloom and die in the exact join — the output is
+    * bit-identical to the plain join, which is exactly what the oracle
+    * asserts (the UNFILTERED join). This is the manual form of runtime
+    * row-level filtering for engines/plans where the optimizer can't
+    * inject it (e.g. across a staged materialization boundary).
+    */
+  private val bloomPrunedJoin = Q(
+    "join_bloom_pruned_revenue",
+    (s, d) => {
+      val sel = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          col("o_totalprice") > 200000.0)
+        .select(col("o_orderkey"), col("o_orderstatus"))
+      val bf = sel.stat.bloomFilter("o_orderkey", 100000L, 0.01)
+      val bc = s.sparkContext.broadcast(bf)
+      val mightMatch = udf((k: Long) => bc.value.mightContain(k))
+      Tables.lineitem(s, d)
+        .filter(mightMatch(col("l_orderkey")))
+        .join(sel, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_items"),
+          sum((col("l_extendedprice").cast("decimal(12,2)") *
+            (lit(1).cast("decimal(12,2)") -
+              col("l_discount").cast("decimal(12,2)")))
+            .cast("decimal(18,4)")).cast("decimal(18,4)").as("revenue"))
+        .orderBy(col("o_orderstatus"))
+    },
+    Some("""WITH sel AS (SELECT o_orderkey, o_orderstatus FROM orders
+           | WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 200000.0)
+           |SELECT o_orderstatus, count(*) AS n_items,
+           | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+           |   * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+           |  AS DECIMAL(18,4)) AS revenue
+           |FROM lineitem JOIN sel ON l_orderkey = o_orderkey
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
   /** Interval join: clicks within the 10 minutes before each purchase.
     * The equi key (user_id) drives a sort-merge join; the range predicate
     * is a post-join residual — scale-safe because pairs are bounded per
@@ -1034,5 +1075,6 @@ object RelationalExt extends QueryPack {
   val qs: Seq[Q] = Seq(q4, q8, q9, q12, q13, q14, q15, q16, q17, q18, q19, q21, q22,
     quantiles, decimalPricing, dqChecks, tableChecksum, iqrOutliers,
     rangeWindow, pagerank, saltedTopk, saltedJoin, rangeJoin, groupingSets,
-    unpivotQ, ntileDeciles, partitionSkew, erBlockedMatch, erMultipass)
+    unpivotQ, ntileDeciles, partitionSkew, erBlockedMatch, erMultipass,
+    bloomPrunedJoin)
 }
