@@ -150,6 +150,31 @@ object DedupQueries extends QueryPack {
             |FROM comp GROUP BY 1 ORDER BY 1""".stripMargin),
     headline = true)
 
+  /** Cluster-SIZE distribution — the duplication-profile report a
+    * corpus audit publishes (how much of the duplication is pairs vs
+    * deep piles; the pile tail is what decides whether near-dedup pays
+    * for itself). One extra |clusters|-sized aggregation over the same
+    * CC output; dedup savings = Σ (size−1) members drop.
+    */
+  private val clusterSizeHist = Q(
+    "dedup_cluster_size_hist",
+    (s, d) => {
+      val pairs = MinHashLsh.nearDupPairs(
+        Tables.documents(s, d), "doc_id", "text", threshold = 0.8)
+      ConnectedComponents.components(pairs, "i", "j")
+        .groupBy(col("comp"))
+        .agg(count(lit(1)).as("size"))
+        .groupBy(col("size"))
+        .agg(count(lit(1)).as("n_clusters"),
+          (sum(col("size")) - count(lit(1))).as("n_droppable"))
+        .orderBy(col("size"))
+    },
+    Some(s"""WITH RECURSIVE ${clusterChain()},
+            |cs AS (SELECT cluster, count(*) AS size FROM comp GROUP BY 1)
+            |SELECT size, count(*) AS n_clusters,
+            | CAST(sum(size) - count(*) AS BIGINT) AS n_droppable
+            |FROM cs GROUP BY 1 ORDER BY 1""".stripMargin))
+
   /** The dedup decision the clusters exist for: keep each cluster's
     * min-id representative, drop the rest, count the surviving corpus.
     * Cluster members beyond the representative are the ONLY rows dropped
@@ -676,7 +701,8 @@ object DedupQueries extends QueryPack {
     headline = true)
 
   val qs: Seq[Q] = Seq(exact, minhash, simhash, ngramJaccard,
-    lshClusters, clusterSurvivors, clusterBestSurvivors, trainingPipeline,
+    lshClusters, clusterSizeHist, clusterSurvivors, clusterBestSurvivors,
+    trainingPipeline,
     trainingV2, trainingV3, trainingV4, trainingV5, prefixJoin,
     repeatedSpans)
 }
