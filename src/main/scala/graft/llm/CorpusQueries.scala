@@ -599,7 +599,52 @@ object CorpusQueries extends QueryPack {
             |LIMIT 20""".stripMargin),
     headline = true)
 
+  /** Batch twin of the STREAMING curation gates
+    * ([[graft.streaming.DocStream]].qualityGate ∘ decontaminate — the
+    * deterministic, stateless prefix of the stream chain; the keyed
+    * dedup stage is spec-pinned in DocStreamSpec): the registered query
+    * drives the exact library code the stream runs, so the DuckDB
+    * compare oracles the streaming operator's row semantics. The
+    * decontamination here is the ANY-hit gate (one shared 5-gram with
+    * the benchmark drops the doc — the strict WMT/GPT-3 form),
+    * complementing `dedup_contaminate_ngram_frac`'s fractional report.
+    */
+  private val streamGatesTwin = Q(
+    "stream_doc_curation_gates",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val benchFps = docs.filter(col("doc_id") < 50)
+        .select(explode(TextAnalysis.shingles(col("text"), 5)).as("g"))
+        .select(substring(md5(col("g")), 1, 16).as("fp")).distinct()
+      graft.streaming.DocStream.decontaminate(
+        graft.streaming.DocStream.qualityGate(
+          docs.filter(col("doc_id") >= 50), minTokens = 10, minAlpha = 0.5),
+        benchFps)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_ids"))
+        .orderBy(col("lang"))
+    },
+    Some(s"""WITH c0 AS (SELECT doc_id, text, lang FROM documents
+            | WHERE doc_id >= 50 AND ${qualityPredSql("text", 10, 0.5)}),
+            |bt AS (SELECT $WordsExpr AS w FROM documents WHERE doc_id < 50),
+            |bf AS (SELECT DISTINCT substring(md5(gram), 1, 16) AS fp
+            |  FROM (SELECT unnest(list_distinct(
+            |    [w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]
+            |     for i in range(1, len(w)-3)])) AS gram
+            |   FROM bt WHERE len(w) >= 5)),
+            |cg AS (SELECT doc_id, substring(md5(gram), 1, 16) AS fp
+            |  FROM (SELECT doc_id, unnest(list_distinct(
+            |    [w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]
+            |     for i in range(1, len(w)-3)])) AS gram
+            |   FROM (SELECT doc_id, $WordsExpr AS w FROM c0)
+            |   WHERE len(w) >= 5)),
+            |hit AS (SELECT DISTINCT cg.doc_id FROM cg JOIN bf USING (fp))
+            |SELECT lang, count(*) AS n_docs,
+            | CAST(sum(doc_id) AS BIGINT) AS sum_ids
+            |FROM c0 WHERE doc_id NOT IN (SELECT doc_id FROM hit)
+            |GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val qs: Seq[Q] = Seq(winnowing, repetition, pii, stratified, winnowPairs,
     decontaminate, decontaminateBloom, topNgrams, tokenDf, paraDedup, shards,
-    dsir, contamFrac, perplexity)
+    dsir, contamFrac, perplexity, streamGatesTwin)
 }
