@@ -25,15 +25,26 @@ object TimeQuery {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // same per-execution state scoping as Bench: checkpointed RDDs from
+    // one rep otherwise stack into storage pressure that slows later
+    // reps AND later queries (observed: kcore reps 9s→27s at 3× data,
+    // then a 53s first rep on the NEXT query)
+    def dropQueryState(): Unit =
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+
     names.foreach { name =>
       val q = SparkEntry.queries(name)
       q(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
+      dropQueryState()
       if (sys.env.contains("EXPLAIN"))
         q(spark, sfDir).explain("formatted")
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         q(spark, sfDir).write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
+        val t = (System.nanoTime() - t0) / 1e9
+        dropQueryState()
+        t
       }
       println(f"[time] $name reps=${times.map(t => f"$t%.3f").mkString(",")} min=${times.min}%.3f")
     }
