@@ -136,8 +136,17 @@ object GraphQueries extends QueryPack {
     val spark = sym0.sparkSession
     import spark.implicits._
     var sym = sym0.localCheckpoint()
+    // one action per peel state: both stats ride a single aggregation
+    // over the checkpointed frame (a second .count() action would
+    // re-launch the whole stage per round)
+    def statsOf(r: Int): (Int, Long, Long) = {
+      val row = sym.agg(
+        coalesce(count_distinct(col("u")), lit(0L)).as("n"),
+        count(lit(1)).as("e")).first()
+      (r, row.getLong(0), row.getLong(1) / 2)
+    }
     val stats = scala.collection.mutable.ArrayBuffer[(Int, Long, Long)]()
-    stats += ((0, sym.select(col("u")).distinct().count(), sym.count() / 2))
+    stats += statsOf(0)
     for (r <- 1 to rounds) {
       val keep = sym.groupBy(col("u")).agg(count(lit(1)).as("n"))
         .filter(col("n") >= k).select(col("u"))
@@ -145,7 +154,7 @@ object GraphQueries extends QueryPack {
         .join(keep.withColumnRenamed("u", "v"), Seq("v"), "left_semi")
         .select(col("u"), col("v"))
         .localCheckpoint()
-      stats += ((r, sym.select(col("u")).distinct().count(), sym.count() / 2))
+      stats += statsOf(r)
     }
     stats.toSeq.toDF("round", "n_nodes", "n_edges")
   }
