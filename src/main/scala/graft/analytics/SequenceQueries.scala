@@ -131,6 +131,67 @@ object SequenceQueries extends QueryPack {
            |FROM per GROUP BY 1 ORDER BY 1""".stripMargin),
     headline = true)
 
+  /** Sequential PATH mining: the top-10 most common session-opening
+    * event-type paths (first ≤3 events of each 30-minute-gap session) —
+    * the "how do sessions start" question [[transitions]]' first-order
+    * matrix can't answer (paths are order-sensitive beyond one hop).
+    * Sessionization shares the `stream_session_windows` break rule
+    * (new session iff ts ≥ prev + gap); path assembly sorts the ≤3-row
+    * collected structs per session, so it is deterministic without any
+    * session-wide ordering guarantee from the aggregation itself. All
+    * windows partition on user_id; paths are |types|³-bounded before
+    * the final TakeOrderedAndProject.
+    */
+  private val sessionPaths = Q(
+    "seq_session_paths",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val brk = when(lag(col("ts"), 1).over(w).isNull ||
+        col("ts") >= lag(col("ts"), 1).over(w) + expr("INTERVAL 30 minutes"),
+        1L).otherwise(0L)
+      val sess = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("brk", brk)
+        .withColumn("sid", sum(col("brk")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val ranked = sess.withColumn("rn", row_number().over(
+        Window.partitionBy(col("user_id"), col("sid"))
+          .orderBy(col("ts"), col("event_id"))))
+        .filter(col("rn") <= 3)
+      ranked.groupBy(col("user_id"), col("sid"))
+        .agg(array_join(transform(
+          sort_array(collect_list(struct(col("rn"), col("event_type")))),
+          x => x.getField("event_type")), ">").as("path"))
+        .groupBy(col("path"))
+        .agg(count(lit(1)).as("n_sessions"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("n_sessions").desc, col("path"))
+        .limit(10)
+    },
+    Some("""WITH g AS (SELECT user_id, ts, event_id, event_type,
+           |  CASE WHEN lag(ts) OVER (PARTITION BY user_id
+           |         ORDER BY ts, event_id) IS NULL
+           |       OR ts >= lag(ts) OVER (PARTITION BY user_id
+           |         ORDER BY ts, event_id) + INTERVAL 30 MINUTE
+           |       THEN 1 ELSE 0 END AS brk
+           | FROM events),
+           |s AS (SELECT user_id, ts, event_id, event_type,
+           |  sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           |    ROWS UNBOUNDED PRECEDING) AS sid
+           | FROM g),
+           |r AS (SELECT user_id, sid, event_type,
+           |  row_number() OVER (PARTITION BY user_id, sid
+           |    ORDER BY ts, event_id) AS rn
+           | FROM s),
+           |p AS (SELECT user_id, sid,
+           |  string_agg(event_type, '>' ORDER BY rn) AS path
+           | FROM r WHERE rn <= 3 GROUP BY 1, 2)
+           |SELECT path, count(*) AS n_sessions,
+           | count(DISTINCT user_id) AS n_users
+           |FROM p GROUP BY 1
+           |ORDER BY n_sessions DESC, path LIMIT 10""".stripMargin))
+
   /** Cumulative unique users per day — the growth-curve metric whose
     * naive form (COUNT(DISTINCT user) OVER an expanding frame) cannot
     * partial-aggregate and re-counts the whole prefix per day. The
@@ -274,5 +335,5 @@ object SequenceQueries extends QueryPack {
            |ORDER BY w.user_id""".stripMargin))
 
   val qs: Seq[Q] = Seq(transitions, concurrency, intervalCoverage,
-    cumulativeUsers, cdcDiff, topkHeap, cappedBalance)
+    sessionPaths, cumulativeUsers, cdcDiff, topkHeap, cappedBalance)
 }
