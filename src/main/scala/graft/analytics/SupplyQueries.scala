@@ -178,5 +178,57 @@ object SupplyQueries extends QueryPack {
             |  WHERE ps_availqty > year_qty * 0.5)
             |ORDER BY s_name""".stripMargin))
 
-  val qs: Seq[Q] = Seq(q2, q11, q20)
+  /** Market-basket association mining: top-10 part PAIRS co-purchased
+    * in one order, with LIFT (support·N / (c_a·c_b)) in integer basis
+    * points — the frequent-itemset primitive behind recommendation
+    * candidate generation. Pair expansion happens WITHIN an order's
+    * sorted item array (baskets are small by schema — ≤7 lineitems — so
+    * the fan-out is ≤21 pairs per order, the [[StatsQueries]] triangle
+    * edge-build shape), never by self-joining the item table; the
+    * per-part counts broadcast onto the 10 survivors.
+    */
+  private val basketPairs = Q(
+    "basket_top_part_pairs",
+    (s, d) => {
+      val items = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val cnt = items.groupBy(col("p")).agg(count(lit(1)).as("c"))
+      val tot = items.agg(countDistinct(col("o")).as("n_orders"))
+      val pairs = items.groupBy(col("o"))
+        .agg(sort_array(collect_set(col("p"))).as("ps"))
+        .select(explode(expr(
+          """flatten(transform(ps, (x, i) ->
+            |  transform(slice(ps, i + 2, size(ps)), y -> struct(x AS a, y AS b))))"""
+            .stripMargin)).as("pr"))
+        .groupBy(col("pr.a").as("pa"), col("pr.b").as("pb"))
+        .agg(count(lit(1)).as("support"))
+        .orderBy(col("support").desc, col("pa"), col("pb"))
+        .limit(10)
+      pairs
+        .join(broadcast(cnt.select(col("p").as("pa"), col("c").as("ca"))), "pa")
+        .join(broadcast(cnt.select(col("p").as("pb"), col("c").as("cb"))), "pb")
+        .crossJoin(broadcast(tot))
+        .select(col("pa"), col("pb"), col("support"),
+          expr("support * n_orders * 10000 div (ca * cb)").as("lift_bp"))
+        .orderBy(col("support").desc, col("pa"), col("pb"))
+    },
+    Some("""WITH i AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+           |  FROM lineitem),
+           |c AS (SELECT p, count(*) AS c FROM i GROUP BY 1),
+           |t AS (SELECT count(DISTINCT o) AS n_orders FROM i),
+           |pr AS (SELECT a.p AS pa, b.p AS pb, count(*) AS support
+           |  FROM i a JOIN i b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2),
+           |top AS (SELECT * FROM pr
+           |  ORDER BY support DESC, pa, pb LIMIT 10)
+           |SELECT pa, pb, CAST(support AS BIGINT) AS support,
+           | (CAST(support AS BIGINT) * n_orders * 10000) // (ca.c * cb.c)
+           |   AS lift_bp
+           |FROM top
+           | JOIN c ca ON ca.p = top.pa
+           | JOIN c cb ON cb.p = top.pb
+           | CROSS JOIN t
+           |ORDER BY support DESC, pa, pb""".stripMargin))
+
+  val qs: Seq[Q] = Seq(q2, q11, q20, basketPairs)
 }
