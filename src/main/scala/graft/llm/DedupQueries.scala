@@ -150,6 +150,40 @@ object DedupQueries extends QueryPack {
             |FROM comp GROUP BY 1 ORDER BY 1""".stripMargin),
     headline = true)
 
+  /** Incremental LSH index maintenance
+    * ([[MinHashLsh.nearDupPairsIncremental]]): an 80% "existing corpus"
+    * with its already-verified pairs absorbs the 20% "daily crawl"
+    * batch — new docs' band keys join the full band index, only
+    * new-member candidates verify, and the union must equal the
+    * full-corpus recompute. The oracle IS that recompute (the same
+    * brute-force ground truth `dedup_minhash_lsh` carries), so the
+    * hash compare proves the incremental path loses nothing — the
+    * `inc_agg_merge` contract applied to the dedup surface.
+    */
+  private val lshIncremental = Q(
+    "dedup_lsh_incremental",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val old = docs.filter(col("doc_id") % 5 =!= 0)
+      val fresh = docs.filter(col("doc_id") % 5 === 0)
+      val oldPairs = MinHashLsh.nearDupPairs(old, "doc_id", "text", 0.8)
+      MinHashLsh.nearDupPairsIncremental(old, oldPairs, fresh,
+        "doc_id", "text", threshold = 0.8)
+        .orderBy(col("i"), col("j"))
+    },
+    Some(s"""WITH d AS (SELECT doc_id,
+            |  list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+            |    for i in range(1, len(w)-1)]) AS sh
+            | FROM (SELECT doc_id, ${CorpusQueries.WordsExpr} AS w
+            |       FROM documents)
+            | WHERE len(w) >= 3),
+            |p AS (SELECT a.doc_id AS i, b.doc_id AS j,
+            |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            |    / len(list_distinct(list_concat(a.sh, b.sh))) AS jac
+            | FROM d a JOIN d b ON a.doc_id < b.doc_id)
+            |SELECT i, j, round(jac, 3) AS jaccard FROM p
+            |WHERE jac >= 0.8 ORDER BY i, j""".stripMargin))
+
   /** Cluster-SIZE distribution — the duplication-profile report a
     * corpus audit publishes (how much of the duplication is pairs vs
     * deep piles; the pile tail is what decides whether near-dedup pays
@@ -701,7 +735,7 @@ object DedupQueries extends QueryPack {
     headline = true)
 
   val qs: Seq[Q] = Seq(exact, minhash, simhash, ngramJaccard,
-    lshClusters, clusterSizeHist, clusterSurvivors, clusterBestSurvivors,
+    lshClusters, lshIncremental, clusterSizeHist, clusterSurvivors, clusterBestSurvivors,
     trainingPipeline,
     trainingV2, trainingV3, trainingV4, trainingV5, prefixJoin,
     repeatedSpans)

@@ -67,8 +67,6 @@ object MinHashLsh {
     */
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleN: Int = 3): DataFrame = {
-    val shUdf = udf((t: String) =>
-      if (t == null) Array.empty[String] else Hashing.shingles(t, shingleN))
     val src = docs.select(col(idCol).as("id"), col(textCol).as("txt"))
     val buckets = src.select(col("id"),
       posexplode(bandsUdf(shingleN)(col("txt"))).as(Seq("band", "h")))
@@ -80,9 +78,19 @@ object MinHashLsh {
       .select(col("i"), explode(col("ids")).as("j"))
       .filter(col("i") < col("j"))
       .distinct()
-    // one text join for both pair sides: explode (i, j) into member rows,
-    // fetch txt per member, fold back per pair. The when-max fold is safe
-    // because band keys exist only for docs with non-null text
+    verifyPairs(src, candidates, threshold, shingleN)
+  }
+
+  /** Exact-Jaccard verification of candidate (i, j) pairs against the
+    * (id, txt) source. One text join covers both pair sides: explode
+    * (i, j) into member rows, fetch txt per member, fold back per pair.
+    * The when-max fold is safe because band keys exist only for docs
+    * with non-null text.
+    */
+  private def verifyPairs(src: DataFrame, candidates: DataFrame,
+      threshold: Double, shingleN: Int): DataFrame = {
+    val shUdf = udf((t: String) =>
+      if (t == null) Array.empty[String] else Hashing.shingles(t, shingleN))
     candidates
       .select(col("i"), col("j"), explode(array(col("i"), col("j"))).as("id"))
       .join(src, "id")
@@ -93,6 +101,41 @@ object MinHashLsh {
         TextAnalysis.jaccard(shUdf(col("txt_i")), shUdf(col("txt_j"))))
       .filter(col("jaccard") >= threshold)
       .select(col("i"), col("j"), round(col("jaccard"), 3).as("jaccard"))
+  }
+
+  /** INCREMENTAL index maintenance: yesterday's verified pairs plus a
+    * new-docs batch → today's full pair set, WITHOUT re-pairing the old
+    * corpus. Band keys are computed for the new docs and joined against
+    * the whole corpus's band index (old + new); only candidates with a
+    * new member are verified, and the union with `oldPairs` is provably
+    * the full recompute: a qualifying pair is either old×old (its band
+    * collision exists within the old corpus alone, so it is in
+    * `oldPairs`) or involves a new doc (caught by the new-vs-all band
+    * join). At 100 TB this is the daily-crawl lifecycle — the index
+    * side ships (id, band, hash) rows only, the old corpus's text is
+    * touched just for verified candidates, and cost scales with
+    * |new| · collision-rate, not |corpus|².
+    */
+  def nearDupPairsIncremental(oldDocs: DataFrame, oldPairs: DataFrame,
+      newDocs: DataFrame, idCol: String, textCol: String,
+      threshold: Double, shingleN: Int = 3): DataFrame = {
+    def prep(df: DataFrame) =
+      df.select(col(idCol).as("id"), col(textCol).as("txt"))
+    val src = prep(oldDocs).unionByName(prep(newDocs))
+    def buckets(df: DataFrame) = prep(df).select(col("id"),
+      posexplode(bandsUdf(shingleN)(col("txt"))).as(Seq("band", "h")))
+    val newB = buckets(newDocs)
+    val allB = buckets(oldDocs).unionByName(newB)
+    val candNew = newB.select(col("band"), col("h"), col("id").as("a"))
+      .join(allB.select(col("band"), col("h"), col("id").as("b")),
+        Seq("band", "h"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("i"),
+        greatest(col("a"), col("b")).as("j"))
+      .distinct()
+    oldPairs.select(col("i"), col("j"), col("jaccard"))
+      .unionByName(verifyPairs(src, candNew, threshold, shingleN))
+      .distinct()
   }
 }
 

@@ -227,6 +227,24 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("incremental LSH equals the full recompute under a different split") {
+    // the registered query proves the 80/20 split against the brute
+    // oracle; this pins a second split (odd/even) equal to the direct
+    // full-corpus run — the merge identity itself, engine-vs-engine
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, sf)
+    val old = docs.filter(col("doc_id") % 2 === 0)
+    val fresh = docs.filter(col("doc_id") % 2 === 1)
+    val oldPairs = graft.llm.MinHashLsh.nearDupPairs(old, "doc_id", "text", 0.8)
+    val inc = graft.llm.MinHashLsh.nearDupPairsIncremental(
+      old, oldPairs, fresh, "doc_id", "text", 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    val full = graft.llm.MinHashLsh.nearDupPairs(docs, "doc_id", "text", 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(inc === full)
+    assert(full.nonEmpty) // the corpus plants near-dups; equality must not be vacuous
+  }
+
   test("er_multipass_blocking: the suffix pass recovers matches the prefix pass misses") {
     val dir = tmpDir()
     // n1/n2 differ at char 1 (prefix blocks differ, suffix blocks agree,
