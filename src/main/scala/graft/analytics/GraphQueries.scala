@@ -199,7 +199,8 @@ object GraphQueries extends QueryPack {
         .unionByName(e.select(col("su").as("u"), col("cu").as("v")))
       kcorePeel(sym, k = 3, rounds = 3).orderBy(col("round"))
     },
-    Some(kcoreSql(k = 3, rounds = 3)))
+    Some(kcoreSql(k = 3, rounds = 3)),
+    headline = true)
 
   val qs: Seq[Q] = Seq(degreeDist, labelProp, kcore)
 }

@@ -182,7 +182,8 @@ object DedupQueries extends QueryPack {
             |    / len(list_distinct(list_concat(a.sh, b.sh))) AS jac
             | FROM d a JOIN d b ON a.doc_id < b.doc_id)
             |SELECT i, j, round(jac, 3) AS jaccard FROM p
-            |WHERE jac >= 0.8 ORDER BY i, j""".stripMargin))
+            |WHERE jac >= 0.8 ORDER BY i, j""".stripMargin),
+    headline = true)
 
   /** Cluster-SIZE distribution — the duplication-profile report a
     * corpus audit publishes (how much of the duplication is pairs vs
