@@ -334,6 +334,38 @@ object SequenceQueries extends QueryPack {
            |  ON w.user_id = c.user_id AND w.rn = c.n
            |ORDER BY w.user_id""".stripMargin))
 
+  /** Integer EWMA smoothing + online anomaly deviation per user
+    * ([[graft.ops.StatefulScan.ewmaSmooth]]) — the second member of the
+    * nonlinear-recurrence family beside the clamped balance: truncating
+    * integer α=1/4 smoothing, max |x − forecast| as the anomaly signal.
+    * The oracle replays the exact trajectory as a DuckDB recursive CTE
+    * in the same integer centi-units; `trunc((x−e)/4.0)` over exact FP
+    * quarters equals Scala's truncating Long division step for step.
+    */
+  private val ewma = Q(
+    "seq_ewma_anomaly",
+    (s, d) => graft.ops.StatefulScan.ewmaQuery(s, d),
+    Some("""WITH RECURSIVE e0 AS (SELECT user_id,
+           |   CAST(round(value * 100) AS BIGINT) AS x,
+           |   row_number() OVER (PARTITION BY user_id
+           |     ORDER BY ts, event_id) AS rn
+           |  FROM events WHERE value IS NOT NULL),
+           |cnt AS (SELECT user_id, count(*) AS n FROM e0 GROUP BY 1),
+           |walk AS (
+           | SELECT user_id, rn, x AS e, CAST(0 AS BIGINT) AS maxdev
+           | FROM e0 WHERE rn = 1
+           | UNION ALL
+           | SELECT w.user_id, e.rn,
+           |   w.e + CAST(trunc((e.x - w.e) / 4.0) AS BIGINT),
+           |   greatest(w.maxdev, abs(e.x - w.e))
+           | FROM walk w JOIN e0 e
+           |   ON e.user_id = w.user_id AND e.rn = w.rn + 1)
+           |SELECT w.user_id, w.e AS ewma_c, w.maxdev AS max_dev_c,
+           | CAST(c.n AS BIGINT) AS n_events
+           |FROM walk w JOIN cnt c
+           |  ON w.user_id = c.user_id AND w.rn = c.n
+           |ORDER BY w.user_id""".stripMargin))
+
   val qs: Seq[Q] = Seq(transitions, concurrency, intervalCoverage,
-    sessionPaths, cumulativeUsers, cdcDiff, topkHeap, cappedBalance)
+    sessionPaths, cumulativeUsers, cdcDiff, topkHeap, cappedBalance, ewma)
 }

@@ -74,4 +74,60 @@ object StatefulScan {
   /** Registered-query wrapper: deterministic user order. */
   def cappedBalanceQuery(s: SparkSession, dir: String): DataFrame =
     cappedBalance(graft.Tables.events(s, dir)).orderBy(col("user_id"))
+
+  /** Per-user integer EWMA (α = 1/4) with max pre-update deviation —
+    * the SMOOTHING recurrence `e' = e + trunc((x − e)/4)` is nonlinear
+    * under integer truncation (each step's rounding depends on the
+    * whole prior trajectory), so like the clamped balance it cannot be
+    * a window frame. Truncating division toward zero (Scala `/`) is
+    * mirrored in the oracle as `trunc((x−e)/4.0)` — quarters are exact
+    * in FP, so both engines replay identical integer trajectories.
+    * The deviation |x − e_prev| is the online anomaly signal (how far
+    * each event sat from its forecast).
+    */
+  def ewmaSmooth(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val prepared: Dataset[(Long, Long, Long, Long)] = events
+      .filter(col("value").isNotNull)
+      .select(col("user_id"), expr("unix_micros(ts)").as("us"),
+        col("event_id"), round(col("value") * 100).cast("long").as("x"))
+      .repartition(col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("us"), col("event_id"))
+      .as[(Long, Long, Long, Long)]
+    prepared.mapPartitions { rows =>
+      new Iterator[(Long, Long, Long, Long)] {
+        private var pending: Option[(Long, Long, Long, Long)] = None
+        private var cur = Option.empty[Long]
+        private var e, maxDev, n = 0L
+        private def roll(): Unit = {
+          while (pending.isEmpty && rows.hasNext) {
+            val (u, _, _, x) = rows.next()
+            if (cur.exists(_ != u)) {
+              pending = Some((cur.get, e, maxDev, n))
+              e = 0L; maxDev = 0L; n = 0L
+            }
+            if (cur.isEmpty || cur.get != u) { cur = Some(u); e = x; n = 1L }
+            else {
+              val dev = math.abs(x - e)
+              if (dev > maxDev) maxDev = dev
+              e = e + (x - e) / 4
+              n += 1
+            }
+          }
+          if (pending.isEmpty && rows.isEmpty && cur.nonEmpty) {
+            pending = Some((cur.get, e, maxDev, n))
+            cur = None
+          }
+        }
+        override def hasNext: Boolean = { roll(); pending.nonEmpty }
+        override def next(): (Long, Long, Long, Long) = {
+          roll(); val r = pending.get; pending = None; r
+        }
+      }
+    }.toDF("user_id", "ewma_c", "max_dev_c", "n_events")
+  }
+
+  def ewmaQuery(s: SparkSession, dir: String): DataFrame =
+    ewmaSmooth(graft.Tables.events(s, dir)).orderBy(col("user_id"))
 }

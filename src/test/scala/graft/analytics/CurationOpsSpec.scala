@@ -227,6 +227,21 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("seq_ewma_anomaly replays the truncating integer recurrence exactly") {
+    val dir = tmpDir()
+    // descending values force NEGATIVE deviations: e = 100 → 100 +
+    // (-100)/4 = 75 → 75 + (-75)/4 = 75 - 18 = 57 under TRUNCATING
+    // division (floor would give 56) — this pins the division
+    // convention both engines must share
+    plantEvents(dir, Seq(
+      (1L, ts("2024-01-05 10:00:00"), 1L, 1.00),
+      (2L, ts("2024-01-05 10:01:00"), 1L, 0.00),
+      (3L, ts("2024-01-05 10:02:00"), 1L, 0.00)))
+    val got = SparkEntry.queries("seq_ewma_anomaly")(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 57L, 100L, 3L)))
+  }
+
   test("incremental LSH equals the full recompute under a different split") {
     // the registered query proves the 80/20 split against the brute
     // oracle; this pins a second split (odd/even) equal to the direct
