@@ -417,7 +417,68 @@ object TextQueries extends QueryPack {
            |FROM u JOIN r ON source = src
            |GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** Character-statistics quality signals (the Gopher-rule family the
+    * token-level `text_quality_scores` doesn't cover): per-doc
+    * character entropy, distinct-character count, and the most-common
+    * character's share — low entropy / high top-char share flags
+    * boilerplate and degenerate repetition. The 20 lowest-entropy docs
+    * report. One JVM codepoint-counting pass per doc (the per-char
+    * GROUP BY an exploded formulation would pay is all inside the
+    * UDF); entropy rounds ONCE to integer micro-bits — FP sum-order
+    * differences (~1e-12) sit six orders below the rounding step — and
+    * the share is integer basis points. Codepoint iteration matches
+    * DuckDB's UTF-8 character semantics (BMP-safe; the oracle's
+    * string_split(text, '') is per-character).
+    */
+  private val charStats = Q(
+    "text_char_entropy",
+    (s, d) => {
+      val statsU = udf { (t: String) =>
+        if (t == null || t.isEmpty) null
+        else {
+          val counts = new scala.collection.mutable.HashMap[Int, Long]()
+          var i = 0
+          var n = 0L
+          while (i < t.length) {
+            val cp = t.codePointAt(i)
+            counts.update(cp, counts.getOrElse(cp, 0L) + 1L)
+            n += 1L
+            i += Character.charCount(cp)
+          }
+          val log2n = math.log(n.toDouble) / math.log(2.0)
+          var sumKlogK = 0.0
+          var maxK = 0L
+          counts.valuesIterator.foreach { k =>
+            sumKlogK += k * (math.log(k.toDouble) / math.log(2.0))
+            if (k > maxK) maxK = k
+          }
+          val entropyMicro = math.round(1e6 * (log2n - sumKlogK / n))
+          (n, counts.size.toLong, maxK * 10000L / n, entropyMicro)
+        }
+      }
+      Tables.documents(s, d)
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"), statsU(col("text")).as("st"))
+        .select(col("doc_id"), col("st._1").as("n_chars"),
+          col("st._2").as("n_distinct_chars"),
+          col("st._3").as("top_char_bp"),
+          col("st._4").as("entropy_micro"))
+        .orderBy(col("entropy_micro"), col("doc_id"))
+        .limit(20)
+    },
+    Some("""WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c
+           |  FROM documents WHERE length(text) > 0),
+           |cc AS (SELECT doc_id, c, count(*) AS k FROM ch GROUP BY 1, 2),
+           |st AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n,
+           |   count(*) AS n_distinct_chars, CAST(max(k) AS BIGINT) AS maxk,
+           |   CAST(round(1e6 * (log2(sum(k))
+           |     - sum(k * log2(k)) / sum(k))) AS BIGINT) AS entropy_micro
+           |  FROM cc GROUP BY 1)
+           |SELECT doc_id, n AS n_chars, n_distinct_chars,
+           | (maxk * 10000) // n AS top_char_bp, entropy_micro
+           |FROM st ORDER BY entropy_micro, doc_id LIMIT 20""".stripMargin))
+
   val qs: Seq[Q] = Seq(tokenStats, packWindows, bpePairs, spellVariants,
     weightedSample, quality, langid, fingerprintQ, subwords, polyFingerprint,
-    chunking, sampling, bm25, mixtureSample)
+    chunking, sampling, bm25, mixtureSample, charStats)
 }
