@@ -3,6 +3,7 @@ package graft.analytics
 import graft.{Q, QueryPack, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.ops.Checkpoints.StageCheckpoint
 
 /** Graph analytics over the customer↔supplier co-purchase graph (the
   * same edge construction as `graph_pagerank_copurchase`: one edge per
@@ -92,7 +93,7 @@ object GraphQueries extends QueryPack {
         val e = edges(s, d)
         e.select(col("cu").as("u"), col("su").as("v"))
           .unionByName(e.select(col("su").as("u"), col("cu").as("v")))
-          .localCheckpoint()
+          .stageCheckpoint()
       }
       lpa(sym, 2).groupBy(col("lbl")).agg(count(lit(1)).as("sz"))
         .agg(sum(col("sz")).as("n_nodes"),
@@ -118,7 +119,8 @@ object GraphQueries extends QueryPack {
             |SELECT CAST(sum(sz) AS BIGINT) AS n_nodes,
             | count(*) AS n_communities, max(sz) AS max_community,
             | CAST(sum(lbl) AS BIGINT) AS sum_labels
-            |FROM sizes""".stripMargin))
+            |FROM sizes""".stripMargin),
+    headline = true)
 
   /** k-core peeling rounds, shared between the registered query and the
     * planted-graph spec (GraphQueriesSpec) so ground-truth tests
@@ -135,7 +137,7 @@ object GraphQueries extends QueryPack {
   def kcorePeel(sym0: DataFrame, k: Int, rounds: Int): DataFrame = {
     val spark = sym0.sparkSession
     import spark.implicits._
-    var sym = sym0.localCheckpoint()
+    var sym = sym0.stageCheckpoint()
     // one action per peel state: both stats ride a single aggregation
     // over the checkpointed frame (a second .count() action would
     // re-launch the whole stage per round)
@@ -153,7 +155,7 @@ object GraphQueries extends QueryPack {
       sym = sym.join(keep, Seq("u"), "left_semi")
         .join(keep.withColumnRenamed("u", "v"), Seq("v"), "left_semi")
         .select(col("u"), col("v"))
-        .localCheckpoint()
+        .stageCheckpoint()
       stats += statsOf(r)
     }
     stats.toSeq.toDF("round", "n_nodes", "n_edges")

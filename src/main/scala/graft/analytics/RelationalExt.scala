@@ -397,7 +397,8 @@ object RelationalExt extends QueryPack {
             |${prStep(3)}
             |SELECT CAST(row_number() OVER (ORDER BY round(r, 6) DESC, node)
             |   AS INT) AS rank, node
-            |FROM p3 ORDER BY 1 LIMIT 10""".stripMargin))
+            |FROM p3 ORDER BY 1 LIMIT 10""".stripMargin),
+    headline = true)
 
   /** Two-phase salted heavy hitters — the skew-mitigation pattern as an
     * explicit operator: phase 1 counts per (key, salt) so a hot key fans
@@ -965,7 +966,8 @@ object RelationalExt extends QueryPack {
            | CAST(count(CASE WHEN lev <= 1 THEN 1 END) AS BIGINT) AS n_matched,
            | CAST(count(CASE WHEN lev <= 1 AND in1 = 0 THEN 1 END) AS BIGINT)
            |   AS n_match_only_p2
-           |FROM v""".stripMargin))
+           |FROM v""".stripMargin),
+    headline = true)
 
   /** TPC-H Q9 shape: product-line profit by supplier nation and order
     * year — the widest join tree in the suite (two facts + three

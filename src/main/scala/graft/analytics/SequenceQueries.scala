@@ -332,7 +332,8 @@ object SequenceQueries extends QueryPack {
            | w.peak AS peak_balance_c, CAST(w.hits AS BIGINT) AS floor_hits
            |FROM walk w JOIN cnt c
            |  ON w.user_id = c.user_id AND w.rn = c.n
-           |ORDER BY w.user_id""".stripMargin))
+           |ORDER BY w.user_id""".stripMargin),
+    headline = true)
 
   /** Integer EWMA smoothing + online anomaly deviation per user
     * ([[graft.ops.StatefulScan.ewmaSmooth]]) — the second member of the

@@ -315,10 +315,12 @@ object StatsQueries extends QueryPack {
            |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
            |     AS cum_before
            |  FROM f),
-           |b AS (SELECT source, cum_before // 25000 AS bin, sz FROM c)
+           |b AS (SELECT source,
+           |   CAST(cum_before // 25000 AS BIGINT) AS bin, sz FROM c)
            |SELECT source, bin, count(*) AS n_files,
            | CAST(sum(sz) AS BIGINT) AS total_chars,
-           | (CAST(sum(sz) AS BIGINT) * 10000) // 25000 AS fill_bp
+           | CAST((CAST(sum(sz) AS BIGINT) * 10000) // 25000 AS BIGINT)
+           |   AS fill_bp
            |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
   /** Train/serve distribution-drift monitor: decile boundaries from the

@@ -3,6 +3,7 @@ package graft.analytics
 import graft.{Q, QueryPack, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.ops.Checkpoints.StageCheckpoint
 
 /** TPC-H Q2/Q11/Q20 shapes — the three classic queries whose canonical
   * form needs a `partsupp` table the harness star schema doesn't ship
@@ -113,7 +114,7 @@ object SupplyQueries extends QueryPack {
         .join(broadcast(natSupp), col("ps_suppkey") === col("s_suppkey"))
         .groupBy(col("ps_partkey"))
         .agg(sum(col("ps_supplycost") * col("ps_availqty")).as("v"))
-        .localCheckpoint()
+        .stageCheckpoint()
       val total = value.agg(sum(col("v")).as("vt"))
       value.join(broadcast(total))
         .filter(col("v") > col("vt") / 1000)

@@ -430,7 +430,8 @@ object Temporal extends QueryPack {
            | CAST(sum(run_events) AS BIGINT) AS n_events,
            | max(run_events) AS max_run_events,
            | CAST(sum(run_span_s) AS BIGINT) AS sum_run_span_s
-           |FROM runs GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+           |FROM runs GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    headline = true)
 
   /** Keyless point-in-interval join through [[graft.ops.RangeJoin]]:
     * traffic inside ±10-minute windows around the 20 highest-value

@@ -53,7 +53,7 @@ object Diagnoses {
         when(col("isPrimary").isNull, lit(null).cast(BooleanType))
           .otherwise(lower(col("isPrimary")) === "true").as("is_primary"),
         parseRecordedAt(col("recordedAt")).as("recorded_at"))
-      .withColumn("_ord", monotonically_increasing_id())
+      .withColumn("_ord", Ingest.ordinal)
 
   def clean(df: DataFrame): (DataFrame, DataFrame) = {
     val originalJson = Cleaning.rowJson(Seq(

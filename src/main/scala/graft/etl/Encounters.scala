@@ -34,7 +34,7 @@ object Encounters {
     */
   def read(spark: SparkSession, path: String): DataFrame = {
     val lines = spark.read.text(path)
-      .withColumn("_ord", monotonically_increasing_id())
+      .withColumn("_ord", Ingest.ordinal)
       // Python-strip equivalent: also removes the \r a CRLF file leaves
       // on every line (Spark's trim would keep it and poison every cell)
       .withColumn("value", Cleaning.wsTrim(col("value")))

@@ -5,6 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StringType
+import graft.ops.Checkpoints.StageCheckpoint
 
 /** Patients vertical (ref `etl.py` E1 step 2, SURVEY §3):
   * S1 CSV scan → P1 name normalize → P3 height → P4 weight+BMI (log) →
@@ -30,10 +31,10 @@ object Patients {
     * as strings: inputs do not conform to a schema yet (that's the point
     * of the pipeline). An ingest ordinal is attached for keep-first dedup
     * determinism (pandas keep-first = file order; Spark needs it explicit
-    * — SURVEY §2.5 D1 caveat). For a single-file read
-    * monotonically_increasing_id is ordered by (partition, offset) which
-    * IS file order; at 100 TB "first" is defined per (file, offset), the
-    * only stable notion of ingest order that exists at scale.
+    * — SURVEY §2.5 D1 caveat): [[Ingest.ordinal]], a (file_path,
+    * block_start, seq) struct that stays stable when the table arrives as
+    * a multi-file directory — the only notion of "first" that exists at
+    * 100 TB.
     */
   def read(spark: SparkSession, path: String): DataFrame = {
     val raw = spark.read
@@ -48,7 +49,7 @@ object Patients {
     // matching the observable post-pipeline values.
     val named = normalizeColumnNames(raw)
     val trimmed = named.columns.foldLeft(named)((d, c) => d.withColumn(c, trim(col(c))))
-    trimmed.withColumn("_ord", monotonically_increasing_id())
+    trimmed.withColumn("_ord", Ingest.ordinal)
   }
 
   /** Full patients transform. `filename` feeds the log channel. */
@@ -87,7 +88,7 @@ object Patients {
       // instead of 54), silently changing which rows count as dups
       .withColumn("_hr", bround(col("height_cm"), 0))
       .withColumn("_wr", bround(col("weight_kg"), 0))
-      .localCheckpoint()
+      .stageCheckpoint()
 
     val weightLog = keyed
       .filter(col("_w.flagged"))

@@ -3,6 +3,7 @@ package graft.llm
 import graft.{Q, QueryPack, Tables}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.ops.Checkpoints.StageCheckpoint
 
 /** Corpus-curation operators a training-data pipeline runs between raw
   * crawl and tokenizer: winnowing overlap fingerprints, repetition
@@ -448,7 +449,7 @@ object CorpusQueries extends QueryPack {
       val bt = toks.groupBy(col("b")).agg(
           count(lit(1)).as("c_all"),
           sum(when(col("lang") === "en", 1L).otherwise(0L)).as("c_tgt"))
-        .localCheckpoint()
+        .stageCheckpoint()
       val tot = bt.agg(sum(col("c_all")).as("ca"), sum(col("c_tgt")).as("ct"))
       val lr = bt.join(broadcast(tot))
         .select(col("b"),

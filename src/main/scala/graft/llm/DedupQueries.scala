@@ -3,6 +3,7 @@ package graft.llm
 import graft.{Q, QueryPack, Tables}
 import graft.ops.{ConnectedComponents, Dedup}
 import org.apache.spark.sql.functions._
+import graft.ops.Checkpoints.StageCheckpoint
 
 /** Deduplication queries over `documents`: exact (fingerprint), MinHash-
   * LSH near-dup (bucketed, never all-pairs), SimHash, and raw n-gram
@@ -17,17 +18,18 @@ object DedupQueries extends QueryPack {
     * re-evaluates the whole subplan per consumer — column pruning
     * specializes each branch, so ReuseExchange never fires (measured on
     * v2: FIVE corpus scans and TWELVE window sorts in one physical plan,
-    * zero reuse). `localCheckpoint` pins the stage output to executor
-    * storage exactly once — the lifecycle a 100 TB pipeline gets by
-    * staging each phase to storage between passes, and the same tool
-    * [[graft.ops.ConnectedComponents]] uses for its per-round frames.
+    * zero reuse). [[graft.ops.Checkpoints.stage]] pins the stage output
+    * exactly once (executor-local by default; durable-FS under
+    * `spark.graft.checkpoint.mode=reliable`) — the lifecycle a 100 TB
+    * pipeline gets by staging each phase to storage between passes, and
+    * the same tool [[graft.ops.ConnectedComponents]] uses per round.
     * Unlike `cache()` there is no unbounded corpus-sized residue: blocks
     * belong to the checkpointed RDD and are dropped when it is GC'd.
     * Callers prune to the columns downstream stages read before staging —
     * a checkpoint is a physical materialization, so Catalyst cannot prune
     * through it afterwards (measured ~10% off the v1 pipeline).
     */
-  private def stage(df: org.apache.spark.sql.DataFrame) = df.localCheckpoint()
+  private def stage(df: org.apache.spark.sql.DataFrame) = df.stageCheckpoint()
 
   private val exact = Q(
     "dedup_exact_fingerprint",
@@ -510,7 +512,8 @@ object DedupQueries extends QueryPack {
             |  len(list_distinct(list_concat(a.sh, b.sh))) AS un
             | FROM d a JOIN d b ON a.doc_id < b.doc_id)
             |SELECT i, j, CAST(inter AS BIGINT) AS inter, CAST(un AS BIGINT) AS un
-            |FROM p WHERE inter * 10 >= un * 8 ORDER BY i, j""".stripMargin))
+            |FROM p WHERE inter * 10 >= un * 8 ORDER BY i, j""".stripMargin),
+    headline = true)
 
   /** The round-5 flagship: paragraph-granular curation. Quality gate →
     * paragraph-level global keep-first dedup (docs keep a strict

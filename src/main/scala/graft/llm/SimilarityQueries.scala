@@ -33,11 +33,41 @@ object SimilarityQueries extends QueryPack {
            |FROM r WHERE rnk <= 5 ORDER BY 1, 2""".stripMargin),
     headline = true)
 
+  /** Recall@k audit channel for the approximate paths: join the ANN
+    * result against the exact brute-force top-k for the SAME query set
+    * and append per-query recall as an integer percent column — ANN
+    * quality then shows up in the dumped output itself (the driver's
+    * rows-only check pins it across rounds), not only in specs. This is
+    * the production monitoring shape too: ground truth comes from a
+    * SAMPLED query set (here: the 10 queries) whose exact top-k is
+    * refreshed offline, so the truth frame is Q×k rows — broadcast-sized
+    * at any corpus scale; the index serving path stays approximate.
+    */
+  private def withRecall(ann: org.apache.spark.sql.DataFrame,
+      truth: org.apache.spark.sql.DataFrame, k: Int) = {
+    val hits = ann.join(broadcast(truth.select(col("query_id"), col("vec_id"))),
+        Seq("query_id", "vec_id"), "leftsemi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("_hits"))
+    ann.join(broadcast(hits), Seq("query_id"), "left")
+      .withColumn("recall_pct",
+        (coalesce(col("_hits"), lit(0L)) * 100 / k).cast("long"))
+      .drop("_hits")
+  }
+
+  // NOTE on the pinned recall values: this synthetic corpus is random
+  // vectors, so a query's true top-5 sits at cosine ≈ 0.3-0.6 (≈60°) —
+  // below sign-LSH's collision S-curve, so ann_lsh_topk's recall_pct is
+  // honestly ~0 here (collision coverage ≡ recall; the identity is
+  // asserted in LlmSpecs, and recall on PLANTED near-dups is proven
+  // there too). IVF recall tracks probe coverage (nProbe/nCells) and PQ
+  // tracks code resolution — both visibly nonzero below.
   private val lsh = Q(
     "ann_lsh_topk",
     (s, d) => {
       val e = Tables.embeddings(s, d)
-      Ann.lshTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+      val q = e.filter(col("vec_id") < 10)
+      val truth = Ann.bruteTopK(e, q, "vec_id", "embedding", k = 5)
+      withRecall(Ann.lshTopK(e, q, "vec_id", "embedding", k = 5), truth, 5)
         .orderBy(col("query_id"), col("rank"))
     },
     None)
@@ -46,7 +76,9 @@ object SimilarityQueries extends QueryPack {
     "ann_ivf_topk",
     (s, d) => {
       val e = Tables.embeddings(s, d)
-      Ann.ivfTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+      val q = e.filter(col("vec_id") < 10)
+      val truth = Ann.bruteTopK(e, q, "vec_id", "embedding", k = 5)
+      withRecall(Ann.ivfTopK(e, q, "vec_id", "embedding", k = 5), truth, 5)
         .orderBy(col("query_id"), col("rank"))
     },
     None)
@@ -55,7 +87,9 @@ object SimilarityQueries extends QueryPack {
     "ann_pq_topk",
     (s, d) => {
       val e = Tables.embeddings(s, d)
-      Ann.pqTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+      val q = e.filter(col("vec_id") < 10)
+      val truth = Ann.bruteTopK(e, q, "vec_id", "embedding", k = 5)
+      withRecall(Ann.pqTopK(e, q, "vec_id", "embedding", k = 5), truth, 5)
         .orderBy(col("query_id"), col("rank"))
     },
     None)

@@ -258,4 +258,17 @@ object TextAnalysis {
     */
   def sampleByHash(keyCol: Column, perMille: Int): Column =
     keyCol.isNotNull && pmod(xxhash64(keyCol), lit(1000)) < perMille
+
+  /** Cross-engine twin of [[sampleByHash]]: the band test runs on the
+    * md5-derived 60-bit uniform (first 15 hex chars → BIGINT) instead of
+    * xxhash64, so DuckDB reproduces the exact kept-set —
+    * `('0x' || substring(md5(k),1,15))::BIGINT % 1000 < p`. Same
+    * stability properties (reproducible, append-stable, nulls excluded);
+    * xxhash64 stays the hot-path default (one codegen'd op, no hex
+    * round-trip), this is the auditable variant.
+    */
+  def sampleByHashMd5(keyCol: Column, perMille: Int): Column =
+    keyCol.isNotNull &&
+      pmod(conv(substring(md5(keyCol.cast("string")), 1, 15), 16, 10)
+        .cast("long"), lit(1000)) < perMille
 }

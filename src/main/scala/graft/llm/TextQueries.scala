@@ -274,9 +274,13 @@ object TextQueries extends QueryPack {
 
   /** Rolling-hash fingerprinting through the SQL surface: the custom
     * `poly_hash` Catalyst expression registered at runtime and invoked
-    * from `spark.sql(...)` over a temp view. No SQL oracle (the hash is
-    * engine-defined); FunctionsSpec pins the hash values and the
-    * distinct-count agreement with the md5 fingerprint.
+    * from `spark.sql(...)` over a temp view. Oracled EXACTLY: the hash
+    * runs over `md5(text)` — a 32-char ASCII hex bridge both engines
+    * agree on byte-for-byte — so DuckDB rebuilds the same 2⁶⁴-wrapping
+    * polynomial with a `list_reduce` over `ascii()` bytes in HUGEINT,
+    * then maps to signed BIGINT. min/max compare raw 64-bit hash VALUES
+    * per group, not just distinct counts. PolyHash on arbitrary UTF-8
+    * (and the nfkc_lower composition) stays pinned in FunctionsSpec.
     */
   private val polyFingerprint = Q(
     "text_polyhash_fingerprint",
@@ -284,10 +288,23 @@ object TextQueries extends QueryPack {
       graft.functions.GraftExtensions.register(s)
       Tables.documents(s, d).createOrReplaceTempView("v_documents")
       s.sql("""SELECT lang, count(*) AS n,
-              | count(DISTINCT poly_hash(nfkc_lower(text))) AS n_distinct
+              | count(DISTINCT poly_hash(md5(text))) AS n_distinct,
+              | min(poly_hash(md5(text))) AS min_fp,
+              | max(poly_hash(md5(text))) AS max_fp
               |FROM v_documents GROUP BY lang ORDER BY lang""".stripMargin)
     },
-    None)
+    Some("""WITH fp AS (SELECT lang, (SELECT list_reduce(
+           |    list_prepend(0::HUGEINT,
+           |      [ascii(m[i:i])::HUGEINT for i in range(1, len(m)+1)]),
+           |    (a, b) -> (a * 1000003 + b) % 18446744073709551616)
+           |   FROM (SELECT md5(text) AS m)) AS u
+           |  FROM documents),
+           |s AS (SELECT lang, CAST(CASE
+           |    WHEN u >= 9223372036854775808 THEN u - 18446744073709551616
+           |    ELSE u END AS BIGINT) AS f FROM fp)
+           |SELECT lang, count(*) AS n, count(DISTINCT f) AS n_distinct,
+           | min(f) AS min_fp, max(f) AS max_fp
+           |FROM s GROUP BY 1 ORDER BY 1""".stripMargin))
 
   /** Context-window chunking: documents packed into ≤32-token chunks,
     * per-language chunk counts and sizes. Oracle rebuilds the chunks in
@@ -320,16 +337,22 @@ object TextQueries extends QueryPack {
            |FROM c GROUP BY 1 ORDER BY 1""".stripMargin))
 
   /** Reproducible corpus sampling: per-language kept counts for a 10%
-    * hash band. No SQL oracle (xxhash64 is engine-specific); determinism
-    * and band-size bounds are pinned in TextAnalysisSpec.
+    * hash band, on the md5-uniform ([[TextAnalysis.sampleByHashMd5]]) so
+    * the oracle rebuilds the exact kept-set in DuckDB (the
+    * `docs_shuffle_shards` convention). The xxhash64 hot-path variant
+    * keeps its determinism/band-bound pins in TextAnalysisSpec.
     */
   private val sampling = Q(
     "text_sample_by_hash",
     (s, d) => Tables.documents(s, d)
-      .filter(TextAnalysis.sampleByHash(col("doc_id"), perMille = 100))
+      .filter(TextAnalysis.sampleByHashMd5(col("doc_id"), perMille = 100))
       .groupBy(col("lang")).agg(count(lit(1)).as("n_sampled"))
       .orderBy(col("lang")),
-    None)
+    Some("""SELECT lang, count(*) AS n_sampled FROM documents
+           |WHERE doc_id IS NOT NULL
+           |  AND ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+           |    ::BIGINT % 1000 < 100
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
 
   /** BM25 ranked retrieval ([[Retrieval.bm25TopK]]): top-10 documents
     * for a fixed seed-term query, compared on (rank, doc_id, score in

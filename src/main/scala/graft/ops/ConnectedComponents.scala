@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.ops.Checkpoints.StageCheckpoint
 
 /** Distributed connected components over an undirected edge list — the
   * missing step between "near-duplicate PAIRS" and an actually deduped
@@ -47,11 +48,11 @@ object ConnectedComponents {
     // generation) that must not re-run per iteration
     val both = sym.union(sym.select(col("v").as("u"), col("u").as("v")))
       .distinct()
-      .localCheckpoint()
+      .stageCheckpoint()
     var labels = both.groupBy(col("u"))
       .agg(least(min(col("v")), col("u")).as("comp"))
       .select(col("u").as("node"), col("comp"))
-      .localCheckpoint()
+      .stageCheckpoint()
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -65,7 +66,7 @@ object ConnectedComponents {
         .select(col("node"),
           least(col("l.comp"), coalesce(col("n.nbr_comp"), col("l.comp"))).as("comp"),
           (col("n.nbr_comp") < col("l.comp")).as("_chg"))
-        .localCheckpoint()
+        .stageCheckpoint()
       converged = next.filter(col("_chg")).isEmpty
       labels = next.drop("_chg")
       iter += 1
@@ -98,7 +99,7 @@ object ConnectedComponents {
     var e = init.select(greatest(col("u"), col("v")).as("u"),
         least(col("u"), col("v")).as("v"))
       .distinct()
-      .localCheckpoint()
+      .stageCheckpoint()
     var converged = e.isEmpty
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -119,7 +120,7 @@ object ConnectedComponents {
         .filter(col("w") =!= col("m"))
         .select(col("w").as("u"), col("m").as("v"))
         .distinct()
-        .localCheckpoint()
+        .stageCheckpoint()
       converged = small.exceptAll(e).isEmpty && e.exceptAll(small).isEmpty
       e = small
       iter += 1

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.ops.Checkpoints.StageCheckpoint
 
 /** Damped PageRank over an undirected edge list — the second iterative
   * graph operator next to [[ConnectedComponents]] (CC labels components;
@@ -28,7 +29,7 @@ object PageRank {
       .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
     val sym = sym0.union(sym0.select(col("v").as("u"), col("u").as("v")))
       .distinct()
-      .localCheckpoint()
+      .stageCheckpoint()
     val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("d"))
     val n = deg.count()
     var ranks = deg.select(col("u").as("node"), lit(1.0 / n).as("r"))
@@ -39,7 +40,7 @@ object PageRank {
         .select(col("v").as("node"), (col("r") / col("d")).as("c"))
       ranks = contrib.groupBy(col("node"))
         .agg((lit((1 - damping) / n) + lit(damping) * sum(col("c"))).as("r"))
-        .localCheckpoint()
+        .stageCheckpoint()
     }
     ranks
   }

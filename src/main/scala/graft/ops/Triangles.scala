@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.ops.Checkpoints.StageCheckpoint
 
 /** Exact triangle counting over an undirected edge list — the third graph
   * operator next to [[ConnectedComponents]] (membership) and [[PageRank]]
@@ -53,7 +54,7 @@ object Triangles {
         greatest(col(srcCol), col(dstCol)).cast("long").as("v"))
       .filter(col("u") < col("v"))
       .distinct()
-      .localCheckpoint()
+      .stageCheckpoint()
     val deg = canon.select(explode(array(col("u"), col("v"))).as("n"))
       .groupBy(col("n")).agg(count(lit(1)).as("dg"))
     // orient by (degree, id): strictly total, so exactly one direction
@@ -72,7 +73,7 @@ object Triangles {
       .select(col("e.s").as("s"), col("e.t").as("t"), col("e.dt").as("dt"))
       // oriented feeds both wedge sides and the closing join — one more
       // O(m) checkpoint stops a 3× re-evaluation of the degree joins
-      .localCheckpoint()
+      .stageCheckpoint()
     // wedges at s: unordered head pairs, ordered by the same (deg, id)
     // total order so each wedge appears once. Below the gate both joins
     // BROADCAST the oriented edge list: the edge frame is orders of

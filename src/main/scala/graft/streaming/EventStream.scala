@@ -5,6 +5,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.ops.Checkpoints.StageCheckpoint
 
 /** Structured Streaming surface over the `events` schema (SURVEY §2.7: the
   * reference is batch-only; this is the §7 forward extension — the same
@@ -238,7 +239,7 @@ object EventStream {
           .select(col("user_id"),
             when(takeU, col("u.last_us")).otherwise(col("b.last_us")).as("last_us"),
             when(takeU, col("u.event_type")).otherwise(col("b.event_type")).as("event_type"))
-          .localCheckpoint() // materialize BEFORE overwriting the input dir
+          .stageCheckpoint() // materialize BEFORE overwriting the input dir
         merged.write.mode("overwrite").parquet(dimDir)
         ()
       }
