@@ -147,6 +147,84 @@ object Dashboard extends QueryPack {
     },
     None)
 
+  /** A4 auditable-sketch flavor: HyperLogLog registers built on the
+    * md5-60-bit uniform entirely in DataFrame ops — bucket = low 8
+    * hash bits, rho = leading-zero rank of the remaining 52 (computed
+    * EXACTLY via `length(bin(w))`, no FP log), register = max rho per
+    * bucket, with the per-event_type partial registers max-merged
+    * alongside the direct build to demonstrate the mergeability that
+    * makes HLL the 100-TB cardinality tool. The output pins the
+    * integer sufficient statistic S = Σ 2^(53−reg) (exact BIGINT — FP
+    * enters only in the final αm²/S estimate, written as the identical
+    * expression in both engines) next to the exact count, and
+    * merge_equal == 1 pins sketch(∪ types) == merge(sketches). The
+    * DuckDB oracle rebuilds registers, S, and estimates from raw rows.
+    * Raw estimator only (no small-range linear-counting branch: that
+    * needs ln(), which IEEE does not promise cross-engine-identical —
+    * the uncorrected estimate is the deterministic choice, and n_exact
+    * sits in the same row for the accuracy read).
+    */
+  private val a4hllPortable = Q(
+    "a4_hll_md5_portable",
+    (s, d) => {
+      val ev = Tables.events(s, d).filter(col("user_id").isNotNull)
+      val br = ev.select(col("event_type"),
+        conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+        .select(col("event_type"),
+          pmod(col("h"), lit(256)).as("bucket"),
+          shiftright(col("h"), 8).as("w"))
+        .withColumn("rho", when(col("w") === 0, lit(53))
+          .otherwise(lit(53) - length(bin(col("w")))))
+      val direct = br.groupBy(col("bucket")).agg(max(col("rho")).as("reg"))
+      val merged = br.groupBy(col("event_type"), col("bucket"))
+        .agg(max(col("rho")).as("reg"))
+        .groupBy(col("bucket")).agg(max(col("reg")).as("reg"))
+      def sOf(regs: org.apache.spark.sql.DataFrame) = regs.agg(
+        (sum(expr("CAST(shiftleft(CAST(1 AS BIGINT), 53 - reg) AS BIGINT)"))
+          + (lit(256) - count(lit(1))) * lit(1L << 53)).cast("long").as("s"),
+        count(lit(1)).as("nonzero"))
+      def estOf(sCol: String) = expr(
+        s"CAST(floor(0.7213 / (1 + 1.079 / 256) * 256 * 256 * pow(2.0, 53) / $sCol) AS BIGINT)")
+      val sd = sOf(direct)
+        .select(col("s").as("s_direct"), col("nonzero").as("nonzero_direct"))
+      val sm = sOf(merged).select(col("s").as("s_merged"))
+      ev.agg(countDistinct(col("user_id")).as("n_exact"))
+        .crossJoin(sd).crossJoin(sm)
+        .withColumn("est_direct", estOf("s_direct"))
+        .withColumn("est_merged", estOf("s_merged"))
+        .withColumn("merge_equal", (col("s_direct") === col("s_merged")).cast("int"))
+    },
+    Some("""WITH h AS (SELECT event_type,
+           |   ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
+           |     ::BIGINT AS h
+           |  FROM events WHERE user_id IS NOT NULL),
+           |br AS (SELECT event_type, h % 256 AS bucket, h // 256 AS w FROM h),
+           |rr AS (SELECT event_type, bucket,
+           |   CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END AS rho
+           |  FROM br),
+           |direct AS (SELECT bucket, max(rho) AS reg FROM rr GROUP BY 1),
+           |pt AS (SELECT event_type, bucket, max(rho) AS reg
+           |  FROM rr GROUP BY 1, 2),
+           |merged AS (SELECT bucket, max(reg) AS reg FROM pt GROUP BY 1),
+           |sd AS (SELECT CAST(sum(CAST(1 AS BIGINT) << (53 - reg))
+           |    + (256 - count(*)) * (CAST(1 AS BIGINT) << 53) AS BIGINT)
+           |    AS s_direct,
+           |   count(*) AS nonzero_direct FROM direct),
+           |sm AS (SELECT CAST(sum(CAST(1 AS BIGINT) << (53 - reg))
+           |    + (256 - count(*)) * (CAST(1 AS BIGINT) << 53) AS BIGINT)
+           |    AS s_merged FROM merged),
+           |ex AS (SELECT count(DISTINCT user_id) AS n_exact FROM events
+           |  WHERE user_id IS NOT NULL)
+           |SELECT n_exact, nonzero_direct, s_direct,
+           | CAST(floor(0.7213 / (1 + 1.079 / 256) * 256 * 256
+           |   * pow(2.0, 53) / s_direct) AS BIGINT) AS est_direct,
+           | s_merged,
+           | CAST(floor(0.7213 / (1 + 1.079 / 256) * 256 * 256
+           |   * pow(2.0, 53) / s_merged) AS BIGINT) AS est_merged,
+           | CAST(s_direct = s_merged AS INT) AS merge_equal
+           |FROM ex, sd, sm""".stripMargin))
+
   /** A5 exact reference shape: # groups via grouped-distinct-then-count. */
   private val a5groups = Q(
     "a5_groups_with_distinct",
@@ -229,10 +307,18 @@ object Dashboard extends QueryPack {
         .freqItems(col("event_type"), support = 0.1).as("items"))
       .select(explode(col("items")).as("item"))
       .orderBy(col("item")),
-    None,
+    // Misra-Gries contents are merge-order-shaped IN GENERAL, but on
+    // this table the sketch is provably deterministic: capacity
+    // ⌈1/0.1⌉ = 10 exceeds the event_type cardinality (5), so no
+    // counter is ever evicted and the surviving key set is exactly the
+    // distinct domain — which IS the oracle below. The sketch's
+    // superset guarantee and eviction behavior under k < cardinality
+    // stay pinned in AnalyticsSpec.
+    Some("""SELECT DISTINCT event_type AS item FROM events
+           |WHERE event_type IS NOT NULL ORDER BY 1""".stripMargin),
     headline = true)
 
   val qs: Seq[Q] = Seq(a1, a2, a3, a3pivot, a4, a4approx, a4sketchMerge,
-    a5, a5groups, a6num, a6time, a6tsEqui, a7, a8, profileQ, f6, f7, f8,
-    a2freq)
+    a4hllPortable, a5, a5groups, a6num, a6time, a6tsEqui, a7, a8,
+    profileQ, f6, f7, f8, a2freq)
 }

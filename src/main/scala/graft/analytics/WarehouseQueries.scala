@@ -109,10 +109,13 @@ object WarehouseQueries extends QueryPack {
   /** Count-Min point estimates next to exact truth: one CMS pass over
     * the part keys (4×256 counters — the whole sketch is 8 KiB however
     * many keys stream through), estimates for the top-10 true heavy
-    * hitters. Estimates are engine-defined (seeded engine hashes), so
-    * no SQL oracle — CountMinSpec pins the one-sided error, the ε·N
-    * bound, and the exact sketch-merge identity that makes per-shard
-    * folding possible.
+    * hitters. The cell hash is the md5-60-bit uniform of "row:key"
+    * ([[graft.functions.CountMinAgg.cellIdx]]), so the oracle REBUILDS
+    * the entire sketch from raw rows in DuckDB — every counter, then
+    * the min-over-rows estimate — sharing zero code with the engine.
+    * CountMinSpec still pins the one-sided error, the ε·N bound, and
+    * the exact sketch-merge identity that makes per-shard folding
+    * possible.
     */
   private val cmsEstimates = Q(
     "a2_cms_point_estimates",
@@ -133,17 +136,36 @@ object WarehouseQueries extends QueryPack {
         .withColumn("est_n", estU(col("l_partkey").cast("string")))
         .withColumn("overcount", col("est_n") - col("true_n"))
     },
-    None)
+    Some("""WITH keys AS (SELECT CAST(l_partkey AS VARCHAR) AS k FROM lineitem),
+           |cells AS (SELECT r.i AS row,
+           |   ('0x' || substring(md5(r.i || ':' || k), 1, 15))::BIGINT % 256
+           |     AS bucket,
+           |   count(*) AS n
+           |  FROM keys, range(4) r(i) GROUP BY 1, 2),
+           |top AS (SELECT l_partkey, count(*) AS true_n FROM lineitem
+           |  GROUP BY 1 ORDER BY true_n DESC, l_partkey LIMIT 10),
+           |est AS (SELECT t.l_partkey, t.true_n, min(c.n) AS est_n
+           |  FROM top t CROSS JOIN range(4) r(i)
+           |  JOIN cells c ON c.row = r.i
+           |   AND c.bucket = ('0x' || substring(md5(r.i || ':'
+           |     || CAST(t.l_partkey AS VARCHAR)), 1, 15))::BIGINT % 256
+           |  GROUP BY 1, 2)
+           |SELECT l_partkey, true_n, CAST(est_n AS BIGINT) AS est_n,
+           | CAST(est_n - true_n AS BIGINT) AS overcount
+           |FROM est ORDER BY true_n DESC, l_partkey""".stripMargin))
 
   /** KMV set-overlap estimates between the click and purchase audiences:
     * one sketch per event_type (k=256, O(k) state each), then distinct /
-    * union / intersection / Jaccard estimated from the two sketches
-    * ALONE — the audience-overlap question a 100 TB warehouse answers
-    * without ever shuffling user ids together (HLL unions; only KMV
-    * intersects). Exact counterparts computed alongside so the row shows
-    * estimate vs truth; engine-hash-defined estimates ⇒ no SQL oracle,
-    * KmvSpec pins exactness below k, the bit-exact merge identity, and
-    * the ~1/√k error band.
+    * union / intersection estimated from the two sketches ALONE — the
+    * audience-overlap question a 100 TB warehouse answers without ever
+    * shuffling user ids together (HLL unions; only KMV intersects).
+    * Exact counterparts computed alongside so the row shows estimate vs
+    * truth. The sketch is the md5-60-bit-uniform flavor
+    * ([[graft.functions.KmvAgg.sketchMd5]]), so the oracle REBUILDS both
+    * sketches in DuckDB (ORDER BY hash LIMIT k) and recomputes every
+    * estimate with the identically-written double expression; estimates
+    * are floored to BIGINT on both sides. KmvSpec still pins exactness
+    * below k, the bit-exact merge identity, and the ~1/√k error band.
     */
   private val kmvOverlap = Q(
     "a4_kmv_set_overlap",
@@ -153,10 +175,13 @@ object WarehouseQueries extends QueryPack {
       def sketchOf(et: String): Array[Long] = ev
         .filter(col("event_type") === et)
         .select(col("user_id").cast("string").as("u"))
-        .agg(graft.functions.KmvAgg.sketch(col("u"), k).as("sk"))
+        .agg(graft.functions.KmvAgg.sketchMd5(col("u"), k).as("sk"))
         .first().getSeq[Long](0).toArray
       val (a, b) = (sketchOf("click"), sketchOf("purchase"))
-      val exact = ev.filter(col("event_type").isin("click", "purchase"))
+      // null users excluded to match the sketch path (reduce skips null)
+      // and the oracle's count(DISTINCT) null semantics
+      val exact = ev.filter(col("event_type").isin("click", "purchase") &&
+          col("user_id").isNotNull)
         .groupBy(col("user_id"))
         .agg(max(when(col("event_type") === "click", 1).otherwise(0)).as("c"),
           max(when(col("event_type") === "purchase", 1).otherwise(0)).as("p"))
@@ -167,14 +192,61 @@ object WarehouseQueries extends QueryPack {
       import graft.functions.KmvAgg._
       import s.implicits._
       Seq((
-        exact.getLong(0), math.round(estimateDistinct(a, k)),
-        exact.getLong(1), math.round(estimateDistinct(b, k)),
-        exact.getLong(2), math.round(estimateDistinct(union(a, b, k), k)),
-        exact.getLong(3), math.round(estimateIntersection(a, b, k))))
+        exact.getLong(0), math.floor(estimateDistinctMd5(a, k)).toLong,
+        exact.getLong(1), math.floor(estimateDistinctMd5(b, k)).toLong,
+        exact.getLong(2), math.floor(estimateDistinctMd5(union(a, b, k), k)).toLong,
+        exact.getLong(3), math.floor(estimateIntersectionMd5(a, b, k)).toLong))
         .toDF("click_exact", "click_est", "purchase_exact", "purchase_est",
           "union_exact", "union_est", "both_exact", "both_est")
     },
-    None)
+    Some("""WITH ah AS (SELECT DISTINCT
+           |   ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
+           |     ::BIGINT AS h
+           |  FROM events WHERE event_type = 'click' AND user_id IS NOT NULL),
+           |bh AS (SELECT DISTINCT
+           |   ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
+           |     ::BIGINT AS h
+           |  FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL),
+           |a AS (SELECT h FROM ah ORDER BY h LIMIT 256),
+           |b AS (SELECT h FROM bh ORDER BY h LIMIT 256),
+           |u AS (SELECT h FROM (SELECT h FROM a UNION SELECT h FROM b) t
+           |      ORDER BY h LIMIT 256),
+           |es AS (SELECT
+           |  (SELECT count(*) FROM a) AS na, (SELECT max(h) FROM a) AS ka,
+           |  (SELECT count(*) FROM b) AS nb, (SELECT max(h) FROM b) AS kb,
+           |  (SELECT count(*) FROM u) AS nu, (SELECT max(h) FROM u) AS ku,
+           |  (SELECT count(*) FROM u
+           |    WHERE h IN (SELECT h FROM a) AND h IN (SELECT h FROM b))
+           |    AS shared),
+           |ev AS (SELECT
+           |  CASE WHEN na < 256 THEN CAST(na AS DOUBLE)
+           |   ELSE (256 - 1) / (CAST(ka AS DOUBLE) / pow(2, 60)) END AS ea,
+           |  CASE WHEN nb < 256 THEN CAST(nb AS DOUBLE)
+           |   ELSE (256 - 1) / (CAST(kb AS DOUBLE) / pow(2, 60)) END AS eb,
+           |  CASE WHEN nu < 256 THEN CAST(nu AS DOUBLE)
+           |   ELSE (256 - 1) / (CAST(ku AS DOUBLE) / pow(2, 60)) END AS eu,
+           |  CAST(shared AS DOUBLE) / nu AS jac
+           |  FROM es),
+           |ex AS (SELECT
+           |  count(DISTINCT user_id) FILTER (event_type = 'click') AS n_click,
+           |  count(DISTINCT user_id) FILTER (event_type = 'purchase')
+           |    AS n_purchase,
+           |  count(DISTINCT user_id) AS n_union,
+           |  (SELECT count(*) FROM
+           |    (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+           |     INTERSECT
+           |     SELECT DISTINCT user_id FROM events
+           |     WHERE event_type = 'purchase') t) AS n_both
+           | FROM events WHERE event_type IN ('click', 'purchase'))
+           |SELECT n_click AS click_exact,
+           | CAST(floor(ea) AS BIGINT) AS click_est,
+           | n_purchase AS purchase_exact,
+           | CAST(floor(eb) AS BIGINT) AS purchase_est,
+           | n_union AS union_exact,
+           | CAST(floor(eu) AS BIGINT) AS union_est,
+           | n_both AS both_exact,
+           | CAST(floor(jac * eu) AS BIGINT) AS both_est
+           |FROM ex, ev""".stripMargin))
 
   /** Bucketed table checksum — `dq_table_checksum`'s diff-LOCALIZING
     * companion: the same md5-XOR row fold, but per md5-derived bucket

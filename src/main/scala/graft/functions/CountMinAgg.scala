@@ -12,8 +12,9 @@ import org.apache.spark.sql.expressions.Aggregator
   * partition regardless of cardinality.
   *
   * Structure: `depth` hash rows × `width` counters. Every occurrence
-  * increments one counter per row (seeded splitmix-mixed hashes, fully
-  * deterministic); a point estimate is the MIN over the item's cells.
+  * increments one counter per row (md5-derived row hashes — fully
+  * deterministic AND cross-engine reproducible, see [[CountMinAgg.cellIdx]]);
+  * a point estimate is the MIN over the item's cells.
   * Collisions only ever ADD, so estimates are one-sided:
   * `est ≥ true`, and `est ≤ true + ε·N` with probability 1−δ for
   * ε = e/width, δ = e^−depth — the textbook bound CountMinSpec pins.
@@ -58,13 +59,18 @@ class CountMinAgg(depth: Int, width: Int)
 }
 
 object CountMinAgg {
-  /** The one hash convention both update and query use: a seeded
-    * splitmix re-mix of the item's 64-bit hash, folded into the row's
-    * counter range.
+  /** The one hash convention both update and query use: the md5-derived
+    * 60-bit uniform of "row:item" folded into the row's counter range.
+    * md5 rather than a seeded splitmix mix so the WHOLE sketch is
+    * rebuildable by an independent engine —
+    * `('0x' || substring(md5(row || ':' || item), 1, 15))::BIGINT % width`
+    * in DuckDB reproduces every cell, which is what lets the
+    * a2_cms_point_estimates oracle recompute the sketch from raw rows
+    * instead of trusting the engine's seeds.
     */
   private[functions] def cellIdx(row: Int, width: Int, item: String): Int = {
-    val h = Hashing.mix64(Hashing.hash64(item) + 0x9e3779b97f4a7c15L * (row + 1))
-    row * width + math.floorMod(h, width.toLong).toInt
+    val h = Hashing.md5Uniform60(s"$row:$item")
+    row * width + (h % width).toInt
   }
 
   /** Point estimate from a finished sketch: min over the item's cells. */

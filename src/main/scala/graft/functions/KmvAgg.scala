@@ -25,17 +25,23 @@ import org.apache.spark.sql.expressions.Aggregator
   * O(log k), merge is O(k log k) — the mergeable shape that ships one
   * sketch per partition/day/shard and folds later.
   */
-class KmvAgg(k: Int)
+class KmvAgg(k: Int, md5: Boolean = false)
     extends Aggregator[String, mutable.HashSet[Long], Array[Long]] {
   require(k >= 2, s"k must be >= 2: $k")
 
   // order hashes as UNSIGNED 64-bit values (flip the sign bit): the
   // estimator needs the k smallest points of a uniform [0, 2^64) draw.
+  // In md5 mode the draw is instead the md5-derived 60-bit uniform
+  // (non-negative, natural order — no flip), which an independent
+  // engine reproduces hash-for-hash; see [[Hashing.md5Uniform60]].
   // The buffer is a hash set trimmed LAZILY (sort once when it reaches
   // 4k, not a tree insert per row) — kryo round-trips HashSet where
   // ordered collections lose their comparator; the k-smallest semantics
   // are restored at every trim and at finish.
   private def ord(h: Long): Long = h ^ Long.MinValue
+
+  private def hashOf(a: String): Long =
+    if (md5) Hashing.md5Uniform60(a) else ord(Hashing.hash64(a))
 
   private def trim(b: mutable.HashSet[Long]): mutable.HashSet[Long] =
     if (b.size <= k) b else {
@@ -48,7 +54,7 @@ class KmvAgg(k: Int)
 
   override def reduce(b: mutable.HashSet[Long], a: String): mutable.HashSet[Long] = {
     if (a != null) {
-      b.add(ord(Hashing.hash64(a)))
+      b.add(hashOf(a))
       if (b.size > 4 * k) trim(b)
     }
     b
@@ -76,6 +82,14 @@ object KmvAgg {
   def sketch(c: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.Column =
     org.apache.spark.sql.functions.udaf(new KmvAgg(k), Encoders.STRING).apply(c)
 
+  /** md5-mode column form: minima of the cross-engine 60-bit uniform,
+    * so a DuckDB oracle rebuilds the sketch with ORDER BY/LIMIT over
+    * `('0x' || substring(md5(key), 1, 15))::BIGINT`.
+    */
+  def sketchMd5(c: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.udaf(new KmvAgg(k, md5 = true),
+      Encoders.STRING).apply(c)
+
   private def toUnit(orderedHash: Long): Double =
     // the stored key is (hash ^ MIN_VALUE) = unsigned value − 2^63, so
     // subtracting MIN_VALUE recovers the unsigned magnitude; scale to (0, 1)
@@ -85,6 +99,27 @@ object KmvAgg {
   def estimateDistinct(sketch: Array[Long], k: Int): Double =
     if (sketch.length < k) sketch.length.toDouble
     else (k - 1).toDouble / toUnit(sketch.last)
+
+  /** md5-mode distinct estimate: v_k scales over the 60-bit range. The
+    * expression is written EXACTLY as the DuckDB oracle writes it
+    * ((k−1) / (h_k / 2⁶⁰)) so the IEEE double result — and hence the
+    * floored integer the query emits — is bit-identical cross-engine.
+    */
+  def estimateDistinctMd5(sketch: Array[Long], k: Int): Double =
+    if (sketch.length < k) sketch.length.toDouble
+    else (k - 1).toDouble / (sketch.last.toDouble / math.pow(2, 60))
+
+  /** md5-mode intersection estimate — same shared-minima estimator as
+    * [[estimateIntersection]], scaled for the 60-bit draw.
+    */
+  def estimateIntersectionMd5(a: Array[Long], b: Array[Long], k: Int): Double = {
+    val u = union(a, b, k)
+    if (u.isEmpty) return 0.0
+    val (sa, sb) = (a.toSet, b.toSet)
+    val shared = u.count(h => sa(h) && sb(h))
+    val jaccard = shared.toDouble / u.length
+    jaccard * estimateDistinctMd5(u, k)
+  }
 
   /** Merge two finished sketches (k smallest of the union). */
   def union(a: Array[Long], b: Array[Long], k: Int): Array[Long] =

@@ -74,12 +74,34 @@ object DedupQueries extends QueryPack {
 
   private val simhash = Q(
     "dedup_simhash_pairs",
-    // xxhash64 seeds are engine-specific → no SQL oracle; semantics are
-    // covered by NearDedupSpec (hamming properties + agreement with the
-    // oracle-checked MinHash pairs).
+    // The fingerprint is the md5-voted 60-bit SimHash
+    // (Hashing.simhash), so the oracle rebuilds EVERYTHING from raw
+    // text: distinct 3-gram shingles, per-bit ±1 votes over the
+    // md5-60 uniform, sign → signature, brute-force hamming ≤ 3 —
+    // independently validating both the fingerprints and the
+    // pigeonhole bucket search's exactness. Hamming properties stay
+    // pinned in NearDedupSpec.
     (s, d) => SimHash.nearPairs(Tables.documents(s, d), "doc_id", "text",
       maxDist = 3).orderBy(col("i"), col("j")),
-    None)
+    Some(s"""WITH d AS (SELECT doc_id,
+            |  list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+            |    for i in range(1, len(w)-1)]) AS sh
+            | FROM (SELECT doc_id, ${CorpusQueries.WordsExpr} AS w
+            |       FROM documents)
+            | WHERE len(w) >= 3),
+            |t AS (SELECT doc_id, ('0x' || substring(md5(g), 1, 15))::BIGINT AS h
+            |  FROM d, unnest(sh) u(g)),
+            |bits AS (SELECT doc_id, b.j,
+            |   sum(CASE WHEN ((h >> b.j) & 1) = 1 THEN 1 ELSE -1 END) AS v
+            |  FROM t, range(60) b(j) GROUP BY 1, 2),
+            |sig AS (SELECT doc_id, CAST(sum(CASE WHEN v > 0
+            |    THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS sig
+            |  FROM bits GROUP BY 1),
+            |p AS (SELECT a.doc_id AS i, b.doc_id AS j,
+            |   bit_count(xor(a.sig, b.sig)) AS dist
+            |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id)
+            |SELECT i, j, CAST(dist AS INT) AS dist FROM p
+            |WHERE dist <= 3 ORDER BY i, j""".stripMargin))
 
   private val ngramJaccard = Q(
     "dedup_ngram_jaccard_adjacent",

@@ -33,6 +33,23 @@ object Hashing {
     (a.toLong << 32) | (b.toLong & 0xffffffffL)
   }
 
+  /** First 15 hex chars of md5(s) as a non-negative 60-bit Long — the
+    * engine's cross-engine uniform (the `docs_shuffle_shards`
+    * convention): an independent engine reproduces it as
+    * `('0x' || substring(md5(s), 1, 15))::BIGINT`, which is what turns a
+    * sketch built on it (CMS cells, KMV minima, SimHash votes, HLL
+    * registers) from "trust the seeds" into a hash-for-hash auditable
+    * structure. ~2× the cost of [[hash64]] per call — the documented
+    * price of auditability; hash64 remains for hot paths whose outputs
+    * are spec-pinned rather than oracle-compared.
+    */
+  def md5Uniform60(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val dig = md.digest(s.getBytes("UTF-8"))
+    // first 15 hex chars = the top 60 bits of the big-endian first 8 bytes
+    java.nio.ByteBuffer.wrap(dig).getLong >>> 4
+  }
+
   private val MersennePrime = (1L << 31) - 1
 
   /** Whitespace tokenization shared by [[shingles]], [[winnow]], and
@@ -192,14 +209,23 @@ object Hashing {
     out
   }
 
-  /** 64-bit SimHash over shingles: bit j = sign of Σ ±1 votes. */
+  /** 60-bit SimHash over shingles: bit j = sign of Σ ±1 votes. Votes
+    * come from the md5-derived 60-bit uniform ([[md5Uniform60]]) so an
+    * independent engine rebuilds every fingerprint bit-for-bit — the
+    * dedup_simhash_pairs oracle recomputes the votes, the signs, and
+    * the hamming distances from raw text in DuckDB. 60 bits (not 64)
+    * because that is the span the cross-engine hex-prefix convention
+    * reproduces; the [[SimHash]] pigeonhole chunking is width-agnostic.
+    */
+  final val SimhashBits = 60
+
   def simhash(sh: Array[String]): Long = {
-    val votes = new Array[Int](64)
+    val votes = new Array[Int](SimhashBits)
     var si = 0
     while (si < sh.length) {
-      val h = hash64(sh(si))
+      val h = md5Uniform60(sh(si))
       var j = 0
-      while (j < 64) {
+      while (j < SimhashBits) {
         if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
         j += 1
       }
@@ -207,7 +233,7 @@ object Hashing {
     }
     var out = 0L
     var j = 0
-    while (j < 64) {
+    while (j < SimhashBits) {
       if (votes(j) > 0) out |= (1L << j)
       j += 1
     }

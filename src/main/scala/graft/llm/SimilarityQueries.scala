@@ -184,10 +184,15 @@ object SimilarityQueries extends QueryPack {
            |FROM m GROUP BY 1 ORDER BY 1""".stripMargin))
 
   /** Perceptual-hash media dedup: aHash signatures through the batched
-    * decode boundary, then the shared pigeonhole hamming search. The
-    * hash is engine-defined (no SQL oracle) — planted-duplicate
-    * behavior is pinned in MultimodalSpec; here the corpus run is
-    * registered with a rows-only check, pairs ordered deterministically.
+    * decode boundary, then the shared pigeonhole hamming search. Fully
+    * oracled: the synthesized payload is unhex(md5(text)) (16 bytes), so
+    * DuckDB rebuilds every feature bin (hex pair → CAST(b/255.0 AS
+    * FLOAT) — verified free of double-rounding for all 256 byte values),
+    * the mean (EXACT in double: 16 addends of ≤24-bit mantissas, so
+    * summation order cannot matter), the per-bit thresholds, and the
+    * brute-force hamming pairs — independently validating the stub
+    * decode, the aHash construction, AND the pigeonhole search's
+    * exactness. Planted-duplicate behavior stays in MultimodalSpec.
     */
   private val mmPhash = Q(
     "mm_phash_neardup",
@@ -196,7 +201,22 @@ object SimilarityQueries extends QueryPack {
       Multimodal.phashNearDup(media, maxDist = 2)
         .orderBy(col("i"), col("j"))
     },
-    None)
+    Some("""WITH m AS (SELECT doc_id AS media_id, md5(text) AS hx
+           |  FROM documents WHERE text IS NOT NULL),
+           |b AS (SELECT media_id, i,
+           |   CAST(('0x' || substring(hx, 2*i+1, 2))::INT / 255.0 AS FLOAT)
+           |     AS f
+           |  FROM m, range(16) r(i)),
+           |mn AS (SELECT media_id, sum(CAST(f AS DOUBLE)) / 64 AS mean
+           |  FROM b GROUP BY 1),
+           |sig AS (SELECT b.media_id, CAST(sum(CASE WHEN f > mean
+           |    THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS h
+           |  FROM b JOIN mn USING (media_id) GROUP BY 1),
+           |p AS (SELECT a.media_id AS i, c.media_id AS j,
+           |   bit_count(xor(a.h, c.h)) AS dist
+           |  FROM sig a JOIN sig c ON a.media_id < c.media_id)
+           |SELECT i, j, CAST(dist AS INT) AS dist FROM p
+           |WHERE dist <= 2 ORDER BY i, j""".stripMargin))
 
   /** SemDeDup semantic dedup ([[Ann.semDedup]]): k-means cells bound the
     * candidate pairs, near-dups removed keep-lowest-id within each cell.

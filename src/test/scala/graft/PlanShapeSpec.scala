@@ -109,12 +109,25 @@ class PlanShapeSpec extends SparkSpec {
   test("bucketed ops never degenerate to cartesian products") {
     // the LSH family must join through bucket keys — a cartesian or
     // nested-loop join here means candidate generation went all-pairs
-    Seq("dedup_minhash_lsh", "dedup_simhash_pairs", "ann_lsh_topk",
+    Seq("dedup_minhash_lsh", "dedup_simhash_pairs",
       "dedup_winnowing_overlap").foreach { q =>
       val s = planString(SparkEntry.queries(q)(spark, sf))
       assert(!s.contains("CartesianProduct"), s"$q went cartesian:\n$s")
       assert(!s.contains("BroadcastNestedLoopJoin"), s"$q went nested-loop:\n$s")
     }
+    // ann_lsh_topk's REGISTERED query carries a recall-audit leg whose
+    // ground truth is bruteTopK over the 10-query sample — a broadcast
+    // NLJ with a 10-row build side (O(N) scan, the sampled-truth-refresh
+    // shape), which is intentional. The INDEX path must still be
+    // bucketed: assert on the operator itself.
+    val e = graft.Tables.embeddings(spark, sf)
+    val lshPlan = planString(graft.llm.Ann.lshTopK(
+      e, e.filter(org.apache.spark.sql.functions.col("vec_id") < 10),
+      "vec_id", "embedding", k = 5))
+    assert(!lshPlan.contains("CartesianProduct"), lshPlan)
+    assert(!lshPlan.contains("BroadcastNestedLoopJoin"), lshPlan)
+    val full = planString(SparkEntry.queries("ann_lsh_topk")(spark, sf))
+    assert(!full.contains("CartesianProduct"), full)
   }
 
   test("q19: part dim broadcast; per-side residuals pushed to scans") {
