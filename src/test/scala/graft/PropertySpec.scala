@@ -125,4 +125,23 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("md5Uniform60: JVM helper == the SQL convention it documents (generated)") {
+    // the whole auditable-sketch family (CMS cells, KMV minima, SimHash
+    // votes, HLL registers) rests on this one identity: the JVM-side
+    // 60-bit uniform must equal what the oracles compute as
+    // ('0x' || substring(md5(s), 1, 15))::BIGINT in DuckDB / Spark's
+    // conv(substring(md5(s), 1, 15), 16, 10)
+    val strs = samples(Gen.asciiPrintableStr, 200, 7L) ++
+      samples(Gen.listOfN(8, Gen.oneOf('\u00e9', '\u4e2d', 'a', ' ', '0'))
+        .map(_.mkString), 100, 8L)
+    val df = strs.distinct.toDF("s")
+      .withColumn("sql_h",
+        conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long"))
+      .collect()
+    df.foreach { r =>
+      assert(Hashing.md5Uniform60(r.getString(0)) === r.getLong(1),
+        s"mismatch for ${r.getString(0)}")
+    }
+  }
 }
