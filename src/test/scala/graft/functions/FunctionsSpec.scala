@@ -179,4 +179,33 @@ class KmvSpec extends SparkSpec {
     assert(math.abs(inter - overlap) / overlap < 3 * tol,
       s"intersection est $inter vs $overlap")
   }
+
+  // ---- md5 mode (the cross-engine-auditable flavor a4_kmv_set_overlap
+  // registers): same structural identities on the 60-bit uniform ----
+
+  private def sketchMd5Of(df: org.apache.spark.sql.DataFrame): Array[Long] =
+    df.agg(KmvAgg.sketchMd5(col("k"), k).as("s"))
+      .first().getSeq[Long](0).toArray
+
+  test("md5 mode: minima equal the SQL convention; merge identity holds") {
+    val df = strings("m", 700)
+    val sk = sketchMd5Of(df)
+    // independent rebuild through Spark SQL's conv/substring/md5 — the
+    // exact expression the DuckDB oracle runs
+    val expected = df
+      .withColumn("h",
+        conv(substring(md5(col("k")), 1, 15), 16, 10).cast("long"))
+      .select("h").distinct().orderBy(col("h")).limit(k)
+      .collect().map(_.getLong(0)).toSeq
+    assert(sk.toSeq === expected)
+    // estimates exact below k, and merge == whole, bit for bit
+    val small = sketchMd5Of(strings("m", 100))
+    assert(KmvAgg.estimateDistinctMd5(small, k) === 100.0)
+    val a = sketchMd5Of(strings("m", 5000))
+    val b = sketchMd5Of(strings("m", 5000, from = 2500))
+    assert(KmvAgg.union(a, b, k).toSeq === sketchMd5Of(strings("m", 7500)).toSeq)
+    // at capacity the 60-bit-scaled estimator stays in the 5/sqrt(k) band
+    val est = KmvAgg.estimateDistinctMd5(a, k)
+    assert(math.abs(est - 5000) / 5000.0 < 5.0 / math.sqrt(k.toDouble), est)
+  }
 }

@@ -44,6 +44,32 @@ class CheckpointsSpec extends SparkSpec {
     }
   }
 
+  test("ETL pipeline output is mode-invariant (fan-out stage boundary)") {
+    // Patients.clean stages the derive chain before its five consumers;
+    // the full pipeline must produce identical rows in both modes.
+    // EtlPipeline.run, NOT runDefault: the latter memoizes per
+    // (session, dir) and would hand the second call the first's frames.
+    def runFresh() = graft.etl.EtlPipeline.run(spark,
+      "/root/repo/fixtures/patients.csv",
+      "/root/repo/fixtures/encounters.csv",
+      "/root/repo/fixtures/diagnoses.xml")
+    val base = runFresh()
+    val baseRows = base.patients.orderBy(col("patient_id")).collect().toSeq
+    val baseLogs = base.logs.count()
+    val dir = Files.createTempDirectory("graft-ckpt-etl").toFile
+    spark.conf.set("spark.graft.checkpoint.mode", "reliable")
+    spark.conf.set("spark.graft.checkpoint.dir", dir.getAbsolutePath)
+    try {
+      val rel = runFresh()
+      assert(rel.logs.count() === baseLogs)
+      assert(rel.patients.orderBy(col("patient_id")).collect().toSeq ===
+        baseRows)
+    } finally {
+      spark.conf.set("spark.graft.checkpoint.mode", "local")
+      spark.conf.unset("spark.graft.checkpoint.dir")
+    }
+  }
+
   test("reliable mode without a dir fails loudly") {
     spark.conf.set("spark.graft.checkpoint.mode", "reliable")
     try {
