@@ -24,7 +24,8 @@ object SparkEntry {
     llm.TextQueries,
     llm.CorpusQueries,
     llm.DedupQueries,
-    llm.SimilarityQueries)
+    llm.SimilarityQueries,
+    llm.RetrievalQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -204,5 +204,58 @@ object GraphQueries extends QueryPack {
     Some(kcoreSql(k = 3, rounds = 3)),
     headline = true)
 
-  val qs: Seq[Q] = Seq(degreeDist, labelProp, kcore)
+  /** Multi-source BFS hop distances (3 rounds) from the three
+    * smallest-id customer nodes — the reachability/radius primitive
+    * under every "how far is everything from the seed set" question
+    * (influence spread, crawl frontier depth, friend-of-friend
+    * expansion). Frontier-set formulation: per round one
+    * frontier⋈edges join (shuffle keyed on node), one anti-join
+    * against the visited set, both node-sized — never an all-pairs
+    * distance matrix. Visited state carries first-reach distance,
+    * which equals min-distance because expansion is synchronous by
+    * level; per-round stage checkpoints keep lineage flat (the CC/
+    * k-core lifecycle). Output: node count + id-sum per distance
+    * (pinning the exact reachable SET per level) plus an
+    * unreachable bucket at dist = -1. Oracle: recursive CTE
+    * level-expansion with min(dist) per node — an independent
+    * formulation of the same semantics.
+    */
+  private val bfs = Q(
+    "graph_bfs_hops",
+    (s, d) => {
+      val e = edges(s, d)
+      val sym = e.select(col("cu").as("u"), col("su").as("v"))
+        .unionByName(e.select(col("su").as("u"), col("cu").as("v")))
+      val sources = e.select(col("cu").as("node")).distinct()
+        .orderBy(col("node")).limit(3)
+      val state = graft.ops.Bfs.hops(sym, sources, rounds = 3)
+      val nodes = sym.select(col("u").as("node")).distinct()
+      val unreachable = nodes
+        .join(state.select(col("node")), Seq("node"), "left_anti")
+        .select(lit(-1L).as("dist"), col("node"))
+      state.select(col("dist"), col("node")).unionByName(unreachable)
+        .groupBy(col("dist"))
+        .agg(count(lit(1)).as("n_nodes"), sum(col("node")).as("sum_nodes"))
+        .orderBy(col("dist"))
+    },
+    Some(s"""WITH RECURSIVE e AS ($edgeSql),
+            |sym AS (SELECT cu AS u, su AS v FROM e
+            |        UNION ALL SELECT su, cu FROM e),
+            |src AS (SELECT DISTINCT cu AS node FROM e ORDER BY 1 LIMIT 3),
+            |r(node, dist) AS (
+            |  SELECT node, 0 FROM src
+            |  UNION
+            |  SELECT sym.v, r.dist + 1 FROM r JOIN sym ON sym.u = r.node
+            |  WHERE r.dist < 3),
+            |m AS (SELECT node, min(dist) AS dist FROM r GROUP BY 1),
+            |alln AS (SELECT DISTINCT u AS node FROM sym),
+            |un AS (SELECT -1 AS dist, node FROM alln
+            |  WHERE node NOT IN (SELECT node FROM m)),
+            |a AS (SELECT dist, node FROM m
+            |      UNION ALL SELECT dist, node FROM un)
+            |SELECT dist, count(*) AS n_nodes,
+            |  CAST(sum(node) AS BIGINT) AS sum_nodes
+            |FROM a GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  val qs: Seq[Q] = Seq(degreeDist, labelProp, kcore, bfs)
 }

@@ -760,9 +760,72 @@ object DedupQueries extends QueryPack {
             |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin),
     headline = true)
 
+  /** Directional CONTAINMENT-similarity self-join: report (i, j) where
+    * at least 80% of doc i's shingle set appears in doc j —
+    * C(A,B) = |A∩B| / |A| ≥ 0.8. Jaccard misses these when |B| ≫ |A|
+    * (a paragraph quoted inside a long page scores near-zero Jaccard
+    * but full containment), and quotation/subset extraction is exactly
+    * the near-dup mode web corpora are full of. Candidate generation
+    * adapts the prefix-filter lemma to the asymmetric threshold: the
+    * probe side keeps only each doc's |A| − ceil(0.8·|A|) + 1 rarest
+    * shingles (df-ascending, md5 tiebreak — the `dedup_prefix_filter_
+    * join` total order), but the INDEX side must stay complete (the
+    * containing doc is unconstrained, so every shingle of every
+    * potential container is indexed). Zero false negatives: if no
+    * probe-prefix shingle hits B, then |A∩B| < ceil(0.8|A|). Join
+    * fan-out stays bounded because every candidate pair is generated
+    * through a probe-PREFIX shingle — df-ascending prefixes make those
+    * the rare ones. Verification is integer-exact (10·∩ ≥ 8·|A|).
+    */
+  private[llm] def containmentJoin(docs: org.apache.spark.sql.DataFrame,
+      theta10: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = docs.select(col("doc_id"),
+        explode(TextAnalysis.shingles(col("text"))).as("token"))
+    val n = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val dfreq = sh.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("df"), md5(col("token")))
+    val pref = sh.join(dfreq, "token").join(n, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= col("n") - expr(s"(n * $theta10 + 9) div 10") + 1)
+      .select(col("doc_id"), col("token"))
+    val cand = pref.as("a")
+      .join(sh.select(col("doc_id").as("j"), col("token")).as("b"), "token")
+      .filter(col("doc_id") =!= col("j"))
+      .select(col("doc_id").as("i"), col("j")).distinct()
+    val inter = cand
+      .join(sh.select(col("doc_id").as("i"), col("token")), "i")
+      .join(sh.select(col("doc_id").as("j"), col("token")), Seq("j", "token"))
+      .groupBy(col("i"), col("j")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(n.select(col("doc_id").as("i"), col("n").as("n_i")), "i")
+      .filter(col("inter") * 10 >= col("n_i") * theta10)
+      .select(col("i"), col("j"), col("inter"), col("n_i"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  private val containment = Q(
+    "dedup_containment_join",
+    (s, d) => containmentJoin(Tables.documents(s, d), theta10 = 8),
+    // all-pairs directional containment — affordable at oracle scale
+    Some(s"""WITH d AS (SELECT doc_id,
+            |  list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+            |    for i in range(1, len(w)-1)]) AS sh
+            | FROM (SELECT doc_id, ${CorpusQueries.WordsExpr} AS w
+            |       FROM documents)
+            | WHERE len(w) >= 3),
+            |p AS (SELECT a.doc_id AS i, b.doc_id AS j,
+            |  len(list_intersect(a.sh, b.sh)) AS inter,
+            |  len(a.sh) AS n_i
+            | FROM d a JOIN d b ON a.doc_id <> b.doc_id)
+            |SELECT i, j, CAST(inter AS BIGINT) AS inter,
+            |  CAST(n_i AS BIGINT) AS n_i
+            |FROM p WHERE inter * 10 >= n_i * 8 ORDER BY i, j""".stripMargin))
+
   val qs: Seq[Q] = Seq(exact, minhash, simhash, ngramJaccard,
     lshClusters, lshIncremental, clusterSizeHist, clusterSurvivors, clusterBestSurvivors,
     trainingPipeline,
     trainingV2, trainingV3, trainingV4, trainingV5, prefixJoin,
-    repeatedSpans)
+    repeatedSpans, containment)
 }

@@ -1,0 +1,215 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.{Q, QueryPack, Tables}
+
+/** Retrieval / featurization extensions beyond the round-6 registry:
+  * hybrid rank fusion, hashing-trick featurization, and
+  * temperature-scaled mixture sampling — the corpus-selection shapes a
+  * training-data pipeline runs between curation and training.
+  *
+  * Everything here follows the repo's determinism spine: rankings are
+  * quantized (6-dp scores / integer micro-units) before comparison,
+  * hash-derived randomness is md5-uniform (portable to the DuckDB
+  * oracle by construction), and all compared arithmetic is either
+  * integer or an expression mirrored operand-for-operand in the oracle
+  * SQL.
+  */
+object RetrievalQueries extends QueryPack {
+
+  /** Reciprocal Rank Fusion of two bounded rank lists — inputs carry
+    * (doc_id, bm25_rank) / (doc_id, ann_rank); both must already be
+    * top-k-bounded (the fusion full-outer join re-evaluates nothing and
+    * BoundedRank broadcasts). RRF credits are floor(1e6/(rrfK+rank)) —
+    * integer micro-units from integer ranks, so the fused ordering is
+    * an exact BIGINT comparison in both engines; absent-from-list
+    * contributes 0 (rank 0 sentinel in the output).
+    */
+  private[llm] def rrfFuse(bm: org.apache.spark.sql.DataFrame,
+      ann: org.apache.spark.sql.DataFrame, k: Int,
+      rrfK: Int = 60): org.apache.spark.sql.DataFrame = {
+    val fused = bm.join(ann, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("bm25_rank"), lit(0L)).as("bm25_rank"),
+        coalesce(col("ann_rank"), lit(0L)).as("ann_rank"))
+      // 1e6/(rrfK+r) is IEEE-exact double division of small integers in
+      // both engines; floor then yields identical BIGINTs
+      .withColumn("rrf_micro",
+        (when(col("bm25_rank") > 0,
+            floor(lit(1000000) / (lit(rrfK) + col("bm25_rank"))))
+          .otherwise(0L) +
+        when(col("ann_rank") > 0,
+            floor(lit(1000000) / (lit(rrfK) + col("ann_rank"))))
+          .otherwise(0L)).cast("long"))
+    val top = fused.orderBy(col("rrf_micro").desc, col("doc_id")).limit(k)
+    graft.ops.BoundedRank.attach(top, "rank",
+        Seq("rrf_micro" -> true, "doc_id" -> false))
+      .select(col("rank"), col("doc_id"), col("rrf_micro"),
+        col("bm25_rank"), col("ann_rank"))
+      .orderBy(col("rank"))
+  }
+
+  /** Reciprocal Rank Fusion (Cormack/Clarke/Buettcher SIGIR'09) of a
+    * lexical BM25 ranking and a dense embedding-cosine ranking — the
+    * standard hybrid-retrieval combiner (score = Σ 1/(60+rank) over the
+    * lists a document appears in). Both input rankings are top-50 lists
+    * already pinned elsewhere in the registry ([[Retrieval.bm25TopK]],
+    * [[Ann.bruteTopK]]); fusion happens on the two bounded (≤50-row)
+    * rank frames, so the combine step is broadcast-sized at ANY corpus
+    * scale — the expensive work stays in the two underlying retrievals,
+    * each of which keeps its own scale shape (term-filtered aggregation;
+    * broadcast query vector).
+    */
+  private val rrf = Q(
+    "retrieval_rrf_fusion",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val emb = Tables.embeddings(s, d)
+      val bm = Retrieval.bm25TopK(docs, "doc_id", "text",
+          terms = Seq("vector", "stream", "hash"), k = 50)
+        .select(col("doc_id"), col("rank").cast("long").as("bm25_rank"))
+      val ann = Ann.bruteTopK(emb, emb.filter(col("vec_id") === 0),
+          "vec_id", "embedding", k = 50)
+        .select(col("vec_id").as("doc_id"), col("rank").cast("long").as("ann_rank"))
+      rrfFuse(bm, ann, k = 10)
+    },
+    Some(s"""WITH d AS (SELECT doc_id, ${CorpusQueries.WordsExpr} AS w
+            |  FROM documents),
+            |dd AS (SELECT doc_id, w, len(w) AS dl FROM d),
+            |stats AS (SELECT count(*) AS n_docs,
+            |   CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dd),
+            |t(term) AS (VALUES ('vector'), ('stream'), ('hash')),
+            |tf AS (SELECT doc_id, term, dl,
+            |   len(list_filter(w, x -> x = term)) AS tf
+            |  FROM dd, t WHERE len(list_filter(w, x -> x = term)) > 0),
+            |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            |sc AS (SELECT doc_id, CAST(sum(CAST(round(
+            |    ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+            |      * (tf * 2.2) / (tf + (dl / avgdl * 0.75 + 0.25) * 1.2)
+            |      * 1e6) AS BIGINT)) AS BIGINT) AS score_micro
+            |  FROM tf JOIN df USING (term), stats GROUP BY 1),
+            |bm AS (SELECT doc_id, row_number() OVER (
+            |    ORDER BY score_micro DESC, doc_id) AS bm25_rank FROM sc),
+            |bmk AS (SELECT doc_id, bm25_rank FROM bm WHERE bm25_rank <= 50),
+            |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+            |scv AS (SELECT e.vec_id AS doc_id,
+            |   round(CAST(list_cosine_similarity(qe, e.embedding) AS DOUBLE), 6) AS c
+            |  FROM q, embeddings e WHERE e.vec_id <> 0),
+            |annr AS (SELECT doc_id, row_number() OVER (
+            |    ORDER BY c DESC, doc_id) AS ann_rank FROM scv),
+            |annk AS (SELECT doc_id, ann_rank FROM annr WHERE ann_rank <= 50),
+            |f AS (SELECT COALESCE(bmk.doc_id, annk.doc_id) AS doc_id,
+            |   CAST(COALESCE(bm25_rank, 0) AS BIGINT) AS bm25_rank,
+            |   CAST(COALESCE(ann_rank, 0) AS BIGINT) AS ann_rank
+            |  FROM bmk FULL OUTER JOIN annk ON bmk.doc_id = annk.doc_id),
+            |g AS (SELECT doc_id, bm25_rank, ann_rank,
+            |   CAST((CASE WHEN bm25_rank > 0
+            |       THEN floor(1000000 / (60 + bm25_rank)) ELSE 0 END)
+            |     + (CASE WHEN ann_rank > 0
+            |       THEN floor(1000000 / (60 + ann_rank)) ELSE 0 END)
+            |     AS BIGINT) AS rrf_micro
+            |  FROM f),
+            |r AS (SELECT g.*, row_number() OVER (
+            |    ORDER BY rrf_micro DESC, doc_id) AS rank FROM g)
+            |SELECT rank, doc_id, rrf_micro, bm25_rank, ann_rank
+            |FROM r WHERE rank <= 10 ORDER BY 1""".stripMargin),
+    headline = true)
+
+  /** Hashing-trick featurization audit (Weinberger et al. ICML'09): hash
+    * every word token into a FIXED B=64-bucket feature space (md5 mod B,
+    * the portable uniform) and profile the resulting feature table —
+    * token mass, distinct-token collisions, and document coverage per
+    * bucket. The hashing trick is the scale move for featurizing
+    * unbounded vocabularies: the feature space is B columns at any
+    * corpus size, no vocabulary build, no dictionary broadcast; the
+    * whole featurization is one explode + one map-side-combinable
+    * aggregation to exactly B output rows.
+    */
+  private[llm] def featureHashProfile(docs: org.apache.spark.sql.DataFrame,
+      buckets: Int): org.apache.spark.sql.DataFrame = {
+    val wordsU = udf { (t: String) =>
+      if (t == null) Array.empty[String] else Hashing.words(t)
+    }
+    docs
+      .select(col("doc_id"), explode(wordsU(col("text"))).as("tok"))
+      .withColumn("bucket",
+        conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long") % buckets)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_tokens"),
+        count_distinct(col("tok")).as("n_distinct_tokens"),
+        count_distinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("bucket"))
+  }
+
+  private val featHash = Q(
+    "text_feature_hashing",
+    (s, d) => featureHashProfile(Tables.documents(s, d), buckets = 64),
+    Some(s"""WITH tok AS (SELECT doc_id, unnest(${CorpusQueries.WordsExpr}) AS tok
+            |  FROM documents)
+            |SELECT ('0x' || substring(md5(tok), 1, 15))::BIGINT % 64 AS bucket,
+            | count(*) AS n_tokens,
+            | count(DISTINCT tok) AS n_distinct_tokens,
+            | count(DISTINCT doc_id) AS n_docs
+            |FROM tok GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** Temperature-scaled mixture sampling (the multilingual-corpus
+    * rebalancing move, α = 0.5 — mT5/XLM-R style): sampling share per
+    * source ∝ n_s^α, which upweights small sources relative to their
+    * natural share without equalizing outright (the α → 0 limit is
+    * `text_mixture_sample`'s equal-share draw, α = 1 is proportional).
+    * Two scans: pass 1 reduces to |sources| counts, the α-scaled rates
+    * derive on that tiny frame (sqrt is IEEE-correctly-rounded — the
+    * same double in both engines), pass 2 streams the corpus against
+    * the broadcast rates keeping docs whose md5-uniform falls under
+    * their source's rate. Oversubscribed small sources saturate at
+    * rate 1 — visible via n_kept == n_docs.
+    */
+  private[llm] def temperatureMixture(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+    val stats = counts.agg(
+      sum(col("n_s")).as("n_total"),
+      sum(sqrt(col("n_s").cast("double"))).as("sum_sqrt"))
+    // target draw M = n_total/2 docs, allocated ∝ sqrt(n_s):
+    // rate_s = min(1, (n_total*0.5) * (sqrt(n_s)/sum_sqrt) / n_s)
+    val rates = counts.crossJoin(broadcast(stats))
+      .select(col("source").as("src"), col("n_s"),
+        least(lit(1.0),
+          col("n_total").cast("double") * 0.5
+            * (sqrt(col("n_s").cast("double")) / col("sum_sqrt"))
+            / col("n_s")).as("rate"))
+    val v = conv(substring(md5(col("doc_id").cast("string")), 1, 15),
+      16, 10).cast("double")
+    val u = (v + lit(1.0)) / lit(math.pow(16.0, 15) + 1.0)
+    docs.select(col("doc_id"), col("source"), u.as("u"))
+      .join(broadcast(rates), col("source") === col("src"))
+      .groupBy(col("source"))
+      .agg(max(col("n_s")).as("n_docs"),
+        sum(when(col("u") < col("rate"), 1L).otherwise(0L)).as("n_kept"))
+      .orderBy(col("source"))
+  }
+
+  private val temperature = Q(
+    "text_temperature_mixture",
+    (s, d) => temperatureMixture(Tables.documents(s, d)),
+    Some("""WITH c AS (SELECT source, count(*) AS n_s
+           |  FROM documents GROUP BY 1),
+           |st AS (SELECT CAST(sum(n_s) AS BIGINT) AS n_total,
+           |  sum(sqrt(CAST(n_s AS DOUBLE))) AS sum_sqrt FROM c),
+           |r AS (SELECT source AS src, n_s,
+           |  least(1.0, CAST(n_total AS DOUBLE) * 0.5
+           |    * (sqrt(CAST(n_s AS DOUBLE)) / sum_sqrt) / n_s) AS rate
+           | FROM c CROSS JOIN st),
+           |u AS (SELECT doc_id, source,
+           |  (CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+           |     AS BIGINT) + 1.0) / (1152921504606846976.0 + 1.0) AS u
+           | FROM documents)
+           |SELECT source, max(n_s) AS n_docs,
+           | CAST(sum(CASE WHEN u < rate THEN 1 ELSE 0 END) AS BIGINT)
+           |   AS n_kept
+           |FROM u JOIN r ON source = src
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  val qs: Seq[Q] = Seq(rrf, featHash, temperature)
+}
