@@ -651,8 +651,66 @@ object StatsQueries extends QueryPack {
            | count(*) AS n
            |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
+  /** Winsorized robust means per event_type: clamp values to the
+    * [p05, p95] order-statistic fences before summing — the standard
+    * heavy-tail guard before any mean-based monitoring (MAD flags
+    * outliers; winsorizing BOUNDS their leverage instead of dropping
+    * rows). Two passes in the house two-phase shape: pass 1 derives the
+    * per-group fences (k=⌈q·n⌉ order statistics over integer centi-units
+    * — the `agg_group_quantiles_value` convention, no interpolation
+    * tails), pass 2 streams the table once against the BROADCAST
+    * |groups|-row fence frame with a map-side-combinable clamp-and-sum.
+    * All compared quantities are exact BIGINT sums (means are a division
+    * away for the consumer; integer division on possibly-negative sums
+    * truncates differently across engines, so the sums ARE the output).
+    */
+  private val winsorized = Q(
+    "dq_winsorized_means",
+    (s, d) => {
+      val base = Tables.events(s, d).filter(col("value").isNotNull)
+        .select(col("event_type"),
+          round(col("value") * 100).cast("long").as("c"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("c"))
+      val ranked = base
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n",
+          count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      val fences = ranked.groupBy(col("event_type"))
+        .agg(max(when(col("rn") <= ceil(lit(0.05) * col("n")), col("c")))
+            .as("lo_centi"),
+          max(when(col("rn") <= ceil(lit(0.95) * col("n")), col("c")))
+            .as("hi_centi"))
+      base.join(broadcast(fences), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          max(col("lo_centi")).as("lo_centi"),
+          max(col("hi_centi")).as("hi_centi"),
+          sum(col("c")).as("sum_raw_centi"),
+          sum(least(greatest(col("c"), col("lo_centi")), col("hi_centi")))
+            .as("sum_winsor_centi"))
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH b AS (SELECT event_type,
+           |  CAST(round(value*100) AS BIGINT) AS c
+           | FROM events WHERE value IS NOT NULL),
+           |r AS (SELECT event_type, c,
+           |  row_number() OVER (PARTITION BY event_type ORDER BY c) AS rn,
+           |  count(*) OVER (PARTITION BY event_type) AS n FROM b),
+           |f AS (SELECT event_type,
+           |  max(CASE WHEN rn <= ceil(0.05 * n) THEN c END) AS lo_centi,
+           |  max(CASE WHEN rn <= ceil(0.95 * n) THEN c END) AS hi_centi
+           | FROM r GROUP BY 1)
+           |SELECT event_type, count(*) AS n,
+           | max(lo_centi) AS lo_centi, max(hi_centi) AS hi_centi,
+           | CAST(sum(c) AS BIGINT) AS sum_raw_centi,
+           | CAST(sum(least(greatest(c, lo_centi), hi_centi)) AS BIGINT)
+           |   AS sum_winsor_centi
+           |FROM b JOIN f USING (event_type)
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
   override def qs: Seq[Q] =
     Seq(triangles, trend, pareto, equidepth, madOutliers, zorder,
       compactionBins, distributionDrift, windowValues, rollingWau,
-      groupQuantiles, benford, rankMetrics, groupedMode, hist2d)
+      groupQuantiles, benford, rankMetrics, groupedMode, hist2d,
+      winsorized)
 }

@@ -532,7 +532,92 @@ object Temporal extends QueryPack {
            |   AS credit_micro
            |FROM r GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** CUSUM changepoint estimation on the daily event-count series, per
+    * event_type (Page 1954 — the classic level-shift detector): the
+    * estimated changepoint is the day maximizing |cumulative deviation
+    * from the series mean|. All integer: with S = Σcounts over N days
+    * and prefix_t the running count sum, the deviation prefix_t − t·S/N
+    * is scaled by N to dev_t = N·prefix_t − t·S — an exact BIGINT, no
+    * mean rounding anywhere (the integral-sufficient-statistics rule).
+    * One day-level aggregation (map-side combined, |days|×|types|
+    * rows), one per-type window over that BOUNDED daily frame — the raw
+    * event table never enters a window. Argmax via one max(struct)
+    * (|dev| desc, earliest day tiebreak), partial-aggregating.
+    */
+  private val changepoint = Q(
+    "ts_changepoint_cusum",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val wAll = Window.partitionBy(col("event_type"))
+      val dev = daily
+        .withColumn("t", row_number().over(w))
+        .withColumn("prefix", sum(col("cnt")).over(w))
+        .withColumn("n_days", count(lit(1)).over(wAll))
+        .withColumn("total", sum(col("cnt")).over(wAll))
+        .withColumn("dev",
+          col("n_days") * col("prefix") - col("t") * col("total"))
+      dev.groupBy(col("event_type"))
+        .agg(max(col("n_days")).as("n_days"), max(col("total")).as("total"),
+          max(struct(abs(col("dev")).as("absdev"), (-col("t")).as("negt"),
+            col("day"), col("dev"))).as("b"))
+        .select(col("event_type"), col("n_days"), col("total"),
+          col("b.day").as("cp_day"), col("b.absdev").as("max_absdev"))
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+           |  count(*) AS cnt FROM events GROUP BY 1, 2),
+           |d AS (SELECT event_type, day, cnt,
+           |  row_number() OVER (PARTITION BY event_type ORDER BY day) AS t,
+           |  CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY day)
+           |    AS BIGINT) AS prefix,
+           |  count(*) OVER (PARTITION BY event_type) AS n_days,
+           |  CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS total
+           | FROM daily),
+           |v AS (SELECT event_type, day, n_days, total,
+           |  n_days * prefix - t * total AS dev,
+           |  row_number() OVER (PARTITION BY event_type
+           |    ORDER BY abs(n_days * prefix - t * total) DESC, t) AS rk
+           | FROM d)
+           |SELECT event_type, n_days, total, day AS cp_day,
+           | CAST(abs(dev) AS BIGINT) AS max_absdev
+           |FROM v WHERE rk = 1 ORDER BY 1""".stripMargin))
+
+  /** Top-3 event types per hourly tumbling window — the windowed top-K
+    * shape every streaming dashboard runs ("trending now"). Batch twin
+    * of the streaming formulation: hourly counts (map-side combined to
+    * |hours|×|types| rows), then a rank window PARTITIONED by the hour
+    * bucket — the partition key makes it scale-safe (each window's
+    * top-K sorts only that window's |types| rows; contrast
+    * ops/GlobalOrder for the unpartitioned case). Tiebreak on
+    * event_type is safe here: the enum is ASCII (the non-ASCII
+    * collation rule bars unicode ORDER BY, not enum codes).
+    */
+  private val windowedTopK = Q(
+    "stream_windowed_topk",
+    (s, d) => {
+      val hourly = Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour").getField("start").as("hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("hour"))
+        .orderBy(col("n").desc, col("event_type"))
+      hourly.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("hour"), col("rank"), col("event_type"), col("n"))
+        .orderBy(col("hour"), col("rank"))
+    },
+    Some("""WITH h AS (SELECT date_trunc('hour', ts) AS hour, event_type,
+           |  count(*) AS n FROM events GROUP BY 1, 2),
+           |r AS (SELECT hour, event_type, n, row_number() OVER (
+           |  PARTITION BY hour ORDER BY n DESC, event_type) AS rank FROM h)
+           |SELECT hour, rank, event_type, n FROM r
+           |WHERE rank <= 3 ORDER BY 1, 2""".stripMargin))
+
   val qs: Seq[Q] = Seq(asof, asofBucketed, tumbling, jsonExtract, sliding,
     sessionWindows, funnel, cohorts, streamDedup, enrichStatic, gapfill,
-    anomalies, scd2Runs, peakWindows, attribution)
+    anomalies, scd2Runs, peakWindows, attribution, changepoint,
+    windowedTopK)
 }
