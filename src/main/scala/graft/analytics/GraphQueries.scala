@@ -257,5 +257,49 @@ object GraphQueries extends QueryPack {
             |  CAST(sum(node) AS BIGINT) AS sum_nodes
             |FROM a GROUP BY 1 ORDER BY 1""".stripMargin))
 
-  val qs: Seq[Q] = Seq(degreeDist, labelProp, kcore, bfs)
+  /** Common-neighbor Jaccard similarity between suppliers (link
+    * prediction / "customers also bought from" — the neighborhood-
+    * overlap score behind collaborative recommendations): for supplier
+    * pairs sharing at least one customer, J = |N(i)∩N(j)| / |N(i)∪N(j)|
+    * over customer neighborhoods, reported in integer basis points
+    * (positive integers — `div` and `//` agree). Candidate pairs come
+    * from wedge expansion keyed on the shared customer (one self-join
+    * on the edge list, count = common-neighbor cardinality) — never a
+    * supplier×supplier cross product; the pair space is bounded by the
+    * supplier dimension squared and in general graphs would be capped
+    * by degree-orienting the wedge node (the `graph_triangle_count`
+    * move) or minhashing neighbor sets. Top-20 by similarity via
+    * TakeOrderedAndProject.
+    */
+  private val jaccardNeighbors = Q(
+    "graph_jaccard_neighbors",
+    (s, d) => {
+      val e = edges(s, d)
+      val deg = e.groupBy(col("su")).agg(count(lit(1)).as("deg"))
+      val pairs = e.as("a")
+        .join(e.withColumnRenamed("su", "sv").as("b"), "cu")
+        .filter(col("su") < col("sv"))
+        .groupBy(col("su").as("i"), col("sv").as("j"))
+        .agg(count(lit(1)).as("common"))
+      pairs
+        .join(deg.select(col("su").as("i"), col("deg").as("deg_i")), "i")
+        .join(deg.select(col("su").as("j"), col("deg").as("deg_j")), "j")
+        .withColumn("jac_bp",
+          expr("(common * 10000) div (deg_i + deg_j - common)"))
+        .select(col("i"), col("j"), col("common"), col("deg_i"),
+          col("deg_j"), col("jac_bp"))
+        .orderBy(col("jac_bp").desc, col("i"), col("j"))
+        .limit(20)
+    },
+    Some(s"""WITH e AS ($edgeSql),
+            |deg AS (SELECT su, count(*) AS deg FROM e GROUP BY 1),
+            |p AS (SELECT a.su AS i, b.su AS j, count(*) AS common
+            |  FROM e a JOIN e b ON a.cu = b.cu AND a.su < b.su
+            |  GROUP BY 1, 2)
+            |SELECT i, j, common, di.deg AS deg_i, dj.deg AS deg_j,
+            |  (common * 10000) // (di.deg + dj.deg - common) AS jac_bp
+            |FROM p JOIN deg di ON di.su = i JOIN deg dj ON dj.su = j
+            |ORDER BY jac_bp DESC, i, j LIMIT 20""".stripMargin))
+
+  val qs: Seq[Q] = Seq(degreeDist, labelProp, kcore, bfs, jaccardNeighbors)
 }

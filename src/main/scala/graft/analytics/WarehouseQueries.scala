@@ -439,7 +439,115 @@ object WarehouseQueries extends QueryPack {
            |   // max(CASE WHEN half = 'a' THEN ndv END) AS ndv_ratio_bp
            |FROM g GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** Incremental JOIN maintenance — the delta-join identity every
+    * incremental view engine rests on: with A = A₀∪ΔA, B = B₀∪ΔB,
+    *   A⋈B = A₀⋈B₀ ∪ A₀⋈ΔB ∪ ΔA⋈B₀ ∪ ΔA⋈ΔB,
+    * so yesterday's materialized A₀⋈B₀ aggregate plus three
+    * delta-bounded joins equals today's full recompute WITHOUT
+    * rescanning the base-base pair. The three delta joins each carry a
+    * delta on at least one side — broadcast-sized when the daily delta
+    * is small, which is the whole economics of incremental maintenance
+    * at 100 TB. Deltas here are the orderkey%10==9 slice (a ~10%
+    * "new arrivals" batch); partial aggregates merge by summing (count
+    * and integer cent·bp revenue are both commutative monoids). The
+    * oracle is the FULL-recompute join in DuckDB — equality proves the
+    * delta decomposition, not just the arithmetic.
+    *
+    * Determinism: revenue per row is ext_cents·(10000−disc_bp), exact
+    * BIGINT cent-basis-point units (each factor rounds a 2-to-4-dp
+    * double once), so partial-merge order cannot skew sums.
+    */
+  private val incJoinMerge = Q(
+    "inc_join_merge",
+    (s, d) => {
+      val ord = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_orderpriority"), (col("o_orderkey") % 10 === 9).as("od"))
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"),
+        (round(col("l_extendedprice") * 100).cast("long") *
+          (lit(10000L) - round(col("l_discount") * 10000).cast("long")))
+          .as("rev_cbp"),
+        (col("l_orderkey") % 10 === 9).as("ld"))
+      def part(oDelta: Boolean, lDelta: Boolean) =
+        ord.filter(col("od") === oDelta)
+          .join(li.filter(col("ld") === lDelta),
+            col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"), sum(col("rev_cbp")).as("rev_cbp"))
+      // base⋈base is "yesterday's materialization"; the three
+      // delta-bounded joins are today's increment; merge = re-aggregate
+      part(false, false)
+        .unionByName(part(false, true))
+        .unionByName(part(true, false))
+        .unionByName(part(true, true))
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("n")).as("n"), sum(col("rev_cbp")).as("rev_cbp"))
+        .orderBy(col("o_orderpriority"))
+    },
+    // full recompute — equality proves the delta-join decomposition
+    Some("""SELECT o_orderpriority, count(*) AS n,
+           | CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           |   * (10000 - CAST(round(l_discount * 10000) AS BIGINT)))
+           |   AS BIGINT) AS rev_cbp
+           |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** RFM customer segmentation (recency / frequency / monetary — the
+    * classic CRM value model): per customer, days since last order,
+    * order count, and lifetime spend in cents; each metric quintiled
+    * with EXACT SQL ntile semantics via [[graft.ops.GlobalOrder.ntileBy]]
+    * — the two-phase range-bucketed global index, never an
+    * unpartitioned window (three of them, here). Output is the bounded
+    * ≤5³ segment grid with customer counts and spend — the shape a
+    * marketing warehouse materializes nightly. Tile 1 = most recent /
+    * most orders / highest spend (frequency and spend rank on the
+    * NEGATED metric, custkey tiebreak everywhere).
+    */
+  private val rfm = Q(
+    "rfm_customer_segments",
+    (s, d) => {
+      val perCust = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(max(col("o_orderdate").cast("date")).as("last_day"),
+          count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("spend_centi"))
+      val maxDay = perCust.agg(max(col("last_day")).as("gmax"))
+      val base = perCust.crossJoin(broadcast(maxDay))
+        .select(col("o_custkey"),
+          datediff(col("gmax"), col("last_day")).cast("long").as("rec_days"),
+          col("n_orders"), col("spend_centi"),
+          (-col("n_orders")).as("neg_orders"),
+          (-col("spend_centi")).as("neg_spend"))
+      val tiled = {
+        val t1 = graft.ops.GlobalOrder.ntileBy(base, "rec_days", "o_custkey", 5, "r_tile")
+        val t2 = graft.ops.GlobalOrder.ntileBy(t1, "neg_orders", "o_custkey", 5, "f_tile")
+        graft.ops.GlobalOrder.ntileBy(t2, "neg_spend", "o_custkey", 5, "m_tile")
+      }
+      tiled.groupBy(col("r_tile"), col("f_tile"), col("m_tile"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("spend_centi")).as("sum_spend_centi"))
+        .orderBy(col("r_tile"), col("f_tile"), col("m_tile"))
+    },
+    Some("""WITH pc AS (SELECT o_custkey,
+           |  max(CAST(o_orderdate AS DATE)) AS last_day,
+           |  count(*) AS n_orders,
+           |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           |    AS spend_centi
+           | FROM orders GROUP BY 1),
+           |g AS (SELECT max(last_day) AS gmax FROM pc),
+           |b AS (SELECT o_custkey,
+           |  CAST(date_diff('day', last_day, gmax) AS BIGINT) AS rec_days,
+           |  n_orders, spend_centi FROM pc, g),
+           |t AS (SELECT spend_centi,
+           |  ntile(5) OVER (ORDER BY rec_days, o_custkey) AS r_tile,
+           |  ntile(5) OVER (ORDER BY -n_orders, o_custkey) AS f_tile,
+           |  ntile(5) OVER (ORDER BY -spend_centi, o_custkey) AS m_tile
+           | FROM b)
+           |SELECT r_tile, f_tile, m_tile, count(*) AS n_customers,
+           | CAST(sum(spend_centi) AS BIGINT) AS sum_spend_centi
+           |FROM t GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin))
+
   override def qs: Seq[Q] =
     Seq(upsertMerge, incMerge, cmsEstimates, kmvOverlap, checksumBuckets,
-      calendarDim, jsonKeyProfile, fdAudit, profileDrift)
+      calendarDim, jsonKeyProfile, fdAudit, profileDrift, incJoinMerge,
+      rfm)
 }
