@@ -546,8 +546,58 @@ object WarehouseQueries extends QueryPack {
            | CAST(sum(spend_centi) AS BIGINT) AS sum_spend_centi
            |FROM t GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin))
 
+  /** k-anonymity / l-diversity privacy audit (Sweeney 2002; Machanavajjhala
+    * 2007) — the release-gate check a data pipeline runs before shipping
+    * any table containing quasi-identifiers: group rows into equivalence
+    * classes on the QI tuple (here nation × market segment), report the
+    * class-size (k) distribution with classes and row mass per band, the
+    * re-identifiable row share (k < 5) in basis points, and each band's
+    * minimum l-diversity over a sensitive attribute (account-balance
+    * sign — the "does every class mix sensitive values" check; a class
+    * with l=1 leaks the attribute even at high k). One QI aggregation
+    * (map-side combined, |QI-space| rows) then a banded rollup —
+    * |bands| output rows at any scale. All-integer outputs; the share
+    * uses integer bp division on positive counts (`div` == `//`).
+    */
+  private val kAnonymity = Q(
+    "dq_k_anonymity",
+    (s, d) => {
+      val classes = Tables.customer(s, d)
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("k"),
+          count_distinct(when(col("c_acctbal") >= 0, 1).otherwise(0))
+            .as("l_div"))
+      val banded = classes
+        .withColumn("k_band",
+          when(col("k") <= 10, col("k")).otherwise(lit(11L)))
+        .groupBy(col("k_band"))
+        .agg(count(lit(1)).as("n_classes"), sum(col("k")).as("n_rows"),
+          min(col("l_div")).as("min_l"))
+      val total = classes.agg(sum(col("k")).as("n_total"),
+        sum(when(col("k") < 5, col("k")).otherwise(0L)).as("n_risky"))
+      banded.crossJoin(broadcast(total))
+        .select(col("k_band"), col("n_classes"), col("n_rows"),
+          col("min_l"),
+          expr("(n_risky * 10000) div n_total").as("risky_bp"))
+        .orderBy(col("k_band"))
+    },
+    Some("""WITH c AS (SELECT c_nationkey, c_mktsegment, count(*) AS k,
+           |  count(DISTINCT CASE WHEN c_acctbal >= 0 THEN 1 ELSE 0 END)
+           |    AS l_div
+           | FROM customer GROUP BY 1, 2),
+           |b AS (SELECT CASE WHEN k <= 10 THEN k ELSE 11 END AS k_band,
+           |  count(*) AS n_classes, CAST(sum(k) AS BIGINT) AS n_rows,
+           |  min(l_div) AS min_l
+           | FROM c GROUP BY 1),
+           |t AS (SELECT CAST(sum(k) AS BIGINT) AS n_total,
+           |  CAST(sum(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT)
+           |    AS n_risky FROM c)
+           |SELECT k_band, n_classes, n_rows, min_l,
+           | (n_risky * 10000) // n_total AS risky_bp
+           |FROM b, t ORDER BY 1""".stripMargin))
+
   override def qs: Seq[Q] =
     Seq(upsertMerge, incMerge, cmsEstimates, kmvOverlap, checksumBuckets,
       calendarDim, jsonKeyProfile, fdAudit, profileDrift, incJoinMerge,
-      rfm)
+      rfm, kAnonymity)
 }
