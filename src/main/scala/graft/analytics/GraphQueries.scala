@@ -224,11 +224,17 @@ object GraphQueries extends QueryPack {
     "graph_bfs_hops",
     (s, d) => {
       val e = edges(s, d)
+      // staged HERE (not inside Bfs): the unreachable-bucket pass below
+      // reuses the same frame — unstaged, it re-planned the whole
+      // orders⋈lineitem edge build a second time
       val sym = e.select(col("cu").as("u"), col("su").as("v"))
         .unionByName(e.select(col("su").as("u"), col("cu").as("v")))
-      val sources = e.select(col("cu").as("node")).distinct()
+        .stageCheckpoint()
+      val sources = sym.select(col("u").as("node")).distinct()
+        .filter(col("node") < 1000000L)
         .orderBy(col("node")).limit(3)
-      val state = graft.ops.Bfs.hops(sym, sources, rounds = 3)
+      val state = graft.ops.Bfs.hops(sym, sources, rounds = 3,
+        stageEdges = false)
       val nodes = sym.select(col("u").as("node")).distinct()
       val unreachable = nodes
         .join(state.select(col("node")), Seq("node"), "left_anti")

@@ -511,15 +511,22 @@ object WarehouseQueries extends QueryPack {
           count(lit(1)).as("n_orders"),
           sum(round(col("o_totalprice") * 100).cast("long")).as("spend_centi"))
       val maxDay = perCust.agg(max(col("last_day")).as("gmax"))
+      // staged: each ntileBy runs two ACTIONS (quantile sketch + bucket
+      // counts) on its input — unstaged, the second and third tiles
+      // re-plan the orders scan+aggregate per action (8 scans total)
+      import graft.ops.Checkpoints.StageCheckpoint
       val base = perCust.crossJoin(broadcast(maxDay))
         .select(col("o_custkey"),
           datediff(col("gmax"), col("last_day")).cast("long").as("rec_days"),
           col("n_orders"), col("spend_centi"),
           (-col("n_orders")).as("neg_orders"),
           (-col("spend_centi")).as("neg_spend"))
+        .stageCheckpoint()
       val tiled = {
         val t1 = graft.ops.GlobalOrder.ntileBy(base, "rec_days", "o_custkey", 5, "r_tile")
+          .stageCheckpoint()
         val t2 = graft.ops.GlobalOrder.ntileBy(t1, "neg_orders", "o_custkey", 5, "f_tile")
+          .stageCheckpoint()
         graft.ops.GlobalOrder.ntileBy(t2, "neg_spend", "o_custkey", 5, "m_tile")
       }
       tiled.groupBy(col("r_tile"), col("f_tile"), col("m_tile"))

@@ -24,20 +24,25 @@ object Bfs {
     * Returns (node, dist) for every node reached within `rounds` hops;
     * dist 0 = the sources themselves.
     */
-  def hops(sym: DataFrame, sources: DataFrame, rounds: Int): DataFrame = {
-    val symC = sym.stageCheckpoint()
-    var state = sources.select(col("node"))
-      .withColumn("dist", lit(0L)).stageCheckpoint()
-    var frontier = state.select(col("node"))
+  /** `stageEdges = false` when the caller already staged `sym` (and
+    * reuses it elsewhere) — staging twice would materialize a second
+    * copy of the edge frame.
+    */
+  def hops(sym: DataFrame, sources: DataFrame, rounds: Int,
+      stageEdges: Boolean = true): DataFrame = {
+    val symC = if (stageEdges) sym.stageCheckpoint() else sym
+    var frontier = sources.select(col("node")).stageCheckpoint()
+    // state stays a lazy union of per-round CHECKPOINTED frontiers:
+    // each member's lineage is already flat, so the union never
+    // re-plans — one materialization per round, not two
+    var state = frontier.withColumn("dist", lit(0L))
     for (r <- 1 to rounds) {
       val next = symC.join(frontier.select(col("node").as("u")), Seq("u"))
         .select(col("v").as("node")).distinct()
         .join(state.select(col("node")), Seq("node"), "left_anti")
         .stageCheckpoint()
       frontier = next
-      state = state
-        .unionByName(next.withColumn("dist", lit(r.toLong)))
-        .stageCheckpoint()
+      state = state.unionByName(next.withColumn("dist", lit(r.toLong)))
     }
     state
   }
