@@ -781,13 +781,16 @@ object DedupQueries extends QueryPack {
       theta10: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.ops.Checkpoints.StageCheckpoint
-    // shingle SETS staged once as arrays: the UDF shingling runs one
-    // pass, the exploded (doc, token) view derives cheaply from the
-    // staged frame, and verification intersects the two compact arrays
+    // shingle SETS staged once as arrays (strings for the exact verify,
+    // 64-bit hashes for the shuffle-bound prefilter): the UDF shingling
+    // runs one pass, the exploded (doc, token) view derives cheaply
+    // from the staged frame, and verification intersects compact arrays
     // per candidate pair instead of re-shuffling exploded token rows
     // (measured min 9.7s → 3.4s at sf0.1 vs the explode-join verify)
     val sets = docs.select(col("doc_id"),
         TextAnalysis.shingles(col("text")).as("sh"))
+      .withColumn("hs", array_sort(array_distinct(
+        transform(col("sh"), t => xxhash64(t)))))
       .stageCheckpoint()
     val sh = sets.select(col("doc_id"), explode(col("sh")).as("token"))
     val n = sets.select(col("doc_id"), size(col("sh")).cast("long").as("n"))
@@ -798,17 +801,43 @@ object DedupQueries extends QueryPack {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= col("n") - expr(s"(n * $theta10 + 9) div 10") + 1)
       .select(col("doc_id"), col("token"))
+    // candidates verified as UNORDERED pairs (near-dups are candidates
+    // in both directions — verifying once halves the array-carrying
+    // join) through a hash-array prefilter: hashed intersections can
+    // only GROW (cross-doc collisions) and hashed set sizes only
+    // SHRINK (in-doc collisions), so every true containment passes the
+    // prefilter — zero false negatives by construction; the few
+    // prefilter survivors re-verify on the exact string arrays. The
+    // hash arrays cut the wide shuffle's payload ~3× vs string
+    // arrays, which is what kept the single-JVM 3×-scale run out of
+    // spill territory.
     val cand = pref.as("a")
       .join(sh.select(col("doc_id").as("j"), col("token")).as("b"), "token")
       .filter(col("doc_id") =!= col("j"))
-      .select(col("doc_id").as("i"), col("j")).distinct()
-    cand
+      .select(least(col("doc_id"), col("j")).as("i"),
+        greatest(col("doc_id"), col("j")).as("j"))
+      .distinct()
+    val hsI = sets.select(col("doc_id").as("i"), col("hs").as("hs_i"))
+    val hsJ = sets.select(col("doc_id").as("j"), col("hs").as("hs_j"))
+    val survivors = cand.join(hsI, "i").join(hsJ, "j")
+      .withColumn("hinter",
+        size(array_intersect(col("hs_i"), col("hs_j"))).cast("long"))
+      .filter(col("hinter") * 10 >=
+        least(size(col("hs_i")), size(col("hs_j"))).cast("long") * theta10)
+      .select(col("i"), col("j"))
+    val exact = survivors
       .join(sets.select(col("doc_id").as("i"), col("sh").as("sh_i")), "i")
       .join(sets.select(col("doc_id").as("j"), col("sh").as("sh_j")), "j")
       .select(col("i"), col("j"),
         size(array_intersect(col("sh_i"), col("sh_j"))).cast("long").as("inter"),
-        size(col("sh_i")).cast("long").as("n_i"))
-      .filter(col("inter") * 10 >= col("n_i") * theta10)
+        size(col("sh_i")).cast("long").as("n_i"),
+        size(col("sh_j")).cast("long").as("n_j"))
+    // re-emit directional rows: i⊆j and/or j⊆i as each threshold holds
+    exact.filter(col("inter") * 10 >= col("n_i") * theta10)
+      .select(col("i"), col("j"), col("inter"), col("n_i"))
+      .unionByName(exact.filter(col("inter") * 10 >= col("n_j") * theta10)
+        .select(col("j").as("i"), col("i").as("j"), col("inter"),
+          col("n_j").as("n_i")))
       .orderBy(col("i"), col("j"))
   }
 
