@@ -11,7 +11,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * built-ins, including codegen.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  import GraftExtensions.unary
+  import GraftExtensions.{binary, unary}
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
@@ -22,6 +22,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("poly_hash"),
       new ExpressionInfo(classOf[PolyHash].getName, "poly_hash"),
       unary("poly_hash", PolyHash.apply(_: Expression))))
+    ext.injectFunction((
+      new FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
+      binary("cosine_sim", CosineSim(_, _))))
   }
 }
 
@@ -38,11 +42,21 @@ object GraftExtensions {
       build(children.head)
     }
 
+  private[functions] def binary(name: String,
+      build: (Expression, Expression) => Expression): Seq[Expression] => Expression =
+    children => {
+      require(children.size == 2,
+        s"$name expects exactly 2 arguments, got ${children.size}")
+      build(children.head, children(1))
+    }
+
   /** Late registration onto an existing session (harness driver path). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     org.apache.spark.sql.graftshim.ColumnBridge.registerTempFunction(
       spark, "nfkc_lower", unary("nfkc_lower", NfkcLower))
     org.apache.spark.sql.graftshim.ColumnBridge.registerTempFunction(
       spark, "poly_hash", unary("poly_hash", PolyHash.apply(_: Expression)))
+    org.apache.spark.sql.graftshim.ColumnBridge.registerTempFunction(
+      spark, "cosine_sim", binary("cosine_sim", CosineSim(_, _)))
   }
 }

@@ -24,9 +24,11 @@ import org.apache.spark.sql.functions._
   */
 object Ann {
 
-  private val cosUdf = udf((a: Array[Float], b: Array[Float]) => Hashing.cosine(a, b))
-
-  def cosine(a: Column, b: Column): Column = cosUdf(a, b)
+  /** Cosine via the native codegen expression ([[graft.functions.CosineSim]]
+    * — bit-identical arithmetic to [[Hashing.cosine]], no UDF boundary,
+    * stays inside whole-stage codegen).
+    */
+  def cosine(a: Column, b: Column): Column = graft.functions.CosineSim(a, b)
 
   /** Exact top-k neighbors for each query row (self excluded). Queries are
     * broadcast; ranking is a per-query window (k-row heaps, no global

@@ -208,4 +208,38 @@ class KmvSpec extends SparkSpec {
     val est = KmvAgg.estimateDistinctMd5(a, k)
     assert(math.abs(est - 5000) / 5000.0 < 5.0 / math.sqrt(k.toDouble), est)
   }
+
+  test("CosineSim: bit-identical to the JVM loop, null-safe, SQL-callable") {
+    val vecs = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(3.0f, 2.0f, 1.0f)),
+      (Array(0.5f, -0.25f, 0.125f), Array(-1.0f, 4.0f, 2.0f)),
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f)))
+    val df = {
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(
+        vecs.map { case (a, b) =>
+          org.apache.spark.sql.Row(a.toSeq, b.toSeq)
+        }.asJava,
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "a ARRAY<FLOAT>, b ARRAY<FLOAT>"))
+    }
+    val viaExpr = df.select(CosineSim(col("a"), col("b")))
+      .collect().map(_.getDouble(0))
+    val viaLoop = vecs.map { case (a, b) => graft.llm.Hashing.cosine(a, b) }
+    // bit-identical, not approximately-equal: same index-order double
+    // accumulation in both paths
+    viaExpr.zip(viaLoop).foreach { case (e, l) =>
+      assert(java.lang.Double.doubleToLongBits(e) ===
+        java.lang.Double.doubleToLongBits(l))
+    }
+    // null-safe + SQL surface
+    GraftExtensions.register(spark)
+    df.createOrReplaceTempView("cos_vecs")
+    val viaSql = spark.sql(
+      "SELECT cosine_sim(a, b), cosine_sim(a, CAST(NULL AS ARRAY<FLOAT>)) FROM cos_vecs LIMIT 1")
+      .collect()(0)
+    assert(java.lang.Double.doubleToLongBits(viaSql.getDouble(0)) ===
+      java.lang.Double.doubleToLongBits(viaLoop.head))
+    assert(viaSql.isNullAt(1))
+  }
 }
