@@ -261,7 +261,8 @@ object GraphQueries extends QueryPack {
             |      UNION ALL SELECT dist, node FROM un)
             |SELECT dist, count(*) AS n_nodes,
             |  CAST(sum(node) AS BIGINT) AS sum_nodes
-            |FROM a GROUP BY 1 ORDER BY 1""".stripMargin))
+            |FROM a GROUP BY 1 ORDER BY 1""".stripMargin),
+    headline = true)
 
   /** Common-neighbor Jaccard similarity between suppliers (link
     * prediction / "customers also bought from" — the neighborhood-
@@ -305,7 +306,8 @@ object GraphQueries extends QueryPack {
             |SELECT i, j, common, di.deg AS deg_i, dj.deg AS deg_j,
             |  (common * 10000) // (di.deg + dj.deg - common) AS jac_bp
             |FROM p JOIN deg di ON di.su = i JOIN deg dj ON dj.su = j
-            |ORDER BY jac_bp DESC, i, j LIMIT 20""".stripMargin))
+            |ORDER BY jac_bp DESC, i, j LIMIT 20""".stripMargin),
+    headline = true)
 
   val qs: Seq[Q] = Seq(degreeDist, labelProp, kcore, bfs, jaccardNeighbors)
 }

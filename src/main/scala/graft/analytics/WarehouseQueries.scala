@@ -551,7 +551,8 @@ object WarehouseQueries extends QueryPack {
            | FROM b)
            |SELECT r_tile, f_tile, m_tile, count(*) AS n_customers,
            | CAST(sum(spend_centi) AS BIGINT) AS sum_spend_centi
-           |FROM t GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin))
+           |FROM t GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin),
+    headline = true)
 
   /** k-anonymity / l-diversity privacy audit (Sweeney 2002; Machanavajjhala
     * 2007) — the release-gate check a data pipeline runs before shipping

@@ -857,7 +857,8 @@ object DedupQueries extends QueryPack {
             | FROM d a JOIN d b ON a.doc_id <> b.doc_id)
             |SELECT i, j, CAST(inter AS BIGINT) AS inter,
             |  CAST(n_i AS BIGINT) AS n_i
-            |FROM p WHERE inter * 10 >= n_i * 8 ORDER BY i, j""".stripMargin))
+            |FROM p WHERE inter * 10 >= n_i * 8 ORDER BY i, j""".stripMargin),
+    headline = true)
 
   val qs: Seq[Q] = Seq(exact, minhash, simhash, ngramJaccard,
     lshClusters, lshIncremental, clusterSizeHist, clusterSurvivors, clusterBestSurvivors,
