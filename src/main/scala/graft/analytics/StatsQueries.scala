@@ -708,9 +708,70 @@ object StatsQueries extends QueryPack {
            |FROM b JOIN f USING (event_type)
            |GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** Two-proportion A/B z-test per metric (the experimentation
+    * readout): users md5-split 50/50 into variants (deterministic,
+    * reproducible — the same uniform convention as every sampler
+    * here), conversion = "user emitted ≥1 event of type t", and the
+    * z² > 4 (|z| > 2) significance test rewritten over integral
+    * sufficient statistics —
+    *   n·(cA·nB − cB·nA)² > 4·c·(n−c)·nA·nB
+    * — so no proportion, pooled variance, or standard error is ever
+    * rounded (the ts_anomalous_hours rule); the single squaring
+    * happens in double from identical exact integers. Scale shape:
+    * one distinct-pairs aggregation per metric (map-side combined),
+    * variant totals broadcast as one row; at any user count the
+    * compared frame is |metrics| rows.
+    */
+  private val abTest = Q(
+    "stats_ab_proportion_ztest",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val users = ev.select(col("user_id")).distinct()
+        .withColumn("v",
+          conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+            .cast("long") % 2)
+      val tot = users.agg(
+        sum(when(col("v") === 0, 1L).otherwise(0L)).as("nA"),
+        sum(when(col("v") === 1, 1L).otherwise(0L)).as("nB"))
+      val convs = ev.select(col("event_type"), col("user_id")).distinct()
+        .join(users, "user_id")
+        .groupBy(col("event_type"))
+        .agg(sum(when(col("v") === 0, 1L).otherwise(0L)).as("cA"),
+          sum(when(col("v") === 1, 1L).otherwise(0L)).as("cB"))
+      convs.crossJoin(broadcast(tot))
+        .withColumn("n", col("nA") + col("nB"))
+        .withColumn("c", col("cA") + col("cB"))
+        .withColumn("significant",
+          (col("n").cast("double") *
+            pow((col("cA") * col("nB") - col("cB") * col("nA")).cast("double"), 2)
+            > (lit(4) * col("c") * (col("n") - col("c")) * col("nA") * col("nB"))
+              .cast("double")).cast("int"))
+        .select(col("event_type"), col("nA"), col("nB"), col("cA"),
+          col("cB"), col("significant"))
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH u AS (SELECT DISTINCT user_id FROM events),
+           |v AS (SELECT user_id,
+           |  ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+           |    % 2 AS v FROM u),
+           |t AS (SELECT CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nA,
+           |  CAST(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nB FROM v),
+           |p AS (SELECT DISTINCT event_type, user_id FROM events),
+           |c AS (SELECT event_type,
+           |  CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS cA,
+           |  CAST(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cB
+           | FROM p JOIN v USING (user_id) GROUP BY 1)
+           |SELECT event_type, nA, nB, cA, cB,
+           | CAST(CASE WHEN CAST(nA + nB AS DOUBLE)
+           |     * pow(CAST(cA * nB - cB * nA AS DOUBLE), 2)
+           |     > CAST(4 * (cA + cB) * ((nA + nB) - (cA + cB)) * nA * nB
+           |       AS DOUBLE)
+           |   THEN 1 ELSE 0 END AS INT) AS significant
+           |FROM c, t ORDER BY 1""".stripMargin))
+
   override def qs: Seq[Q] =
     Seq(triangles, trend, pareto, equidepth, madOutliers, zorder,
       compactionBins, distributionDrift, windowValues, rollingWau,
       groupQuantiles, benford, rankMetrics, groupedMode, hist2d,
-      winsorized)
+      winsorized, abTest)
 }

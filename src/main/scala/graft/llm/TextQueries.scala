@@ -501,7 +501,59 @@ object TextQueries extends QueryPack {
            | (maxk * 10000) // n AS top_char_bp, entropy_micro
            |FROM st ORDER BY entropy_micro, doc_id LIMIT 20""".stripMargin))
 
+  /** TF-IDF top terms per document — the classic keyword extraction /
+    * document-representation primitive (what feeds tag clouds, sparse
+    * retrieval indexes, and topic labeling). One token pass → per-(doc,
+    * term) tf; DF falls out of the tf frame (one row per doc×term, so
+    * count-per-term IS document frequency); idf = ln((N+1)/(df+1))
+    * micro-rounded ONCE per (doc, term) so the per-doc ranking is an
+    * exact BIGINT comparison (the BM25 convention). Rank window is
+    * PARTITIONED by doc; ties break on md5(term) — hex-ASCII, immune to
+    * the cross-engine unicode collation trap.
+    */
+  private val tfidfTop = Q(
+    "text_tfidf_top_terms",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val wordsU = udf { (t: String) =>
+        if (t == null) Array.empty[String] else Hashing.words(t)
+      }
+      val docs = Tables.documents(s, d)
+      val tf = docs
+        .select(col("doc_id"), explode(wordsU(col("text"))).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      // df via a |tf|-frame window, not a groupBy-and-join-back (which
+      // would re-plan the corpus pass — the bm25 lesson)
+      val withDf = tf.withColumn("df",
+        count(lit(1)).over(Window.partitionBy(col("tok"))))
+      val nDocs = docs.agg(count(lit(1)).as("n"))
+      val scored = withDf.crossJoin(broadcast(nDocs))
+        .withColumn("score_micro",
+          round(col("tf") * log((col("n") + lit(1.0)) / (col("df") + lit(1.0)))
+            * 1e6, 0).cast("long"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score_micro").desc, md5(col("tok")))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank"), col("tok"), col("score_micro"))
+        .orderBy(col("doc_id"), col("rank"))
+    },
+    Some(s"""WITH t AS (SELECT doc_id, unnest(${CorpusQueries.WordsExpr}) AS tok
+            |  FROM documents),
+            |tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY 1, 2),
+            |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+            |nd AS (SELECT count(*) AS n FROM documents),
+            |sc AS (SELECT doc_id, tok,
+            |   CAST(round(tf * ln((n + 1.0) / (df + 1.0)) * 1e6, 0) AS BIGINT)
+            |     AS score_micro
+            |  FROM tf JOIN df USING (tok), nd),
+            |r AS (SELECT doc_id, tok, score_micro, row_number() OVER (
+            |    PARTITION BY doc_id ORDER BY score_micro DESC, md5(tok))
+            |    AS rank FROM sc)
+            |SELECT doc_id, rank, tok, score_micro FROM r
+            |WHERE rank <= 3 ORDER BY 1, 2""".stripMargin))
+
   val qs: Seq[Q] = Seq(tokenStats, packWindows, bpePairs, spellVariants,
     weightedSample, quality, langid, fingerprintQ, subwords, polyFingerprint,
-    chunking, sampling, bm25, mixtureSample, charStats)
+    chunking, sampling, bm25, mixtureSample, charStats, tfidfTop)
 }
