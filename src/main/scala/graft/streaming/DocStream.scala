@@ -76,4 +76,51 @@ object DocStream {
   def curate(docs: DataFrame, benchFps: DataFrame, minTokens: Int = 10,
       minAlpha: Double = 0.5): DataFrame =
     dedupExact(decontaminate(qualityGate(docs, minTokens, minAlpha), benchFps))
+
+  /** Streaming LSH index maintenance — the daily-crawl lifecycle as a
+    * foreachBatch sink: every micro-batch of arriving documents appends
+    * to the corpus store and advances the verified near-dup PAIR store
+    * via [[graft.llm.MinHashLsh.nearDupPairsIncremental]] — only
+    * new-vs-all band candidates are verified, so per-batch cost scales
+    * with |batch| · collision-rate, never |corpus|². The near-dup state
+    * the stateless curation gates can't hold (it is corpus-sized by
+    * nature) lives in the two parquet stores, not the state store.
+    *
+    * Idempotent on replay: the batch anti-joins the corpus store by
+    * doc_id before indexing, so a restarted micro-batch re-derives
+    * nothing and re-appends nothing. The merged pair frame is
+    * stage-checkpointed BEFORE overwriting its own input dir (the
+    * upsertSink overwrite-input rule).
+    */
+  def maintainLshIndex(docs: DataFrame, corpusDir: String, pairsDir: String,
+      checkpoint: String, threshold: Double = 0.8)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val sp = batch.sparkSession
+        import graft.ops.Checkpoints.StageCheckpoint
+        val corpusExists = new java.io.File(corpusDir).exists
+        val oldDocs =
+          if (corpusExists) sp.read.parquet(corpusDir)
+          else batch.sparkSession.emptyDataFrame
+            .withColumn("doc_id", lit(0L)).withColumn("text", lit(""))
+            .limit(0)
+        val oldPairs =
+          if (new java.io.File(pairsDir).exists) sp.read.parquet(pairsDir)
+          else batch.sparkSession.emptyDataFrame
+            .withColumn("i", lit(0L)).withColumn("j", lit(0L))
+            .withColumn("jaccard", lit(0.0)).limit(0)
+        val newDocs = batch.select(col("doc_id"), col("text"))
+          .dropDuplicates("doc_id")
+          .join(oldDocs.select(col("doc_id")), Seq("doc_id"), "left_anti")
+          .stageCheckpoint()
+        val merged = graft.llm.MinHashLsh.nearDupPairsIncremental(
+            oldDocs, oldPairs, newDocs, "doc_id", "text", threshold)
+          .stageCheckpoint() // materialize BEFORE overwriting pairsDir
+        merged.write.mode("overwrite").parquet(pairsDir)
+        newDocs.write.mode("append").parquet(corpusDir)
+        ()
+      }
+      .start()
 }

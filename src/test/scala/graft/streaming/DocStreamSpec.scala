@@ -62,4 +62,43 @@ class DocStreamSpec extends SparkSpec {
       .as[Doc].collect().map(_.doc_id).toSet
     assert(batch === Set(1L, 5L))
   }
+
+  test("maintainLshIndex: per-batch incremental pairs equal the full recompute") {
+    implicit val sq = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("lshidx").toString
+    val (corpusDir, pairsDir, ckpt) =
+      (s"$root/corpus", s"$root/pairs", s"$root/ckpt")
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    // waves: 1+2 near-dups arrive in wave 1; 3 unrelated; wave 2 brings
+    // 4 (near-dup of 1 — a CROSS-WAVE pair only the incremental
+    // new-vs-all join can find) and 5 (unrelated)
+    val d = Map(
+      1L -> s"$base lambda",
+      2L -> s"$base mu",
+      3L -> "completely different words about streaming state stores here",
+      4L -> s"$base nu",
+      5L -> "another unrelated document mentioning checkpoints and sinks")
+    val input = MemoryStream[Doc]
+    val q = DocStream.maintainLshIndex(input.toDF(), corpusDir, pairsDir,
+      ckpt, threshold = 0.5)
+    try {
+      input.addData(Doc(1, d(1L), "en", "w"), Doc(2, d(2L), "en", "w"),
+        Doc(3, d(3L), "en", "w"))
+      q.processAllAvailable()
+      input.addData(Doc(4, d(4L), "en", "w"), Doc(5, d(5L), "en", "w"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(pairsDir)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    val full = graft.llm.MinHashLsh.nearDupPairs(
+        d.toSeq.map { case (id, t) => (id, t) }.toDF("doc_id", "text"),
+        "doc_id", "text", threshold = 0.5)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(streamed === full)
+    assert(streamed.contains((1L, 4L))) // the cross-wave pair
+    // corpus store holds every doc exactly once
+    val corpus = spark.read.parquet(corpusDir)
+      .select("doc_id").as[Long].collect().sorted
+    assert(corpus.toSeq === Seq(1L, 2L, 3L, 4L, 5L))
+  }
 }
