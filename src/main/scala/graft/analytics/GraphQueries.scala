@@ -281,7 +281,10 @@ object GraphQueries extends QueryPack {
   private val jaccardNeighbors = Q(
     "graph_jaccard_neighbors",
     (s, d) => {
-      val e = edges(s, d)
+      // staged once: the edge list feeds four plan positions (both
+      // wedge sides + two degree lookups) and each would otherwise
+      // re-plan the orders⋈lineitem build
+      val e = edges(s, d).stageCheckpoint()
       val deg = e.groupBy(col("su")).agg(count(lit(1)).as("deg"))
       val pairs = e.as("a")
         .join(e.withColumnRenamed("su", "sv").as("b"), "cu")

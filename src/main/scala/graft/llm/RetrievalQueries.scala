@@ -26,9 +26,17 @@ object RetrievalQueries extends QueryPack {
     * an exact BIGINT comparison in both engines; absent-from-list
     * contributes 0 (rank 0 sentinel in the output).
     */
-  private[llm] def rrfFuse(bm: org.apache.spark.sql.DataFrame,
-      ann: org.apache.spark.sql.DataFrame, k: Int,
+  private[llm] def rrfFuse(bm0: org.apache.spark.sql.DataFrame,
+      ann0: org.apache.spark.sql.DataFrame, k: Int,
       rrfK: Int = 60): org.apache.spark.sql.DataFrame = {
+    import graft.ops.Checkpoints.StageCheckpoint
+    // both rank lists are top-k-bounded but their LINEAGE is a full
+    // retrieval (BM25 corpus pass / brute scoring); staged here so the
+    // fusion join + BoundedRank self-join read ≤k materialized rows
+    // instead of re-planning the retrieval per consumer (the plan held
+    // 24 corpus scans unstaged)
+    val bm = bm0.stageCheckpoint()
+    val ann = ann0.stageCheckpoint()
     val fused = bm.join(ann, Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
         coalesce(col("bm25_rank"), lit(0L)).as("bm25_rank"),
