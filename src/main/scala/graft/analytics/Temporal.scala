@@ -616,8 +616,57 @@ object Temporal extends QueryPack {
            |SELECT hour, rank, event_type, n FROM r
            |WHERE rank <= 3 ORDER BY 1, 2""".stripMargin))
 
+  /** Seasonal-naive forecast baseline + its error (the sanity floor
+    * every real forecasting model must beat, and the standard MASE
+    * denominator): predict each (type, day, hour-of-day) count with
+    * the SAME HOUR one day earlier — a lag-1 window per (type, hour)
+    * ordered by day — and report integer absolute-error sums per type.
+    * All integer end-to-end (counts, |y−ŷ| sums, evaluated-pair
+    * counts); consumers derive MAE by one division. The windows run
+    * over the BOUNDED daily frame (|days|×24×|types| rows), never the
+    * raw event table. Only observed (type, day, hour) buckets
+    * participate — the activity-conditional convention, zeros are not
+    * imputed.
+    */
+  private val seasonalNaive = Q(
+    "ts_seasonal_naive_error",
+    (s, d) => {
+      val hourly = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"),
+          hour(col("ts")).as("hod"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("event_type"), col("hod"))
+        .orderBy(col("day"))
+      hourly
+        .withColumn("prev_day", lag(col("day"), 1).over(w))
+        .withColumn("prev_n", lag(col("n"), 1).over(w))
+        // a gap in the daily series means "yesterday same hour" was
+        // unobserved — only adjacent-day pairs count as forecasts
+        .filter(col("prev_day").isNotNull &&
+          datediff(col("day"), col("prev_day")) === 1)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_forecasts"),
+          sum(abs(col("n") - col("prev_n"))).as("sum_abs_err"),
+          sum(col("n")).as("sum_actual"))
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH h AS (SELECT event_type, CAST(ts AS DATE) AS day,
+           |  hour(ts) AS hod, count(*) AS n FROM events GROUP BY 1, 2, 3),
+           |l AS (SELECT event_type, day, n,
+           |  lag(day) OVER (PARTITION BY event_type, hod ORDER BY day)
+           |    AS prev_day,
+           |  lag(n) OVER (PARTITION BY event_type, hod ORDER BY day)
+           |    AS prev_n
+           | FROM h)
+           |SELECT event_type, count(*) AS n_forecasts,
+           | CAST(sum(abs(n - prev_n)) AS BIGINT) AS sum_abs_err,
+           | CAST(sum(n) AS BIGINT) AS sum_actual
+           |FROM l WHERE prev_day IS NOT NULL
+           |  AND date_diff('day', prev_day, day) = 1
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val qs: Seq[Q] = Seq(asof, asofBucketed, tumbling, jsonExtract, sliding,
     sessionWindows, funnel, cohorts, streamDedup, enrichStatic, gapfill,
     anomalies, scd2Runs, peakWindows, attribution, changepoint,
-    windowedTopK)
+    windowedTopK, seasonalNaive)
 }

@@ -645,7 +645,47 @@ object CorpusQueries extends QueryPack {
             |FROM c0 WHERE doc_id NOT IN (SELECT doc_id FROM hit)
             |GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** Curriculum shard layout — order training data easy→hard and keep
+    * shards balanced within each difficulty band (length-based
+    * curriculum, the standard cheap difficulty proxy): token-count
+    * deciles via the range-bucketed exact-ntile operator (one global
+    * ntile, zero unpartitioned windows), md5 shard assignment within
+    * each decile. Output is the bounded decile×shard grid with doc
+    * counts, token mass, and the id-sum pinning exact placement — the
+    * layout a curriculum-scheduled training run reads shard-by-shard.
+    */
+  private val curriculum = Q(
+    "docs_curriculum_order",
+    (s, d) => {
+      import graft.ops.Checkpoints.StageCheckpoint
+      val base = graft.Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("tc"))
+        .stageCheckpoint()
+      graft.ops.GlobalOrder.ntileBy(base, "tc", "doc_id", 10, "decile")
+        .withColumn("shard",
+          conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+            .cast("long") % 8)
+        .groupBy(col("decile"), col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("tc")).as("sum_tokens"),
+          sum(col("doc_id")).as("sum_ids"))
+        .orderBy(col("decile"), col("shard"))
+    },
+    Some("""WITH t AS (SELECT doc_id,
+           |  CASE WHEN length(regexp_replace(text, '\s', '', 'g')) = 0 THEN 0
+           |   ELSE len(string_split_regex(trim(text), '\s+')) END AS tc
+           | FROM documents),
+           |n AS (SELECT doc_id, tc,
+           |  ntile(10) OVER (ORDER BY tc, doc_id) AS decile,
+           |  ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+           |    % 8 AS shard
+           | FROM t)
+           |SELECT decile, shard, count(*) AS n_docs,
+           | CAST(sum(tc) AS BIGINT) AS sum_tokens,
+           | CAST(sum(doc_id) AS BIGINT) AS sum_ids
+           |FROM n GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
   val qs: Seq[Q] = Seq(winnowing, repetition, pii, stratified, winnowPairs,
     decontaminate, decontaminateBloom, topNgrams, tokenDf, paraDedup, shards,
-    dsir, contamFrac, perplexity, streamGatesTwin)
+    dsir, contamFrac, perplexity, streamGatesTwin, curriculum)
 }
