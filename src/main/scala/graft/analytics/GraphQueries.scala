@@ -312,5 +312,59 @@ object GraphQueries extends QueryPack {
             |ORDER BY jac_bp DESC, i, j LIMIT 20""".stripMargin),
     headline = true)
 
-  val qs: Seq[Q] = Seq(degreeDist, labelProp, kcore, bfs, jaccardNeighbors)
+  /** One personalized-PageRank step as a DuckDB CTE (the global
+    * `graph_pagerank_copurchase` convention, plus the seed-restart
+    * full-outer combine; `(1 - 0.85)` stays written as the subtraction
+    * so both engines evaluate the identical double).
+    */
+  private def pprStep(k: Int): String =
+    s"""p$k AS (SELECT COALESCE(c.node, sv.node) AS node,
+       |  (1 - 0.85) * COALESCE(sv.sr, 0) + 0.85 * COALESCE(c.sc, 0) AS r
+       | FROM (SELECT e.v AS node, sum(p${k - 1}.r / deg.d) AS sc
+       |   FROM e JOIN deg ON e.u = deg.u
+       |   JOIN p${k - 1} ON e.u = p${k - 1}.node GROUP BY 1) c
+       | FULL OUTER JOIN sv ON sv.node = c.node)""".stripMargin
+
+  /** Personalized PageRank from the same three seed customers the BFS
+    * starts at — "who matters most to THESE customers" (recommendation
+    * neighborhoods, trust propagation), the locality complement to the
+    * global centrality query. Three deterministic iterations via
+    * [[graft.ops.PageRank.personalizedRanks]]; output compares the
+    * top-10 RANKS under the 6dp-quantize + node-tiebreak convention,
+    * never raw doubles.
+    */
+  private val ppr = Q(
+    "graph_ppr_seeded",
+    (s, d) => {
+      val e = edges(s, d)
+      val seeds = e.select(col("cu").as("node")).distinct()
+        .orderBy(col("node")).limit(3)
+      val r = graft.ops.PageRank.personalizedRanks(
+        e, "cu", "su", seeds, iters = 3)
+      val top = r.orderBy(round(col("r"), 6).desc, col("node")).limit(10)
+      graft.ops.BoundedRank.attach(
+          top.select(col("node"), round(col("r"), 6).as("r6")), "rank",
+          Seq("r6" -> true, "node" -> false))
+        .select(col("rank"), col("node"))
+        .orderBy(col("rank"))
+    },
+    Some(s"""WITH e0 AS (SELECT DISTINCT o_custkey AS u,
+            |   l_suppkey + 1000000 AS v
+            | FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+            |e AS (SELECT u, v FROM e0 UNION SELECT v AS u, u AS v FROM e0),
+            |deg AS (SELECT u, count(*) AS d FROM e GROUP BY 1),
+            |sds AS (SELECT DISTINCT u AS node FROM e0 ORDER BY 1 LIMIT 3),
+            |sv AS (SELECT node,
+            |  1.0 / (SELECT CAST(count(*) AS DOUBLE) FROM sds) AS sr
+            | FROM sds),
+            |p0 AS (SELECT node, sr AS r FROM sv),
+            |${pprStep(1)},
+            |${pprStep(2)},
+            |${pprStep(3)}
+            |SELECT CAST(row_number() OVER (ORDER BY round(r, 6) DESC, node)
+            |   AS INT) AS rank, node
+            |FROM p3 ORDER BY 1 LIMIT 10""".stripMargin))
+
+  val qs: Seq[Q] = Seq(degreeDist, labelProp, kcore, bfs, jaccardNeighbors,
+    ppr)
 }

@@ -36,4 +36,25 @@ class BfsSpec extends SparkSpec {
       .select("node", "dist").as[(Long, Long)].collect().toMap
     assert(out === Map(1L -> 0L, 2L -> 1L, 3L -> 1L))
   }
+
+  test("personalized pagerank: mass stays near the seed and sums to 1") {
+    // path 1-2-3-4-5, seed {1}: rank decays with distance from the seed
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("u", "v")
+    val r = PageRank.personalizedRanks(edges, "u", "v",
+        Seq(1L).toDF("node"), iters = 3)
+      .select("node", "r").as[(Long, Double)].collect().toMap
+    assert(math.abs(r.values.sum - 1.0) < 1e-9) // no dangling leakage
+    // random-walk mass on a path OSCILLATES between adjacent levels
+    // (bipartite parity), so compare within a parity class: the seed
+    // beats its 2-hop neighbor, the 1-hop node beats the 3-hop node
+    assert(r(1L) > r(3L) && r(2L) > r(4L))
+    // within 3 iterations no mass has reached node 5 (4 hops away)
+    assert(!r.contains(5L))
+    // disconnected nodes never enter the support
+    val g2 = Seq((1L, 2L), (8L, 9L)).toDF("u", "v")
+    val r2 = PageRank.personalizedRanks(g2, "u", "v",
+        Seq(1L).toDF("node"), iters = 2)
+      .select("node", "r").as[(Long, Double)].collect().toMap
+    assert(!r2.contains(8L) && !r2.contains(9L))
+  }
 }
