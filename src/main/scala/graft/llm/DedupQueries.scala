@@ -860,9 +860,103 @@ object DedupQueries extends QueryPack {
             |FROM p WHERE inter * 10 >= n_i * 8 ORDER BY i, j""".stripMargin),
     headline = true)
 
+  /** The round-7 flagship composite, v6: quality gate → CONTAINMENT
+    * dedup (drop every doc ≥80% contained in a LARGER doc — the
+    * quotation/subset near-dup mode Jaccard pipelines miss; ties drop
+    * the higher id) → temperature-scaled (α=0.5) source rebalancing →
+    * curriculum shard layout (token-count deciles × md5 shards). The
+    * corpus-selection lifecycle a multilingual training run ships:
+    * dedup for content, temperature for source balance, curriculum for
+    * ordering. Every stage boundary is a stage checkpoint; the oracle
+    * rebuilds all four stages independently (all-pairs containment,
+    * sqrt shares, window ntile) and the decile×shard id-sums pin the
+    * exact surviving set AND its placement.
+    */
+  private val trainingV6 = Q(
+    "docs_training_pipeline_v6",
+    (s, d) => {
+      val quality = stage(Tables.documents(s, d)
+        .withColumn("tc", TextAnalysis.tokenCount(col("text")).cast("long"))
+        .filter(col("tc") >= 20 &&
+          TextAnalysis.alphaRatio(col("text")) >= 0.5)
+        .select(col("doc_id"), col("source"), col("text"), col("tc")))
+      val pairs = containmentJoin(quality, theta10 = 8)
+      val sizes = quality.select(col("doc_id"),
+        size(TextAnalysis.shingles(col("text"))).cast("long").as("nsh"))
+      val dropIds = pairs
+        .join(sizes.select(col("doc_id").as("j"), col("nsh").as("n_j")), "j")
+        .filter(col("n_j") > col("n_i") ||
+          (col("n_j") === col("n_i") && col("j") < col("i")))
+        .select(col("i").as("doc_id")).distinct()
+      val dd = stage(quality.join(dropIds, Seq("doc_id"), "left_anti"))
+      val counts = dd.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+      val stats = counts.agg(sum(col("n_s")).as("n_total"),
+        sum(sqrt(col("n_s").cast("double"))).as("sum_sqrt"))
+      val rates = counts.crossJoin(broadcast(stats))
+        .select(col("source").as("src"), least(lit(1.0),
+          col("n_total").cast("double") * 0.5
+            * (sqrt(col("n_s").cast("double")) / col("sum_sqrt"))
+            / col("n_s")).as("rate"))
+      val v = conv(substring(md5(col("doc_id").cast("string")), 1, 15),
+        16, 10).cast("double")
+      val u = (v + lit(1.0)) / lit(math.pow(16.0, 15) + 1.0)
+      val kept = stage(dd.withColumn("u", u)
+        .join(broadcast(rates), col("source") === col("src"))
+        .filter(col("u") < col("rate"))
+        .select(col("doc_id"), col("tc")))
+      graft.ops.GlobalOrder.ntileBy(kept, "tc", "doc_id", 10, "decile")
+        .withColumn("shard",
+          conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+            .cast("long") % 4)
+        .groupBy(col("decile"), col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("tc")).as("sum_tokens"),
+          sum(col("doc_id")).as("sum_ids"))
+        .orderBy(col("decile"), col("shard"))
+    },
+    Some(s"""WITH q AS (SELECT doc_id, source, text,
+            |  CASE WHEN length(regexp_replace(text, '\\s', '', 'g')) = 0
+            |   THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END
+            |   AS tc
+            | FROM documents
+            | WHERE ${CorpusQueries.qualityPredSql("text", 20, 0.5)}),
+            |sh AS (SELECT doc_id,
+            |  list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+            |    for i in range(1, len(w)-1)]) AS sh
+            | FROM (SELECT doc_id, ${CorpusQueries.WordsExpr} AS w FROM q)
+            | WHERE len(w) >= 3),
+            |drp AS (SELECT DISTINCT a.doc_id AS doc_id
+            | FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+            |  AND len(list_intersect(a.sh, b.sh)) * 10 >= len(a.sh) * 8
+            |  AND (len(b.sh) > len(a.sh)
+            |    OR (len(b.sh) = len(a.sh) AND b.doc_id < a.doc_id))),
+            |dd AS (SELECT * FROM q
+            | WHERE doc_id NOT IN (SELECT doc_id FROM drp)),
+            |c AS (SELECT source, count(*) AS n_s FROM dd GROUP BY 1),
+            |st AS (SELECT CAST(sum(n_s) AS BIGINT) AS n_total,
+            |  sum(sqrt(CAST(n_s AS DOUBLE))) AS sum_sqrt FROM c),
+            |r AS (SELECT source AS src,
+            |  least(1.0, CAST(n_total AS DOUBLE) * 0.5
+            |    * (sqrt(CAST(n_s AS DOUBLE)) / sum_sqrt) / n_s) AS rate
+            | FROM c CROSS JOIN st),
+            |kept AS (SELECT dd.doc_id, dd.tc FROM dd
+            | JOIN r ON dd.source = src
+            | WHERE (CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+            |     1, 15)) AS BIGINT) + 1.0)
+            |   / (1152921504606846976.0 + 1.0) < rate),
+            |n AS (SELECT doc_id, tc,
+            |  ntile(10) OVER (ORDER BY tc, doc_id) AS decile,
+            |  ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+            |    % 4 AS shard
+            | FROM kept)
+            |SELECT decile, shard, count(*) AS n_docs,
+            | CAST(sum(tc) AS BIGINT) AS sum_tokens,
+            | CAST(sum(doc_id) AS BIGINT) AS sum_ids
+            |FROM n GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    headline = true)
+
   val qs: Seq[Q] = Seq(exact, minhash, simhash, ngramJaccard,
     lshClusters, lshIncremental, clusterSizeHist, clusterSurvivors, clusterBestSurvivors,
     trainingPipeline,
     trainingV2, trainingV3, trainingV4, trainingV5, prefixJoin,
-    repeatedSpans, containment)
+    repeatedSpans, containment, trainingV6)
 }
