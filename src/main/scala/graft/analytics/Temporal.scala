@@ -665,8 +665,54 @@ object Temporal extends QueryPack {
            |  AND date_diff('day', prev_day, day) = 1
            |GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** Half-life-decayed engagement score per user (recency-weighted
+    * value, the freshness-aware ranking signal behind "active users" /
+    * churn-risk lists): each event's centi-unit value is divided by
+    * 2^(weeks-of-age), integer division on positive integers — trunc
+    * and floor agree, `div` == `//` — so the score is an exact BIGINT
+    * in both engines; no exp()/pow() ever runs. Age anchors to the
+    * table's max timestamp (derived, broadcast as one row). One
+    * map-side-combinable aggregation; top-20 users via
+    * TakeOrderedAndProject.
+    */
+  private val decayed = Q(
+    "ts_decayed_engagement",
+    (s, d) => {
+      val ev = Tables.events(s, d).filter(col("value").isNotNull)
+        .select(col("user_id"), col("ts"),
+          round(col("value") * 100).cast("long").as("c"))
+      val anchor = ev.agg(max(col("ts")).as("t_max"))
+      ev.crossJoin(broadcast(anchor))
+        // capped at 30: cents < 2^17, so every weeks ≥ 17 already decays
+        // to 0 under integer division — the cap only guards the shift
+        // against >63-bit wrap on pathological date ranges
+        .withColumn("weeks",
+          least(floor(datediff(to_date(col("t_max")), to_date(col("ts"))) / lit(7))
+            .cast("long"), lit(30L)))
+        .withColumn("dc", expr("c div (cast(1 as bigint) << weeks)"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("c")).as("raw_centi"), sum(col("dc")).as("decayed_centi"))
+        .orderBy(col("decayed_centi").desc, col("user_id"))
+        .limit(20)
+    },
+    Some("""WITH e AS (SELECT user_id, ts,
+           |  CAST(round(value * 100) AS BIGINT) AS c
+           | FROM events WHERE value IS NOT NULL),
+           |a AS (SELECT max(ts) AS t_max FROM e),
+           |w AS (SELECT user_id, c,
+           |  c // (CAST(1 AS BIGINT) << least(CAST(floor(
+           |    date_diff('day', CAST(ts AS DATE), CAST(t_max AS DATE)) / 7)
+           |    AS BIGINT), 30)) AS dc
+           | FROM e, a)
+           |SELECT user_id, count(*) AS n_events,
+           | CAST(sum(c) AS BIGINT) AS raw_centi,
+           | CAST(sum(dc) AS BIGINT) AS decayed_centi
+           |FROM w GROUP BY 1
+           |ORDER BY decayed_centi DESC, user_id LIMIT 20""".stripMargin))
+
   val qs: Seq[Q] = Seq(asof, asofBucketed, tumbling, jsonExtract, sliding,
     sessionWindows, funnel, cohorts, streamDedup, enrichStatic, gapfill,
     anomalies, scd2Runs, peakWindows, attribution, changepoint,
-    windowedTopK, seasonalNaive)
+    windowedTopK, seasonalNaive, decayed)
 }
