@@ -1074,9 +1074,107 @@ object RelationalExt extends QueryPack {
            |GROUP BY 1, 2, 3
            |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin))
 
+  /** ER SURVIVORSHIP — the step after matching that ships a usable
+    * dimension: matched pairs (the `er_blocked_fuzzy_match` rule,
+    * carried on keys) → transitive clusters via
+    * [[graft.ops.ConnectedComponents]] → one GOLDEN record per entity
+    * under explicit survivorship rules (minimum key as the surviving
+    * id, maximum balance as the surviving attribute — the
+    * most-complete-value rule in integer cents). Unmatched rows are
+    * their own entity (left join, coalesce to own key). Output is the
+    * bounded cluster-size profile with golden id/attribute sums
+    * pinning every surviving record. Oracle: recursive-CTE closure +
+    * the same argmax, rebuilt from raw rows.
+    */
+  private val erSurvivorship = Q(
+    "er_survivorship_golden",
+    (s, d) => {
+      val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_name"),
+        round(col("c_acctbal") * 100).cast("long").as("bal"))
+      val names = cust.select(substring(col("c_name"), 1, 16).as("blk"),
+        col("c_custkey"), col("c_name"))
+      val mpairs = names.as("l")
+        .join(names.select(col("blk"), col("c_custkey").as("r_key"),
+          col("c_name").as("r_name")).as("r"), "blk")
+        .filter(col("c_custkey") < col("r_key") &&
+          levenshtein(col("c_name"), col("r_name")) <= 1)
+        .select(col("c_custkey").as("u"), col("r_key").as("v"))
+      val comp = graft.ops.ConnectedComponents.components(mpairs, "u", "v")
+      val labeled = cust
+        .join(comp.select(col("node").as("c_custkey"), col("comp")),
+          Seq("c_custkey"), "left")
+        .withColumn("cluster", coalesce(col("comp"), col("c_custkey")))
+      labeled.groupBy(col("cluster"))
+        .agg(count(lit(1)).as("cluster_size"),
+          min(col("c_custkey")).as("gid"), max(col("bal")).as("gbal"))
+        .groupBy(col("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"),
+          sum(col("gid")).as("sum_golden_ids"),
+          sum(col("gbal")).as("sum_golden_bal_centi"))
+        .orderBy(col("cluster_size"))
+    },
+    Some("""WITH RECURSIVE cu AS (SELECT c_custkey, c_name,
+           |  CAST(round(c_acctbal * 100) AS BIGINT) AS bal FROM customer),
+           |n AS (SELECT substring(c_name, 1, 16) AS blk, c_custkey, c_name
+           | FROM cu),
+           |p AS (SELECT l.c_custkey AS u, r.c_custkey AS v
+           | FROM n l JOIN n r ON l.blk = r.blk
+           |  AND l.c_custkey < r.c_custkey
+           |  AND levenshtein(l.c_name, r.c_name) <= 1),
+           |sym AS (SELECT u, v FROM p UNION SELECT v AS u, u AS v FROM p),
+           |reach(node, lbl) AS (
+           | SELECT u, u FROM (SELECT DISTINCT u FROM sym) t
+           | UNION
+           | SELECT s.u, r.lbl FROM sym s JOIN reach r ON s.v = r.node),
+           |comp AS (SELECT node, min(lbl) AS cluster FROM reach GROUP BY 1),
+           |lab AS (SELECT cu.c_custkey, cu.bal,
+           |  coalesce(comp.cluster, cu.c_custkey) AS cluster
+           | FROM cu LEFT JOIN comp ON comp.node = cu.c_custkey),
+           |g AS (SELECT cluster, count(*) AS cluster_size,
+           |  min(c_custkey) AS gid, max(bal) AS gbal FROM lab GROUP BY 1)
+           |SELECT cluster_size, count(*) AS n_clusters,
+           | CAST(sum(gid) AS BIGINT) AS sum_golden_ids,
+           | CAST(sum(gbal) AS BIGINT) AS sum_golden_bal_centi
+           |FROM g GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** Share-of-total window (`ratio_to_report`): each brand's revenue
+    * share within its part type, in integer basis points over exact
+    * cent sums — the percent-of-parent rollup every BI layer renders.
+    * Two-level aggregate (brand level, then a type-partitioned window
+    * over the BOUNDED brand frame) — the raw fact table never enters
+    * a window; integer division on positive cents keeps `div` == `//`.
+    */
+  private val shareOfTotal = Q(
+    "window_share_of_total",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val brand = Tables.lineitem(s, d)
+        .join(Tables.part(s, d),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_type"), col("p_brand"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long"))
+          .as("rev_centi"))
+      brand
+        .withColumn("type_centi",
+          sum(col("rev_centi")).over(Window.partitionBy(col("p_type"))))
+        .select(col("p_type"), col("p_brand"), col("rev_centi"),
+          expr("(rev_centi * 10000) div type_centi").as("share_bp"))
+        .orderBy(col("p_type"), col("p_brand"))
+    },
+    Some("""WITH b AS (SELECT p_type, p_brand,
+           |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+           |    AS BIGINT) AS rev_centi
+           | FROM lineitem JOIN part ON l_partkey = p_partkey
+           | GROUP BY 1, 2),
+           |t AS (SELECT b.*, CAST(sum(rev_centi) OVER (PARTITION BY p_type)
+           |   AS BIGINT) AS type_centi FROM b)
+           |SELECT p_type, p_brand, rev_centi,
+           | (rev_centi * 10000) // type_centi AS share_bp
+           |FROM t ORDER BY 1, 2""".stripMargin))
+
   val qs: Seq[Q] = Seq(q4, q8, q9, q12, q13, q14, q15, q16, q17, q18, q19, q21, q22,
     quantiles, decimalPricing, dqChecks, tableChecksum, iqrOutliers,
     rangeWindow, pagerank, saltedTopk, saltedJoin, rangeJoin, groupingSets,
     unpivotQ, ntileDeciles, partitionSkew, erBlockedMatch, erMultipass,
-    bloomPrunedJoin)
+    bloomPrunedJoin, erSurvivorship, shareOfTotal)
 }
