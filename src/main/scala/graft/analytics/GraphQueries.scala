@@ -365,6 +365,46 @@ object GraphQueries extends QueryPack {
             |   AS INT) AS rank, node
             |FROM p3 ORDER BY 1 LIMIT 10""".stripMargin))
 
+  /** Degree assortativity — does the graph wire hubs to hubs (r > 0) or
+    * hubs to leaves (r < 0)? The network-science summary behind
+    * partitioning/caching decisions (disassortative bipartite trade
+    * graphs concentrate load on hub-leaf edges). Output is the INTEGRAL
+    * sufficient statistics of the Pearson correlation over directed
+    * edge endpoints' degrees — m, Σxy, Σx, Σy, Σx², Σy², all exact
+    * BIGINTs from one edge⋈deg⋈deg join (r itself is one double
+    * division away; publishing the integrals keeps the compare exact —
+    * the linear-trend convention). Degree frames are node-sized and
+    * broadcastable.
+    */
+  private val assortativity = Q(
+    "graph_assortativity",
+    (s, d) => {
+      val e = edges(s, d).stageCheckpoint()
+      val sym = e.select(col("cu").as("u"), col("su").as("v"))
+        .unionByName(e.select(col("su").as("u"), col("cu").as("v")))
+      val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      sym
+        .join(deg.select(col("u"), col("deg").as("dx")), "u")
+        .join(deg.select(col("u").as("v"), col("deg").as("dy")), "v")
+        .agg(count(lit(1)).as("m"),
+          sum(col("dx") * col("dy")).as("sum_xy"),
+          sum(col("dx")).as("sum_x"), sum(col("dy")).as("sum_y"),
+          sum(col("dx") * col("dx")).as("sum_x2"),
+          sum(col("dy") * col("dy")).as("sum_y2"))
+    },
+    Some(s"""WITH e0 AS ($edgeSql),
+            |sym AS (SELECT cu AS u, su AS v FROM e0
+            |        UNION ALL SELECT su, cu FROM e0),
+            |deg AS (SELECT u, count(*) AS deg FROM sym GROUP BY 1)
+            |SELECT count(*) AS m,
+            | CAST(sum(dx.deg * dy.deg) AS BIGINT) AS sum_xy,
+            | CAST(sum(dx.deg) AS BIGINT) AS sum_x,
+            | CAST(sum(dy.deg) AS BIGINT) AS sum_y,
+            | CAST(sum(dx.deg * dx.deg) AS BIGINT) AS sum_x2,
+            | CAST(sum(dy.deg * dy.deg) AS BIGINT) AS sum_y2
+            |FROM sym JOIN deg dx ON sym.u = dx.u
+            | JOIN deg dy ON sym.v = dy.u""".stripMargin))
+
   val qs: Seq[Q] = Seq(degreeDist, labelProp, kcore, bfs, jaccardNeighbors,
-    ppr)
+    ppr, assortativity)
 }

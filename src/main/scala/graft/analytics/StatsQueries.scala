@@ -769,9 +769,56 @@ object StatsQueries extends QueryPack {
            |   THEN 1 ELSE 0 END AS INT) AS significant
            |FROM c, t ORDER BY 1""".stripMargin))
 
+  /** Market-concentration audit per nation (supplier side): total
+    * revenue, the Herfindahl numerator Σ revᵢ² (HHI = Σ shareᵢ² falls
+    * out as sum_rev_sq/total² — publishing the integrals keeps the
+    * compare exact, the linear-trend rule), and the top supplier's
+    * share in integer basis points. Two keyed aggregations (supplier
+    * level, then nation level) with one max(struct) argmax — the fact
+    * table is touched once; nation frames are dim-sized. The squared
+    * sums overflow BIGINT, and a double sum would be accumulation-
+    * order-dependent — so they run in DECIMAL(38,0): exact at any
+    * order, explicit final-precision cast on both sides (the house
+    * DECIMAL rule).
+    */
+  private val concentration = Q(
+    "agg_market_concentration",
+    (s, d) => {
+      val perSupp = Tables.lineitem(s, d)
+        .join(Tables.supplier(s, d),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_nationkey"), col("s_suppkey"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long"))
+          .as("rev_centi"))
+      perSupp.groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_suppliers"),
+          sum(col("rev_centi")).as("total_centi"),
+          sum(col("rev_centi").cast("decimal(19,0)")
+              * col("rev_centi").cast("decimal(19,0)"))
+            .cast("decimal(38,0)").as("sum_rev_sq"),
+          max(col("rev_centi")).as("top_centi"))
+        .withColumn("top_share_bp",
+          expr("(top_centi * 10000) div total_centi"))
+        .orderBy(col("s_nationkey"))
+    },
+    Some("""WITH ps AS (SELECT s_nationkey, s_suppkey,
+           |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+           |    AS BIGINT) AS rev_centi
+           | FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+           | GROUP BY 1, 2)
+           |SELECT s_nationkey, count(*) AS n_suppliers,
+           | CAST(sum(rev_centi) AS BIGINT) AS total_centi,
+           | CAST(sum(CAST(rev_centi AS DECIMAL(19,0))
+           |     * CAST(rev_centi AS DECIMAL(19,0))) AS DECIMAL(38,0))
+           |   AS sum_rev_sq,
+           | max(rev_centi) AS top_centi,
+           | (max(rev_centi) * 10000) // CAST(sum(rev_centi) AS BIGINT)
+           |   AS top_share_bp
+           |FROM ps GROUP BY 1 ORDER BY 1""".stripMargin))
+
   override def qs: Seq[Q] =
     Seq(triangles, trend, pareto, equidepth, madOutliers, zorder,
       compactionBins, distributionDrift, windowValues, rollingWau,
       groupQuantiles, benford, rankMetrics, groupedMode, hist2d,
-      winsorized, abTest)
+      winsorized, abTest, concentration)
 }
