@@ -816,9 +816,48 @@ object StatsQueries extends QueryPack {
            |   AS top_share_bp
            |FROM ps GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** Gini inequality of supplier revenue per nation — the concentration
+    * companion to [[concentration]]'s HHI, published as integral parts:
+    * with ranks i ascending on (rev, suppkey), G = 2·Σi·xᵢ/(n·Σx) −
+    * (n+1)/n, so (n, Σx, Σi·xᵢ) determine it exactly — all BIGINTs,
+    * no division in the compared output. The rank window is PARTITIONED
+    * by nation over the supplier-level aggregate (dim-sized groups),
+    * never the fact table.
+    */
+  private val gini = Q(
+    "agg_gini_revenue",
+    (s, d) => {
+      val perSupp = Tables.lineitem(s, d)
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_nationkey"), col("s_suppkey"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long"))
+          .as("rev_centi"))
+      val w = Window.partitionBy(col("s_nationkey"))
+        .orderBy(col("rev_centi"), col("s_suppkey"))
+      perSupp.withColumn("i", row_number().over(w).cast("long"))
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("rev_centi")).as("total_centi"),
+          sum(col("i") * col("rev_centi")).as("rank_weighted_centi"))
+        .orderBy(col("s_nationkey"))
+    },
+    Some("""WITH ps AS (SELECT s_nationkey, s_suppkey,
+           |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+           |    AS BIGINT) AS rev_centi
+           | FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+           | GROUP BY 1, 2),
+           |r AS (SELECT s_nationkey, rev_centi,
+           |  CAST(row_number() OVER (PARTITION BY s_nationkey
+           |    ORDER BY rev_centi, s_suppkey) AS BIGINT) AS i
+           | FROM ps)
+           |SELECT s_nationkey, count(*) AS n,
+           | CAST(sum(rev_centi) AS BIGINT) AS total_centi,
+           | CAST(sum(i * rev_centi) AS BIGINT) AS rank_weighted_centi
+           |FROM r GROUP BY 1 ORDER BY 1""".stripMargin))
+
   override def qs: Seq[Q] =
     Seq(triangles, trend, pareto, equidepth, madOutliers, zorder,
       compactionBins, distributionDrift, windowValues, rollingWau,
       groupQuantiles, benford, rankMetrics, groupedMode, hist2d,
-      winsorized, abTest, concentration)
+      winsorized, abTest, concentration, gini)
 }

@@ -553,7 +553,67 @@ object TextQueries extends QueryPack {
             |SELECT doc_id, rank, tok, score_micro FROM r
             |WHERE rank <= 3 ORDER BY 1, 2""".stripMargin))
 
+  /** Zipf rank-frequency fit over the corpus vocabulary — natural text
+    * follows freq ∝ rank^s with s ≈ −1, and a corpus whose fitted
+    * exponent sits far off is machine-generated/templated (a corpus-
+    * level quality signal next to the per-doc gates). Log-log linear
+    * regression over the top-100 tokens: one map-side-combined
+    * frequency aggregation, a 100-row bounded frame (TakeOrdered +
+    * BoundedRank — no unpartitioned window), ln(rank)/ln(freq)
+    * micro-rounded ONCE per row (the BM25 ln convention) so the
+    * regression's sufficient statistics are exact BIGINTs; the slope
+    * is derived, 6dp-rounded from identically-written doubles.
+    */
+  private val zipf = Q(
+    "text_zipf_fit",
+    (s, d) => {
+      val wordsU = udf { (t: String) =>
+        if (t == null) Array.empty[String] else Hashing.words(t)
+      }
+      val freqs = Tables.documents(s, d)
+        .select(explode(wordsU(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+      val top = freqs.orderBy(col("freq").desc, md5(col("tok"))).limit(100)
+      val ranked = graft.ops.BoundedRank.attach(
+        top.withColumn("m5", md5(col("tok"))), "rank",
+        Seq("freq" -> true, "m5" -> false))
+      val pts = ranked.select(
+        round(log(col("rank").cast("double")) * 1e6, 0).cast("long").as("x"),
+        round(log(col("freq").cast("double")) * 1e6, 0).cast("long").as("y"))
+      val st = pts.agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      val (n, sx, sy, sxy, sxx) = (col("n").cast("double"),
+        col("sx").cast("double"), col("sy").cast("double"),
+        col("sxy").cast("double"), col("sxx").cast("double"))
+      st.select(col("n"), col("sx"), col("sy"), col("sxy"), col("sxx"),
+        round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+          .as("zipf_slope"))
+    },
+    Some(s"""WITH f AS (SELECT tok, count(*) AS freq
+            | FROM (SELECT unnest(${CorpusQueries.WordsExpr}) AS tok
+            |       FROM documents) GROUP BY 1),
+            |t AS (SELECT freq, md5(tok) AS m5 FROM f
+            | ORDER BY freq DESC, m5 LIMIT 100),
+            |r AS (SELECT freq, row_number() OVER (
+            |   ORDER BY freq DESC, m5) AS rank FROM t),
+            |p AS (SELECT
+            |  CAST(round(ln(CAST(rank AS DOUBLE)) * 1e6, 0) AS BIGINT) AS x,
+            |  CAST(round(ln(CAST(freq AS DOUBLE)) * 1e6, 0) AS BIGINT) AS y
+            | FROM r),
+            |st AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+            |  CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x*y) AS BIGINT) AS sxy,
+            |  CAST(sum(x*x) AS BIGINT) AS sxx FROM p)
+            |SELECT n, sx, sy, sxy, sxx,
+            | round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            |    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            |  / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+            |    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+            |   AS zipf_slope
+            |FROM st""".stripMargin))
+
   val qs: Seq[Q] = Seq(tokenStats, packWindows, bpePairs, spellVariants,
     weightedSample, quality, langid, fingerprintQ, subwords, polyFingerprint,
-    chunking, sampling, bm25, mixtureSample, charStats, tfidfTop)
+    chunking, sampling, bm25, mixtureSample, charStats, tfidfTop, zipf)
 }
