@@ -20,6 +20,7 @@ object SparkEntry {
     analytics.StatsQueries,
     analytics.SupplyQueries,
     analytics.WarehouseQueries,
+    analytics.InsightQueries,
     etl.EtlQueries,
     llm.TextQueries,
     llm.CorpusQueries,

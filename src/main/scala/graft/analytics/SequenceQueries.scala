@@ -367,6 +367,45 @@ object SequenceQueries extends QueryPack {
            |  ON w.user_id = c.user_id AND w.rn = c.n
            |ORDER BY w.user_id""".stripMargin))
 
+  /** Holt linear (double-exponential) smoothing per user
+    * ([[graft.ops.StatefulScan.holtSmooth]]) — the third nonlinear
+    * recurrence, and the first with TWO coupled state registers (level +
+    * trend): no window frame, and no single prefix-scan, can carry both.
+    * Truncating integer α=1/2 / β=1/4 updates; the oracle replays the
+    * exact two-register trajectory as a recursive CTE, mirroring each
+    * truncating Long division with `trunc(x / k.0)` — including the
+    * two-step trend truncation, which is replayed literally rather than
+    * algebraically collapsed.
+    */
+  private val holt = Q(
+    "seq_holt_linear",
+    (s, d) => graft.ops.StatefulScan.holtQuery(s, d),
+    Some("""WITH RECURSIVE e0 AS (SELECT user_id,
+           |   CAST(round(value * 100) AS BIGINT) AS x,
+           |   row_number() OVER (PARTITION BY user_id
+           |     ORDER BY ts, event_id) AS rn
+           |  FROM events WHERE value IS NOT NULL),
+           |cnt AS (SELECT user_id, count(*) AS n FROM e0 GROUP BY 1),
+           |walk AS (
+           | SELECT user_id, rn, x AS l, CAST(0 AS BIGINT) AS b,
+           |   CAST(0 AS BIGINT) AS maxerr
+           | FROM e0 WHERE rn = 1
+           | UNION ALL
+           | SELECT w.user_id, e.rn,
+           |   w.l + w.b + CAST(trunc((e.x - w.l - w.b) / 2.0) AS BIGINT),
+           |   w.b + CAST(trunc(CAST(trunc((e.x - w.l - w.b) / 2.0)
+           |     AS BIGINT) / 4.0) AS BIGINT),
+           |   greatest(w.maxerr, abs(e.x - w.l - w.b))
+           | FROM walk w JOIN e0 e
+           |   ON e.user_id = w.user_id AND e.rn = w.rn + 1)
+           |SELECT w.user_id, w.l AS level_c, w.b AS trend_c,
+           | w.maxerr AS max_err_c, CAST(c.n AS BIGINT) AS n_events,
+           | w.l + w.b AS forecast_c
+           |FROM walk w JOIN cnt c
+           |  ON w.user_id = c.user_id AND w.rn = c.n
+           |ORDER BY w.user_id""".stripMargin))
+
   val qs: Seq[Q] = Seq(transitions, concurrency, intervalCoverage,
-    sessionPaths, cumulativeUsers, cdcDiff, topkHeap, cappedBalance, ewma)
+    sessionPaths, cumulativeUsers, cdcDiff, topkHeap, cappedBalance, ewma,
+    holt)
 }

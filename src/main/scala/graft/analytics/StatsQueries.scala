@@ -62,6 +62,86 @@ object StatsQueries extends QueryPack {
            | JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v""".stripMargin),
     headline = true)
 
+  /** Clustering coefficients of the same supplier co-purchase graph —
+    * the cohesion summary on top of the triangle census: global
+    * transitivity (3·triangles / wedges) and the average LOCAL
+    * coefficient (Watts–Strogatz) over nodes of degree ≥ 2, both in
+    * integer basis points (every division is integer, every sufficient
+    * statistic an exact BIGINT). Per-node triangle participation comes
+    * from [[graft.ops.Triangles.perNode]] — the same degree-oriented
+    * O(√m)-wedge pipeline as the census, plus one bounded 3-corner
+    * explode — so the whole query stays hub-proof; the output is one
+    * row. The two metrics diverging (transitivity ≪ avg-local) is the
+    * classic signal that hubs sit in sparse neighborhoods while leaves
+    * cluster — which join-salting strategy cares about directly.
+    */
+  private val clusteringCoeff = Q(
+    "graph_clustering_coeff",
+    (s, d) => {
+      val perOrder = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("l_suppkey"))).as("sks"))
+      val edges = perOrder
+        .select(explode(expr(
+          """flatten(transform(sks, (x, i) ->
+            |  transform(slice(sks, i + 2, size(sks)), y -> struct(x AS u, y AS v))))"""
+            .stripMargin)).as("p"))
+        .groupBy(col("p.u").as("u"), col("p.v").as("v"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 5)
+        .select(col("u"), col("v"))
+      val pn = graft.ops.Triangles.perNode(edges, "u", "v")
+      pn.agg(
+          count(lit(1)).as("n_nodes"),
+          sum(col("deg")).as("sum_deg"),
+          sum(col("n_tri")).as("sum_tri"),
+          sum(expr("deg * (deg - 1) div 2")).as("n_wedges"),
+          sum(when(col("deg") >= 2, lit(1L)).otherwise(0L)).as("n_deg2"),
+          sum(when(col("deg") >= 2,
+            expr("(20000 * n_tri) div (deg * (deg - 1))"))).as("sum_local_bp"))
+        .select(col("n_nodes"),
+          expr("sum_deg div 2").as("n_edges"),
+          expr("sum_tri div 3").as("n_triangles"),
+          col("n_wedges"),
+          when(col("n_wedges") > 0,
+            expr("(10000 * sum_tri) div n_wedges")).as("transitivity_bp"),
+          col("n_deg2"),
+          when(col("n_deg2") > 0,
+            expr("sum_local_bp div n_deg2")).as("avg_local_bp"))
+    },
+    Some("""WITH os AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+           |  FROM lineitem),
+           |e AS (SELECT a.sk AS u, b.sk AS v FROM os a
+           |  JOIN os b ON a.ok = b.ok AND a.sk < b.sk
+           |  GROUP BY 1, 2 HAVING count(*) >= 5),
+           |deg AS (SELECT n, count(*) AS dg FROM
+           |  (SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
+           |tri AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
+           |  FROM e e1 JOIN e e2 ON e2.u = e1.v
+           |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+           |tn AS (SELECT n, count(*) AS t FROM
+           |  (SELECT x AS n FROM tri UNION ALL SELECT y FROM tri
+           |   UNION ALL SELECT z FROM tri) GROUP BY 1),
+           |p AS (SELECT deg.n, deg.dg, COALESCE(tn.t, 0) AS t
+           |  FROM deg LEFT JOIN tn ON tn.n = deg.n)
+           |SELECT count(*) AS n_nodes,
+           | CAST(sum(dg) AS BIGINT) // 2 AS n_edges,
+           | CAST(sum(t) AS BIGINT) // 3 AS n_triangles,
+           | CAST(sum(dg * (dg - 1) // 2) AS BIGINT) AS n_wedges,
+           | CASE WHEN CAST(sum(dg * (dg - 1) // 2) AS BIGINT) > 0 THEN
+           |  (10000 * CAST(sum(t) AS BIGINT))
+           |    // CAST(sum(dg * (dg - 1) // 2) AS BIGINT) END
+           |  AS transitivity_bp,
+           | CAST(sum(CASE WHEN dg >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           |  AS n_deg2,
+           | CASE WHEN sum(CASE WHEN dg >= 2 THEN 1 ELSE 0 END) > 0 THEN
+           |  CAST(sum(CASE WHEN dg >= 2
+           |    THEN (20000 * t) // (dg * (dg - 1)) END) AS BIGINT)
+           |   // CAST(sum(CASE WHEN dg >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           |  END AS avg_local_bp
+           |FROM p""".stripMargin),
+    headline = true)
+
   /** Daily-revenue linear trend — regression as a ONE-PASS aggregation of
     * integral sufficient statistics (n, Σx, Σy, Σxy, Σx²), the
     * map-side-combinable shape that replaces any iterative fit for simple
@@ -856,8 +936,8 @@ object StatsQueries extends QueryPack {
            |FROM r GROUP BY 1 ORDER BY 1""".stripMargin))
 
   override def qs: Seq[Q] =
-    Seq(triangles, trend, pareto, equidepth, madOutliers, zorder,
-      compactionBins, distributionDrift, windowValues, rollingWau,
+    Seq(triangles, clusteringCoeff, trend, pareto, equidepth, madOutliers,
+      zorder, compactionBins, distributionDrift, windowValues, rollingWau,
       groupQuantiles, benford, rankMetrics, groupedMode, hist2d,
       winsorized, abTest, concentration, gini)
 }

@@ -219,5 +219,61 @@ object RetrievalQueries extends QueryPack {
            |FROM u JOIN r ON source = src
            |GROUP BY 1 ORDER BY 1""".stripMargin))
 
-  val qs: Seq[Q] = Seq(rrf, featHash, temperature)
+  /** Linear (logistic-style) quality classifier over hashed features —
+    * the fastText/CCNet-shaped quality gate: score each document as
+    * Σ_tokens w[h(token)] + bias and keep docs whose logit clears 0.
+    * Real deployments load trained weights; here the B=64 weight table
+    * is a fixed DETERMINISTIC function of the bucket id
+    * (w[b] = (b·2654435761) mod 1009 − 504, Knuth's multiplicative
+    * constant — computable in closed form by both engines, so the whole
+    * gate is exactly cross-checkable end-to-end). The plumbing is the
+    * production shape regardless of where weights come from: no
+    * vocabulary build, no dictionary broadcast, one explode + two keyed
+    * aggregations; a trained model just swaps the weight expression for
+    * a 64-entry broadcast map. Zero-token docs score bias alone (the
+    * left join — dropping them would silently pass empty documents).
+    */
+  private[llm] def logisticGate(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val wordsU = udf { (t: String) =>
+      if (t == null) Array.empty[String] else Hashing.words(t)
+    }
+    val toks = docs
+      .select(col("doc_id"), explode(wordsU(col("text"))).as("tok"))
+      .withColumn("bucket",
+        conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long") % 64)
+      .withColumn("w", (col("bucket") * 2654435761L) % 1009L - 504L)
+    val perDoc = toks.groupBy(col("doc_id")).agg(sum(col("w")).as("s"))
+    docs.select(col("doc_id"), col("source"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("source"),
+        (coalesce(col("s"), lit(0L)) - 250L).as("logit"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("logit") > 0, 1L).otherwise(0L)).as("n_pass"),
+        sum(col("logit")).as("sum_logit"))
+      .orderBy(col("source"))
+  }
+
+  private val logistic = Q(
+    "text_quality_logistic",
+    (s, d) => logisticGate(Tables.documents(s, d)),
+    Some(s"""WITH tok AS (SELECT doc_id, unnest(${CorpusQueries.WordsExpr})
+            |   AS tok FROM documents),
+            |wt AS (SELECT doc_id,
+            |  (('0x' || substring(md5(tok), 1, 15))::BIGINT % 64)
+            |    * 2654435761 % 1009 - 504 AS w
+            | FROM tok),
+            |pd AS (SELECT doc_id, CAST(sum(w) AS BIGINT) AS s
+            | FROM wt GROUP BY 1),
+            |sc AS (SELECT d.source, COALESCE(pd.s, 0) - 250 AS logit
+            | FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id)
+            |SELECT source, count(*) AS n_docs,
+            | CAST(sum(CASE WHEN logit > 0 THEN 1 ELSE 0 END) AS BIGINT)
+            |   AS n_pass,
+            | CAST(sum(logit) AS BIGINT) AS sum_logit
+            |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin),
+    headline = true)
+
+  val qs: Seq[Q] = Seq(rrf, featHash, temperature, logistic)
 }

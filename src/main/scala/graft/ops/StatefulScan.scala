@@ -130,4 +130,72 @@ object StatefulScan {
 
   def ewmaQuery(s: SparkSession, dir: String): DataFrame =
     ewmaSmooth(graft.Tables.events(s, dir)).orderBy(col("user_id"))
+
+  /** Holt linear (double-exponential) smoothing per user — the third
+    * member of the nonlinear-recurrence family: TWO coupled state
+    * registers (level, trend), which no window frame and no single
+    * prefix-scan can express. Integer centi-units with truncating
+    * division (α = 1/2 on the forecast error, β = 1/4 on the trend
+    * error; Scala Long `/` truncates toward zero, mirrored by
+    * `trunc(x / 2.0)` in the oracle's recursive CTE):
+    *
+    *   f      = l + b                        (one-step forecast)
+    *   l'     = f + (x − f) / 2
+    *   b'     = b + (l' − l − b) / 4
+    *
+    * Init: l₁ = x₁, b₁ = 0. Emits per user: final level, final trend,
+    * next-step forecast l+b, max |forecast error|, event count. Same
+    * secondary-sort single-pass shape as [[cappedBalance]]: repartition
+    * by user, sortWithinPartitions by (user, ts, event_id), O(1) state
+    * per key.
+    */
+  def holtSmooth(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val prepared: Dataset[(Long, Long, Long, Long)] = events
+      .filter(col("value").isNotNull)
+      .select(col("user_id"), expr("unix_micros(ts)").as("us"),
+        col("event_id"), round(col("value") * 100).cast("long").as("x"))
+      .repartition(col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("us"), col("event_id"))
+      .as[(Long, Long, Long, Long)]
+    prepared.mapPartitions { rows =>
+      new Iterator[(Long, Long, Long, Long, Long)] {
+        private var pending: Option[(Long, Long, Long, Long, Long)] = None
+        private var cur = Option.empty[Long]
+        private var l, b, maxErr, n = 0L
+        private def roll(): Unit = {
+          while (pending.isEmpty && rows.hasNext) {
+            val (u, _, _, x) = rows.next()
+            if (cur.exists(_ != u)) {
+              pending = Some((cur.get, l, b, maxErr, n))
+              l = 0L; b = 0L; maxErr = 0L; n = 0L
+            }
+            if (cur.isEmpty || cur.get != u) { cur = Some(u); l = x; n = 1L }
+            else {
+              val f = l + b
+              val err = math.abs(x - f)
+              if (err > maxErr) maxErr = err
+              val l1 = f + (x - f) / 2
+              b = b + (l1 - l - b) / 4
+              l = l1
+              n += 1
+            }
+          }
+          if (pending.isEmpty && rows.isEmpty && cur.nonEmpty) {
+            pending = Some((cur.get, l, b, maxErr, n))
+            cur = None
+          }
+        }
+        override def hasNext: Boolean = { roll(); pending.nonEmpty }
+        override def next(): (Long, Long, Long, Long, Long) = {
+          roll(); val r = pending.get; pending = None; r
+        }
+      }
+    }.toDF("user_id", "level_c", "trend_c", "max_err_c", "n_events")
+      .withColumn("forecast_c", col("level_c") + col("trend_c"))
+  }
+
+  def holtQuery(s: SparkSession, dir: String): DataFrame =
+    holtSmooth(graft.Tables.events(s, dir)).orderBy(col("user_id"))
 }

@@ -44,6 +44,34 @@ object Triangles {
     */
   def census(edges: DataFrame, srcCol: String, dstCol: String,
       broadcastEdgeLimit: Long = 4000000L): DataFrame = {
+    val (closed, deg, m) = closedTriangles(edges, srcCol, dstCol,
+      broadcastEdgeLimit)
+    deg.agg(count(lit(1)).as("n_nodes")).crossJoin(
+      closed.agg(count(lit(1)).as("n_triangles")))
+      .select(col("n_nodes"), lit(m).as("n_edges"), col("n_triangles"))
+  }
+
+  /** Per-node triangle participation: (node, deg, n_tri) for every node
+    * of the canonical graph (n_tri = 0 where no triangle touches the
+    * node) — the input to local clustering coefficients. Same oriented
+    * wedge pipeline as [[census]]; each closed triangle contributes its
+    * three corners through one bounded explode.
+    */
+  def perNode(edges: DataFrame, srcCol: String, dstCol: String,
+      broadcastEdgeLimit: Long = 4000000L): DataFrame = {
+    val (closed, deg, _) = closedTriangles(edges, srcCol, dstCol,
+      broadcastEdgeLimit)
+    val triPerNode = closed
+      .select(explode(array(col("s"), col("a"), col("b"))).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("n_tri"))
+    deg.join(triPerNode, Seq("n"), "left")
+      .select(col("n").as("node"), col("dg").as("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+  }
+
+  private def closedTriangles(edges: DataFrame, srcCol: String,
+      dstCol: String, broadcastEdgeLimit: Long)
+      : (DataFrame, DataFrame, Long) = {
     // checkpoint the canonical edge list once up front: canon feeds the
     // degree agg, the orientation join, and the counters — without a
     // materialization Catalyst re-plans the ENTIRE edge-building subplan
@@ -91,15 +119,13 @@ object Triangles {
       col("e1.s") === col("e2.s") &&
         (col("e1.dt") < col("e2.dt") ||
           (col("e1.dt") === col("e2.dt") && col("e1.t") < col("e2.t"))))
-      .select(col("e1.t").as("a"), col("e2.t").as("b"))
+      .select(col("e1.s").as("s"), col("e1.t").as("a"), col("e2.t").as("b"))
     // a wedge (a, b) closes iff a→b is an oriented edge: a ≺ b holds by
     // construction, and oriented pairs are unique, so an inner join
     // preserves the triangle count exactly
     val closed = wedges.join(
       hint(oriented.select(col("s").as("a"), col("t").as("b"))),
       Seq("a", "b"))
-    deg.agg(count(lit(1)).as("n_nodes")).crossJoin(
-      closed.agg(count(lit(1)).as("n_triangles")))
-      .select(col("n_nodes"), lit(m).as("n_edges"), col("n_triangles"))
+    (closed, deg, m)
   }
 }

@@ -156,6 +156,32 @@ object EventStream {
         col("c_eid"), col("c_ts"))
   }
 
+  /** LEFT OUTER flavor of [[clickAttribution]]: purchases with NO click
+    * in the trailing 10 minutes still emit — with null click columns —
+    * once the click-side watermark proves no matching click can still
+    * arrive. This is the streaming form of "conversions without
+    * attribution": an inner join silently drops them, and at pipeline
+    * scale the dropped fraction IS the metric being monitored. Same
+    * state bound as the inner join (both watermarks + the range
+    * condition); the only extra cost is buffering each unmatched
+    * purchase until the watermark passes its window, after which it
+    * emits exactly once with nulls.
+    */
+  def clickAttributionOuter(purchases: DataFrame,
+      clicks: DataFrame): DataFrame = {
+    val p = purchases.withWatermark("ts", "30 minutes")
+      .select(col("event_id").as("p_eid"), col("user_id").as("p_uid"),
+        col("ts").as("p_ts"))
+    val c = clicks.withWatermark("ts", "30 minutes")
+      .select(col("event_id").as("c_eid"), col("user_id").as("c_uid"),
+        col("ts").as("c_ts"))
+    p.join(c, col("p_uid") === col("c_uid") &&
+      col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
+      col("c_ts") <= col("p_ts"), "left_outer")
+      .select(col("p_eid"), col("p_uid").as("user_id"), col("p_ts"),
+        col("c_eid"), col("c_ts"))
+  }
+
   /** Stream-static enrichment: tag each event with its user's nation by
     * joining a broadcast dimension table. Works identically on a batch or
     * streaming `events` frame — a stream-static equi-join is stateless in

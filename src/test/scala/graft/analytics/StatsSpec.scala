@@ -33,6 +33,29 @@ class StatsSpec extends SparkSpec {
     assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((8L, 9L, 4L)))
   }
 
+  test("Triangles.perNode: K4 corners carry 3 triangles each, path nodes 0") {
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val noise = Seq((5L, 6L), (6L, 7L))
+    val got = graft.ops.Triangles.perNode(edgeDf(k4 ++ noise), "a", "b")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert((1L to 4L).forall(got(_) == ((3L, 3L))), got)
+    assert(got(5L) === ((1L, 0L)) && got(6L) === ((2L, 0L)))
+  }
+
+  test("Triangles.perNode sums to 3x the census count on a random graph") {
+    val rnd = new scala.util.Random(7)
+    val n = 25
+    val edges = (for {
+      i <- 0 until n; j <- (i + 1) until n if rnd.nextDouble() < 0.25
+    } yield (i.toLong, j.toLong)).toSeq
+    val census = graft.ops.Triangles.census(edgeDf(edges), "a", "b")
+      .collect()(0)
+    val pn = graft.ops.Triangles.perNode(edgeDf(edges), "a", "b").collect()
+    assert(pn.map(_.getLong(2)).sum === 3 * census.getLong(2))
+    assert(pn.map(_.getLong(1)).sum === 2 * census.getLong(1))
+  }
+
   test("Triangles.census matches brute force on a seeded random graph") {
     val rnd = new scala.util.Random(42)
     val n = 30

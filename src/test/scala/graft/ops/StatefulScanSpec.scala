@@ -44,6 +44,27 @@ class StatefulScanSpec extends SparkSpec {
     assert(got(3L) === ((100L, 100L, 1L)))
   }
 
+  test("holtSmooth: hand-computed two-register trajectory, truncating divisions") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // user 1, cents 1000 → 2000 → 500:
+    //   init l=1000 b=0
+    //   x=2000: f=1000 err=1000; l=1000+1000/2=1500; b=0+(1500-1000-0)/4=125
+    //   x=500:  f=1625 err=1125; l=1625+(-1125)/2=1063 (trunc toward 0);
+    //           b=125+(1063-1500-125)/4=125+(-562)/4=125-140=-15
+    val df = Seq(
+      (1L, "2024-01-01 00:00:00", 1L, "view", 10.0),
+      (2L, "2024-01-01 00:01:00", 1L, "view", 20.0),
+      (3L, "2024-01-01 00:02:00", 1L, "view", 5.0))
+      .toDF("event_id", "ts_s", "user_id", "event_type", "value")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    val r = StatefulScan.holtSmooth(df)
+      .select("user_id", "level_c", "trend_c", "max_err_c", "n_events",
+        "forecast_c")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    assert(r === ((1L, 1063L, -15L, 1125L, 3L, 1048L)))
+  }
+
   test("ties on ts break by event_id; users never bleed state into each other") {
     // 40 users interleaved in input order, each: +200 then -300 (same ts,
     // ids order the debit second) → every user independently ends at

@@ -160,6 +160,38 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("clickAttributionOuter: unmatched purchases emit nulls after watermark") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val purchases = MemoryStream[Event]
+    val clicks = MemoryStream[Event]
+    val q = EventStream.clickAttributionOuter(purchases.toDF(), clicks.toDF())
+      .writeStream.format("memory").queryName("attrib_outer")
+      .outputMode(OutputMode.Append).start()
+    try {
+      clicks.addData(
+        ev(10, "2024-01-01 10:02:00", 1, "click", 0.0)) // matches user 1
+      purchases.addData(
+        ev(1, "2024-01-01 10:10:00", 1, "purchase", 9.0), // matched
+        ev(2, "2024-01-01 10:12:00", 2, "purchase", 5.0)) // no click at all
+      q.processAllAvailable()
+      // the unmatched purchase must NOT emit yet: a 10:0x click for user 2
+      // could still arrive inside the watermark
+      val early = spark.table("attrib_outer").collect()
+      assert(early.forall(_.getAs[Long]("p_eid") == 1L))
+      // advance both watermarks far past purchase 2's window: the outer
+      // row with null click columns must now flush exactly once
+      clicks.addData(ev(11, "2024-01-01 12:00:00", 9, "click", 0.0))
+      purchases.addData(ev(3, "2024-01-01 12:00:00", 9, "purchase", 1.0))
+      q.processAllAvailable()
+      val out = spark.table("attrib_outer")
+        .select($"p_eid", $"c_eid").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .toSet
+      assert(out.contains((1L, 10L)) && out.contains((2L, -1L)))
+    } finally q.stop()
+  }
+
   test("enrichNation: stream-static broadcast join is stateless per batch") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
