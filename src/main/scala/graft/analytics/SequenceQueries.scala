@@ -405,7 +405,153 @@ object SequenceQueries extends QueryPack {
            |  ON w.user_id = c.user_id AND w.rn = c.n
            |ORDER BY w.user_id""".stripMargin))
 
+  /** Day-of-week seasonal decomposition of the daily event-count series
+    * — the deseasonalization step under every traffic-anomaly monitor:
+    * the weekly profile is the per-dow MEDIAN (order statistic,
+    * k = ⌈n/2⌉ — robust to the very outliers being hunted, unlike the
+    * mean `ts_anomalous_hours` uses), residual = count − dow-median,
+    * and a day flags when 2·|residual| exceeds its dow-median. Day of
+    * week is epoch-anchored ((epoch_days + 4) mod 7, 0 = Sunday — the
+    * `gen_calendar_dim` convention, immune to engine dayofweek
+    * disagreements). Everything runs on the |days|-bounded daily frame;
+    * output is that same frame annotated.
+    */
+  private val dowResiduals = Q(
+    "ts_dow_seasonal_residuals",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("dow",
+          pmod(datediff(col("day"), lit("1970-01-01").cast("date")) + 4,
+            lit(7)))
+      val w = Window.partitionBy(col("dow")).orderBy(col("c"), col("day"))
+      val med = daily
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("dow"))))
+        .groupBy(col("dow"))
+        .agg(max(when(col("rn") <= ceil(lit(0.5) * col("n")), col("c")))
+          .as("dow_median"))
+      daily.join(med, Seq("dow"))
+        .select(col("day"), col("dow"), col("c"),
+          col("dow_median"),
+          (col("c") - col("dow_median")).as("resid"),
+          when(abs(col("c") - col("dow_median")) * 2 > col("dow_median"),
+            1L).otherwise(0L).as("is_outlier"))
+        .orderBy(col("day"))
+    },
+    Some("""WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS c
+           |  FROM events GROUP BY 1),
+           |dd AS (SELECT day, c,
+           |   (day - DATE '1970-01-01' + 4) % 7 AS dow FROM daily),
+           |r AS (SELECT day, c, dow,
+           |   row_number() OVER (PARTITION BY dow ORDER BY c, day) AS rn,
+           |   count(*) OVER (PARTITION BY dow) AS n
+           |  FROM dd),
+           |med AS (SELECT dow,
+           |   max(CASE WHEN rn <= ceil(0.5 * n) THEN c END) AS dow_median
+           |  FROM r GROUP BY 1)
+           |SELECT day, dd.dow, c, dow_median, c - dow_median AS resid,
+           | CASE WHEN abs(c - dow_median) * 2 > dow_median THEN 1 ELSE 0
+           |  END AS is_outlier
+           |FROM dd JOIN med ON dd.dow = med.dow
+           |ORDER BY day""".stripMargin))
+
+  /** Trailing-7-day MEDIAN of the daily event-count series — the robust
+    * moving level every spike-immune dashboard line wants (a single
+    * outlier day shifts a trailing mean for a week; the median ignores
+    * it). Same dedup-then-bounded-explode rewrite as
+    * `agg_rolling_7d_distinct_users`: each day contributes its count to
+    * the 7 window-ENDING days, and the per-window median is an order
+    * statistic (k = ⌈n/2⌉) of a ≤7-element sorted array — no sliding
+    * window sort anywhere, linear in days.
+    */
+  private val rollingMedian = Q(
+    "ts_rolling_median_7d",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+      daily
+        .select(explode(sequence(col("day"), date_add(col("day"), 6)))
+          .as("t_day"), col("c"))
+        .groupBy(col("t_day"))
+        .agg(count(lit(1)).as("n_in_window"),
+          array_sort(collect_list(col("c"))).as("cs"))
+        .select(col("t_day"), col("n_in_window"),
+          element_at(col("cs"),
+            ceil(col("n_in_window") / 2).cast("int")).as("median_c"))
+        .orderBy(col("t_day"))
+    },
+    Some("""WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS c
+           |  FROM events GROUP BY 1),
+           |x AS (SELECT day + CAST(i AS INT) AS t_day, c
+           | FROM daily, range(7) t(i)),
+           |g AS (SELECT t_day, count(*) AS n_in_window,
+           |   list_sort(list(c)) AS cs
+           |  FROM x GROUP BY 1)
+           |SELECT t_day, n_in_window,
+           | cs[CAST(ceil(n_in_window / 2.0) AS INT)] AS median_c
+           |FROM g ORDER BY 1""".stripMargin))
+
+  /** Bot-cadence audit — the inter-event-time regularity screen (humans
+    * are bursty, schedulers are metronomes): per user, the gap series
+    * from one user-keyed lag window, then the gap count, distinct-gap
+    * count, median gap (order statistic), and a regularity score in
+    * basis points (share of gaps that repeat an already-seen value:
+    * 10⁴·(n_gaps − n_distinct)/n_gaps). Top-20 most-regular users with
+    * ≥ 5 gaps via TakeOrdered — never a global sort. All integer
+    * seconds; the classifier-threshold choice stays with the consumer.
+    */
+  private val botCadence = Q(
+    "dq_bot_cadence",
+    (s, d) => {
+      val wSeq = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val gaps = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .withColumn("prev", lag(col("ts"), 1).over(wSeq))
+        .filter(col("prev").isNotNull)
+        .select(col("user_id"),
+          (unix_timestamp(col("ts")) - unix_timestamp(col("prev")))
+            .as("gap_s"))
+      val wRank = Window.partitionBy(col("user_id")).orderBy(col("gap_s"))
+      gaps
+        .withColumn("rn", row_number().over(wRank))
+        .withColumn("n", count(lit(1)).over(
+          Window.partitionBy(col("user_id"))))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_gaps"),
+          countDistinct(col("gap_s")).as("n_distinct_gaps"),
+          max(when(col("rn") <= ceil(lit(0.5) * col("n")), col("gap_s")))
+            .as("median_gap_s"))
+        .filter(col("n_gaps") >= 5)
+        .withColumn("regular_bp",
+          expr("(10000 * (n_gaps - n_distinct_gaps)) div n_gaps"))
+        .orderBy(col("regular_bp").desc, col("user_id"))
+        .limit(20)
+    },
+    Some("""WITH g0 AS (SELECT user_id,
+           |   epoch(date_trunc('second', ts))::BIGINT
+           |     - epoch(date_trunc('second', lag(ts) OVER (
+           |        PARTITION BY user_id ORDER BY ts, event_id)))::BIGINT
+           |     AS gap_s
+           |  FROM events),
+           |g AS (SELECT user_id, gap_s FROM g0 WHERE gap_s IS NOT NULL),
+           |r AS (SELECT user_id, gap_s,
+           |   row_number() OVER (PARTITION BY user_id ORDER BY gap_s) AS rn,
+           |   count(*) OVER (PARTITION BY user_id) AS n
+           |  FROM g),
+           |a AS (SELECT user_id, count(*) AS n_gaps,
+           |   count(DISTINCT gap_s) AS n_distinct_gaps,
+           |   max(CASE WHEN rn <= ceil(0.5 * n) THEN gap_s END)
+           |     AS median_gap_s
+           |  FROM r GROUP BY 1 HAVING count(*) >= 5)
+           |SELECT user_id, n_gaps, n_distinct_gaps, median_gap_s,
+           | (10000 * (n_gaps - n_distinct_gaps)) // n_gaps AS regular_bp
+           |FROM a ORDER BY regular_bp DESC, user_id LIMIT 20""".stripMargin))
+
   val qs: Seq[Q] = Seq(transitions, concurrency, intervalCoverage,
     sessionPaths, cumulativeUsers, cdcDiff, topkHeap, cappedBalance, ewma,
-    holt)
+    holt, dowResiduals, rollingMedian, botCadence)
 }

@@ -75,22 +75,37 @@ object StatsQueries extends QueryPack {
     * classic signal that hubs sit in sparse neighborhoods while leaves
     * cluster — which join-salting strategy cares about directly.
     */
+  /** The supplier co-purchase edge list (suppliers linked when they
+    * serve the same order ≥ 5 times) — shared by the triangle census,
+    * the clustering-coefficient query, and the two-hop reach query.
+    * Pair expansion stays WITHIN an order's supplier array (≤ 7
+    * lineitems ⇒ ≤ 21 pairs) — never a supplier self-join.
+    */
+  private def suppEdges(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_suppkey"))).as("sks"))
+      .select(explode(expr(
+        """flatten(transform(sks, (x, i) ->
+          |  transform(slice(sks, i + 2, size(sks)), y -> struct(x AS u, y AS v))))"""
+          .stripMargin)).as("p"))
+      .groupBy(col("p.u").as("u"), col("p.v").as("v"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 5)
+      .select(col("u"), col("v"))
+
+  /** The same edge list as DuckDB CTEs (`os`, `e`). */
+  private val suppEdgeCte =
+    """os AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+      |  FROM lineitem),
+      |e AS (SELECT a.sk AS u, b.sk AS v FROM os a
+      |  JOIN os b ON a.ok = b.ok AND a.sk < b.sk
+      |  GROUP BY 1, 2 HAVING count(*) >= 5)""".stripMargin
+
   private val clusteringCoeff = Q(
     "graph_clustering_coeff",
     (s, d) => {
-      val perOrder = Tables.lineitem(s, d)
-        .groupBy(col("l_orderkey"))
-        .agg(sort_array(collect_set(col("l_suppkey"))).as("sks"))
-      val edges = perOrder
-        .select(explode(expr(
-          """flatten(transform(sks, (x, i) ->
-            |  transform(slice(sks, i + 2, size(sks)), y -> struct(x AS u, y AS v))))"""
-            .stripMargin)).as("p"))
-        .groupBy(col("p.u").as("u"), col("p.v").as("v"))
-        .agg(count(lit(1)).as("w"))
-        .filter(col("w") >= 5)
-        .select(col("u"), col("v"))
-      val pn = graft.ops.Triangles.perNode(edges, "u", "v")
+      val pn = graft.ops.Triangles.perNode(suppEdges(s, d), "u", "v")
       pn.agg(
           count(lit(1)).as("n_nodes"),
           sum(col("deg")).as("sum_deg"),
@@ -141,6 +156,50 @@ object StatsQueries extends QueryPack {
            |  END AS avg_local_bp
            |FROM p""".stripMargin),
     headline = true)
+
+  /** Exact two-hop reach over the supplier co-purchase graph — the
+    * "how far does influence spread in ≤ 2 steps" neighborhood-size
+    * profile (top-20 by reach): reach₂(v) = |{w ≠ v : dist(v,w) ≤ 2}|,
+    * from one mid-node self-join of the symmetric edge list plus a
+    * UNION with the direct neighbors (set semantics dedup the
+    * overlapping hop-1/hop-2 sets). Exact two-hop is inherently
+    * Σ d(mid)² pair work — affordable here because the co-occurrence
+    * graph is dimension-sized with a ≥5-support floor; at a 100 TB
+    * social-scale graph the same query swaps the exact distinct for
+    * per-node HLL sketches merged over neighbors (HyperBall, Boldi &
+    * Vigna 2013) — the output schema is unchanged, the counts become
+    * estimates.
+    */
+  private val twoHopReach = Q(
+    "graph_two_hop_reach",
+    (s, d) => {
+      import graft.ops.Checkpoints.StageCheckpoint
+      val canon = suppEdges(s, d).stageCheckpoint()
+      val sym = canon.select(col("u"), col("v"))
+        .unionByName(canon.select(col("v").as("u"), col("u").as("v")))
+      val hop2 = sym.as("a")
+        .join(sym.as("b"), col("a.v") === col("b.u"))
+        .filter(col("b.v") =!= col("a.u"))
+        .select(col("a.u").as("u"), col("b.v").as("w"))
+      val reach = sym.select(col("u"), col("v").as("w"))
+        .unionByName(hop2).distinct()
+        .groupBy(col("u")).agg(count(lit(1)).as("reach2"))
+      val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("reach1"))
+      reach.join(deg, Seq("u"))
+        .select(col("u").as("node"), col("reach1"), col("reach2"))
+        .orderBy(col("reach2").desc, col("node"))
+        .limit(20)
+    },
+    Some(s"""WITH $suppEdgeCte,
+            |sym AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+            |h2 AS (SELECT a.u AS u, b.v AS w FROM sym a
+            |  JOIN sym b ON a.v = b.u WHERE b.v <> a.u),
+            |allr AS (SELECT u, v AS w FROM sym UNION SELECT u, w FROM h2),
+            |reach AS (SELECT u, count(*) AS reach2 FROM allr GROUP BY 1),
+            |deg AS (SELECT u, count(*) AS reach1 FROM sym GROUP BY 1)
+            |SELECT u AS node, reach1, reach2
+            |FROM reach JOIN deg USING (u)
+            |ORDER BY reach2 DESC, node LIMIT 20""".stripMargin))
 
   /** Daily-revenue linear trend — regression as a ONE-PASS aggregation of
     * integral sufficient statistics (n, Σx, Σy, Σxy, Σx²), the
@@ -936,7 +995,8 @@ object StatsQueries extends QueryPack {
            |FROM r GROUP BY 1 ORDER BY 1""".stripMargin))
 
   override def qs: Seq[Q] =
-    Seq(triangles, clusteringCoeff, trend, pareto, equidepth, madOutliers,
+    Seq(triangles, clusteringCoeff, twoHopReach, trend, pareto, equidepth,
+      madOutliers,
       zorder, compactionBins, distributionDrift, windowValues, rollingWau,
       groupQuantiles, benford, rankMetrics, groupedMode, hist2d,
       winsorized, abTest, concentration, gini)

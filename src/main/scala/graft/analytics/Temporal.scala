@@ -711,8 +711,73 @@ object Temporal extends QueryPack {
            |FROM w GROUP BY 1
            |ORDER BY decayed_centi DESC, user_id LIMIT 20""".stripMargin))
 
+  /** Point-in-time-correct feature assembly (the feature-store
+    * training-set join): for each user's LATEST purchase (the label
+    * row, picked by the partial-aggregating max(struct) convention —
+    * no window), compute features from STRICTLY-PRIOR events only —
+    * clicks in the trailing 7 days, non-purchase value mass in the
+    * trailing 30 days (integer cents), and days since first activity.
+    * Using any event at or after the label timestamp is the
+    * train-serve-skew bug this operator exists to prevent; the strict
+    * `<` bound and the per-feature trailing windows are the whole
+    * point. One user-keyed join (the scale axis), one aggregation,
+    * |users|-bounded output; users whose purchase is their first-ever
+    * event keep the row with zeroed features (left join, −1 sentinel
+    * for days_since_first).
+    */
+  private val pointInTime = Q(
+    "feat_point_in_time",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val label = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("ts"), col("event_id"))).as("m"))
+        .select(col("user_id"), col("m.ts").as("conv_ts"))
+      // the strictly-prior bound lives in the JOIN condition, not a
+      // post-filter: a post-filter on the right side would drop the
+      // null-extended row of a user whose purchase precedes all their
+      // other events, silently losing the label
+      val prior = ev.select(col("user_id").as("p_uid"), col("ts").as("e_ts"),
+        col("event_type").as("et"), col("value"))
+      label.join(prior, col("user_id") === col("p_uid") &&
+          col("e_ts") < col("conv_ts"), "left")
+        .groupBy(col("user_id"), col("conv_ts"))
+        .agg(
+          coalesce(sum(when(col("et") === "click" &&
+            col("e_ts") >= col("conv_ts") - expr("INTERVAL 7 days"),
+            1L)), lit(0L)).as("n_clicks_7d"),
+          coalesce(sum(when(col("et") =!= "purchase" &&
+            col("e_ts") >= col("conv_ts") - expr("INTERVAL 30 days"),
+            round(col("value") * 100).cast("long"))), lit(0L))
+            .as("value_sum_30d_c"),
+          coalesce(datediff(to_date(max(col("conv_ts"))),
+            min(to_date(col("e_ts")))), lit(-1)).as("days_since_first"))
+        .select(col("user_id"), col("conv_ts"), col("n_clicks_7d"),
+          col("value_sum_30d_c"), col("days_since_first"))
+        .orderBy(col("user_id"))
+    },
+    Some("""WITH lbl AS (SELECT user_id, conv_ts FROM
+           |  (SELECT user_id, ts AS conv_ts, row_number() OVER
+           |    (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+           |   FROM events WHERE event_type = 'purchase') WHERE rn = 1),
+           |j AS (SELECT l.user_id, l.conv_ts, e.ts AS e_ts,
+           |   e.event_type AS et, e.value
+           |  FROM lbl l LEFT JOIN events e
+           |   ON e.user_id = l.user_id AND e.ts < l.conv_ts)
+           |SELECT user_id, conv_ts,
+           | COALESCE(CAST(sum(CASE WHEN et = 'click'
+           |   AND e_ts >= conv_ts - INTERVAL 7 DAY THEN 1 END) AS BIGINT),
+           |   0) AS n_clicks_7d,
+           | COALESCE(CAST(sum(CASE WHEN et <> 'purchase'
+           |   AND e_ts >= conv_ts - INTERVAL 30 DAY
+           |   THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT), 0)
+           |   AS value_sum_30d_c,
+           | COALESCE(CAST(max(conv_ts) AS DATE)
+           |   - min(CAST(e_ts AS DATE)), -1) AS days_since_first
+           |FROM j GROUP BY 1, 2 ORDER BY 1""".stripMargin))
+
   val qs: Seq[Q] = Seq(asof, asofBucketed, tumbling, jsonExtract, sliding,
     sessionWindows, funnel, cohorts, streamDedup, enrichStatic, gapfill,
     anomalies, scd2Runs, peakWindows, attribution, changepoint,
-    windowedTopK, seasonalNaive, decayed)
+    windowedTopK, seasonalNaive, decayed, pointInTime)
 }

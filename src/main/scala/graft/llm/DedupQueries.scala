@@ -954,9 +954,69 @@ object DedupQueries extends QueryPack {
             |FROM n GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
     headline = true)
 
+  /** v7 — model-gated curation ending in a LEAKAGE-FREE train/valid
+    * split (the supervised-training handoff the earlier pipelines stop
+    * short of): (1) hashed-feature logistic quality gate (the
+    * `text_quality_logistic` model, composed via
+    * [[RetrievalQueries.logitPerDoc]] — same weights, same bias);
+    * (2) exact-fingerprint keep-first dedup; (3) deterministic 90/10
+    * md5 split assigned ONLY to surviving docs — splitting after dedup
+    * is the discipline that keeps near-identical pairs from straddling
+    * train/valid (`dq_split_leakage` audits the event-table analog);
+    * (4) per (split, source) rollup with logit mass and id-sum pins.
+    * One corpus token pass (the gate), one dedup shuffle, no window
+    * wider than the fingerprint group.
+    */
+  private val trainingV7 = Q(
+    "docs_training_pipeline_v7",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val gated = stage(docs
+        .join(RetrievalQueries.logitPerDoc(docs), Seq("doc_id"))
+        .filter(col("logit") > 0)
+        .select(col("doc_id"), col("source"), col("logit"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("tc"),
+          TextAnalysis.fingerprint(col("text")).as("fp")))
+      val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+      val kept = gated.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+      kept
+        .withColumn("split",
+          when(conv(substring(md5(col("doc_id").cast("string")), 1, 15),
+            16, 10).cast("long") % 10 < 9, lit("train"))
+            .otherwise(lit("valid")))
+        .groupBy(col("split"), col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("tc")).as("sum_tokens"),
+          sum(col("logit")).as("sum_logit"),
+          sum(col("doc_id")).as("sum_ids"))
+        .orderBy(col("split"), col("source"))
+    },
+    Some(s"""WITH ${RetrievalQueries.LogitCte},
+            |g AS (SELECT d.doc_id, d.source, lg.logit,
+            |  CASE WHEN length(regexp_replace(d.text, '\\s', '', 'g')) = 0
+            |   THEN 0
+            |   ELSE len(string_split_regex(trim(d.text), '\\s+')) END AS tc,
+            |  ${CorpusQueries.fingerprintExpr("d.text")} AS fp
+            | FROM documents d JOIN lg ON d.doc_id = lg.doc_id
+            | WHERE lg.logit > 0),
+            |kept AS (SELECT doc_id, source, logit, tc FROM
+            |  (SELECT g.*, row_number() OVER (PARTITION BY fp
+            |     ORDER BY doc_id) AS rn FROM g) WHERE rn = 1),
+            |sp AS (SELECT *, CASE WHEN ('0x' ||
+            |   substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+            |   % 10 < 9 THEN 'train' ELSE 'valid' END AS split
+            | FROM kept)
+            |SELECT split, source, count(*) AS n_docs,
+            | CAST(sum(tc) AS BIGINT) AS sum_tokens,
+            | CAST(sum(logit) AS BIGINT) AS sum_logit,
+            | CAST(sum(doc_id) AS BIGINT) AS sum_ids
+            |FROM sp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    headline = true)
+
   val qs: Seq[Q] = Seq(exact, minhash, simhash, ngramJaccard,
     lshClusters, lshIncremental, clusterSizeHist, clusterSurvivors, clusterBestSurvivors,
     trainingPipeline,
     trainingV2, trainingV3, trainingV4, trainingV5, prefixJoin,
-    repeatedSpans, containment, trainingV6)
+    repeatedSpans, containment, trainingV6, trainingV7)
 }

@@ -233,7 +233,9 @@ object RetrievalQueries extends QueryPack {
     * a 64-entry broadcast map. Zero-token docs score bias alone (the
     * left join — dropping them would silently pass empty documents).
     */
-  private[llm] def logisticGate(
+  /** Per-document logit under the fixed hashed-feature linear model —
+    * the reusable core of the gate (v7 pipeline composes on this). */
+  private[llm] def logitPerDoc(
       docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val wordsU = udf { (t: String) =>
       if (t == null) Array.empty[String] else Hashing.words(t)
@@ -244,10 +246,31 @@ object RetrievalQueries extends QueryPack {
         conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long") % 64)
       .withColumn("w", (col("bucket") * 2654435761L) % 1009L - 504L)
     val perDoc = toks.groupBy(col("doc_id")).agg(sum(col("w")).as("s"))
-    docs.select(col("doc_id"), col("source"))
+    docs.select(col("doc_id"))
       .join(perDoc, Seq("doc_id"), "left")
-      .select(col("source"),
+      .select(col("doc_id"),
         (coalesce(col("s"), lit(0L)) - 250L).as("logit"))
+  }
+
+  /** The per-doc logit chain as DuckDB CTEs ending in `lg(doc_id,
+    * logit)` — text-identical model on the oracle side. */
+  private[llm] val LogitCte =
+    s"""ltok AS (SELECT doc_id, unnest(${CorpusQueries.WordsExpr})
+       |   AS tok FROM documents),
+       |lwt AS (SELECT doc_id,
+       |  (('0x' || substring(md5(tok), 1, 15))::BIGINT % 64)
+       |    * 2654435761 % 1009 - 504 AS w
+       | FROM ltok),
+       |lpd AS (SELECT doc_id, CAST(sum(w) AS BIGINT) AS s
+       | FROM lwt GROUP BY 1),
+       |lg AS (SELECT d.doc_id, COALESCE(lpd.s, 0) - 250 AS logit
+       | FROM documents d LEFT JOIN lpd ON d.doc_id = lpd.doc_id)"""
+      .stripMargin
+
+  private[llm] def logisticGate(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    docs.select(col("doc_id"), col("source"))
+      .join(logitPerDoc(docs), Seq("doc_id"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("logit") > 0, 1L).otherwise(0L)).as("n_pass"),
@@ -275,5 +298,222 @@ object RetrievalQueries extends QueryPack {
             |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin),
     headline = true)
 
-  val qs: Seq[Q] = Seq(rrf, featHash, temperature, logistic)
+  /** Deterministic negative sampling for contrastive retrieval training
+    * (the DPR/contriever data-prep step): each BM25 top-10 positive
+    * gets 4 corpus negatives, drawn by per-positive md5 order so the
+    * sample is a pure function of the ids — reproducible across
+    * engines, retries, and partitionings, and disjoint from the
+    * positive set (global anti-join first). The rank window runs on an
+    * md5-prefix-filtered candidate stream (hex digit '0' ⇒ 1/16 of the
+    * corpus; both engines apply the identical filter, so the compare
+    * is exact regardless) — the prefix widens with corpus size to keep
+    * the window input bounded, the same knob as every md5-banded
+    * sampler here.
+    */
+  private val negSampling = Q(
+    "retrieval_negative_sampling",
+    (s, d) => {
+      import graft.ops.Checkpoints.StageCheckpoint
+      val docs = Tables.documents(s, d)
+      // staged: the 10-row positive frame fans out to the anti join AND
+      // the cross join, and its BM25+BoundedRank lineage is a full
+      // corpus pass that would otherwise re-plan per consumer
+      val pos = Retrieval.bm25TopK(docs, "doc_id", "text",
+          terms = Seq("vector", "stream", "hash"), k = 10)
+        .select(col("doc_id").as("p_doc_id"), col("rank").as("p_rank"))
+        .stageCheckpoint()
+      val cand = docs.select(col("doc_id").as("neg_doc_id"))
+        .join(broadcast(pos.select(col("p_doc_id").as("x"))),
+          col("neg_doc_id") === col("x"), "left_anti")
+      val paired = cand.crossJoin(broadcast(pos))
+        .withColumn("h", md5(concat(col("p_doc_id").cast("string"),
+          lit("#"), col("neg_doc_id").cast("string"))))
+        .filter(substring(col("h"), 1, 1) === "0")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("p_doc_id")).orderBy(col("h"), col("neg_doc_id"))
+      paired.withColumn("neg_rank", row_number().over(w))
+        .filter(col("neg_rank") <= 4)
+        .select(col("p_rank"), col("p_doc_id"), col("neg_rank"),
+          col("neg_doc_id"))
+        .orderBy(col("p_rank"), col("neg_rank"))
+    },
+    Some(s"""WITH ${TextQueries.Bm25Cte},
+            |pos AS (SELECT doc_id AS p_doc_id, rank AS p_rank FROM r
+            |  WHERE rank <= 10),
+            |cand AS (SELECT doc_id AS neg_doc_id FROM documents
+            |  WHERE doc_id NOT IN (SELECT p_doc_id FROM pos)),
+            |pr AS (SELECT p_rank, p_doc_id, neg_doc_id,
+            |   md5(CAST(p_doc_id AS VARCHAR) || '#'
+            |     || CAST(neg_doc_id AS VARCHAR)) AS h
+            |  FROM cand CROSS JOIN pos),
+            |f AS (SELECT p_rank, p_doc_id, neg_doc_id,
+            |   row_number() OVER (PARTITION BY p_doc_id
+            |     ORDER BY h, neg_doc_id) AS neg_rank
+            |  FROM pr WHERE substring(h, 1, 1) = '0')
+            |SELECT p_rank, p_doc_id, neg_rank, neg_doc_id FROM f
+            |WHERE neg_rank <= 4 ORDER BY p_rank, neg_rank""".stripMargin))
+
+  /** Inverted-index shard plan — the search-index build diagnostic:
+    * postings are distinct (term, doc) pairs, terms hash into 8 shards
+    * by the md5-mod convention, and the plan reports each shard's term
+    * count, posting mass, and heaviest posting list (term + df; argmax
+    * through one max(struct) with the md5-string tiebreak, so unicode
+    * collation never orders the compare). The skew between shards is
+    * the number that decides whether term-hash sharding suffices or the
+    * heaviest lists need splitting — the same decision Lucene/ES make
+    * with `index.routing`; one explode, two keyed aggregations, 8 rows
+    * out.
+    */
+  private val indexShardPlan = Q(
+    "text_index_shard_plan",
+    (s, d) => {
+      val wordsU = udf { (t: String) =>
+        if (t == null) Array.empty[String] else Hashing.words(t)
+      }
+      val postings = Tables.documents(s, d)
+        .select(col("doc_id"), explode(wordsU(col("text"))).as("tok"))
+        .distinct()
+      val byTerm = postings.groupBy(col("tok"))
+        .agg(count(lit(1)).as("df"))
+        .withColumn("shard",
+          conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long") % 8)
+      byTerm.groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_terms"),
+          sum(col("df")).as("n_postings"),
+          max(struct(col("df"), md5(col("tok")).as("m"), col("tok").as("t")))
+            .as("top"))
+        .select(col("shard"), col("n_terms"), col("n_postings"),
+          col("top.df").as("top_df"), col("top.t").as("top_term"))
+        .orderBy(col("shard"))
+    },
+    Some(s"""WITH tok AS (SELECT DISTINCT doc_id,
+            |   unnest(${CorpusQueries.WordsExpr}) AS tok FROM documents),
+            |bt AS (SELECT tok, count(*) AS df,
+            |   ('0x' || substring(md5(tok), 1, 15))::BIGINT % 8 AS shard
+            |  FROM tok GROUP BY 1),
+            |rk AS (SELECT shard, tok, df, row_number() OVER (
+            |    PARTITION BY shard ORDER BY df DESC, md5(tok) DESC) AS rn
+            |  FROM bt)
+            |SELECT bt.shard, count(*) AS n_terms,
+            | CAST(sum(bt.df) AS BIGINT) AS n_postings,
+            | max(CASE WHEN rk.rn = 1 THEN rk.df END) AS top_df,
+            | max(CASE WHEN rk.rn = 1 THEN rk.tok END) AS top_term
+            |FROM bt JOIN rk ON bt.shard = rk.shard AND bt.tok = rk.tok
+            |GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** DCG rank discounts as INLINED integer constants —
+    * ⌊log₂(r+1)·10⁶⌋ for ranks 1..10, the same public-constant move as
+    * the Benford table: no transcendental function executes in either
+    * engine, so every DCG term is one exact integer division.
+    */
+  private val DcgDenomMicro: Seq[(Int, Long)] = Seq(
+    1 -> 1000000L, 2 -> 1584962L, 3 -> 2000000L, 4 -> 2321928L,
+    5 -> 2584962L, 6 -> 2807354L, 7 -> 3000000L, 8 -> 3169925L,
+    9 -> 3321928L, 10 -> 3459431L)
+
+  /** `(rel·10¹²) ÷ ⌊log₂(rank+1)·10⁶⌋` as a CASE over the inlined
+    * table, parameterized on the integer-division operator (Spark
+    * `div`, DuckDB `//`). */
+  private def dcgTermSql(relExpr: String, rankExpr: String,
+      intDiv: String): String =
+    "CASE " + DcgDenomMicro.map { case (r, dn) =>
+      s"WHEN $rankExpr = $r THEN ($relExpr * 1000000000000) $intDiv $dn"
+    }.mkString(" ") + " ELSE 0 END"
+
+  /** Ranking-quality evaluation of the BM25 retriever — MRR and
+    * nDCG@10 against a graded ground truth (relevance = number of
+    * query terms a document contains, the deterministic stand-in for
+    * human judgments; gain 2^g − 1). The eval-metric layer every
+    * retrieval stack ships next to the index itself. All metrics are
+    * exact integers: reciprocal rank in micro-units by integer
+    * division, each DCG term through the inlined discount table
+    * (nothing transcendental at runtime), nDCG in basis points from
+    * the two BIGINT sums. IDCG derives from the corpus-wide grade
+    * HISTOGRAM (three conditional counts), never a global sort — the
+    * ideal ranking's grades are read off cumulative counts.
+    */
+  private val evalMetrics = Q(
+    "retrieval_eval_metrics",
+    (s, d) => {
+      import graft.ops.Checkpoints.StageCheckpoint
+      val docs = Tables.documents(s, d)
+      val wordsU = udf { (t: String) =>
+        if (t == null) Array.empty[String] else Hashing.words(t)
+      }
+      val grades = docs.select(col("doc_id"), wordsU(col("text")).as("w"))
+        .select(col("doc_id"),
+          (array_contains(col("w"), "vector").cast("int") +
+            array_contains(col("w"), "stream").cast("int") +
+            array_contains(col("w"), "hash").cast("int")).as("g"))
+      val top = Retrieval.bm25TopK(docs, "doc_id", "text",
+          terms = Seq("vector", "stream", "hash"), k = 10)
+        .select(col("rank"), col("doc_id")).stageCheckpoint()
+      val tg = top.join(grades, Seq("doc_id"))
+        .withColumn("rel", expr("CASE g WHEN 3 THEN 7 WHEN 2 THEN 3" +
+          " WHEN 1 THEN 1 ELSE 0 END"))
+      val dcg = tg.agg(sum(expr(dcgTermSql("rel", "rank", "div")))
+        .as("dcg_micro"),
+        coalesce(expr("1000000 div min(CASE WHEN g >= 1 THEN rank END)"),
+          lit(0L)).as("mrr_micro"))
+      val cnt = grades.agg(
+        sum(when(col("g") === 3, 1L).otherwise(0L)).as("n3"),
+        sum(when(col("g") === 2, 1L).otherwise(0L)).as("n2"),
+        sum(when(col("g") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("g") >= 1, 1L).otherwise(0L)).as("n_rel"))
+      val ideal = docs.sparkSession.range(1, 11)
+        .select(col("id").cast("int").as("rank"))
+        .crossJoin(broadcast(cnt))
+        .withColumn("rel", expr("CASE WHEN rank <= n3 THEN 7" +
+          " WHEN rank <= n3 + n2 THEN 3" +
+          " WHEN rank <= n3 + n2 + n1 THEN 1 ELSE 0 END"))
+      val idcg = ideal.agg(max(col("n_rel")).as("n_rel"),
+        sum(expr(dcgTermSql("rel", "rank", "div"))).as("idcg_micro"))
+      dcg.crossJoin(idcg)
+        .select(col("n_rel"), col("mrr_micro"), col("dcg_micro"),
+          col("idcg_micro"),
+          when(col("idcg_micro") > 0,
+            expr("(10000 * dcg_micro) div idcg_micro")).as("ndcg_bp"))
+    },
+    Some(s"""WITH ${TextQueries.Bm25Cte},
+            |top10 AS (SELECT doc_id, rank FROM r WHERE rank <= 10),
+            |gw AS (SELECT doc_id, ${CorpusQueries.WordsExpr} AS w
+            |  FROM documents),
+            |gr AS (SELECT doc_id,
+            |   (CASE WHEN len(list_filter(w, x -> x = 'vector')) > 0
+            |     THEN 1 ELSE 0 END
+            |    + CASE WHEN len(list_filter(w, x -> x = 'stream')) > 0
+            |     THEN 1 ELSE 0 END
+            |    + CASE WHEN len(list_filter(w, x -> x = 'hash')) > 0
+            |     THEN 1 ELSE 0 END) AS g
+            |  FROM gw),
+            |tg AS (SELECT rank, g,
+            |   CASE g WHEN 3 THEN 7 WHEN 2 THEN 3 WHEN 1 THEN 1 ELSE 0 END
+            |     AS rel
+            |  FROM top10 JOIN gr USING (doc_id)),
+            |dcg AS (SELECT CAST(sum(${dcgTermSql("rel", "rank", "//")})
+            |    AS BIGINT) AS dcg_micro,
+            |   COALESCE(1000000 // min(CASE WHEN g >= 1 THEN rank END), 0)
+            |     AS mrr_micro
+            |  FROM tg),
+            |cnt AS (SELECT
+            |   CAST(sum(CASE WHEN g = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+            |   CAST(sum(CASE WHEN g = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+            |   CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+            |   CAST(sum(CASE WHEN g >= 1 THEN 1 ELSE 0 END) AS BIGINT)
+            |     AS n_rel
+            |  FROM gr),
+            |rk(rank) AS (VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9),(10)),
+            |ideal AS (SELECT rank,
+            |   CASE WHEN rank <= n3 THEN 7 WHEN rank <= n3 + n2 THEN 3
+            |    WHEN rank <= n3 + n2 + n1 THEN 1 ELSE 0 END AS rel
+            |  FROM rk CROSS JOIN cnt),
+            |idcg AS (SELECT CAST(sum(${dcgTermSql("rel", "rank", "//")})
+            |    AS BIGINT) AS idcg_micro FROM ideal)
+            |SELECT n_rel, mrr_micro, dcg_micro, idcg_micro,
+            | CASE WHEN idcg_micro > 0
+            |  THEN (10000 * dcg_micro) // idcg_micro END AS ndcg_bp
+            |FROM cnt, dcg, idcg""".stripMargin))
+
+  val qs: Seq[Q] = Seq(rrf, featHash, temperature, logistic, negSampling,
+    indexShardPlan, evalMetrics)
 }

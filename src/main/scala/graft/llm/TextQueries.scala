@@ -218,6 +218,27 @@ object TextQueries extends QueryPack {
            | min(qs) AS min_quality, max(qs) AS max_quality
            |FROM q GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** The marker-count langid chain as DuckDB CTEs ending in
+    * `p(lang, predicted)` — shared by the confusion-matrix oracle and
+    * the precision/recall oracle. Ties resolve en > de > fr > es,
+    * all-zero → und, mirroring TextAnalysis.langId.
+    */
+  private[llm] val LangidCte =
+    """lt AS (SELECT lang,
+      |  string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),
+      |lsc AS (SELECT lang,
+      |  len(list_filter(w, x -> x IN ('the','a','of','and','is'))) AS s_en,
+      |  len(list_filter(w, x -> x IN ('der','die','das','und','ist'))) AS s_de,
+      |  len(list_filter(w, x -> x IN ('le','la','les','et','est'))) AS s_fr,
+      |  len(list_filter(w, x -> x IN ('el','la','los','y','es'))) AS s_es
+      | FROM lt),
+      |p AS (SELECT lang, CASE
+      |  WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en > 0 THEN 'en'
+      |  WHEN s_de >= s_fr AND s_de >= s_es AND s_de > 0 THEN 'de'
+      |  WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
+      |  WHEN s_es > 0 THEN 'es'
+      |  ELSE 'und' END AS predicted FROM lsc)""".stripMargin
+
   private val langid = Q(
     "text_langid_heuristic",
     (s, d) => Tables.documents(s, d)
@@ -225,23 +246,77 @@ object TextQueries extends QueryPack {
       .groupBy(col("lang"), col("predicted"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("lang"), col("predicted")),
-    // same marker-count argmax, ties resolved en > de > fr > es, all-zero → und
-    Some("""WITH t AS (SELECT lang,
-           |  string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),
-           |sc AS (SELECT lang,
-           |  len(list_filter(w, x -> x IN ('the','a','of','and','is'))) AS s_en,
-           |  len(list_filter(w, x -> x IN ('der','die','das','und','ist'))) AS s_de,
-           |  len(list_filter(w, x -> x IN ('le','la','les','et','est'))) AS s_fr,
-           |  len(list_filter(w, x -> x IN ('el','la','los','y','es'))) AS s_es
-           | FROM t),
-           |p AS (SELECT lang, CASE
-           |  WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en > 0 THEN 'en'
-           |  WHEN s_de >= s_fr AND s_de >= s_es AND s_de > 0 THEN 'de'
-           |  WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
-           |  WHEN s_es > 0 THEN 'es'
-           |  ELSE 'und' END AS predicted FROM sc)
+    Some(s"""WITH $LangidCte
            |SELECT lang, predicted, count(*) AS n
            |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
+  /** Per-class precision / recall / F1 of the langid heuristic against
+    * the labeled `lang` column — the classifier-evaluation layer on top
+    * of the confusion matrix (`text_langid_heuristic` IS the matrix;
+    * this reduces it to the numbers a model card quotes). All three
+    * metrics in integer basis points from exact TP/FP/FN counts
+    * (F1 = 2TP/(2TP+FP+FN) — one division, no rounded intermediate
+    * precision/recall), classes taken from label ∪ prediction so a
+    * never-predicted label and a never-labeled prediction ('und') both
+    * surface instead of silently vanishing. Bounded |classes|² matrix
+    * in, |classes| rows out.
+    */
+  private val langidPrf = Q(
+    "text_langid_prf",
+    (s, d) => {
+      val cm = Tables.documents(s, d)
+        .select(col("lang"), TextAnalysis.langId(col("text")).as("pred"))
+        .groupBy(col("lang"), col("pred")).agg(count(lit(1)).as("n"))
+      val classes = cm.select(col("lang").as("cls"))
+        .unionByName(cm.select(col("pred").as("cls"))).distinct()
+      val tp = cm.filter(col("lang") === col("pred"))
+        .select(col("lang").as("cls"), col("n").as("tp0"))
+      val predTot = cm.groupBy(col("pred").as("cls"))
+        .agg(sum(col("n")).as("pred_n"))
+      val actTot = cm.groupBy(col("lang").as("cls"))
+        .agg(sum(col("n")).as("act_n"))
+      classes
+        .join(tp, Seq("cls"), "left")
+        .join(predTot, Seq("cls"), "left")
+        .join(actTot, Seq("cls"), "left")
+        .select(col("cls"),
+          coalesce(col("tp0"), lit(0L)).as("tp"),
+          (coalesce(col("pred_n"), lit(0L)) - coalesce(col("tp0"), lit(0L)))
+            .as("fp"),
+          (coalesce(col("act_n"), lit(0L)) - coalesce(col("tp0"), lit(0L)))
+            .as("fn"))
+        .select(col("cls"), col("tp"), col("fp"), col("fn"),
+          when(col("tp") + col("fp") > 0,
+            expr("(10000 * tp) div (tp + fp)")).as("precision_bp"),
+          when(col("tp") + col("fn") > 0,
+            expr("(10000 * tp) div (tp + fn)")).as("recall_bp"),
+          when(lit(2) * col("tp") + col("fp") + col("fn") > 0,
+            expr("(20000 * tp) div (2 * tp + fp + fn)")).as("f1_bp"))
+        .orderBy(col("cls"))
+    },
+    Some(s"""WITH $LangidCte,
+            |cm AS (SELECT lang, predicted AS pred, count(*) AS n
+            |  FROM p GROUP BY 1, 2),
+            |cls AS (SELECT lang AS cls FROM cm
+            |  UNION SELECT pred FROM cm),
+            |tp AS (SELECT lang AS cls, n AS tp0 FROM cm WHERE lang = pred),
+            |pt AS (SELECT pred AS cls, CAST(sum(n) AS BIGINT) AS pred_n
+            |  FROM cm GROUP BY 1),
+            |at AS (SELECT lang AS cls, CAST(sum(n) AS BIGINT) AS act_n
+            |  FROM cm GROUP BY 1),
+            |m AS (SELECT cls.cls, COALESCE(tp0, 0) AS tp,
+            |   COALESCE(pred_n, 0) - COALESCE(tp0, 0) AS fp,
+            |   COALESCE(act_n, 0) - COALESCE(tp0, 0) AS fn
+            |  FROM cls LEFT JOIN tp USING (cls)
+            |  LEFT JOIN pt USING (cls) LEFT JOIN at USING (cls))
+            |SELECT cls, tp, fp, fn,
+            | CASE WHEN tp + fp > 0 THEN (10000 * tp) // (tp + fp) END
+            |   AS precision_bp,
+            | CASE WHEN tp + fn > 0 THEN (10000 * tp) // (tp + fn) END
+            |   AS recall_bp,
+            | CASE WHEN 2 * tp + fp + fn > 0
+            |   THEN (20000 * tp) // (2 * tp + fp + fn) END AS f1_bp
+            |FROM m ORDER BY cls""".stripMargin))
 
   private val fingerprintQ = Q(
     "text_fingerprint",
@@ -361,28 +436,37 @@ object TextQueries extends QueryPack {
     * The oracle rebuilds the full formula independently: tf from the
     * words list, df/N/avgdl from the corpus, identical idf variant.
     */
+  /** The BM25 scoring chain as DuckDB CTEs ending in `r(doc_id,
+    * score_micro, rank)` — shared by the bm25 oracle and the
+    * negative-sampling oracle so both sides score with the identical
+    * formula text.
+    */
+  private[llm] val Bm25Cte =
+    s"""d AS (SELECT doc_id, ${CorpusQueries.WordsExpr} AS w
+       |  FROM documents),
+       |dd AS (SELECT doc_id, w, len(w) AS dl FROM d),
+       |stats AS (SELECT count(*) AS n_docs,
+       |   CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dd),
+       |t(term) AS (VALUES ('vector'), ('stream'), ('hash')),
+       |tf AS (SELECT doc_id, term, dl,
+       |   len(list_filter(w, x -> x = term)) AS tf
+       |  FROM dd, t WHERE len(list_filter(w, x -> x = term)) > 0),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |sc AS (SELECT doc_id, CAST(sum(CAST(round(
+       |    ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+       |      * (tf * 2.2) / (tf + (dl / avgdl * 0.75 + 0.25) * 1.2)
+       |      * 1e6) AS BIGINT)) AS BIGINT) AS score_micro
+       |  FROM tf JOIN df USING (term), stats GROUP BY 1),
+       |r AS (SELECT doc_id, score_micro, row_number() OVER (
+       |    ORDER BY score_micro DESC, doc_id) AS rank FROM sc)"""
+      .stripMargin
+
   private val bm25 = Q(
     "text_bm25_topk",
     (s, d) => Retrieval.bm25TopK(Tables.documents(s, d), "doc_id", "text",
       terms = Seq("vector", "stream", "hash"), k = 10)
       .orderBy(col("rank")),
-    Some(s"""WITH d AS (SELECT doc_id, ${CorpusQueries.WordsExpr} AS w
-            |  FROM documents),
-            |dd AS (SELECT doc_id, w, len(w) AS dl FROM d),
-            |stats AS (SELECT count(*) AS n_docs,
-            |   CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dd),
-            |t(term) AS (VALUES ('vector'), ('stream'), ('hash')),
-            |tf AS (SELECT doc_id, term, dl,
-            |   len(list_filter(w, x -> x = term)) AS tf
-            |  FROM dd, t WHERE len(list_filter(w, x -> x = term)) > 0),
-            |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-            |sc AS (SELECT doc_id, CAST(sum(CAST(round(
-            |    ln(1 + (n_docs - df + 0.5) / (df + 0.5))
-            |      * (tf * 2.2) / (tf + (dl / avgdl * 0.75 + 0.25) * 1.2)
-            |      * 1e6) AS BIGINT)) AS BIGINT) AS score_micro
-            |  FROM tf JOIN df USING (term), stats GROUP BY 1),
-            |r AS (SELECT doc_id, score_micro, row_number() OVER (
-            |    ORDER BY score_micro DESC, doc_id) AS rank FROM sc)
+    Some(s"""WITH $Bm25Cte
             |SELECT rank, doc_id, score_micro FROM r
             |WHERE rank <= 10 ORDER BY 1""".stripMargin),
     headline = true)
@@ -614,6 +698,7 @@ object TextQueries extends QueryPack {
             |FROM st""".stripMargin))
 
   val qs: Seq[Q] = Seq(tokenStats, packWindows, bpePairs, spellVariants,
-    weightedSample, quality, langid, fingerprintQ, subwords, polyFingerprint,
-    chunking, sampling, bm25, mixtureSample, charStats, tfidfTop, zipf)
+    weightedSample, quality, langid, langidPrf, fingerprintQ, subwords,
+    polyFingerprint, chunking, sampling, bm25, mixtureSample, charStats,
+    tfidfTop, zipf)
 }

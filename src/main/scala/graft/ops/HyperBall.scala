@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Neighborhood-function estimation via mergeable distinct sketches —
+  * the HyperBall algorithm (Boldi & Vigna, 2013; HyperANF lineage) with
+  * the engine's KMV sketch ([[graft.functions.KmvAgg]]) in the role
+  * HyperLogLog plays in the paper. This is the 100 TB path for
+  * `graph_two_hop_reach`: the exact query's mid-node self-join is
+  * Σ d(mid)² pair work, which a social-scale graph cannot afford, while
+  * the sketch formulation is one edge-keyed join per hop — each node's
+  * ball-of-radius-r sketch is the MERGE of its neighbors' radius-(r−1)
+  * sketches, and KMV merge ("k smallest of the union is a pure function
+  * of the two k-smallest sets") makes that an associative aggregation
+  * with O(k) state per node, never an expanded pair stream.
+  *
+  * Below k distinct members the KMV sketch IS the set, so on graphs
+  * whose balls stay under k the estimate is EXACT — the property the
+  * HyperBallSpec pins against a brute-force BFS. Above k the estimate
+  * degrades gracefully to the (k−1)/v_k estimator's ~1/√k relative
+  * error, which is the trade HyperBall exists to make.
+  *
+  * Merge here is explode + per-node k-smallest (a d·k-bounded
+  * collect per node, fine for one hop); an iterated multi-hop run
+  * would keep sketches paired down with a typed Aggregator merge
+  * instead — the shape `a4_hll_sketch_merge` already pins.
+  */
+object HyperBall {
+
+  /** Per-node 2-hop BALL size estimates (|{w : dist(v,w) ≤ 2}|,
+    * self included — the paper's ball convention). Input may carry
+    * duplicates or both orientations; k is the KMV sketch width.
+    * Returns (node, sketch_size, ball2_est).
+    */
+  def twoHopBallSizes(edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int = 256): DataFrame = {
+    val canon = edges
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("u"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("v"))
+      .filter(col("u") < col("v"))
+      .distinct()
+    val sym = canon.unionByName(
+      canon.select(col("v").as("u"), col("u").as("v")))
+    // radius-1 ball sketch: self + direct neighbors
+    val members1 = sym.select(col("u"), col("v").cast("string").as("m"))
+      .unionByName(
+        sym.select(col("u")).distinct()
+          .select(col("u"), col("u").cast("string").as("m")))
+    val h1 = members1.groupBy(col("u"))
+      .agg(graft.functions.KmvAgg.sketchMd5(col("m"), k).as("sk"))
+    // radius-2 = merge of every neighbor's radius-1 sketch with our own
+    val neighborSk = sym
+      .join(h1.select(col("u").as("v"), col("sk")), "v")
+      .select(col("u"), col("sk"))
+    val merged = neighborSk.unionByName(h1.select(col("u"), col("sk")))
+      .select(col("u"), explode(col("sk")).as("h"))
+      .groupBy(col("u"))
+      .agg(slice(array_sort(collect_set(col("h"))), 1, k).as("sk2"))
+    val estU = udf { (arr: Seq[Long]) =>
+      math.floor(
+        graft.functions.KmvAgg.estimateDistinctMd5(arr.toArray, k)).toLong
+    }
+    merged.select(col("u").as("node"), size(col("sk2")).as("sketch_size"),
+      estU(col("sk2")).as("ball2_est"))
+  }
+}

@@ -56,6 +56,25 @@ class StatsSpec extends SparkSpec {
     assert(pn.map(_.getLong(1)).sum === 2 * census.getLong(1))
   }
 
+  test("HyperBall 2-hop KMV ball sizes are exact below the sketch width") {
+    val rnd = new scala.util.Random(11)
+    val n = 40
+    val edges = (for {
+      i <- 0 until n; j <- (i + 1) until n if rnd.nextDouble() < 0.15
+    } yield (i.toLong, j.toLong)).toSeq
+    val adj = scala.collection.mutable.Map[Long, Set[Long]]()
+      .withDefaultValue(Set.empty)
+    edges.foreach { case (a, b) => adj(a) += b; adj(b) += a }
+    val nodes = adj.keySet.toSet
+    def ball2(v: Long): Set[Long] = adj(v).flatMap(adj) ++ adj(v) + v
+    val got = graft.ops.HyperBall
+      .twoHopBallSizes(edgeDf(edges), "a", "b", k = 256)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got.keySet === nodes)
+    assert(nodes.forall(v => got(v) == ball2(v).size.toLong),
+      nodes.map(v => (v, got(v), ball2(v).size)).filter(t => t._2 != t._3))
+  }
+
   test("Triangles.census matches brute force on a seeded random graph") {
     val rnd = new scala.util.Random(42)
     val n = 30
