@@ -27,6 +27,27 @@ object GraphQueries extends QueryPack {
     """SELECT DISTINCT o_custkey AS cu, l_suppkey + 1000000 AS su
       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey""".stripMargin
 
+  /** Two synchronous LPA rounds as DuckDB CTEs ending in
+    * `l2(node, lbl)` (plus `sym(u, v)`) — shared by the LPA oracle and
+    * the modularity oracle so both compare against the identical
+    * deterministic label assignment.
+    */
+  private val LpaCte =
+    s"""e0 AS ($edgeSql),
+       |sym AS (SELECT cu AS u, su AS v FROM e0
+       |  UNION ALL SELECT su AS u, cu AS v FROM e0),
+       |l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM sym),
+       |c1 AS (SELECT s.u AS node, l.lbl, count(*) AS c
+       |  FROM sym s JOIN l0 l ON s.v = l.node GROUP BY 1, 2),
+       |l1 AS (SELECT node, lbl FROM (SELECT node, lbl,
+       |   row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn
+       |  FROM c1) WHERE rn = 1),
+       |c2 AS (SELECT s.u AS node, l.lbl, count(*) AS c
+       |  FROM sym s JOIN l1 l ON s.v = l.node GROUP BY 1, 2),
+       |l2 AS (SELECT node, lbl FROM (SELECT node, lbl,
+       |   row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn
+       |  FROM c2) WHERE rn = 1)""".stripMargin
+
   /** Degree distribution per side: how many customers (suppliers) have
     * exactly d trading partners. The first diagnostic run on any graph
     * before choosing join strategies (it bounds wedge fan-out and
@@ -101,26 +122,71 @@ object GraphQueries extends QueryPack {
           max(col("sz")).as("max_community"),
           sum(col("lbl")).as("sum_labels"))
     },
-    Some(s"""WITH e0 AS ($edgeSql),
-            |sym AS (SELECT cu AS u, su AS v FROM e0
-            |  UNION ALL SELECT su AS u, cu AS v FROM e0),
-            |l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM sym),
-            |c1 AS (SELECT s.u AS node, l.lbl, count(*) AS c
-            |  FROM sym s JOIN l0 l ON s.v = l.node GROUP BY 1, 2),
-            |l1 AS (SELECT node, lbl FROM (SELECT node, lbl,
-            |   row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn
-            |  FROM c1) WHERE rn = 1),
-            |c2 AS (SELECT s.u AS node, l.lbl, count(*) AS c
-            |  FROM sym s JOIN l1 l ON s.v = l.node GROUP BY 1, 2),
-            |l2 AS (SELECT node, lbl FROM (SELECT node, lbl,
-            |   row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn
-            |  FROM c2) WHERE rn = 1),
+    Some(s"""WITH $LpaCte,
             |sizes AS (SELECT lbl, count(*) AS sz FROM l2 GROUP BY 1)
             |SELECT CAST(sum(sz) AS BIGINT) AS n_nodes,
             | count(*) AS n_communities, max(sz) AS max_community,
             | CAST(sum(lbl) AS BIGINT) AS sum_labels
             |FROM sizes""".stripMargin),
     headline = true)
+
+  /** Modularity of the LPA communities (Newman–Girvan Q) — the number
+    * that says whether the detected communities are real structure or
+    * noise: Q = Σ_c [e_in(c)/m − (D_c/2m)²], published through exact
+    * BIGINT sufficient statistics (m, total intra-community edges,
+    * Σ D_c²) with Q itself as the single double division of
+    * q_num = 4m·Σe_in − ΣD_c² by q_den = 4m² (numerator can be
+    * negative, so no integer division — `div`/`//` disagree below
+    * zero). Community labels come from the SAME shared [[lpa]]
+    * iteration the registered LPA query runs; one edge⋈label join per
+    * side, everything else is community-sized.
+    */
+  private val modularity = Q(
+    "graph_modularity",
+    (s, d) => {
+      val sym = {
+        val e = edges(s, d)
+        e.select(col("cu").as("u"), col("su").as("v"))
+          .unionByName(e.select(col("su").as("u"), col("cu").as("v")))
+          .stageCheckpoint()
+      }
+      val lbl = lpa(sym, 2).stageCheckpoint()
+      val canon = sym.filter(col("u") < col("v"))
+      val m = canon.agg(count(lit(1)).as("m"))
+      val ein = canon
+        .join(lbl.select(col("node").as("u"), col("lbl").as("la")), "u")
+        .join(lbl.select(col("node").as("v"), col("lbl").as("lb")), "v")
+        .agg(sum(when(col("la") === col("lb"), 1L).otherwise(0L))
+          .as("e_in"))
+      val dsq = sym.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+        .join(lbl.select(col("node").as("u"), col("lbl")), "u")
+        .groupBy(col("lbl")).agg(sum(col("deg")).as("dsum"))
+        .agg(sum(col("dsum") * col("dsum")).as("sum_d2"))
+      m.crossJoin(ein).crossJoin(dsq)
+        .select(col("m"), col("e_in"), col("sum_d2"),
+          (lit(4L) * col("m") * col("e_in") - col("sum_d2")).as("q_num"),
+          (lit(4L) * col("m") * col("m")).as("q_den"))
+        .withColumn("modularity",
+          col("q_num").cast("double") / col("q_den").cast("double"))
+    },
+    Some(s"""WITH $LpaCte,
+            |canon AS (SELECT u, v FROM sym WHERE u < v),
+            |mm AS (SELECT count(*) AS m FROM canon),
+            |ein AS (SELECT CAST(sum(CASE WHEN a.lbl = b.lbl THEN 1 ELSE 0
+            |    END) AS BIGINT) AS e_in
+            |  FROM canon JOIN l2 a ON canon.u = a.node
+            |  JOIN l2 b ON canon.v = b.node),
+            |deg AS (SELECT u, count(*) AS deg FROM sym GROUP BY 1),
+            |dc AS (SELECT l2.lbl, CAST(sum(deg) AS BIGINT) AS dsum
+            |  FROM deg JOIN l2 ON deg.u = l2.node GROUP BY 1),
+            |dsq AS (SELECT CAST(sum(dsum * dsum) AS BIGINT) AS sum_d2
+            |  FROM dc)
+            |SELECT m, e_in, sum_d2,
+            | 4 * m * e_in - sum_d2 AS q_num,
+            | 4 * m * m AS q_den,
+            | CAST(4 * m * e_in - sum_d2 AS DOUBLE)
+            |   / CAST(4 * m * m AS DOUBLE) AS modularity
+            |FROM mm, ein, dsq""".stripMargin))
 
   /** k-core peeling rounds, shared between the registered query and the
     * planted-graph spec (GraphQueriesSpec) so ground-truth tests
@@ -405,6 +471,6 @@ object GraphQueries extends QueryPack {
             |FROM sym JOIN deg dx ON sym.u = dx.u
             | JOIN deg dy ON sym.v = dy.u""".stripMargin))
 
-  val qs: Seq[Q] = Seq(degreeDist, labelProp, kcore, bfs, jaccardNeighbors,
-    ppr, assortativity)
+  val qs: Seq[Q] = Seq(degreeDist, labelProp, modularity, kcore, bfs,
+    jaccardNeighbors, ppr, assortativity)
 }

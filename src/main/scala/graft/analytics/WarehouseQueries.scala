@@ -604,8 +604,129 @@ object WarehouseQueries extends QueryPack {
            | (n_risky * 10000) // n_total AS risky_bp
            |FROM b, t ORDER BY 1""".stripMargin))
 
+  /** CDC changelog APPLY with delete tombstones — the missing half of
+    * `warehouse_upsert_merge` (which only upserts): the event stream
+    * maps to an I/U/D changelog (error events are the tombstones), the
+    * LAST operation per key wins in (ts, event_id) order via one
+    * partial-aggregating max(struct) — no window — and keys whose final
+    * op is a delete leave the dimension entirely. Output is the apply
+    * audit: changelog op counts, live vs deleted key counts, and the
+    * surviving dimension's exact value mass. This is the Debezium →
+    * warehouse apply shape; at 100 TB the struct-max is the only
+    * formulation that combines map-side.
+    */
+  private val cdcApply = Q(
+    "warehouse_cdc_apply_deletes",
+    (s, d) => {
+      val log = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          when(col("event_type") === "error", lit("D")).otherwise(lit("U"))
+            .as("op"),
+          coalesce(round(col("value") * 100).cast("long"), lit(0L))
+            .as("val_c"))
+      val last = log.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_ops"),
+          sum(when(col("op") === "D", 1L).otherwise(0L)).as("n_deletes"),
+          max(struct(expr("unix_micros(ts)").as("us"), col("event_id"),
+            col("op"), col("val_c"))).as("m"))
+      last.agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("n_ops")).as("n_changelog_rows"),
+        sum(col("n_deletes")).as("n_delete_ops"),
+        sum(when(col("m.op") === "D", 1L).otherwise(0L)).as("n_dead_keys"),
+        sum(when(col("m.op") =!= "D", 1L).otherwise(0L)).as("n_live_keys"),
+        sum(when(col("m.op") =!= "D", col("m.val_c")).otherwise(0L))
+          .as("live_value_c"))
+    },
+    Some("""WITH log AS (SELECT user_id, ts, event_id,
+           |  CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+           |  COALESCE(CAST(round(value * 100) AS BIGINT), 0) AS val_c
+           | FROM events),
+           |lst AS (SELECT user_id, count(*) AS n_ops,
+           |   CAST(sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT)
+           |     AS n_deletes,
+           |   max(CASE WHEN rn = 1 THEN op END) AS last_op,
+           |   max(CASE WHEN rn = 1 THEN val_c END) AS last_val
+           |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+           |     ORDER BY ts DESC, event_id DESC) AS rn FROM log)
+           |  GROUP BY 1)
+           |SELECT count(*) AS n_keys,
+           | CAST(sum(n_ops) AS BIGINT) AS n_changelog_rows,
+           | CAST(sum(n_deletes) AS BIGINT) AS n_delete_ops,
+           | CAST(sum(CASE WHEN last_op = 'D' THEN 1 ELSE 0 END) AS BIGINT)
+           |   AS n_dead_keys,
+           | CAST(sum(CASE WHEN last_op <> 'D' THEN 1 ELSE 0 END) AS BIGINT)
+           |   AS n_live_keys,
+           | CAST(sum(CASE WHEN last_op <> 'D' THEN last_val ELSE 0 END)
+           |   AS BIGINT) AS live_value_c
+           |FROM lst""".stripMargin))
+
+  /** Ledger reconciliation — the finance-grade cross-table consistency
+    * check `dq_constraint_checks` (row-level referential integrity)
+    * cannot express: the order headers' monthly total vs the lineitem
+    * detail rolled up to the same months, both through the exact
+    * DECIMAL money path, with the divergence in integer basis points.
+    * Sign is a separate column so the bp division stays on positive
+    * integers (`div` and `//` agree only there). One fact-fact join on
+    * the order key, two keyed aggregations; headers and detail NEVER
+    * agree in TPC-H-shaped data (detail is discounted), which is
+    * exactly what makes the drift column informative.
+    */
+  private val ledgerRecon = Q(
+    "dq_ledger_reconciliation",
+    (s, d) => {
+      val dec = "decimal(12,2)"
+      val o = Tables.orders(s, d)
+        .select((year(col("o_orderdate")) * 100 +
+          month(col("o_orderdate"))).as("ym"),
+          col("o_orderkey"),
+          round(col("o_totalprice") * 10000).cast("long").as("hc"))
+      val l = Tables.lineitem(s, d)
+        .select(col("l_orderkey"),
+          (col("l_extendedprice").cast(dec) *
+            (lit(1).cast(dec) - col("l_discount").cast(dec))).as("net4"))
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("net4")).as("onet4"))
+      o.join(l, col("o_orderkey") === col("l_orderkey"), "left")
+        .groupBy(col("ym"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(when(col("onet4").isNull, 1L).otherwise(0L))
+            .as("n_headerless_detail"),
+          sum(col("hc")).as("header_e4"),
+          coalesce((sum(col("onet4")) * 10000).cast("long"), lit(0L))
+            .as("detail_e4"))
+        .select(col("ym"), col("n_orders"), col("n_headerless_detail"),
+          col("header_e4"), col("detail_e4"),
+          when(col("detail_e4") >= col("header_e4"), 1L).otherwise(-1L)
+            .as("drift_sign"),
+          expr("(10000 * abs(detail_e4 - header_e4)) div header_e4")
+            .as("drift_abs_bp"))
+        .orderBy(col("ym"))
+    },
+    Some("""WITH o AS (SELECT year(o_orderdate) * 100 + month(o_orderdate)
+           |   AS ym, o_orderkey,
+           |   CAST(round(o_totalprice * 10000) AS BIGINT) AS hc
+           |  FROM orders),
+           |l AS (SELECT l_orderkey,
+           |   sum(CAST(l_extendedprice AS DECIMAL(12,2))
+           |     * (CAST(1 AS DECIMAL(12,2))
+           |        - CAST(l_discount AS DECIMAL(12,2)))) AS onet4
+           |  FROM lineitem GROUP BY 1),
+           |j AS (SELECT ym, hc, onet4 FROM o
+           |  LEFT JOIN l ON o_orderkey = l_orderkey),
+           |g AS (SELECT ym, count(*) AS n_orders,
+           |   CAST(sum(CASE WHEN onet4 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |     AS n_headerless_detail,
+           |   CAST(sum(hc) AS BIGINT) AS header_e4,
+           |   COALESCE(CAST(sum(onet4) * 10000 AS BIGINT), 0) AS detail_e4
+           |  FROM j GROUP BY 1)
+           |SELECT ym, n_orders, n_headerless_detail, header_e4, detail_e4,
+           | CASE WHEN detail_e4 >= header_e4 THEN 1 ELSE -1 END AS drift_sign,
+           | (10000 * abs(detail_e4 - header_e4)) // header_e4 AS drift_abs_bp
+           |FROM g ORDER BY 1""".stripMargin))
+
   override def qs: Seq[Q] =
     Seq(upsertMerge, incMerge, cmsEstimates, kmvOverlap, checksumBuckets,
       calendarDim, jsonKeyProfile, fdAudit, profileDrift, incJoinMerge,
-      rfm, kAnonymity)
+      rfm, kAnonymity, cdcApply, ledgerRecon)
 }

@@ -685,7 +685,107 @@ object CorpusQueries extends QueryPack {
            | CAST(sum(doc_id) AS BIGINT) AS sum_ids
            |FROM n GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
+  /** Heaps' law fit — vocabulary growth V(N) ≈ K·N^β, the corpus-scale
+    * companion to `text_zipf_fit` (β ≈ 0.5 for natural text; β → 1
+    * flags boilerplate/ID-heavy corpora whose "vocabulary" never
+    * saturates — a dedup/quality smell). Growth checkpoints are the 10
+    * doc-id deciles via the exact global-ntile operator; cumulative
+    * vocabulary uses the first-appearance trick (`ts_cumulative_users`'
+    * rewrite: a token joins the running vocab at min(doc_id), so the
+    * running DISTINCT collapses to a prefix sum of first appearances —
+    * no per-prefix re-scan). The log-log regression runs over 10
+    * micro-rounded-ln points (the zipf convention) with β as the one
+    * identically-written double expression. Tokenization is
+    * Hashing.words end-to-end — counts and vocabulary share one
+    * convention.
+    */
+  private val heaps = Q(
+    "text_heaps_law",
+    (s, d) => {
+      import graft.ops.Checkpoints.StageCheckpoint
+      import org.apache.spark.sql.expressions.Window
+      val wordsU = udf { (t: String) =>
+        if (t == null) Array.empty[String] else Hashing.words(t)
+      }
+      val withW = Tables.documents(s, d)
+        .select(col("doc_id"), wordsU(col("text")).as("w"))
+        .stageCheckpoint()
+      val base = withW.select(col("doc_id"), size(col("w")).cast("long").as("tc"))
+      val dec = graft.ops.GlobalOrder
+        .ntileBy(base, "doc_id", "doc_id", 10, "decile")
+        .stageCheckpoint()
+      val firstSeen = withW
+        .select(col("doc_id"), explode(col("w")).as("tok"))
+        .groupBy(col("tok")).agg(min(col("doc_id")).as("fd"))
+      val vocabNew = firstSeen
+        .join(dec.select(col("doc_id").as("fd"), col("decile")), "fd")
+        .groupBy(col("decile")).agg(count(lit(1)).as("nv"))
+      val perDec = dec.groupBy(col("decile"))
+        .agg(sum(col("tc")).as("toks"))
+        .join(vocabNew, Seq("decile"), "left")
+        .select(col("decile"), col("toks"),
+          coalesce(col("nv"), lit(0L)).as("nv"))
+      val wc = Window.orderBy(col("decile"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = perDec
+        .withColumn("ct", sum(col("toks")).over(wc))
+        .withColumn("cv", sum(col("nv")).over(wc))
+      val pts = cum.filter(col("ct") > 0 && col("cv") > 0)
+        .select(
+          round(log(col("ct").cast("double")) * 1e6).cast("long").as("x"),
+          round(log(col("cv").cast("double")) * 1e6).cast("long").as("y"))
+      val st = pts.agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      val tot = cum.agg(max(col("ct")).as("total_tokens"),
+        max(col("cv")).as("total_vocab"))
+      st.crossJoin(tot)
+        .select(col("n").as("n_points"), col("sx"), col("sy"), col("sxy"),
+          col("sxx"), col("total_tokens"), col("total_vocab"),
+          ((col("n").cast("double") * col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double")) /
+            (col("n").cast("double") * col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double")))
+            .as("beta"))
+    },
+    Some(s"""WITH wd AS (SELECT doc_id, $WordsExpr AS w FROM documents),
+            |base AS (SELECT doc_id, len(w) AS tc FROM wd),
+            |dec AS (SELECT doc_id, tc,
+            |   ntile(10) OVER (ORDER BY doc_id, doc_id) AS decile FROM base),
+            |tok AS (SELECT doc_id, unnest(w) AS tok FROM wd),
+            |fs AS (SELECT tok, min(doc_id) AS fd FROM tok GROUP BY 1),
+            |vn AS (SELECT d.decile, count(*) AS nv
+            |  FROM fs f JOIN dec d ON f.fd = d.doc_id GROUP BY 1),
+            |td AS (SELECT decile, CAST(sum(tc) AS BIGINT) AS toks
+            |  FROM dec GROUP BY 1),
+            |pd AS (SELECT td.decile, toks, COALESCE(nv, 0) AS nv
+            |  FROM td LEFT JOIN vn ON td.decile = vn.decile),
+            |cum AS (SELECT decile,
+            |   CAST(sum(toks) OVER (ORDER BY decile ROWS BETWEEN
+            |     UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ct,
+            |   CAST(sum(nv) OVER (ORDER BY decile ROWS BETWEEN
+            |     UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cv
+            |  FROM pd),
+            |pts AS (SELECT
+            |   CAST(round(ln(CAST(ct AS DOUBLE)) * 1e6) AS BIGINT) AS x,
+            |   CAST(round(ln(CAST(cv AS DOUBLE)) * 1e6) AS BIGINT) AS y
+            |  FROM cum WHERE ct > 0 AND cv > 0),
+            |st AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+            |   CAST(sum(y) AS BIGINT) AS sy,
+            |   CAST(sum(x * y) AS BIGINT) AS sxy,
+            |   CAST(sum(x * x) AS BIGINT) AS sxx FROM pts),
+            |tt AS (SELECT max(ct) AS total_tokens, max(cv) AS total_vocab
+            |  FROM cum)
+            |SELECT n AS n_points, sx, sy, sxy, sxx,
+            | total_tokens, total_vocab,
+            | (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            |    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            |  / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+            |    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS beta
+            |FROM st, tt""".stripMargin))
+
   val qs: Seq[Q] = Seq(winnowing, repetition, pii, stratified, winnowPairs,
     decontaminate, decontaminateBloom, topNgrams, tokenDf, paraDedup, shards,
-    dsir, contamFrac, perplexity, streamGatesTwin, curriculum)
+    dsir, contamFrac, perplexity, streamGatesTwin, curriculum, heaps)
 }

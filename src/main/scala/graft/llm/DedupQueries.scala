@@ -209,6 +209,61 @@ object DedupQueries extends QueryPack {
             |WHERE jac >= 0.8 ORDER BY i, j""".stripMargin),
     headline = true)
 
+  /** INCREMENTAL connected-components maintenance — the cluster-state
+    * lifecycle step after [[lshIncremental]]'s pair maintenance: the
+    * existing corpus's components absorb a new batch WITHOUT re-running
+    * CC on the full pair set. New pairs contract onto the old component
+    * labels (endpoint → its old label, or itself if previously
+    * unclustered), min-label CC runs on that contracted graph — sized
+    * by touched components, not by the corpus — and only touched
+    * components relabel. Because old labels are component-minimum doc
+    * ids and the contraction preserves connectivity, the merged labels
+    * are exactly the full recompute's labels; the oracle IS the full
+    * recompute (same recursive-CTE closure as `dedup_lsh_clusters`).
+    * At 100 TB this is the difference between a daily CC over the
+    * whole corpus and one over the day's delta.
+    */
+  private val ccIncremental = Q(
+    "dedup_cc_incremental",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val old = docs.filter(col("doc_id") % 5 =!= 0)
+      val fresh = docs.filter(col("doc_id") % 5 === 0)
+      val oldPairs = MinHashLsh.nearDupPairs(old, "doc_id", "text", 0.8)
+        .stageCheckpoint()
+      val oldComp = ConnectedComponents.components(oldPairs, "i", "j")
+        .stageCheckpoint()
+      val newPairs = MinHashLsh.nearDupPairsIncremental(old, oldPairs,
+          fresh, "doc_id", "text", threshold = 0.8)
+        .select(col("i"), col("j")).stageCheckpoint()
+      val contracted = newPairs
+        .join(oldComp.select(col("node").as("i"), col("comp").as("ci")),
+          Seq("i"), "left")
+        .join(oldComp.select(col("node").as("j"), col("comp").as("cj")),
+          Seq("j"), "left")
+        .select(coalesce(col("ci"), col("i")).as("a"),
+          coalesce(col("cj"), col("j")).as("b"))
+        .filter(col("a") =!= col("b"))
+      val merged = ConnectedComponents.components(contracted, "a", "b")
+      val newNodes = newPairs
+        .select(explode(array(col("i"), col("j"))).as("node")).distinct()
+        .join(oldComp.select(col("node")), Seq("node"), "left_anti")
+        .select(col("node"), col("node").as("base"))
+      val base = oldComp.select(col("node"), col("comp").as("base"))
+        .unionByName(newNodes)
+      base
+        .join(merged.select(col("node").as("base"), col("comp").as("fin")),
+          Seq("base"), "left")
+        .select(col("node"), coalesce(col("fin"), col("base")).as("cluster"))
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n_members"), sum(col("node")).as("sum_members"))
+        .orderBy(col("cluster"))
+    },
+    Some(s"""WITH RECURSIVE ${clusterChain()}
+            |SELECT cluster, count(*) AS n_members,
+            | CAST(sum(node) AS BIGINT) AS sum_members
+            |FROM comp GROUP BY 1 ORDER BY 1""".stripMargin))
+
   /** Cluster-SIZE distribution — the duplication-profile report a
     * corpus audit publishes (how much of the duplication is pairs vs
     * deep piles; the pile tail is what decides whether near-dedup pays
@@ -1015,7 +1070,8 @@ object DedupQueries extends QueryPack {
     headline = true)
 
   val qs: Seq[Q] = Seq(exact, minhash, simhash, ngramJaccard,
-    lshClusters, lshIncremental, clusterSizeHist, clusterSurvivors, clusterBestSurvivors,
+    lshClusters, lshIncremental, ccIncremental, clusterSizeHist,
+    clusterSurvivors, clusterBestSurvivors,
     trainingPipeline,
     trainingV2, trainingV3, trainingV4, trainingV5, prefixJoin,
     repeatedSpans, containment, trainingV6, trainingV7)

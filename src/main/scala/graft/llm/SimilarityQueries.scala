@@ -140,6 +140,60 @@ object SimilarityQueries extends QueryPack {
     * handling is identical in both engines (ties are measure-zero on
     * this data anyway).
     */
+  /** Pairwise distances between per-LABEL embedding centroids — the
+    * cluster-geometry monitor (are the classes separating? is one
+    * collapsing into another?) that embedding-quality dashboards track
+    * per training run. Exact path: each float component quantizes to
+    * integer micro-units by FLOOR (floor of a double has no .5-tie
+    * hazard, unlike round), per-(label, dim) sums are exact BIGINTs,
+    * and the squared centroid distance publishes as the exact DECIMAL
+    * integral Σ_dim (s_a·n_b − s_b·n_a)² — the common-denominator form
+    * that never divides, with the overflow-prone squares through
+    * DECIMAL per the house rule. One posexplode pass (rows × dims),
+    * one keyed aggregation to |labels|·dims, then everything is
+    * label-pair-sized.
+    */
+  private val centroidDist = Q(
+    "emb_label_centroid_dist",
+    (s, d) => {
+      val comp = Tables.embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .select(col("label"), col("dim"),
+          floor(col("x").cast("double") * 1e6).cast("long").as("xm"))
+      val sums = comp.groupBy(col("label"), col("dim"))
+        .agg(count(lit(1)).as("n"), sum(col("xm")).as("sm"))
+      val a = sums.select(col("label").as("la"), col("dim"),
+        col("n").as("na"), col("sm").as("sa"))
+      val b = sums.select(col("label").as("lb"), col("dim"),
+        col("n").as("nb"), col("sm").as("sb"))
+      a.join(b, Seq("dim")).filter(col("la") < col("lb"))
+        .select(col("la"), col("lb"), col("na"), col("nb"),
+          ((col("sa") * col("nb") - col("sb") * col("na"))
+            .cast("decimal(19,0)") *
+            (col("sa") * col("nb") - col("sb") * col("na"))
+              .cast("decimal(19,0)")).as("sq"))
+        .groupBy(col("la"), col("lb"))
+        .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+          sum(col("sq")).cast("decimal(38,0)").as("dist2_q"))
+        .orderBy(col("la"), col("lb"))
+    },
+    Some("""WITH comp AS (SELECT label, gs - 1 AS dim,
+           |   CAST(floor(CAST(embedding[CAST(gs AS INT)] AS DOUBLE) * 1e6)
+           |     AS BIGINT) AS xm
+           |  FROM (SELECT label, embedding,
+           |    generate_subscripts(embedding, 1) AS gs FROM embeddings)),
+           |sums AS (SELECT label, dim, count(*) AS n,
+           |   CAST(sum(xm) AS BIGINT) AS sm
+           |  FROM comp GROUP BY 1, 2),
+           |p AS (SELECT a.label AS la, b.label AS lb, a.dim,
+           |   a.n AS na, b.n AS nb,
+           |   CAST(a.sm * b.n - b.sm * a.n AS DECIMAL(19,0))
+           |     * CAST(a.sm * b.n - b.sm * a.n AS DECIMAL(19,0)) AS sq
+           |  FROM sums a JOIN sums b ON a.dim = b.dim AND a.label < b.label)
+           |SELECT la, lb, max(na) AS n_a, max(nb) AS n_b,
+           | CAST(sum(sq) AS DECIMAL(38,0)) AS dist2_q
+           |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
   private val argmaxHist = Q(
     "emb_argmax_dim_hist",
     (s, d) => Tables.embeddings(s, d)
@@ -291,5 +345,5 @@ object SimilarityQueries extends QueryPack {
     headline = true)
 
   val qs: Seq[Q] = Seq(brute, lsh, ivf, pq, embDedup, mmFeatures, argmaxHist,
-    mmFrames, mmPhash, semdedup, topComponent)
+    centroidDist, mmFrames, mmPhash, semdedup, topComponent)
 }

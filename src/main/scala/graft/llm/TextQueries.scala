@@ -697,8 +697,77 @@ object TextQueries extends QueryPack {
             |   AS zipf_slope
             |FROM st""".stripMargin))
 
+  /** Neyman-optimal stratified allocation (survey sampling's minimum-
+    * variance rule): a fixed 1000-doc budget splits across sources
+    * ∝ n_h·σ_h — high-variance strata earn more samples than equal or
+    * proportional allocation would give them, which is how a corpus
+    * audit spends a labeling budget. The identity n_h·σ_h =
+    * √(n·Σx² − (Σx)²) keeps everything integral until ONE sqrt: the
+    * variance integrand goes through DECIMAL (the overflow rule for
+    * squared sums), the weight and the floor(1000·w/Σw) allocation are
+    * identically-written double expressions, and the realized draw is
+    * the md5-uniform against rate = alloc/n_h (the `text_mixture_
+    * sample` machinery). Two corpus scans, |sources|-bounded state.
+    */
+  private val neyman = Q(
+    "text_neyman_allocation",
+    (s, d) => {
+      val d19 = "decimal(19,0)"
+      val docs = Tables.documents(s, d)
+      val st = docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_s"),
+          sum(col("n_chars")).as("sx"),
+          sum(col("n_chars") * col("n_chars")).as("sxx"))
+        .select(col("source"), col("n_s"),
+          (col("n_s").cast(d19) * col("sxx").cast(d19) -
+            col("sx").cast(d19) * col("sx").cast(d19))
+            .cast("decimal(38,0)").as("var_num"))
+      val tot = st.agg(sum(sqrt(col("var_num").cast("double"))).as("sw"))
+      val alloc = st.crossJoin(broadcast(tot))
+        .select(col("source").as("src"), col("n_s"), col("var_num"),
+          floor(lit(1000.0) * sqrt(col("var_num").cast("double")) /
+            col("sw")).cast("long").as("alloc"))
+      val v = conv(substring(md5(col("doc_id").cast("string")), 1, 15),
+        16, 10).cast("double")
+      val u = (v + lit(1.0)) / lit(math.pow(16.0, 15) + 1.0)
+      docs.select(col("doc_id"), col("source"), u.as("u"))
+        .join(broadcast(alloc), col("source") === col("src"))
+        .groupBy(col("source"))
+        .agg(max(col("n_s")).as("n_docs"), max(col("var_num")).as("var_num"),
+          max(col("alloc")).as("alloc"),
+          sum(when(col("u") <
+            col("alloc").cast("double") / col("n_s").cast("double"), 1L)
+            .otherwise(0L)).as("n_drawn"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH st AS (SELECT source, count(*) AS n_s,
+           |   CAST(sum(n_chars) AS BIGINT) AS sx,
+           |   CAST(sum(n_chars * n_chars) AS BIGINT) AS sxx
+           |  FROM documents GROUP BY 1),
+           |v AS (SELECT source, n_s,
+           |   CAST(CAST(n_s AS DECIMAL(19,0)) * CAST(sxx AS DECIMAL(19,0))
+           |     - CAST(sx AS DECIMAL(19,0)) * CAST(sx AS DECIMAL(19,0))
+           |    AS DECIMAL(38,0)) AS var_num
+           |  FROM st),
+           |tot AS (SELECT sum(sqrt(CAST(var_num AS DOUBLE))) AS sw FROM v),
+           |al AS (SELECT source AS src, n_s, var_num,
+           |   CAST(floor(1000.0 * sqrt(CAST(var_num AS DOUBLE)) / sw)
+           |     AS BIGINT) AS alloc
+           |  FROM v CROSS JOIN tot),
+           |u AS (SELECT doc_id, source,
+           |  (CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+           |     AS BIGINT) + 1.0) / (1152921504606846976.0 + 1.0) AS u
+           | FROM documents)
+           |SELECT al.src AS source, max(n_s) AS n_docs,
+           | max(var_num) AS var_num, max(alloc) AS alloc,
+           | CAST(sum(CASE WHEN u.u < CAST(alloc AS DOUBLE)
+           |    / CAST(n_s AS DOUBLE) THEN 1 ELSE 0 END) AS BIGINT)
+           |   AS n_drawn
+           |FROM u JOIN al ON u.source = al.src
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val qs: Seq[Q] = Seq(tokenStats, packWindows, bpePairs, spellVariants,
     weightedSample, quality, langid, langidPrf, fingerprintQ, subwords,
     polyFingerprint, chunking, sampling, bm25, mixtureSample, charStats,
-    tfidfTop, zipf)
+    tfidfTop, zipf, neyman)
 }
