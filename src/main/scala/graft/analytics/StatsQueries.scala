@@ -199,7 +199,53 @@ object StatsQueries extends QueryPack {
             |deg AS (SELECT u, count(*) AS reach1 FROM sym GROUP BY 1)
             |SELECT u AS node, reach1, reach2
             |FROM reach JOIN deg USING (u)
-            |ORDER BY reach2 DESC, node LIMIT 20""".stripMargin))
+            |ORDER BY reach2 DESC, node LIMIT 20""".stripMargin),
+    headline = true)
+
+  /** Range-partition write plan — the boundary computation behind
+    * every sorted/range-partitioned table layout (Spark's
+    * repartitionByRange, Iceberg sort orders): 32 exact equi-depth
+    * partitions over the order-total cents via the global-ntile
+    * operator (quantile-sketch bucketing + exact within-bucket ranks —
+    * never an unpartitioned window), then per-partition row counts and
+    * [min, max) boundaries, plus each partition's deviation from the
+    * ideal n/32 in basis points — the skew number that decides whether
+    * these boundaries can ship. Ties sit entirely inside one partition
+    * by the (cents, o_orderkey) total order, so boundaries are
+    * exclusive by construction.
+    */
+  private val rangePartitionPlan = Q(
+    "storage_range_partition_plan",
+    (s, d) => {
+      val base = Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val tiled = graft.ops.GlobalOrder
+        .ntileBy(base, "cents", "o_orderkey", 32, "part")
+      val n = tiled.agg(count(lit(1)).as("n_total"))
+      tiled.groupBy(col("part"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("cents")).as("lo_cents"),
+          max(col("cents")).as("hi_cents"))
+        .crossJoin(broadcast(n))
+        .select(col("part"), col("n_rows"), col("lo_cents"),
+          col("hi_cents"),
+          expr("(10000 * abs(32 * n_rows - n_total)) div n_total")
+            .as("skew_bp"))
+        .orderBy(col("part"))
+    },
+    Some("""WITH b AS (SELECT o_orderkey,
+           |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           | FROM orders),
+           |t AS (SELECT cents,
+           |  ntile(32) OVER (ORDER BY cents, o_orderkey) AS part FROM b),
+           |g AS (SELECT part, count(*) AS n_rows, min(cents) AS lo_cents,
+           |   max(cents) AS hi_cents
+           |  FROM t GROUP BY 1),
+           |n AS (SELECT count(*) AS n_total FROM b)
+           |SELECT part, n_rows, lo_cents, hi_cents,
+           | (10000 * abs(32 * n_rows - n_total)) // n_total AS skew_bp
+           |FROM g CROSS JOIN n ORDER BY 1""".stripMargin))
 
   /** Daily-revenue linear trend — regression as a ONE-PASS aggregation of
     * integral sufficient statistics (n, Σx, Σy, Σxy, Σx²), the
@@ -995,8 +1041,8 @@ object StatsQueries extends QueryPack {
            |FROM r GROUP BY 1 ORDER BY 1""".stripMargin))
 
   override def qs: Seq[Q] =
-    Seq(triangles, clusteringCoeff, twoHopReach, trend, pareto, equidepth,
-      madOutliers,
+    Seq(triangles, clusteringCoeff, twoHopReach, rangePartitionPlan, trend,
+      pareto, equidepth, madOutliers,
       zorder, compactionBins, distributionDrift, windowValues, rollingWau,
       groupQuantiles, benford, rankMetrics, groupedMode, hist2d,
       winsorized, abTest, concentration, gini)

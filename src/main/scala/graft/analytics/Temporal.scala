@@ -776,8 +776,126 @@ object Temporal extends QueryPack {
            |   - min(CAST(e_ts AS DATE)), -1) AS days_since_first
            |FROM j GROUP BY 1, 2 ORDER BY 1""".stripMargin))
 
+  /** Duration-capped sessionization (the GA4/Adobe rule): sessions cut
+    * at a 30-minute inactivity gap AND split again every 4 hours of
+    * elapsed time — without the cap, a bot that pings every 29 minutes
+    * holds one session open forever, which is exactly the state-bound
+    * problem streaming sessionization has too. The cap needs no
+    * recurrence: within a gap-session, the sub-session is
+    * ⌊elapsed-from-session-start / 4 h⌋, exact integer division on
+    * truncated epoch seconds. Two user-keyed windows sharing one
+    * shuffle + one grouped join for the session starts; output is
+    * per-user session counts (|users|-bounded).
+    */
+  private val cappedSessions = Q(
+    "window_capped_sessions",
+    (s, d) => {
+      // sequence order is (TRUNCATED-second, event_id) — the same key
+      // the gap test uses — so same-second events order identically in
+      // both engines regardless of their sub-second parts
+      val wSeq = Window.partitionBy(col("user_id"))
+        .orderBy(col("es"), col("event_id"))
+      val base = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          unix_timestamp(col("ts")).as("es"))
+        .withColumn("prev_es", lag(col("es"), 1).over(wSeq))
+        .withColumn("brk",
+          when(col("prev_es").isNull ||
+            col("es") - col("prev_es") > 1800L, 1L).otherwise(0L))
+        .withColumn("sess", sum(col("brk")).over(
+          wSeq.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val starts = base.groupBy(col("user_id"), col("sess"))
+        .agg(min(col("es")).as("start_es"))
+      base.join(starts, Seq("user_id", "sess"))
+        .withColumn("sub", expr("(es - start_es) div 14400"))
+        .groupBy(col("user_id"))
+        .agg(countDistinct(col("sess")).as("n_gap_sessions"),
+          countDistinct(col("sess"), col("sub")).as("n_capped_sessions"),
+          count(lit(1)).as("n_events"),
+          max(col("es") - col("start_es")).as("max_elapsed_s"))
+        .orderBy(col("user_id"))
+    },
+    Some("""WITH e0 AS (SELECT user_id, event_id,
+           |   epoch(date_trunc('second', ts))::BIGINT AS es FROM events),
+           |b0 AS (SELECT user_id, event_id, es,
+           |   lag(es) OVER (PARTITION BY user_id ORDER BY es, event_id)
+           |     AS prev_es
+           |  FROM e0),
+           |b1 AS (SELECT user_id, event_id, es,
+           |   CASE WHEN prev_es IS NULL OR es - prev_es > 1800
+           |    THEN 1 ELSE 0 END AS brk
+           |  FROM b0),
+           |b2 AS (SELECT user_id, event_id, es,
+           |   CAST(sum(brk) OVER (PARTITION BY user_id
+           |     ORDER BY es, event_id
+           |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |    AS BIGINT) AS sess
+           |  FROM b1),
+           |st AS (SELECT user_id, sess, min(es) AS start_es
+           |  FROM b2 GROUP BY 1, 2),
+           |x AS (SELECT b2.user_id, b2.sess, es,
+           |   (es - start_es) // 14400 AS sub, es - start_es AS el
+           |  FROM b2 JOIN st ON b2.user_id = st.user_id
+           |   AND b2.sess = st.sess)
+           |SELECT user_id, count(DISTINCT sess) AS n_gap_sessions,
+           | count(DISTINCT (sess, sub)) AS n_capped_sessions,
+           | count(*) AS n_events, max(el) AS max_elapsed_s
+           |FROM x GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** Strict WINDOWED funnel (the ClickHouse `windowFunnel` contract,
+    * which the plain conditional-min funnel does not pin): stage k
+    * must happen strictly after stage k−1 AND the whole chain must fit
+    * inside 1 hour of the user's FIRST stage-1 event. Three chained
+    * user-keyed conditional-min aggregations — each stage's timestamp
+    * is a min over events bounded by the previous stage — and one
+    * 1-row rollup with the completers' exact total time-to-convert.
+    */
+  private val windowedFunnel = Q(
+    "funnel_windowed_strict",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type").as("et"),
+          unix_timestamp(col("ts")).as("es"))
+      val s1 = ev.filter(col("et") === "view")
+        .groupBy(col("user_id")).agg(min(col("es")).as("t1"))
+      val s2 = ev.join(s1, Seq("user_id"))
+        .filter(col("et") === "click" && col("es") > col("t1") &&
+          col("es") <= col("t1") + 3600L)
+        .groupBy(col("user_id"))
+        .agg(max(col("t1")).as("t1"), min(col("es")).as("t2"))
+      val s3 = ev.join(s2, Seq("user_id"))
+        .filter(col("et") === "purchase" && col("es") > col("t2") &&
+          col("es") <= col("t1") + 3600L)
+        .groupBy(col("user_id"))
+        .agg(max(col("t1")).as("t1"), min(col("es")).as("t3"))
+      s1.agg(count(lit(1)).as("n_stage1")).crossJoin(
+          s2.agg(count(lit(1)).as("n_stage2"))).crossJoin(
+          s3.agg(count(lit(1)).as("n_stage3"),
+            coalesce(sum(col("t3") - col("t1")), lit(0L))
+              .as("sum_convert_s")))
+    },
+    Some("""WITH ev AS (SELECT user_id, event_type AS et,
+           |   epoch(date_trunc('second', ts))::BIGINT AS es FROM events),
+           |s1 AS (SELECT user_id, min(es) AS t1 FROM ev
+           |  WHERE et = 'view' GROUP BY 1),
+           |s2 AS (SELECT ev.user_id, max(t1) AS t1, min(es) AS t2
+           |  FROM ev JOIN s1 ON ev.user_id = s1.user_id
+           |  WHERE et = 'click' AND es > t1 AND es <= t1 + 3600
+           |  GROUP BY 1),
+           |s3 AS (SELECT ev.user_id, max(t1) AS t1, min(es) AS t3
+           |  FROM ev JOIN s2 ON ev.user_id = s2.user_id
+           |  WHERE et = 'purchase' AND es > t2 AND es <= t1 + 3600
+           |  GROUP BY 1)
+           |SELECT
+           | (SELECT count(*) FROM s1) AS n_stage1,
+           | (SELECT count(*) FROM s2) AS n_stage2,
+           | (SELECT count(*) FROM s3) AS n_stage3,
+           | (SELECT COALESCE(CAST(sum(t3 - t1) AS BIGINT), 0) FROM s3)
+           |   AS sum_convert_s""".stripMargin))
+
   val qs: Seq[Q] = Seq(asof, asofBucketed, tumbling, jsonExtract, sliding,
     sessionWindows, funnel, cohorts, streamDedup, enrichStatic, gapfill,
     anomalies, scd2Runs, peakWindows, attribution, changepoint,
-    windowedTopK, seasonalNaive, decayed, pointInTime)
+    windowedTopK, seasonalNaive, decayed, pointInTime, cappedSessions,
+    windowedFunnel)
 }

@@ -783,7 +783,8 @@ object CorpusQueries extends QueryPack {
             |    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
             |  / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
             |    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS beta
-            |FROM st, tt""".stripMargin))
+            |FROM st, tt""".stripMargin),
+    headline = true)
 
   val qs: Seq[Q] = Seq(winnowing, repetition, pii, stratified, winnowPairs,
     decontaminate, decontaminateBloom, topNgrams, tokenDf, paraDedup, shards,

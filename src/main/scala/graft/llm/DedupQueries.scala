@@ -262,7 +262,8 @@ object DedupQueries extends QueryPack {
     Some(s"""WITH RECURSIVE ${clusterChain()}
             |SELECT cluster, count(*) AS n_members,
             | CAST(sum(node) AS BIGINT) AS sum_members
-            |FROM comp GROUP BY 1 ORDER BY 1""".stripMargin))
+            |FROM comp GROUP BY 1 ORDER BY 1""".stripMargin),
+    headline = true)
 
   /** Cluster-SIZE distribution — the duplication-profile report a
     * corpus audit publishes (how much of the duplication is pairs vs

@@ -306,11 +306,97 @@ object EventStream {
       .transformWithState(new RunningTotalsProcessor,
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
   }
+
+  final case class SessionOut(
+      user_id: Long, start_us: Long, end_us: Long, n_events: Long,
+      sum_c: Long, closed_by: String)
+
+  /** TIMER-closed sessionization on the `transformWithState` surface —
+    * the event-time-timer capability [[runningTotals]] doesn't touch: a
+    * session closes EITHER when a later event arrives past the 30-min
+    * gap (emitted inline, `closed_by = "gap"`) OR when the WATERMARK
+    * passes last-event + 30 min with no successor (`closed_by =
+    * "timer"`), which is the guarantee the fMGWS sessionizer gets from
+    * its timeout config, rebuilt here from the raw timer primitives
+    * (registerTimer + handleExpiredTimer). Stale timers are tolerated,
+    * not deleted: a timer that fires after its session was extended
+    * finds `expiry < last + gap` and emits nothing — cheaper than a
+    * deleteTimer round-trip per extension, and idempotent on replay.
+    * State per user is one 4-long tuple.
+    */
+  def timerSessions(events: Dataset[Event])(
+      implicit spark: SparkSession): Dataset[SessionOut] = {
+    import spark.implicits._
+    events.withWatermark("ts", "10 minutes")
+      .as[Event].groupByKey(_.user_id)
+      .transformWithState(new TimerSessionProcessor,
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+  }
 }
 
 /** State machine for [[EventStream.runningTotals]]: one (n, centi-sum)
   * ValueState per user, updated in deterministic within-batch order.
   */
+/** State machine for [[EventStream.timerSessions]]: one
+  * (startUs, lastUs, n, centiSum) ValueState per user plus event-time
+  * timers at last + 30 min.
+  */
+class TimerSessionProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[
+    Long, EventStream.Event, EventStream.SessionOut] {
+  import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimeMode, TimerValues, TTLConfig, ValueState}
+  import org.apache.spark.sql.{Encoders, streaming}
+
+  private val GapMs = 30L * 60 * 1000
+
+  @transient private var sess: ValueState[(Long, Long, Long, Long)] = _
+
+  override def init(outputMode: streaming.OutputMode, timeMode: TimeMode): Unit =
+    sess = getHandle.getValueState("sess",
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+        Encoders.scalaLong, Encoders.scalaLong), TTLConfig.NONE)
+
+  private def us(e: EventStream.Event): Long =
+    e.ts.getTime * 1000 + (e.ts.getNanos / 1000) % 1000
+
+  override def handleInputRows(user: Long,
+      rows: Iterator[EventStream.Event],
+      timerValues: TimerValues): Iterator[EventStream.SessionOut] = {
+    val sorted = rows.toArray.sortBy(e => (us(e), e.event_id))
+    val out = scala.collection.mutable.ArrayBuffer.empty[EventStream.SessionOut]
+    var cur: Option[(Long, Long, Long, Long)] =
+      if (sess.exists()) Some(sess.get()) else None
+    sorted.foreach { e =>
+      val eus = us(e)
+      val c = math.round(e.value * 100)
+      cur = cur match {
+        case Some((st, last, n, s)) if eus - last > GapMs * 1000 =>
+          out += EventStream.SessionOut(user, st, last, n, s, "gap")
+          Some((eus, eus, 1L, c))
+        case Some((st, last, n, s)) =>
+          Some((st, math.max(last, eus), n + 1, s + c))
+        case None => Some((eus, eus, 1L, c))
+      }
+    }
+    cur.foreach { c4 =>
+      sess.update(c4)
+      getHandle.registerTimer(c4._2 / 1000 + GapMs)
+    }
+    out.iterator
+  }
+
+  override def handleExpiredTimer(user: Long, timerValues: TimerValues,
+      expiredTimerInfo: ExpiredTimerInfo): Iterator[EventStream.SessionOut] = {
+    if (sess.exists()) {
+      val (st, last, n, s) = sess.get()
+      if (expiredTimerInfo.getExpiryTimeInMs >= last / 1000 + GapMs) {
+        sess.clear()
+        Iterator.single(EventStream.SessionOut(user, st, last, n, s, "timer"))
+      } else Iterator.empty
+    } else Iterator.empty
+  }
+}
+
 class RunningTotalsProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[
     Long, EventStream.Event, EventStream.RunningTotal] {
   import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}

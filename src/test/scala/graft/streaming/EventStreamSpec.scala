@@ -264,6 +264,65 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("timerSessions: gap closes inline, watermark timer closes the rest") {
+    implicit val sq = spark.sqlContext
+    implicit val sp = spark
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    def tus(s: String) = java.sql.Timestamp.valueOf(s).getTime * 1000
+    val input = MemoryStream[Event]
+    val q = EventStream.timerSessions(input.toDS())
+      .writeStream.format("memory").queryName("timer_sessions")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // wave 1: two users open sessions; nothing can emit yet
+      input.addData(
+        ev(1, "2024-01-01 10:00:00", 1, "view", 1.00),
+        ev(2, "2024-01-01 10:05:00", 1, "view", 2.00),
+        ev(3, "2024-01-01 10:02:00", 2, "view", 5.00))
+      q.processAllAvailable()
+      // wave 2: u1's 11:30 event is 85 min past its last — closes the
+      // old session INLINE ("gap"); u9's 12:00 event pushes the
+      // watermark to 11:50, which (next batch) expires u2's 10:32 timer
+      input.addData(
+        ev(4, "2024-01-01 11:30:00", 1, "view", 0.50),
+        ev(5, "2024-01-01 12:00:00", 9, "view", 0.00))
+      q.processAllAvailable()
+      // wave 3: u9's 13:00 event gap-closes its own 12:00 session; the
+      // watermark advances to 12:50 for the NEXT batch
+      input.addData(ev(6, "2024-01-01 13:00:00", 9, "view", 0.00))
+      q.processAllAvailable()
+      // wave 4: unrelated user. processAllAvailable runs the data batch
+      // (watermark 12:50 — expires u1's 12:00 timer if wave 3 hadn't)
+      // plus the watermark-advance batch at 13:50, which also expires
+      // u9's 13:30 timer. Only u8's session stays open.
+      input.addData(ev(7, "2024-01-01 14:00:00", 8, "view", 0.00))
+      q.processAllAvailable()
+      val got = spark.table("timer_sessions")
+        .as[(Long, Long, Long, Long, Long, String)].collect().toSet
+      assert(got === Set(
+        (1L, tus("2024-01-01 10:00:00"), tus("2024-01-01 10:05:00"),
+          2L, 300L, "gap"),
+        (2L, tus("2024-01-01 10:02:00"), tus("2024-01-01 10:02:00"),
+          1L, 500L, "timer"),
+        (9L, tus("2024-01-01 12:00:00"), tus("2024-01-01 12:00:00"),
+          1L, 0L, "gap"),
+        (9L, tus("2024-01-01 13:00:00"), tus("2024-01-01 13:00:00"),
+          1L, 0L, "timer"),
+        (1L, tus("2024-01-01 11:30:00"), tus("2024-01-01 11:30:00"),
+          1L, 50L, "timer")), got)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("runningTotals (transformWithState): state persists across batches and equals batch cumsum") {
     implicit val sq = spark.sqlContext
     implicit val sp = spark
