@@ -247,6 +247,120 @@ object StatsQueries extends QueryPack {
            | (10000 * abs(32 * n_rows - n_total)) // n_total AS skew_bp
            |FROM g CROSS JOIN n ORDER BY 1""".stripMargin))
 
+  /** Mann–Kendall trend test over the monthly revenue series — the
+    * nonparametric significance companion to `stats_theil_sen_trend`
+    * (Theil–Sen says HOW steep, Mann–Kendall says WHETHER the monotone
+    * trend is real): S = Σ_{i<j} sign(y_j − y_i), exact integer over
+    * the same bounded monthly frame, variance via the exact integral
+    * 18·Var(S) = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5) (tie-corrected), and
+    * the z statistic as one identically-written double expression with
+    * the ±1 continuity correction picked by S's sign (S = 0 ⇒ z = 0
+    * exactly). Every compared quantity before z is a BIGINT.
+    */
+  private val mannKendall = Q(
+    "stats_mann_kendall",
+    (s, d) => {
+      val monthly = Tables.orders(s, d)
+        .select((year(col("o_orderdate")) * 100 +
+          month(col("o_orderdate"))).as("ym"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .groupBy(col("ym")).agg(sum(col("cents")).as("rev"))
+      val a = monthly.select(col("ym").as("yi"), col("rev").as("ri"))
+      val b = monthly.select(col("ym").as("yj"), col("rev").as("rj"))
+      val sStat = a.crossJoin(b).filter(col("yi") < col("yj"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(signum(col("rj") - col("ri")).cast("long")).as("s_stat"))
+      val ties = monthly.groupBy(col("rev")).agg(count(lit(1)).as("t"))
+        .agg(sum(expr("t * (t - 1) * (2 * t + 5)")).as("tie18"))
+      val nRow = monthly.agg(count(lit(1)).as("n"))
+      sStat.crossJoin(ties).crossJoin(nRow)
+        .select(col("n"), col("n_pairs"), col("s_stat"),
+          (expr("n * (n - 1) * (2 * n + 5)") - col("tie18")).as("var18"))
+        .withColumn("z",
+          when(col("s_stat") > 0,
+            (col("s_stat") - 1).cast("double") /
+              sqrt(col("var18").cast("double") / 18.0))
+            .when(col("s_stat") < 0,
+              (col("s_stat") + 1).cast("double") /
+                sqrt(col("var18").cast("double") / 18.0))
+            .otherwise(lit(0.0)))
+    },
+    Some("""WITH m AS (SELECT year(o_orderdate) * 100 + month(o_orderdate)
+           |   AS ym, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+           |   AS BIGINT) AS rev
+           |  FROM orders GROUP BY 1),
+           |p AS (SELECT count(*) AS n_pairs,
+           |   CAST(sum(CASE WHEN b.rev > a.rev THEN 1
+           |     WHEN b.rev < a.rev THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+           |  FROM m a JOIN m b ON a.ym < b.ym),
+           |t AS (SELECT CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT)
+           |   AS tie18
+           |  FROM (SELECT count(*) AS t FROM m GROUP BY rev)),
+           |nn AS (SELECT count(*) AS n FROM m)
+           |SELECT n, n_pairs, s_stat,
+           | n * (n - 1) * (2 * n + 5) - tie18 AS var18,
+           | CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
+           |    / sqrt(CAST(n * (n - 1) * (2 * n + 5) - tie18 AS DOUBLE)
+           |      / 18.0)
+           |  WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)
+           |    / sqrt(CAST(n * (n - 1) * (2 * n + 5) - tie18 AS DOUBLE)
+           |      / 18.0)
+           |  ELSE 0.0 END AS z
+           |FROM nn, p, t""".stripMargin))
+
+  /** Rich-club coefficient of the supplier co-purchase graph — do the
+    * best-connected suppliers preferentially trade alongside each
+    * other? φ(k) = E_{>k} / (N_{>k}·(N_{>k}−1)/2) over nodes of degree
+    * > k, reported in integer basis points for five degree thresholds.
+    * The per-threshold subgraphs derive from ONE degree frame and ONE
+    * edge pass (each edge compares its endpoints' degrees against the
+    * bounded threshold list — a 5× bounded fan-out, not five scans).
+    * The structural complement to `graph_assortativity`: assortativity
+    * is the correlation, the rich club is where it lives.
+    */
+  private val richClub = Q(
+    "graph_rich_club",
+    (s, d) => {
+      import graft.ops.Checkpoints.StageCheckpoint
+      val canon = suppEdges(s, d).stageCheckpoint()
+      val deg = canon.select(explode(array(col("u"), col("v"))).as("n"))
+        .groupBy(col("n")).agg(count(lit(1)).as("dg"))
+      val ks = Seq(0, 1, 2, 4, 8)
+      val kDf = ks.map(k => s"($k)").mkString(", ")
+      val thresholds = canon.sparkSession.sql(
+        s"SELECT * FROM VALUES $kDf AS t(k)")
+      val nodesAbove = deg.crossJoin(broadcast(thresholds))
+        .filter(col("dg") > col("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("n_above"))
+      val du = deg.select(col("n").as("u"), col("dg").as("du"))
+      val dv = deg.select(col("n").as("v"), col("dg").as("dv"))
+      val edgesAbove = canon.join(du, "u").join(dv, "v")
+        .crossJoin(broadcast(thresholds))
+        .filter(col("du") > col("k") && col("dv") > col("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("e_above"))
+      nodesAbove.join(edgesAbove, Seq("k"), "left")
+        .select(col("k"), col("n_above"),
+          coalesce(col("e_above"), lit(0L)).as("e_above"))
+        .withColumn("phi_bp",
+          when(col("n_above") >= 2,
+            expr("(10000 * e_above) div (n_above * (n_above - 1) div 2)")))
+        .orderBy(col("k"))
+    },
+    Some(s"""WITH $suppEdgeCte,
+            |deg AS (SELECT n, count(*) AS dg FROM
+            |  (SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
+            |ks(k) AS (VALUES (0), (1), (2), (4), (8)),
+            |na AS (SELECT k, count(*) AS n_above
+            |  FROM deg CROSS JOIN ks WHERE dg > k GROUP BY 1),
+            |ea AS (SELECT k, count(*) AS e_above
+            |  FROM e JOIN deg du ON e.u = du.n JOIN deg dv ON e.v = dv.n
+            |  CROSS JOIN ks WHERE du.dg > k AND dv.dg > k GROUP BY 1)
+            |SELECT na.k, n_above, COALESCE(e_above, 0) AS e_above,
+            | CASE WHEN n_above >= 2 THEN
+            |  (10000 * COALESCE(e_above, 0))
+            |    // (n_above * (n_above - 1) // 2) END AS phi_bp
+            |FROM na LEFT JOIN ea ON na.k = ea.k ORDER BY 1""".stripMargin))
+
   /** Daily-revenue linear trend — regression as a ONE-PASS aggregation of
     * integral sufficient statistics (n, Σx, Σy, Σxy, Σx²), the
     * map-side-combinable shape that replaces any iterative fit for simple
@@ -1041,7 +1155,8 @@ object StatsQueries extends QueryPack {
            |FROM r GROUP BY 1 ORDER BY 1""".stripMargin))
 
   override def qs: Seq[Q] =
-    Seq(triangles, clusteringCoeff, twoHopReach, rangePartitionPlan, trend,
+    Seq(triangles, clusteringCoeff, twoHopReach, rangePartitionPlan,
+      mannKendall, richClub, trend,
       pareto, equidepth, madOutliers,
       zorder, compactionBins, distributionDrift, windowValues, rollingWau,
       groupQuantiles, benford, rankMetrics, groupedMode, hist2d,

@@ -893,9 +893,48 @@ object Temporal extends QueryPack {
            | (SELECT COALESCE(CAST(sum(t3 - t1) AS BIGINT), 0) FROM s3)
            |   AS sum_convert_s""".stripMargin))
 
+  /** Day-N retention curve (the growth team's D1/D3/D7/D14 dashboard,
+    * the daily-grain complement to `cohort_weekly_retention`): cohort =
+    * each user's FIRST active day; a user retains at offset N by being
+    * active exactly ON day cohort+N (the classic strict definition —
+    * "bounded" retention, not "unbounded within N"). One user-keyed
+    * min, one distinct (user, day) frame, one join keyed on user with
+    * the offset read off datediff — conditional counts land on the
+    * |cohort-days|-bounded output.
+    */
+  private val dnRetention = Q(
+    "cohort_dn_retention",
+    (s, d) => {
+      val days = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val first = days.groupBy(col("user_id")).agg(min(col("day")).as("d0"))
+      val joined = days.join(first, Seq("user_id"))
+        .select(col("user_id"), col("d0"),
+          datediff(col("day"), col("d0")).as("off"))
+      joined.groupBy(col("d0").as("cohort_day"))
+        .agg(countDistinct(col("user_id")).as("n_cohort"),
+          sum(when(col("off") === 1, 1L).otherwise(0L)).as("d1"),
+          sum(when(col("off") === 3, 1L).otherwise(0L)).as("d3"),
+          sum(when(col("off") === 7, 1L).otherwise(0L)).as("d7"),
+          sum(when(col("off") === 14, 1L).otherwise(0L)).as("d14"))
+        .orderBy(col("cohort_day"))
+    },
+    Some("""WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+           |  FROM events),
+           |f AS (SELECT user_id, min(day) AS d0 FROM days GROUP BY 1),
+           |j AS (SELECT days.user_id, d0, days.day - d0 AS off
+           |  FROM days JOIN f ON days.user_id = f.user_id)
+           |SELECT d0 AS cohort_day, count(DISTINCT user_id) AS n_cohort,
+           | CAST(sum(CASE WHEN off = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+           | CAST(sum(CASE WHEN off = 3 THEN 1 ELSE 0 END) AS BIGINT) AS d3,
+           | CAST(sum(CASE WHEN off = 7 THEN 1 ELSE 0 END) AS BIGINT) AS d7,
+           | CAST(sum(CASE WHEN off = 14 THEN 1 ELSE 0 END) AS BIGINT)
+           |   AS d14
+           |FROM j GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val qs: Seq[Q] = Seq(asof, asofBucketed, tumbling, jsonExtract, sliding,
     sessionWindows, funnel, cohorts, streamDedup, enrichStatic, gapfill,
     anomalies, scd2Runs, peakWindows, attribution, changepoint,
     windowedTopK, seasonalNaive, decayed, pointInTime, cappedSessions,
-    windowedFunnel)
+    windowedFunnel, dnRetention)
 }

@@ -1,6 +1,7 @@
 package graft.analytics
 
 import graft.{Q, QueryPack, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Warehouse-maintenance wave: MERGE/SCD1 upsert audit, incremental
@@ -725,8 +726,74 @@ object WarehouseQueries extends QueryPack {
            | (10000 * abs(detail_e4 - header_e4)) // header_e4 AS drift_abs_bp
            |FROM g ORDER BY 1""".stripMargin))
 
+  /** Open-order BACKLOG over time — the event-sourced inventory shape:
+    * an order is open from its placement month until the month its
+    * last lineitem ships, and the backlog at each month-end is the
+    * count (and exact cents value) of open orders. Computed the
+    * interval-sweep way: every order contributes a +1 delta at its
+    * start month and a −1 after its end month, the deltas reduce to
+    * the |months|-bounded frame, and one bounded prefix sum yields the
+    * whole backlog curve — never a per-month re-scan of the fact join
+    * (the O(months·orders) trap). Orders with no lineitems never open.
+    */
+  private val backlog = Q(
+    "warehouse_open_order_backlog",
+    (s, d) => {
+      val o = Tables.orders(s, d).select(col("o_orderkey"),
+        (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+          .as("ym0"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val ship = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(max(col("l_shipdate")).as("maxship"))
+        .select(col("l_orderkey"),
+          (year(col("maxship")) * 100 + month(col("maxship"))).as("ym1"))
+      val iv = o.join(ship, col("o_orderkey") === col("l_orderkey"))
+        .select(col("ym0"), col("ym1"), col("cents"))
+      // +1 at ym0, -1 at the month AFTER ym1 (month arithmetic in
+      // ym-integer space: December rolls to January)
+      val after = expr(
+        "CASE WHEN ym1 % 100 = 12 THEN (ym1 div 100 + 1) * 100 + 1" +
+          " ELSE ym1 + 1 END")
+      val deltas = iv.select(col("ym0").as("ym"), lit(1L).as("dn"),
+          col("cents").as("dc"))
+        .unionByName(iv.select(after.as("ym"), lit(-1L).as("dn"),
+          (-col("cents")).as("dc")))
+        .groupBy(col("ym"))
+        .agg(sum(col("dn")).as("dn"), sum(col("dc")).as("dc"))
+      val wc = Window.orderBy(col("ym"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      deltas
+        .withColumn("open_orders", sum(col("dn")).over(wc))
+        .withColumn("open_value_c", sum(col("dc")).over(wc))
+        .select(col("ym"), col("open_orders"), col("open_value_c"))
+        .orderBy(col("ym"))
+    },
+    Some("""WITH o AS (SELECT o_orderkey,
+           |   year(o_orderdate) * 100 + month(o_orderdate) AS ym0,
+           |   CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           |  FROM orders),
+           |sh AS (SELECT l_orderkey,
+           |   year(max(l_shipdate)) * 100 + month(max(l_shipdate)) AS ym1
+           |  FROM lineitem GROUP BY 1),
+           |iv AS (SELECT ym0, ym1, cents FROM o
+           |  JOIN sh ON o_orderkey = l_orderkey),
+           |dl AS (SELECT ym0 AS ym, 1 AS dn, cents AS dc FROM iv
+           | UNION ALL
+           | SELECT CASE WHEN ym1 % 100 = 12 THEN (ym1 // 100 + 1) * 100 + 1
+           |   ELSE ym1 + 1 END, -1, -cents FROM iv),
+           |g AS (SELECT ym, CAST(sum(dn) AS BIGINT) AS dn,
+           |   CAST(sum(dc) AS BIGINT) AS dc
+           |  FROM dl GROUP BY 1)
+           |SELECT ym,
+           | CAST(sum(dn) OVER (ORDER BY ym ROWS BETWEEN UNBOUNDED
+           |   PRECEDING AND CURRENT ROW) AS BIGINT) AS open_orders,
+           | CAST(sum(dc) OVER (ORDER BY ym ROWS BETWEEN UNBOUNDED
+           |   PRECEDING AND CURRENT ROW) AS BIGINT) AS open_value_c
+           |FROM g ORDER BY ym""".stripMargin))
+
   override def qs: Seq[Q] =
     Seq(upsertMerge, incMerge, cmsEstimates, kmvOverlap, checksumBuckets,
       calendarDim, jsonKeyProfile, fdAudit, profileDrift, incJoinMerge,
-      rfm, kAnonymity, cdcApply, ledgerRecon)
+      rfm, kAnonymity, cdcApply, ledgerRecon, backlog)
 }

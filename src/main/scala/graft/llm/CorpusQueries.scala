@@ -786,7 +786,65 @@ object CorpusQueries extends QueryPack {
             |FROM st, tt""".stripMargin),
     headline = true)
 
+  /** Per-source unigram KL divergence from the corpus distribution —
+    * the domain-shift score (which sources speak a different language
+    * than the blend? the mT5/DoReMi mixing diagnostic, and the
+    * corpus-level cousin of `docs_dsir_importance`'s per-doc weights).
+    * KL(p_s‖q) = Σ_t p_s(t)·ln(p_s(t)/q(t)); published SCALED by the
+    * source's token count so every term is an integer product:
+    * N_s·KL = Σ_t c_st·ln((c_st·N)/(N_s·c_t)), with each per-TERM log
+    * micro-rounded once (the zipf/perplexity convention) and the
+    * weighted sum an exact BIGINT from there. Smoothing-free by
+    * construction (c_st ≤ c_t guarantees finite terms). One explode,
+    * two keyed aggregations, a broadcast-sized totals join.
+    */
+  private val klDivergence = Q(
+    "text_kl_source_divergence",
+    (s, d) => {
+      val wordsU = udf { (t: String) =>
+        if (t == null) Array.empty[String] else Hashing.words(t)
+      }
+      val toks = Tables.documents(s, d)
+        .select(col("source"), explode(wordsU(col("text"))).as("tok"))
+      val bySrc = toks.groupBy(col("source"), col("tok"))
+        .agg(count(lit(1)).as("c_st"))
+      val byTok = bySrc.groupBy(col("tok")).agg(sum(col("c_st")).as("c_t"))
+      val nSrc = bySrc.groupBy(col("source")).agg(sum(col("c_st")).as("n_s"))
+      val nTot = byTok.agg(sum(col("c_t")).as("n"))
+      bySrc.join(byTok, "tok")
+        .join(broadcast(nSrc), "source")
+        .crossJoin(broadcast(nTot))
+        .select(col("source"), col("n_s"), col("c_st"),
+          round(log((col("c_st") * col("n")).cast("double") /
+            (col("n_s") * col("c_t")).cast("double")) * 1e6)
+            .cast("long").as("ln_micro"))
+        .groupBy(col("source"))
+        .agg(max(col("n_s")).as("n_tokens"),
+          count(lit(1)).as("vocab"),
+          sum(col("c_st") * col("ln_micro")).as("kl_scaled_micro"))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH tok AS (SELECT source, unnest($WordsExpr) AS tok
+            |  FROM documents),
+            |bs AS (SELECT source, tok, count(*) AS c_st
+            |  FROM tok GROUP BY 1, 2),
+            |bt AS (SELECT tok, CAST(sum(c_st) AS BIGINT) AS c_t
+            |  FROM bs GROUP BY 1),
+            |ns AS (SELECT source, CAST(sum(c_st) AS BIGINT) AS n_s
+            |  FROM bs GROUP BY 1),
+            |nt AS (SELECT CAST(sum(c_t) AS BIGINT) AS n FROM bt),
+            |terms AS (SELECT bs.source, ns.n_s, bs.c_st,
+            |   CAST(round(ln(CAST(bs.c_st * nt.n AS DOUBLE)
+            |     / CAST(ns.n_s * bt.c_t AS DOUBLE)) * 1e6) AS BIGINT)
+            |     AS ln_micro
+            |  FROM bs JOIN bt USING (tok) JOIN ns USING (source)
+            |  CROSS JOIN nt)
+            |SELECT source, max(n_s) AS n_tokens, count(*) AS vocab,
+            | CAST(sum(c_st * ln_micro) AS BIGINT) AS kl_scaled_micro
+            |FROM terms GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val qs: Seq[Q] = Seq(winnowing, repetition, pii, stratified, winnowPairs,
     decontaminate, decontaminateBloom, topNgrams, tokenDf, paraDedup, shards,
-    dsir, contamFrac, perplexity, streamGatesTwin, curriculum, heaps)
+    dsir, contamFrac, perplexity, streamGatesTwin, curriculum, heaps,
+    klDivergence)
 }
