@@ -199,6 +199,37 @@ class CurationOpsSpec extends SparkSpec {
       ("view", 2L, 2L, 500000L + 333334L)))
     // per-conversion credit conservation: 2 credited conversions × 1e6
     assert(got.map(_._4).sum === 2000000L)
+
+    // U-shaped position attribution on the SAME planted events:
+    // u1 (2 touches): 500k/500k; u3 (3 touches): first click 400k,
+    // middle click 200k, last view 400k (+ 200000 % 1 = 0 remainder)
+    val pos = SparkEntry.queries("attr_position_credit")(spark, dir)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(pos === Seq(
+      ("click", 3L, 2L, 500000L + 400000L + 200000L),
+      ("view", 2L, 2L, 500000L + 400000L)))
+    assert(pos.map(_._4).sum === 2000000L)
+  }
+
+  test("attribution models conserve exactly 1e6 micro-credits per conversion at sf0.001") {
+    val sf = "/root/testdata/sf0.001"
+    val ev = graft.Tables.events(spark, sf)
+    // independent count of purchases with >= 1 touch in the trailing 24h
+    val conv = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("cid"),
+        col("ts").as("cts"))
+    val touch = ev.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("ts").as("tts"))
+    val credited = conv.join(touch, Seq("user_id"))
+      .filter(col("tts") < col("cts") &&
+        col("tts") >= col("cts") - org.apache.spark.sql.functions
+          .expr("INTERVAL 24 hours"))
+      .select(col("cid")).distinct().count()
+    for (q <- Seq("attr_linear_touch_credit", "attr_position_credit")) {
+      val total = SparkEntry.queries(q)(spark, sf)
+        .agg(sum(col("credit_micro"))).as[Long].collect().head
+      assert(total === credited * 1000000L, q)
+    }
   }
 
   test("ts_cumulative_users equals the running distinct and ends at the total") {
