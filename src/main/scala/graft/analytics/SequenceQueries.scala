@@ -551,7 +551,90 @@ object SequenceQueries extends QueryPack {
            | (10000 * (n_gaps - n_distinct_gaps)) // n_gaps AS regular_bp
            |FROM a ORDER BY regular_bp DESC, user_id LIMIT 20""".stripMargin))
 
+  /** Second-order Markov transitions — P(next | last TWO events), the
+    * order that exposes sequence structure a first-order chain washes
+    * out (view→click means something different after purchase→view
+    * than after error→view). Two leads over the one user-keyed window
+    * (one shuffle), trigram counts bounded by |types|³, top-20 by
+    * count with the (from2, from1, to) ASCII tiebreak.
+    */
+  private val markov2 = Q(
+    "seq_markov2_transitions",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("from2"))
+        .withColumn("from1", lead(col("from2"), 1).over(w))
+        .withColumn("to_type", lead(col("from2"), 2).over(w))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("from2"), col("from1"), col("to_type"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("n").desc, col("from2"), col("from1"), col("to_type"))
+        .limit(20)
+    },
+    Some("""WITH t AS (SELECT user_id, event_type AS from2,
+           |   lead(event_type, 1) OVER (PARTITION BY user_id
+           |     ORDER BY ts, event_id) AS from1,
+           |   lead(event_type, 2) OVER (PARTITION BY user_id
+           |     ORDER BY ts, event_id) AS to_type
+           |  FROM events)
+           |SELECT from2, from1, to_type, count(*) AS n,
+           | count(DISTINCT user_id) AS n_users
+           |FROM t WHERE to_type IS NOT NULL
+           |GROUP BY 1, 2, 3
+           |ORDER BY n DESC, from2, from1, to_type LIMIT 20""".stripMargin))
+
+  /** Event-LATENESS profile — the empirical input to every watermark
+    * decision: treating event_id as the ARRIVAL order (the ingest
+    * sequence), an event is late by how far its event time sits behind
+    * the latest event time already arrived for that user
+    * (running-max(ts) in arrival order − ts). The histogram over
+    * on-time / <1 min / <5 min / <30 min / ≥30 min buckets is read
+    * directly as "a 5-minute watermark would drop X% of events" —
+    * choosing the `withWatermark` delay from data instead of folklore.
+    * One user-keyed window, bounded 5-row output.
+    */
+  private val latenessProfile = Q(
+    "dq_event_lateness_profile",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          unix_timestamp(col("ts")).as("es"))
+        .withColumn("late_s",
+          greatest(max(col("es")).over(w) - col("es"), lit(0L)))
+        .withColumn("bucket",
+          when(col("late_s") === 0, "0_on_time")
+            .when(col("late_s") < 60, "1_under_1m")
+            .when(col("late_s") < 300, "2_under_5m")
+            .when(col("late_s") < 1800, "3_under_30m")
+            .otherwise("4_over_30m"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_events"),
+          max(col("late_s")).as("max_late_s"))
+        .orderBy(col("bucket"))
+    },
+    Some("""WITH b AS (SELECT user_id, event_id,
+           |   epoch(date_trunc('second', ts))::BIGINT AS es FROM events),
+           |l AS (SELECT user_id, es,
+           |   greatest(max(es) OVER (PARTITION BY user_id ORDER BY event_id
+           |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - es,
+           |     0) AS late_s
+           |  FROM b),
+           |k AS (SELECT CASE WHEN late_s = 0 THEN '0_on_time'
+           |   WHEN late_s < 60 THEN '1_under_1m'
+           |   WHEN late_s < 300 THEN '2_under_5m'
+           |   WHEN late_s < 1800 THEN '3_under_30m'
+           |   ELSE '4_over_30m' END AS bucket, late_s
+           |  FROM l)
+           |SELECT bucket, count(*) AS n_events, max(late_s) AS max_late_s
+           |FROM k GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val qs: Seq[Q] = Seq(transitions, concurrency, intervalCoverage,
     sessionPaths, cumulativeUsers, cdcDiff, topkHeap, cappedBalance, ewma,
-    holt, dowResiduals, rollingMedian, botCadence)
+    holt, dowResiduals, rollingMedian, botCadence, markov2, latenessProfile)
 }
