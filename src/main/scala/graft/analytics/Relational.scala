@@ -441,8 +441,43 @@ object Relational extends QueryPack {
            |SELECT user_id FROM events WHERE ts >= TIMESTAMP '2024-01-24'
            |ORDER BY user_id""".stripMargin))
 
+  /** ROLLUP over the TIME hierarchy (year → quarter → month) — the
+    * report-cube flavor the flag/status rollups don't pin: the
+    * hierarchy levels are DERIVED integer columns of one date, so the
+    * NULL subtotal rows nest (month subtotals within quarter within
+    * year within grand total). Revenue through exact integer cents;
+    * grouping() flags CAST to INT on both engines per the house rule.
+    */
+  private val timeRollup = Q(
+    "agg_time_rollup_revenue",
+    (s, d) => {
+      Tables.orders(s, d)
+        .select(year(col("o_orderdate")).as("y"),
+          quarter(col("o_orderdate")).as("q"),
+          month(col("o_orderdate")).as("m"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .rollup(col("y"), col("q"), col("m"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("rev_c"),
+          (grouping(col("y")) * 4 + grouping(col("q")) * 2 +
+            grouping(col("m"))).cast("int").as("lvl"))
+        .orderBy(col("y").asc_nulls_first, col("q").asc_nulls_first,
+          col("m").asc_nulls_first)
+    },
+    Some("""SELECT year(o_orderdate) AS y, quarter(o_orderdate) AS q,
+           | month(o_orderdate) AS m, count(*) AS n,
+           | CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           |   AS rev_c,
+           | CAST(grouping(year(o_orderdate)) * 4
+           |   + grouping(quarter(o_orderdate)) * 2
+           |   + grouping(month(o_orderdate)) AS INT) AS lvl
+           |FROM orders
+           |GROUP BY ROLLUP(year(o_orderdate), quarter(o_orderdate),
+           |  month(o_orderdate))
+           |ORDER BY y NULLS FIRST, q NULLS FIRST, m NULLS FIRST"""
+      .stripMargin))
+
   val qs: Seq[Q] = Seq(q1, q3, q5, q6, q7, q10, brandVolume, antiJoin,
     leftOuterQ13, havingQ, semiJoin, sqlFacade, topkParts, windowRank,
-    windowRunning, sessionize, rollupQ, cubeQ, scalarSub, exceptQ,
-    intersectQ)
+    windowRunning, sessionize, rollupQ, cubeQ, timeRollup, scalarSub,
+    exceptQ, intersectQ)
 }

@@ -792,8 +792,53 @@ object WarehouseQueries extends QueryPack {
            |   PRECEDING AND CURRENT ROW) AS BIGINT) AS open_value_c
            |FROM g ORDER BY ym""".stripMargin))
 
+  /** Duplicate-payment screen — the double-charge audit every billing
+    * pipeline runs: purchase pairs by the SAME user for the IDENTICAL
+    * cent amount within 5 minutes. The self-join is keyed on
+    * (user, cents) — the natural blocking key, so candidate fan-out is
+    * bounded by per-user-per-amount multiplicity, never a time-window
+    * cross product — with the id-ordered pair convention and the time
+    * bound checked on truncated seconds. Output is the 1-row audit:
+    * pair count, distinct later-events flagged (what a refund job
+    * would act on), users affected, and the flagged value mass.
+    */
+  private val dupPayments = Q(
+    "dq_duplicate_payments",
+    (s, d) => {
+      val p = Tables.events(s, d)
+        .filter(col("event_type") === "purchase" && col("value").isNotNull)
+        .select(col("user_id"), col("event_id"),
+          unix_timestamp(col("ts")).as("es"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val a = p.select(col("user_id"), col("cents"),
+        col("event_id").as("id_a"), col("es").as("es_a"))
+      val b = p.select(col("user_id"), col("cents"),
+        col("event_id").as("id_b"), col("es").as("es_b"))
+      a.join(b, Seq("user_id", "cents"))
+        .filter(col("id_a") < col("id_b") &&
+          abs(col("es_b") - col("es_a")) <= 300L)
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("id_b")).as("n_flagged_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          coalesce(sum(col("cents")), lit(0L)).as("flagged_value_c"))
+    },
+    Some("""WITH p AS (SELECT user_id, event_id,
+           |   epoch(date_trunc('second', ts))::BIGINT AS es,
+           |   CAST(round(value * 100) AS BIGINT) AS cents
+           |  FROM events WHERE event_type = 'purchase'
+           |   AND value IS NOT NULL),
+           |j AS (SELECT a.user_id, a.cents, b.event_id AS id_b
+           |  FROM p a JOIN p b ON a.user_id = b.user_id
+           |   AND a.cents = b.cents AND a.event_id < b.event_id
+           |   AND abs(b.es - a.es) <= 300)
+           |SELECT count(*) AS n_pairs,
+           | count(DISTINCT id_b) AS n_flagged_events,
+           | count(DISTINCT user_id) AS n_users,
+           | COALESCE(CAST(sum(cents) AS BIGINT), 0) AS flagged_value_c
+           |FROM j""".stripMargin))
+
   override def qs: Seq[Q] =
     Seq(upsertMerge, incMerge, cmsEstimates, kmvOverlap, checksumBuckets,
       calendarDim, jsonKeyProfile, fdAudit, profileDrift, incJoinMerge,
-      rfm, kAnonymity, cdcApply, ledgerRecon, backlog)
+      rfm, kAnonymity, cdcApply, ledgerRecon, backlog, dupPayments)
 }
