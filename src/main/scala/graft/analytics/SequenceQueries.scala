@@ -634,7 +634,66 @@ object SequenceQueries extends QueryPack {
            |SELECT bucket, count(*) AS n_events, max(late_s) AS max_late_s
            |FROM k GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** Autocorrelation function of the daily event-count series at lags
+    * 1–7 — the diagnostic that closes the time-series triad (trend:
+    * `stats_linear_trend`/Theil–Sen; seasonality: the dow profile;
+    * memory: this). Per lag k the (x_t, x_{t+k}) pairs come from one
+    * self-join of the bounded daily frame on day arithmetic, the
+    * Pearson correlation derives from exact BIGINT sufficient
+    * statistics with the single identically-written double expression
+    * (the `stats_event_correlation` convention). A spike at lag 7 IS
+    * the weekly cycle the dow-median profile removes.
+    */
+  private val acf = Q(
+    "ts_acf_lags",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+      val lags = s.range(1, 8).select(col("id").cast("int").as("lag"))
+      val a = daily.select(col("day"), col("c").as("x"))
+      val b = daily.select(col("day").as("day2"), col("c").as("y"))
+      a.crossJoin(broadcast(lags))
+        .join(b, expr("date_add(day, lag) = day2"))
+        .groupBy(col("lag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .select(col("lag"), col("n"), col("sx"), col("sy"), col("sxy"),
+          col("sxx"), col("syy"),
+          when(col("n") * col("sxx") - col("sx") * col("sx") > 0 &&
+            col("n") * col("syy") - col("sy") * col("sy") > 0,
+            (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              (sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+                .cast("double")) *
+                sqrt((col("n") * col("syy") - col("sy") * col("sy"))
+                  .cast("double")))).as("acf"))
+        .orderBy(col("lag"))
+    },
+    Some("""WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS c
+           |  FROM events GROUP BY 1),
+           |lags(lag) AS (VALUES (1),(2),(3),(4),(5),(6),(7)),
+           |p AS (SELECT lag, a.c AS x, b.c AS y
+           |  FROM daily a CROSS JOIN lags
+           |  JOIN daily b ON b.day = a.day + CAST(lag AS INT)),
+           |st AS (SELECT lag, count(*) AS n,
+           |   CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+           |   CAST(sum(x * y) AS BIGINT) AS sxy,
+           |   CAST(sum(x * x) AS BIGINT) AS sxx,
+           |   CAST(sum(y * y) AS BIGINT) AS syy
+           |  FROM p GROUP BY 1)
+           |SELECT lag, n, sx, sy, sxy, sxx, syy,
+           | CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+           |  THEN CAST(n * sxy - sx * sy AS DOUBLE)
+           |   / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+           |      * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+           | END AS acf
+           |FROM st ORDER BY 1""".stripMargin))
+
   val qs: Seq[Q] = Seq(transitions, concurrency, intervalCoverage,
     sessionPaths, cumulativeUsers, cdcDiff, topkHeap, cappedBalance, ewma,
-    holt, dowResiduals, rollingMedian, botCadence, markov2, latenessProfile)
+    holt, dowResiduals, rollingMedian, botCadence, markov2, latenessProfile,
+    acf)
 }

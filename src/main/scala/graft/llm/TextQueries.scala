@@ -766,8 +766,57 @@ object TextQueries extends QueryPack {
            |FROM u JOIN al ON u.source = al.src
            |GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** Vocabulary coverage curve — what fraction of the corpus's token
+    * MASS the top-100/1k/10k terms cover: the tokenizer-budget planner
+    * (a 10k vocab covering 95% of mass means 5% of tokens fall to
+    * subword/UNK handling — the number that sizes the vocab before any
+    * BPE training). Heavy-hitter selection is TakeOrdered per K over
+    * the staged vocabulary frame with the md5 tiebreak (unicode terms
+    * never string-compare), coverage in integer basis points. Pairs
+    * with `text_heaps_law`: Heaps says how fast vocabulary GROWS, this
+    * says how little of it carries the mass.
+    */
+  private val vocabCoverage = Q(
+    "text_vocab_coverage",
+    (s, d) => {
+      import graft.ops.Checkpoints.StageCheckpoint
+      val wordsU = udf { (t: String) =>
+        if (t == null) Array.empty[String] else Hashing.words(t)
+      }
+      val counts = Tables.documents(s, d)
+        .select(explode(wordsU(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+        .stageCheckpoint()
+      val tot = counts.agg(sum(col("c")).as("total_mass"),
+        count(lit(1)).as("vocab_size"))
+      def cov(k: Int) = counts
+        .orderBy(col("c").desc, md5(col("tok")))
+        .limit(k)
+        .agg(lit(k.toLong).as("k"), sum(col("c")).as("mass_k"))
+      cov(100).unionByName(cov(1000)).unionByName(cov(10000))
+        .crossJoin(broadcast(tot))
+        .select(col("k"), col("mass_k"), col("total_mass"),
+          col("vocab_size"),
+          expr("(10000 * mass_k) div total_mass").as("coverage_bp"))
+        .orderBy(col("k"))
+    },
+    Some(s"""WITH tok AS (SELECT unnest(${CorpusQueries.WordsExpr}) AS tok
+            |  FROM documents),
+            |cnt AS (SELECT tok, count(*) AS c FROM tok GROUP BY 1),
+            |tot AS (SELECT CAST(sum(c) AS BIGINT) AS total_mass,
+            |   count(*) AS vocab_size FROM cnt),
+            |r AS (SELECT c, row_number() OVER (ORDER BY c DESC, md5(tok))
+            |   AS rn FROM cnt),
+            |ks(k) AS (VALUES (100), (1000), (10000)),
+            |m AS (SELECT k, CAST(sum(CASE WHEN rn <= k THEN c ELSE 0 END)
+            |    AS BIGINT) AS mass_k
+            |  FROM r CROSS JOIN ks GROUP BY 1)
+            |SELECT CAST(k AS BIGINT) AS k, mass_k, total_mass, vocab_size,
+            | (10000 * mass_k) // total_mass AS coverage_bp
+            |FROM m CROSS JOIN tot ORDER BY 1""".stripMargin))
+
   val qs: Seq[Q] = Seq(tokenStats, packWindows, bpePairs, spellVariants,
     weightedSample, quality, langid, langidPrf, fingerprintQ, subwords,
     polyFingerprint, chunking, sampling, bm25, mixtureSample, charStats,
-    tfidfTop, zipf, neyman)
+    tfidfTop, zipf, neyman, vocabCoverage)
 }
