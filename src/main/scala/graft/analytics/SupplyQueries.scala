@@ -231,5 +231,66 @@ object SupplyQueries extends QueryPack {
            | CROSS JOIN t
            |ORDER BY support DESC, pa, pb""".stripMargin))
 
-  val qs: Seq[Q] = Seq(q2, q11, q20, basketPairs)
+  /** Fulfillment lead-time quantiles per supplier nation — the
+    * logistics SLA table (order date → line-item ship date, in whole
+    * days): exact p50/p90/p99 order statistics (k = ⌈q·n⌉ over integer
+    * days, the house quantile convention) partitioned by the supplier's
+    * nation, plus the worst case. One fact-fact join on the order key
+    * with two broadcast dims; the rank window partitions on the
+    * 25-nation key, so no partition exceeds 1/25 of the lineitems.
+    */
+  private val leadTime = Q(
+    "supply_lead_time_quantiles",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val sup = Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_nationkey"))
+      val nat = Tables.nation(s, d)
+        .select(col("n_nationkey"), col("n_name"))
+      val base = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .select(col("n_name").as("nation"),
+          datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+            .as("lead_d"))
+      val w = Window.partitionBy(col("nation")).orderBy(col("lead_d"))
+      base
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(
+          Window.partitionBy(col("nation"))))
+        .groupBy(col("nation"))
+        .agg(count(lit(1)).as("n_lines"),
+          max(when(col("rn") <= ceil(lit(0.5) * col("n")), col("lead_d")))
+            .as("p50_d"),
+          max(when(col("rn") <= ceil(lit(0.9) * col("n")), col("lead_d")))
+            .as("p90_d"),
+          max(when(col("rn") <= ceil(lit(0.99) * col("n")), col("lead_d")))
+            .as("p99_d"),
+          max(col("lead_d")).as("max_d"))
+        .orderBy(col("nation"))
+    },
+    Some("""WITH b AS (SELECT n_name AS nation,
+           |   CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE)
+           |     AS lead_d
+           |  FROM lineitem
+           |  JOIN orders ON l_orderkey = o_orderkey
+           |  JOIN supplier ON l_suppkey = s_suppkey
+           |  JOIN nation ON s_nationkey = n_nationkey),
+           |r AS (SELECT nation, lead_d,
+           |   row_number() OVER (PARTITION BY nation ORDER BY lead_d)
+           |     AS rn,
+           |   count(*) OVER (PARTITION BY nation) AS n
+           |  FROM b)
+           |SELECT nation, count(*) AS n_lines,
+           | max(CASE WHEN rn <= ceil(0.5 * n) THEN lead_d END) AS p50_d,
+           | max(CASE WHEN rn <= ceil(0.9 * n) THEN lead_d END) AS p90_d,
+           | max(CASE WHEN rn <= ceil(0.99 * n) THEN lead_d END) AS p99_d,
+           | max(lead_d) AS max_d
+           |FROM r GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  val qs: Seq[Q] = Seq(q2, q11, q20, basketPairs, leadTime)
 }
