@@ -2,7 +2,17 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * `SPARK_GRAFT_VERIFY_TWICE=1` additionally re-runs every selected query
+  * a SECOND time in the same session (into `<outDir>_second`) and diffs
+  * the two dumps row-for-row — the determinism harness the cross-engine
+  * oracle can't be: a query whose result depends on partition
+  * accumulation order (a floating sum feeding a floor, an unstable
+  * tiebreak) diverges between the two in-session runs long before it
+  * flips a driver hash. Prints `[determinism] <name>: OK|MISMATCH` per
+  * query and a final summary line.
+  */
 object Verify {
   def main(args: Array[String]): Unit = {
     // optional 3rd arg: comma-separated name prefixes — dev-loop filter
@@ -10,6 +20,7 @@ object Verify {
     val Array(sfDir, outDir) = args.take(2)
     val only: Option[Seq[String]] =
       if (args.length > 2) Some(args(2).split(',').toSeq) else None
+    graft.util.Freshness.check(Verify.getClass)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -26,20 +37,52 @@ object Verify {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
-    val futures = SparkEntry.queries.toSeq
+    val selected = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
-      .map { case (name, fn) =>
-      scala.concurrent.Future {
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
-          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+    def dumpAll(dir: String): Unit = {
+      val futures = selected.map { case (name, fn) =>
+        scala.concurrent.Future {
+          try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$dir/$name")
+          catch { case e: Throwable =>
+            System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          }
         }
       }
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(futures),
+        scala.concurrent.duration.Duration.Inf)
     }
-    scala.concurrent.Await.result(
-      scala.concurrent.Future.sequence(futures),
-      scala.concurrent.duration.Duration.Inf)
+    dumpAll(outDir)
+    if (sys.env.get("SPARK_GRAFT_VERIFY_TWICE").exists(_.nonEmpty)) {
+      val second = outDir + "_second"
+      dumpAll(second)
+      // canonicalize exactly like the driver compare: every cell via
+      // String.valueOf (arrays print stably for same-engine reads),
+      // columns ordered by name, rows sorted — so a MISMATCH here is a
+      // value divergence, never a row-order artifact.
+      def canon(dir: String): Seq[String] = {
+        val df = spark.read.parquet(dir)
+        val cols = df.columns.sorted.toSeq
+        df.selectExpr(cols.map(c => s"`$c`"): _*).collect().toSeq
+          .map(r => (0 until r.length).map { i =>
+            val c = r.get(i)
+            if (c == null) "\u0000<null>" else String.valueOf(c)
+          }.mkString("\u0001"))
+          .sorted
+      }
+      var bad = 0
+      selected.map(_._1).sorted.foreach { name =>
+        val ok =
+          try canon(s"$outDir/$name") == canon(s"$second/$name")
+          catch { case _: Throwable => false }
+        if (!ok) bad += 1
+        System.err.println(
+          s"[determinism] $name: ${if (ok) "OK" else "MISMATCH"}")
+      }
+      System.err.println(
+        s"[determinism] summary: ${selected.size - bad}/${selected.size} stable")
+    }
     pool.shutdown()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -338,19 +338,25 @@ object GraphQueries extends QueryPack {
     * (positive integers — `div` and `//` agree). Candidate pairs come
     * from wedge expansion keyed on the shared customer (one self-join
     * on the edge list, count = common-neighbor cardinality) — never a
-    * supplier×supplier cross product; the pair space is bounded by the
-    * supplier dimension squared and in general graphs would be capped
-    * by degree-orienting the wedge node (the `graph_triangle_count`
-    * move) or minhashing neighbor sets. Top-20 by similarity via
-    * TakeOrderedAndProject.
+    * supplier×supplier cross product. Wedge work is Σ d(cu)² over the
+    * mid customers, so the expansion runs on the HUB-CAPPED graph
+    * ([[graft.ops.DegreeCap]]): customers above the p99.9 degree order
+    * statistic — "everyone shops there", quadratic cost, no similarity
+    * signal — are dropped from the graph, and the Jaccard (neighborhoods
+    * AND common counts) is EXACT on the remaining ≥99.9% of mids. The
+    * identical cap runs in the oracle SQL, so the compare stays exact.
+    * Top-20 by similarity via TakeOrderedAndProject.
     */
   private val jaccardNeighbors = Q(
     "graph_jaccard_neighbors",
     (s, d) => {
-      // staged once: the edge list feeds four plan positions (both
-      // wedge sides + two degree lookups) and each would otherwise
-      // re-plan the orders⋈lineitem build
-      val e = edges(s, d).stageCheckpoint()
+      // staged once: the edge list feeds the cap build, both wedge
+      // sides and two degree lookups — each would otherwise re-plan
+      // the whole orders⋈lineitem build
+      val e0 = edges(s, d).stageCheckpoint()
+      val e = e0.join(
+        graft.ops.DegreeCap.keptMids(e0, "cu"),
+        Seq("cu"), "left_semi")
       val deg = e.groupBy(col("su")).agg(count(lit(1)).as("deg"))
       val pairs = e.as("a")
         .join(e.withColumnRenamed("su", "sv").as("b"), "cu")
@@ -367,7 +373,9 @@ object GraphQueries extends QueryPack {
         .orderBy(col("jac_bp").desc, col("i"), col("j"))
         .limit(20)
     },
-    Some(s"""WITH e AS ($edgeSql),
+    Some(s"""WITH e0 AS ($edgeSql),
+            |${graft.ops.DegreeCap.keptMidsSql("e0", "cu")},
+            |e AS (SELECT e0.cu, e0.su FROM e0 JOIN dckeep USING (cu)),
             |deg AS (SELECT su, count(*) AS deg FROM e GROUP BY 1),
             |p AS (SELECT a.su AS i, b.su AS j, count(*) AS common
             |  FROM e a JOIN e b ON a.cu = b.cu AND a.su < b.su

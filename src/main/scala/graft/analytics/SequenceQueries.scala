@@ -464,7 +464,10 @@ object SequenceQueries extends QueryPack {
     * `agg_rolling_7d_distinct_users`: each day contributes its count to
     * the 7 window-ENDING days, and the per-window median is an order
     * statistic (k = ⌈n/2⌉) of a ≤7-element sorted array — no sliding
-    * window sort anywhere, linear in days.
+    * window sort anywhere, linear in days. The explode emits window-end
+    * days up to 6 days past the last observed day, so a semi-join back
+    * to the actual day set clips those phantom future windows — the
+    * curve ends where the series does.
     */
   private val rollingMedian = Q(
     "ts_rolling_median_7d",
@@ -475,6 +478,8 @@ object SequenceQueries extends QueryPack {
       daily
         .select(explode(sequence(col("day"), date_add(col("day"), 6)))
           .as("t_day"), col("c"))
+        .join(daily.select(col("day").as("t_day")), Seq("t_day"),
+          "left_semi")
         .groupBy(col("t_day"))
         .agg(count(lit(1)).as("n_in_window"),
           array_sort(collect_list(col("c"))).as("cs"))
@@ -489,7 +494,7 @@ object SequenceQueries extends QueryPack {
            | FROM daily, range(7) t(i)),
            |g AS (SELECT t_day, count(*) AS n_in_window,
            |   list_sort(list(c)) AS cs
-           |  FROM x GROUP BY 1)
+           |  FROM x WHERE t_day IN (SELECT day FROM daily) GROUP BY 1)
            |SELECT t_day, n_in_window,
            | cs[CAST(ceil(n_in_window / 2.0) AS INT)] AS median_c
            |FROM g ORDER BY 1""".stripMargin))

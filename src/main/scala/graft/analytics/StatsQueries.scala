@@ -168,7 +168,9 @@ object StatsQueries extends QueryPack {
     * social-scale graph the same query swaps the exact distinct for
     * per-node HLL sketches merged over neighbors (HyperBall, Boldi &
     * Vigna 2013) — the output schema is unchanged, the counts become
-    * estimates.
+    * estimates. That sketch path IS the registered headline
+    * ([[twoHopHyperball]]); this exact query stays as its small-SF
+    * oracle twin and correctness anchor.
     */
   private val twoHopReach = Q(
     "graph_two_hop_reach",
@@ -199,7 +201,39 @@ object StatsQueries extends QueryPack {
             |deg AS (SELECT u, count(*) AS reach1 FROM sym GROUP BY 1)
             |SELECT u AS node, reach1, reach2
             |FROM reach JOIN deg USING (u)
-            |ORDER BY reach2 DESC, node LIMIT 20""".stripMargin),
+            |ORDER BY reach2 DESC, node LIMIT 20""".stripMargin))
+
+  /** Two-hop reach via HyperBall KMV ball sketches
+    * ([[graft.ops.HyperBall.twoHopBallSizes]]) — the 100 TB path for
+    * the neighborhood-size profile, and the HEADLINE: the exact
+    * [[twoHopReach]] expands Σ d(mid)² wedge pairs, which a densifying
+    * graph cannot afford, while the sketch is one edge-keyed sketch
+    * merge per hop with O(k) state per node. Below k=256 distinct
+    * members the KMV sketch IS the ball set, so at the verify SF
+    * (balls ≈ 100 members) the estimate is EXACT and the exact query's
+    * SQL is a true oracle: ball₂ = reach₂ + 1 (the paper's
+    * self-inclusive ball convention). Above width — which the sf0.1
+    * bench graph (~1000 suppliers) actually reaches — the (k−1)/v_k
+    * estimator engages with ~1/√k relative error; HyperBallSpec pins
+    * that regime against a brute BFS. Top-20 by estimated ball.
+    */
+  private val twoHopHyperball = Q(
+    "graph_two_hop_hyperball",
+    (s, d) =>
+      graft.ops.HyperBall.twoHopBallSizes(suppEdges(s, d), "u", "v",
+          k = 256)
+        .orderBy(col("ball2_est").desc, col("node"))
+        .limit(20),
+    Some(s"""WITH $suppEdgeCte,
+            |sym AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+            |h2 AS (SELECT a.u AS u, b.v AS w FROM sym a
+            |  JOIN sym b ON a.v = b.u WHERE b.v <> a.u),
+            |allr AS (SELECT u, v AS w FROM sym UNION SELECT u, w FROM h2),
+            |reach AS (SELECT u, count(*) AS reach2 FROM allr GROUP BY 1)
+            |SELECT u AS node, reach2 + 1 AS sketch_size,
+            | reach2 + 1 AS ball2_est
+            |FROM reach
+            |ORDER BY ball2_est DESC, node LIMIT 20""".stripMargin),
     headline = true)
 
   /** Range-partition write plan — the boundary computation behind
@@ -1078,7 +1112,11 @@ object StatsQueries extends QueryPack {
     * sums overflow BIGINT, and a double sum would be accumulation-
     * order-dependent — so they run in DECIMAL(38,0): exact at any
     * order, explicit final-precision cast on both sides (the house
-    * DECIMAL rule).
+    * DECIMAL rule). The cell itself publishes as the canonical decimal
+    * STRING: int128-wide decimals fall outside readers' int64 fast path
+    * and format differently per client, so the portable compare
+    * convention is the digit string (the `sum_disc_price` precedent in
+    * RelationalExt).
     */
   private val concentration = Q(
     "agg_market_concentration",
@@ -1094,7 +1132,7 @@ object StatsQueries extends QueryPack {
           sum(col("rev_centi")).as("total_centi"),
           sum(col("rev_centi").cast("decimal(19,0)")
               * col("rev_centi").cast("decimal(19,0)"))
-            .cast("decimal(38,0)").as("sum_rev_sq"),
+            .cast("decimal(38,0)").cast("string").as("sum_rev_sq"),
           max(col("rev_centi")).as("top_centi"))
         .withColumn("top_share_bp",
           expr("(top_centi * 10000) div total_centi"))
@@ -1107,9 +1145,9 @@ object StatsQueries extends QueryPack {
            | GROUP BY 1, 2)
            |SELECT s_nationkey, count(*) AS n_suppliers,
            | CAST(sum(rev_centi) AS BIGINT) AS total_centi,
-           | CAST(sum(CAST(rev_centi AS DECIMAL(19,0))
+           | CAST(CAST(sum(CAST(rev_centi AS DECIMAL(19,0))
            |     * CAST(rev_centi AS DECIMAL(19,0))) AS DECIMAL(38,0))
-           |   AS sum_rev_sq,
+           |   AS VARCHAR) AS sum_rev_sq,
            | max(rev_centi) AS top_centi,
            | (max(rev_centi) * 10000) // CAST(sum(rev_centi) AS BIGINT)
            |   AS top_share_bp
@@ -1155,7 +1193,8 @@ object StatsQueries extends QueryPack {
            |FROM r GROUP BY 1 ORDER BY 1""".stripMargin))
 
   override def qs: Seq[Q] =
-    Seq(triangles, clusteringCoeff, twoHopReach, rangePartitionPlan,
+    Seq(triangles, clusteringCoeff, twoHopReach, twoHopHyperball,
+      rangePartitionPlan,
       mannKendall, richClub, trend,
       pareto, equidepth, madOutliers,
       zorder, compactionBins, distributionDrift, windowValues, rollingWau,

@@ -433,9 +433,6 @@ object CorpusQueries extends QueryPack {
     * ratio table both consume it, and without the checkpoint each
     * consumer re-derives the corpus scan.
     */
-  private val dsirWords = udf { (t: String) =>
-    if (t == null) Array.empty[String] else Hashing.words(t)
-  }
 
   private val dsir = Q(
     "docs_dsir_importance",
@@ -443,7 +440,7 @@ object CorpusQueries extends QueryPack {
       val B = 1024
       val toks = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"),
-          explode(dsirWords(col("text"))).as("tok"))
+          explode(graft.functions.Tokenize(col("text"))).as("tok"))
         .withColumn("b",
           conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long") % B)
       val bt = toks.groupBy(col("b")).agg(
@@ -545,13 +542,12 @@ object CorpusQueries extends QueryPack {
     * all per-doc math is integer). */
   private[llm] def bigramNllScores(
       docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val wordsU = udf((t: String) => Hashing.words(t))
     val bigramsU = udf((t: String) => {
       val w = Hashing.words(t)
       if (w.length < 2) Array.empty[String]
       else Array.tabulate(w.length - 1)(i => w(i) + " " + w(i + 1))
     })
-    val toks = docs.select(explode(wordsU(col("text"))).as("tok"))
+    val toks = docs.select(explode(graft.functions.Tokenize(col("text"))).as("tok"))
     val c1 = toks.groupBy(col("tok").as("w1")).agg(count(lit(1)).as("c1"))
     val vTot = toks.agg(countDistinct(col("tok")).as("v"))
     val bg = docs.select(col("doc_id"), explode(bigramsU(col("text"))).as("bg"))
@@ -704,11 +700,8 @@ object CorpusQueries extends QueryPack {
     (s, d) => {
       import graft.ops.Checkpoints.StageCheckpoint
       import org.apache.spark.sql.expressions.Window
-      val wordsU = udf { (t: String) =>
-        if (t == null) Array.empty[String] else Hashing.words(t)
-      }
       val withW = Tables.documents(s, d)
-        .select(col("doc_id"), wordsU(col("text")).as("w"))
+        .select(col("doc_id"), graft.functions.Tokenize(col("text")).as("w"))
         .stageCheckpoint()
       val base = withW.select(col("doc_id"), size(col("w")).cast("long").as("tc"))
       val dec = graft.ops.GlobalOrder
@@ -792,8 +785,11 @@ object CorpusQueries extends QueryPack {
     * corpus-level cousin of `docs_dsir_importance`'s per-doc weights).
     * KL(p_s‖q) = Σ_t p_s(t)·ln(p_s(t)/q(t)); published SCALED by the
     * source's token count so every term is an integer product:
-    * N_s·KL = Σ_t c_st·ln((c_st·N)/(N_s·c_t)), with each per-TERM log
-    * micro-rounded once (the zipf/perplexity convention) and the
+    * N_s·KL = Σ_t c_st·ln((c_st/N_s)/(c_t/N)) — DIVIDE-first inside
+    * the log (identically written in both engines), never the c_st·N
+    * integer product, which at web-corpus scale (N ~ 1e10) would wrap
+    * Long silently in Spark while DuckDB raises — with each per-TERM
+    * log micro-rounded once (the zipf/perplexity convention) and the
     * weighted sum an exact BIGINT from there. Smoothing-free by
     * construction (c_st ≤ c_t guarantees finite terms). One explode,
     * two keyed aggregations, a broadcast-sized totals join.
@@ -801,11 +797,8 @@ object CorpusQueries extends QueryPack {
   private val klDivergence = Q(
     "text_kl_source_divergence",
     (s, d) => {
-      val wordsU = udf { (t: String) =>
-        if (t == null) Array.empty[String] else Hashing.words(t)
-      }
       val toks = Tables.documents(s, d)
-        .select(col("source"), explode(wordsU(col("text"))).as("tok"))
+        .select(col("source"), explode(graft.functions.Tokenize(col("text"))).as("tok"))
       val bySrc = toks.groupBy(col("source"), col("tok"))
         .agg(count(lit(1)).as("c_st"))
       val byTok = bySrc.groupBy(col("tok")).agg(sum(col("c_st")).as("c_t"))
@@ -815,8 +808,8 @@ object CorpusQueries extends QueryPack {
         .join(broadcast(nSrc), "source")
         .crossJoin(broadcast(nTot))
         .select(col("source"), col("n_s"), col("c_st"),
-          round(log((col("c_st") * col("n")).cast("double") /
-            (col("n_s") * col("c_t")).cast("double")) * 1e6)
+          round(log((col("c_st").cast("double") / col("n_s").cast("double"))
+            / (col("c_t").cast("double") / col("n").cast("double"))) * 1e6)
             .cast("long").as("ln_micro"))
         .groupBy(col("source"))
         .agg(max(col("n_s")).as("n_tokens"),
@@ -834,9 +827,10 @@ object CorpusQueries extends QueryPack {
             |  FROM bs GROUP BY 1),
             |nt AS (SELECT CAST(sum(c_t) AS BIGINT) AS n FROM bt),
             |terms AS (SELECT bs.source, ns.n_s, bs.c_st,
-            |   CAST(round(ln(CAST(bs.c_st * nt.n AS DOUBLE)
-            |     / CAST(ns.n_s * bt.c_t AS DOUBLE)) * 1e6) AS BIGINT)
-            |     AS ln_micro
+            |   CAST(round(ln((CAST(bs.c_st AS DOUBLE)
+            |       / CAST(ns.n_s AS DOUBLE))
+            |     / (CAST(bt.c_t AS DOUBLE) / CAST(nt.n AS DOUBLE)))
+            |    * 1e6) AS BIGINT) AS ln_micro
             |  FROM bs JOIN bt USING (tok) JOIN ns USING (source)
             |  CROSS JOIN nt)
             |SELECT source, max(n_s) AS n_tokens, count(*) AS vocab,

@@ -62,10 +62,28 @@ object Hashing {
     * silently diverge the oracles on such input; Java String.trim /
     * bare split diverge further (trim eats ≤U+0020, split drops only
     * trailing empties).
+    *
+    * Implemented as a single char scan collecting maximal non-ws runs —
+    * provably the same result as strip-edges + split-on-runs +
+    * drop-empties, without the regex machinery (the old
+    * `replaceAll`+`split` pair re-COMPILED both patterns per call,
+    * which at one call per document per text query is pure overhead).
     */
-  private final val Ws = "[ \t\n\f\r]"
-  def words(text: String): Array[String] =
-    text.replaceAll(s"^$Ws+|$Ws+$$", "").split(s"$Ws+").filter(_.nonEmpty)
+  @inline private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r'
+
+  def words(text: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      while (i < n && isWs(text.charAt(i))) i += 1
+      val start = i
+      while (i < n && !isWs(text.charAt(i))) i += 1
+      if (i > start) out += text.substring(start, i)
+    }
+    out.toArray
+  }
 
   /** Distinct word n-gram shingles. */
   def shingles(text: String, n: Int): Array[String] = {

@@ -331,7 +331,6 @@ object RepeatedSpans {
   def coverage(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 8): DataFrame = {
     val gh = udf((t: String) => Hashing.gramHashes(t, n))
-    val nTok = udf((t: String) => Hashing.words(t).length)
     val grams = docs
       .select(col(idCol).as("doc_id"),
         posexplode(gh(col(textCol))).as(Seq("pos", "fp")))
@@ -349,7 +348,8 @@ object RepeatedSpans {
       .agg(count_distinct(col("pos")).as("n_rep_windows"),
         count_distinct(col("cv")).as("n_rep_tokens"))
     docs.select(col(idCol).as("doc_id"),
-        nTok(col(textCol)).cast("long").as("n_tokens"))
+        size(graft.functions.Tokenize(col(textCol))).cast("long")
+          .as("n_tokens"))
       .join(cov, "doc_id")
   }
 }

@@ -30,9 +30,6 @@ object Retrieval {
     * edge-strip, split on whitespace runs, drop empties) — one pass,
     * mirrored in oracles by CorpusQueries.wordsExpr.
     */
-  private val wordsUdf = udf { (t: String) =>
-    if (t == null) Array.empty[String] else Hashing.words(t)
-  }
 
   /** Top-k documents by BM25 score for a bag of query terms.
     * Output: (rank, doc_id, score_micro) — score in integer micro-units.
@@ -44,7 +41,7 @@ object Retrieval {
       terms: Seq[String], k: Int, k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
     val withDl = docs.select(col(idCol).as("id"),
-        wordsUdf(col(textCol)).as("w"))
+        graft.functions.Tokenize(col(textCol)).as("w"))
       .withColumn("dl", size(col("w")))
 
     // corpus statistics: one row; joined in by (trivially broadcast)

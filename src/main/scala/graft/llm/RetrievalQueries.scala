@@ -136,11 +136,8 @@ object RetrievalQueries extends QueryPack {
     */
   private[llm] def featureHashProfile(docs: org.apache.spark.sql.DataFrame,
       buckets: Int): org.apache.spark.sql.DataFrame = {
-    val wordsU = udf { (t: String) =>
-      if (t == null) Array.empty[String] else Hashing.words(t)
-    }
     docs
-      .select(col("doc_id"), explode(wordsU(col("text"))).as("tok"))
+      .select(col("doc_id"), explode(graft.functions.Tokenize(col("text"))).as("tok"))
       .withColumn("bucket",
         conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long") % buckets)
       .groupBy(col("bucket"))
@@ -237,11 +234,8 @@ object RetrievalQueries extends QueryPack {
     * the reusable core of the gate (v7 pipeline composes on this). */
   private[llm] def logitPerDoc(
       docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val wordsU = udf { (t: String) =>
-      if (t == null) Array.empty[String] else Hashing.words(t)
-    }
     val toks = docs
-      .select(col("doc_id"), explode(wordsU(col("text"))).as("tok"))
+      .select(col("doc_id"), explode(graft.functions.Tokenize(col("text"))).as("tok"))
       .withColumn("bucket",
         conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long") % 64)
       .withColumn("w", (col("bucket") * 2654435761L) % 1009L - 504L)
@@ -367,11 +361,8 @@ object RetrievalQueries extends QueryPack {
   private val indexShardPlan = Q(
     "text_index_shard_plan",
     (s, d) => {
-      val wordsU = udf { (t: String) =>
-        if (t == null) Array.empty[String] else Hashing.words(t)
-      }
       val postings = Tables.documents(s, d)
-        .select(col("doc_id"), explode(wordsU(col("text"))).as("tok"))
+        .select(col("doc_id"), explode(graft.functions.Tokenize(col("text"))).as("tok"))
         .distinct()
       val byTerm = postings.groupBy(col("tok"))
         .agg(count(lit(1)).as("df"))
@@ -437,10 +428,7 @@ object RetrievalQueries extends QueryPack {
     (s, d) => {
       import graft.ops.Checkpoints.StageCheckpoint
       val docs = Tables.documents(s, d)
-      val wordsU = udf { (t: String) =>
-        if (t == null) Array.empty[String] else Hashing.words(t)
-      }
-      val grades = docs.select(col("doc_id"), wordsU(col("text")).as("w"))
+      val grades = docs.select(col("doc_id"), graft.functions.Tokenize(col("text")).as("w"))
         .select(col("doc_id"),
           (array_contains(col("w"), "vector").cast("int") +
             array_contains(col("w"), "stream").cast("int") +

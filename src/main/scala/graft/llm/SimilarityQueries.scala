@@ -148,8 +148,12 @@ object SimilarityQueries extends QueryPack {
     * hazard, unlike round), per-(label, dim) sums are exact BIGINTs,
     * and the squared centroid distance publishes as the exact DECIMAL
     * integral Σ_dim (s_a·n_b − s_b·n_a)² — the common-denominator form
-    * that never divides, with the overflow-prone squares through
-    * DECIMAL per the house rule. One posexplode pass (rows × dims),
+    * that never divides, with the whole integrand (products AND the
+    * difference, not just the squares) through DECIMAL per the house
+    * rule so nothing can wrap silently in Long. The cell publishes as
+    * its canonical decimal STRING (int128-wide decimals format
+    * differently per reader; the digit string is the portable compare
+    * convention). One posexplode pass (rows × dims),
     * one keyed aggregation to |labels|·dims, then everything is
     * label-pair-sized.
     */
@@ -166,15 +170,17 @@ object SimilarityQueries extends QueryPack {
         col("n").as("na"), col("sm").as("sa"))
       val b = sums.select(col("label").as("lb"), col("dim"),
         col("n").as("nb"), col("sm").as("sb"))
+      val diff = (col("sa").cast("decimal(19,0)") *
+        col("nb").cast("decimal(10,0)") -
+        col("sb").cast("decimal(19,0)") *
+          col("na").cast("decimal(10,0)")).cast("decimal(19,0)")
       a.join(b, Seq("dim")).filter(col("la") < col("lb"))
         .select(col("la"), col("lb"), col("na"), col("nb"),
-          ((col("sa") * col("nb") - col("sb") * col("na"))
-            .cast("decimal(19,0)") *
-            (col("sa") * col("nb") - col("sb") * col("na"))
-              .cast("decimal(19,0)")).as("sq"))
+          (diff * diff).as("sq"))
         .groupBy(col("la"), col("lb"))
         .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
-          sum(col("sq")).cast("decimal(38,0)").as("dist2_q"))
+          sum(col("sq")).cast("decimal(38,0)").cast("string")
+            .as("dist2_q"))
         .orderBy(col("la"), col("lb"))
     },
     Some("""WITH comp AS (SELECT label, gs - 1 AS dim,
@@ -187,11 +193,12 @@ object SimilarityQueries extends QueryPack {
            |  FROM comp GROUP BY 1, 2),
            |p AS (SELECT a.label AS la, b.label AS lb, a.dim,
            |   a.n AS na, b.n AS nb,
-           |   CAST(a.sm * b.n - b.sm * a.n AS DECIMAL(19,0))
-           |     * CAST(a.sm * b.n - b.sm * a.n AS DECIMAL(19,0)) AS sq
+           |   CAST(CAST(a.sm AS DECIMAL(19,0)) * CAST(b.n AS DECIMAL(10,0))
+           |     - CAST(b.sm AS DECIMAL(19,0)) * CAST(a.n AS DECIMAL(10,0))
+           |    AS DECIMAL(19,0)) AS df
            |  FROM sums a JOIN sums b ON a.dim = b.dim AND a.label < b.label)
            |SELECT la, lb, max(na) AS n_a, max(nb) AS n_b,
-           | CAST(sum(sq) AS DECIMAL(38,0)) AS dist2_q
+           | CAST(CAST(sum(df * df) AS DECIMAL(38,0)) AS VARCHAR) AS dist2_q
            |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
   private val argmaxHist = Q(

@@ -599,12 +599,9 @@ object TextQueries extends QueryPack {
     "text_tfidf_top_terms",
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val wordsU = udf { (t: String) =>
-        if (t == null) Array.empty[String] else Hashing.words(t)
-      }
       val docs = Tables.documents(s, d)
       val tf = docs
-        .select(col("doc_id"), explode(wordsU(col("text"))).as("tok"))
+        .select(col("doc_id"), explode(graft.functions.Tokenize(col("text"))).as("tok"))
         .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
       // df via a |tf|-frame window, not a groupBy-and-join-back (which
       // would re-plan the corpus pass — the bm25 lesson)
@@ -651,11 +648,8 @@ object TextQueries extends QueryPack {
   private val zipf = Q(
     "text_zipf_fit",
     (s, d) => {
-      val wordsU = udf { (t: String) =>
-        if (t == null) Array.empty[String] else Hashing.words(t)
-      }
       val freqs = Tables.documents(s, d)
-        .select(explode(wordsU(col("text"))).as("tok"))
+        .select(explode(graft.functions.Tokenize(col("text"))).as("tok"))
         .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
       val top = freqs.orderBy(col("freq").desc, md5(col("tok"))).limit(100)
       val ranked = graft.ops.BoundedRank.attach(
@@ -704,10 +698,18 @@ object TextQueries extends QueryPack {
     * audit spends a labeling budget. The identity n_h·σ_h =
     * √(n·Σx² − (Σx)²) keeps everything integral until ONE sqrt: the
     * variance integrand goes through DECIMAL (the overflow rule for
-    * squared sums), the weight and the floor(1000·w/Σw) allocation are
-    * identically-written double expressions, and the realized draw is
-    * the md5-uniform against rate = alloc/n_h (the `text_mixture_
-    * sample` machinery). Two corpus scans, |sources|-bounded state.
+    * squared sums), each stratum's √var_num is micro-rounded ONCE to a
+    * BIGINT (the zipf/perplexity convention) so the Σw denominator is an
+    * order-independent integer sum — a raw sum(sqrt(double)) would
+    * depend on Spark's partition accumulation order and could flip the
+    * floor below — and the floor(1000·w/Σw) allocation is then pure
+    * integer division. The realized draw is the md5-uniform against
+    * rate = alloc/n_h (the `text_mixture_sample` machinery). var_num is
+    * published as its canonical decimal STRING: a DECIMAL(38,0) cell is
+    * exact in both engines but readers disagree on its formatting
+    * (int128 decimals fall out of the int64 fast path), so the compare
+    * convention is the digit string. Two corpus scans,
+    * |sources|-bounded state.
     */
   private val neyman = Q(
     "text_neyman_allocation",
@@ -722,18 +724,20 @@ object TextQueries extends QueryPack {
           (col("n_s").cast(d19) * col("sxx").cast(d19) -
             col("sx").cast(d19) * col("sx").cast(d19))
             .cast("decimal(38,0)").as("var_num"))
-      val tot = st.agg(sum(sqrt(col("var_num").cast("double"))).as("sw"))
-      val alloc = st.crossJoin(broadcast(tot))
+      val stq = st.withColumn("sqrtq",
+        floor(sqrt(col("var_num").cast("double")) * 1e6).cast("long"))
+      val tot = stq.agg(sum(col("sqrtq")).as("sw"))
+      val alloc = stq.crossJoin(broadcast(tot))
         .select(col("source").as("src"), col("n_s"), col("var_num"),
-          floor(lit(1000.0) * sqrt(col("var_num").cast("double")) /
-            col("sw")).cast("long").as("alloc"))
+          expr("(1000 * sqrtq) div sw").as("alloc"))
       val v = conv(substring(md5(col("doc_id").cast("string")), 1, 15),
         16, 10).cast("double")
       val u = (v + lit(1.0)) / lit(math.pow(16.0, 15) + 1.0)
       docs.select(col("doc_id"), col("source"), u.as("u"))
         .join(broadcast(alloc), col("source") === col("src"))
         .groupBy(col("source"))
-        .agg(max(col("n_s")).as("n_docs"), max(col("var_num")).as("var_num"),
+        .agg(max(col("n_s")).as("n_docs"),
+          max(col("var_num")).cast("string").as("var_num"),
           max(col("alloc")).as("alloc"),
           sum(when(col("u") <
             col("alloc").cast("double") / col("n_s").cast("double"), 1L)
@@ -749,17 +753,20 @@ object TextQueries extends QueryPack {
            |     - CAST(sx AS DECIMAL(19,0)) * CAST(sx AS DECIMAL(19,0))
            |    AS DECIMAL(38,0)) AS var_num
            |  FROM st),
-           |tot AS (SELECT sum(sqrt(CAST(var_num AS DOUBLE))) AS sw FROM v),
+           |vq AS (SELECT source, n_s, var_num,
+           |   CAST(floor(sqrt(CAST(var_num AS DOUBLE)) * 1e6) AS BIGINT)
+           |     AS sqrtq
+           |  FROM v),
+           |tot AS (SELECT CAST(sum(sqrtq) AS BIGINT) AS sw FROM vq),
            |al AS (SELECT source AS src, n_s, var_num,
-           |   CAST(floor(1000.0 * sqrt(CAST(var_num AS DOUBLE)) / sw)
-           |     AS BIGINT) AS alloc
-           |  FROM v CROSS JOIN tot),
+           |   (1000 * sqrtq) // sw AS alloc
+           |  FROM vq CROSS JOIN tot),
            |u AS (SELECT doc_id, source,
            |  (CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
            |     AS BIGINT) + 1.0) / (1152921504606846976.0 + 1.0) AS u
            | FROM documents)
            |SELECT al.src AS source, max(n_s) AS n_docs,
-           | max(var_num) AS var_num, max(alloc) AS alloc,
+           | CAST(max(var_num) AS VARCHAR) AS var_num, max(alloc) AS alloc,
            | CAST(sum(CASE WHEN u.u < CAST(alloc AS DOUBLE)
            |    / CAST(n_s AS DOUBLE) THEN 1 ELSE 0 END) AS BIGINT)
            |   AS n_drawn
@@ -780,11 +787,8 @@ object TextQueries extends QueryPack {
     "text_vocab_coverage",
     (s, d) => {
       import graft.ops.Checkpoints.StageCheckpoint
-      val wordsU = udf { (t: String) =>
-        if (t == null) Array.empty[String] else Hashing.words(t)
-      }
       val counts = Tables.documents(s, d)
-        .select(explode(wordsU(col("text"))).as("tok"))
+        .select(explode(graft.functions.Tokenize(col("text"))).as("tok"))
         .groupBy(col("tok")).agg(count(lit(1)).as("c"))
         .stageCheckpoint()
       val tot = counts.agg(sum(col("c")).as("total_mass"),
