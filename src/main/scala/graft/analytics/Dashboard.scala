@@ -225,6 +225,126 @@ object Dashboard extends QueryPack {
            | CAST(s_direct = s_merged AS INT) AS merge_equal
            |FROM ex, sd, sm""".stripMargin))
 
+  /** Oracle-able twin of `a4_approx_distinct_users`: the same
+    * approximate-distinct job through the engine's KMV sketch
+    * ([[graft.functions.KmvAgg.sketchMd5]], bounded k-longs state) built
+    * on the md5-60 uniform, so a DuckDB oracle rebuilds the sketch with
+    * ORDER BY/LIMIT and the (k−1)/v_k estimate is the IDENTICAL double
+    * expression in both engines (one division pair, then floor). Exact
+    * below k; v_k itself is an integral hash so every published cell is
+    * integer-exact.
+    */
+  private def kmvEst(skCol: String, k: Int) = expr(
+    s"""CASE WHEN size($skCol) < $k THEN CAST(size($skCol) AS BIGINT)
+       |ELSE CAST(floor(($k - 1) / (CAST(element_at($skCol, $k) AS DOUBLE)
+       |  / pow(2.0, 60))) AS BIGINT) END""".stripMargin)
+
+  private val a4kmvPortable = Q(
+    "a4_kmv_md5_portable",
+    (s, d) => {
+      val k = 256
+      val ev = Tables.events(s, d).filter(col("user_id").isNotNull)
+      ev.agg(
+          graft.functions.KmvAgg
+            .sketchMd5(col("user_id").cast("string"), k).as("sk"),
+          countDistinct(col("user_id")).as("n_exact"))
+        .select(col("n_exact"), size(col("sk")).cast("long").as("n_sketch"),
+          kmvEst("sk", k).as("est_users"))
+    },
+    Some("""WITH u AS (SELECT DISTINCT user_id FROM events
+           |  WHERE user_id IS NOT NULL),
+           |hd AS (SELECT DISTINCT
+           |   ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
+           |     ::BIGINT AS h FROM u),
+           |r AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM hd),
+           |sk AS (SELECT max(CASE WHEN rn <= 256 THEN h END) AS vk,
+           |   CAST(sum(CASE WHEN rn <= 256 THEN 1 ELSE 0 END) AS BIGINT)
+           |     AS n_sketch
+           |  FROM r)
+           |SELECT (SELECT count(*) FROM u) AS n_exact, n_sketch,
+           | CASE WHEN n_sketch < 256 THEN n_sketch
+           |  ELSE CAST(floor((256 - 1) / (CAST(vk AS DOUBLE)
+           |    / pow(2.0, 60))) AS BIGINT) END AS est_users
+           |FROM sk""".stripMargin))
+
+  /** Oracle-able twin of `a4_hll_sketch_merge`: partial KMV sketches per
+    * event_type MERGED to one estimate (k smallest of the union of
+    * k-smallest sets — the KMV merge theorem makes that lossless), next
+    * to the direct single-pass sketch. merge_equal == 1 pins
+    * merge(sketches) == sketch(∪), the mergeability property that lets
+    * per-day/per-partition sketches combine at 100 TB without rescan.
+    * The merge state is |event_types|·k longs — bounded by construction.
+    */
+  private val a4kmvMerge = Q(
+    "a4_kmv_sketch_merge",
+    (s, d) => {
+      val k = 256
+      val ev = Tables.events(s, d).filter(col("user_id").isNotNull)
+      val direct = ev.agg(graft.functions.KmvAgg
+        .sketchMd5(col("user_id").cast("string"), k).as("skd"))
+      val merged = ev.groupBy(col("event_type"))
+        .agg(graft.functions.KmvAgg
+          .sketchMd5(col("user_id").cast("string"), k).as("sk"))
+        .select(explode(col("sk")).as("h"))
+        .agg(slice(array_sort(collect_set(col("h"))), 1, k).as("skm"))
+      direct.crossJoin(merged)
+        .select(size(col("skd")).cast("long").as("n_sketch"),
+          kmvEst("skd", k).as("est_direct"),
+          kmvEst("skm", k).as("est_merged"),
+          (col("skd") === col("skm")).cast("int").as("merge_equal"))
+    },
+    Some("""WITH hd AS (SELECT DISTINCT
+           |   ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
+           |     ::BIGINT AS h
+           |  FROM events WHERE user_id IS NOT NULL),
+           |r AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM hd),
+           |th AS (SELECT DISTINCT event_type,
+           |   ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
+           |     ::BIGINT AS h
+           |  FROM events WHERE user_id IS NOT NULL),
+           |tr AS (SELECT event_type, h, row_number() OVER (
+           |    PARTITION BY event_type ORDER BY h) AS rn FROM th),
+           |mh AS (SELECT DISTINCT h FROM tr WHERE rn <= 256),
+           |mr AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM mh),
+           |dsk AS (SELECT max(CASE WHEN rn <= 256 THEN h END) AS vk,
+           |   CAST(sum(CASE WHEN rn <= 256 THEN 1 ELSE 0 END) AS BIGINT)
+           |     AS n, list(h ORDER BY h) FILTER (WHERE rn <= 256) AS l FROM r),
+           |msk AS (SELECT max(CASE WHEN rn <= 256 THEN h END) AS vk,
+           |   CAST(sum(CASE WHEN rn <= 256 THEN 1 ELSE 0 END) AS BIGINT)
+           |     AS n, list(h ORDER BY h) FILTER (WHERE rn <= 256) AS l FROM mr)
+           |SELECT dsk.n AS n_sketch,
+           | CASE WHEN dsk.n < 256 THEN dsk.n
+           |  ELSE CAST(floor((256 - 1) / (CAST(dsk.vk AS DOUBLE)
+           |    / pow(2.0, 60))) AS BIGINT) END AS est_direct,
+           | CASE WHEN msk.n < 256 THEN msk.n
+           |  ELSE CAST(floor((256 - 1) / (CAST(msk.vk AS DOUBLE)
+           |    / pow(2.0, 60))) AS BIGINT) END AS est_merged,
+           | CAST(dsk.l = msk.l AS INT) AS merge_equal
+           |FROM dsk, msk""".stripMargin))
+
+  /** The reference dashboard's scatter panel
+    * (`interactive_dashboard.py:85-92`): two numeric columns with an
+    * optional categorical color — a bare projection. The engine twin
+    * adds the one thing a 100 TB dashboard needs before plotting: a
+    * DETERMINISTIC bounded sample, here the 500 smallest md5(event_id)
+    * (a uniform hash draw with a total order, so both engines pick the
+    * identical rows via TakeOrderedAndProject — never a global sort).
+    */
+  private val scatterSample = Q(
+    "dashboard_scatter_sample",
+    (s, d) => Tables.events(s, d)
+      .filter(col("value").isNotNull)
+      .select(col("event_id"), col("user_id").as("x"),
+        col("value").as("y"), col("event_type").as("color"),
+        md5(col("event_id").cast("string")).as("m5"))
+      .orderBy(col("m5"))
+      .limit(500)
+      .select(col("event_id"), col("x"), col("y"), col("color")),
+    Some("""SELECT event_id, user_id AS x, value AS y,
+           | event_type AS color
+           |FROM events WHERE value IS NOT NULL
+           |ORDER BY md5(CAST(event_id AS VARCHAR)) LIMIT 500""".stripMargin))
+
   /** A5 exact reference shape: # groups via grouped-distinct-then-count. */
   private val a5groups = Q(
     "a5_groups_with_distinct",
@@ -319,6 +439,6 @@ object Dashboard extends QueryPack {
     headline = true)
 
   val qs: Seq[Q] = Seq(a1, a2, a3, a3pivot, a4, a4approx, a4sketchMerge,
-    a4hllPortable, a5, a5groups, a6num, a6time, a6tsEqui, a7, a8,
-    profileQ, f6, f7, f8, a2freq)
+    a4hllPortable, a4kmvPortable, a4kmvMerge, scatterSample, a5, a5groups,
+    a6num, a6time, a6tsEqui, a7, a8, profileQ, f6, f7, f8, a2freq)
 }

@@ -82,6 +82,18 @@ object KmvAgg {
   def sketch(c: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.Column =
     org.apache.spark.sql.functions.udaf(new KmvAgg(k), Encoders.STRING).apply(c)
 
+  /** Merge a column of FINISHED sketches into one (k smallest of the
+    * union — exact by the merge theorem). The bounded buffer makes this
+    * the grouped-merge shape iterative sketch algorithms (HyperBall)
+    * need: aggregating a node's d neighbor sketches holds O(k) state
+    * and partial-aggregates map-side, where an explode + collect_set
+    * formulation holds all d·k candidates per group before trimming.
+    */
+  def mergeSketches(c: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.udaf(new KmvMergeAgg(k),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]())
+      .apply(c)
+
   /** md5-mode column form: minima of the cross-engine 60-bit uniform,
     * so a DuckDB oracle rebuilds the sketch with ORDER BY/LIMIT over
     * `('0x' || substring(md5(key), 1, 15))::BIGINT`.
@@ -137,4 +149,45 @@ object KmvAgg {
     val jaccard = shared.toDouble / u.length
     jaccard * estimateDistinct(u, k)
   }
+}
+
+/** Grouped MERGE of finished KMV sketches ([[KmvAgg.mergeSketches]]) —
+  * same lazily-trimmed HashSet buffer discipline as the base
+  * aggregator (kryo-safe, O(k) bounded), input already hashed.
+  */
+class KmvMergeAgg(k: Int)
+    extends Aggregator[Array[Long], mutable.HashSet[Long], Array[Long]] {
+  require(k >= 2, s"k must be >= 2: $k")
+
+  private def trim(b: mutable.HashSet[Long]): mutable.HashSet[Long] =
+    if (b.size <= k) b else {
+      val kept = b.toArray.sorted.take(k)
+      b.clear()
+      b ++= kept
+    }
+
+  override def zero: mutable.HashSet[Long] = mutable.HashSet.empty[Long]
+
+  override def reduce(b: mutable.HashSet[Long],
+      a: Array[Long]): mutable.HashSet[Long] = {
+    if (a != null) {
+      b ++= a
+      if (b.size > 4 * k) trim(b)
+    }
+    b
+  }
+
+  override def merge(x: mutable.HashSet[Long],
+      y: mutable.HashSet[Long]): mutable.HashSet[Long] = {
+    x ++= y
+    trim(x)
+  }
+
+  override def finish(b: mutable.HashSet[Long]): Array[Long] =
+    b.toArray.sorted.take(k)
+
+  override def bufferEncoder: Encoder[mutable.HashSet[Long]] =
+    Encoders.kryo[mutable.HashSet[Long]]
+  override def outputEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
 }

@@ -43,8 +43,17 @@ object Hashing {
     * price of auditability; hash64 remains for hot paths whose outputs
     * are spec-pinned rather than oracle-compared.
     */
+  // one digest instance per executor thread: MessageDigest.getInstance
+  // walks the provider registry per call, which at one hash per ROW is
+  // measurable; reset() + digest() on a cached instance is the same
+  // arithmetic.
+  private val md5Local =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
   def md5Uniform60(s: String): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = md5Local.get()
+    md.reset()
     val dig = md.digest(s.getBytes("UTF-8"))
     // first 15 hex chars = the top 60 bits of the big-endian first 8 bytes
     java.nio.ByteBuffer.wrap(dig).getLong >>> 4

@@ -21,10 +21,12 @@ import org.apache.spark.sql.functions._
   * degrades gracefully to the (k−1)/v_k estimator's ~1/√k relative
   * error, which is the trade HyperBall exists to make.
   *
-  * Merge here is explode + per-node k-smallest (a d·k-bounded
-  * collect per node, fine for one hop); an iterated multi-hop run
-  * would keep sketches paired down with a typed Aggregator merge
-  * instead — the shape `a4_hll_sketch_merge` already pins.
+  * Merge is the bounded typed-Aggregator grouped merge
+  * ([[graft.functions.KmvAgg.mergeSketches]]): a node's d neighbor
+  * sketches fold with O(k) state and map-side partial aggregation —
+  * the earlier explode + collect_set formulation held all d·k
+  * candidate hashes per node before trimming, which on the dense
+  * sf0.1 bench graph was the headline's whole cost.
   */
 object HyperBall {
 
@@ -54,9 +56,8 @@ object HyperBall {
       .join(h1.select(col("u").as("v"), col("sk")), "v")
       .select(col("u"), col("sk"))
     val merged = neighborSk.unionByName(h1.select(col("u"), col("sk")))
-      .select(col("u"), explode(col("sk")).as("h"))
       .groupBy(col("u"))
-      .agg(slice(array_sort(collect_set(col("h"))), 1, k).as("sk2"))
+      .agg(graft.functions.KmvAgg.mergeSketches(col("sk"), k).as("sk2"))
     val estU = udf { (arr: Seq[Long]) =>
       math.floor(
         graft.functions.KmvAgg.estimateDistinctMd5(arr.toArray, k)).toLong

@@ -209,6 +209,30 @@ class KmvSpec extends SparkSpec {
     assert(math.abs(est - 5000) / 5000.0 < 5.0 / math.sqrt(k.toDouble), est)
   }
 
+  test("mergeSketches: grouped merge of partial sketches == direct sketch") {
+    import spark.implicits._
+    // 40 groups of overlapping key ranges; per-group sketches merged by
+    // the bounded aggregator must equal the one-pass direct sketch —
+    // the HyperBall merge contract (k smallest of the union is a pure
+    // function of the k-smallest sets).
+    val rows = (0 until 40).flatMap { g =>
+      (0 until 400).map(i => (g, s"k${g * 150 + i}"))
+    }
+    val df = rows.toDF("g", "k")
+    val direct = sketchMd5Of(df.select(col("k")))
+    val merged = df.groupBy(col("g"))
+      .agg(KmvAgg.sketchMd5(col("k"), k).as("sk"))
+      .agg(KmvAgg.mergeSketches(col("sk"), k).as("m"))
+      .first().getSeq[Long](0)
+    assert(merged === direct.toSeq)
+    // and merging a single sketch is the identity
+    val one = df.filter(col("g") === 0)
+      .agg(KmvAgg.sketchMd5(col("k"), k).as("sk"))
+      .agg(KmvAgg.mergeSketches(col("sk"), k).as("m"))
+      .first().getSeq[Long](0)
+    assert(one === sketchMd5Of(df.filter(col("g") === 0).select(col("k"))).toSeq)
+  }
+
   test("CosineSim: bit-identical to the JVM loop, null-safe, SQL-callable") {
     val vecs = Seq(
       (Array(1.0f, 2.0f, 3.0f), Array(3.0f, 2.0f, 1.0f)),
