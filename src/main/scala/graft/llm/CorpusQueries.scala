@@ -837,8 +837,112 @@ object CorpusQueries extends QueryPack {
             | CAST(sum(c_st * ln_micro) AS BIGINT) AS kl_scaled_micro
             |FROM terms GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** The Gopher quality-rule battery (Rae et al. 2021 §A.1.1) as a
+    * per-source audit — the standard pre-training document gate set
+    * run before any model-based filtering: word-count bounds [50, 1e5],
+    * mean word length in [3, 10], symbol-to-word ratio (#/ellipsis)
+    * ≤ 0.1, ≤ 90% bullet-led lines, ≤ 30% ellipsis-ended lines, ≥ 80%
+    * of words containing an alphabetic character, and ≥ 2 distinct
+    * members of Gopher's stop-word octet. Every rule is evaluated in
+    * INTEGER arithmetic (ratio thresholds cleared of division:
+    * 10·nsym > nw, 10·nalpha < 8·nw, …) so the per-source fail counts
+    * and the pass-all count compare exactly. One corpus pass: the word
+    * array comes from the codegen [[graft.functions.Tokenize]], word
+    * characters from one whitespace-strip length (total non-ws chars ==
+    * total word chars by the maximal-run definition), lines from the
+    * shared split convention (edge empties kept in both engines).
+    */
+  private val gopherGates = Q(
+    "docs_gopher_gates",
+    (s, d) => {
+      val w = graft.functions.Tokenize(col("text"))
+      val lines = split(col("text"), "\n")
+      val stops = array(Seq("the", "be", "to", "of", "and", "that",
+        "have", "with").map(lit): _*)
+      val t = Tables.documents(s, d).select(col("source"),
+        size(w).as("nw"),
+        length(regexp_replace(col("text"), "[ \t\n\f\r]", ""))
+          .as("wchars"),
+        size(filter(w, x => x.rlike("[a-zA-Z]"))).as("nalpha"),
+        (length(col("text"))
+          - length(regexp_replace(col("text"), "#", ""))
+          + size(regexp_extract_all(col("text"),
+              lit("\\.\\.\\.|…"), lit(0)))).as("nsym"),
+        size(lines).as("nlines"),
+        size(filter(lines, l => l.startsWith("- ") ||
+          l.startsWith("* ") || l.startsWith("•"))).as("nbul"),
+        size(filter(lines, l => l.endsWith("...") || l.endsWith("…")))
+          .as("nell"),
+        size(array_intersect(w, stops)).as("nstop"))
+      t.select(col("source"),
+          (col("nw") < 50 || col("nw") > 100000L).cast("long").as("f_wc"),
+          (col("nw") === 0 || col("wchars") < lit(3) * col("nw") ||
+            col("wchars") > lit(10) * col("nw")).cast("long").as("f_mwl"),
+          (lit(10) * col("nsym") > col("nw")).cast("long").as("f_sym"),
+          (lit(10) * col("nbul") > lit(9) * col("nlines")).cast("long")
+            .as("f_bul"),
+          (lit(10) * col("nell") > lit(3) * col("nlines")).cast("long")
+            .as("f_ell"),
+          (lit(10) * col("nalpha") < lit(8) * col("nw")).cast("long")
+            .as("f_alpha"),
+          (col("nstop") < 2).cast("long").as("f_stop"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("f_wc")).as("n_fail_wordcount"),
+          sum(col("f_mwl")).as("n_fail_meanwordlen"),
+          sum(col("f_sym")).as("n_fail_symbolratio"),
+          sum(col("f_bul")).as("n_fail_bulletlines"),
+          sum(col("f_ell")).as("n_fail_ellipsislines"),
+          sum(col("f_alpha")).as("n_fail_alphawords"),
+          sum(col("f_stop")).as("n_fail_stopwords"),
+          sum(when(col("f_wc") + col("f_mwl") + col("f_sym") +
+            col("f_bul") + col("f_ell") + col("f_alpha") +
+            col("f_stop") === 0, 1L).otherwise(0L)).as("n_pass_all"))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH t AS (SELECT source, $WordsExpr AS w,
+            |   length(regexp_replace(text, '[ \\t\\n\\f\\r]', '', 'g'))
+            |     AS wchars,
+            |   length(text) - length(replace(text, '#', ''))
+            |     + len(regexp_extract_all(text, '\\.\\.\\.|…')) AS nsym,
+            |   string_split(text, chr(10)) AS ln
+            |  FROM documents),
+            |g AS (SELECT source, len(w) AS nw, wchars, nsym,
+            |   len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]')))
+            |     AS nalpha,
+            |   len(ln) AS nlines,
+            |   len(list_filter(ln, x -> starts_with(x, '- ')
+            |     OR starts_with(x, '* ') OR starts_with(x, '•'))) AS nbul,
+            |   len(list_filter(ln, x -> ends_with(x, '...')
+            |     OR ends_with(x, '…'))) AS nell,
+            |   len(list_intersect(w, ['the','be','to','of','and','that',
+            |     'have','with'])) AS nstop
+            |  FROM t),
+            |f AS (SELECT source,
+            |   CASE WHEN nw < 50 OR nw > 100000 THEN 1 ELSE 0 END AS f_wc,
+            |   CASE WHEN nw = 0 OR wchars < 3 * nw OR wchars > 10 * nw
+            |    THEN 1 ELSE 0 END AS f_mwl,
+            |   CASE WHEN 10 * nsym > nw THEN 1 ELSE 0 END AS f_sym,
+            |   CASE WHEN 10 * nbul > 9 * nlines THEN 1 ELSE 0 END AS f_bul,
+            |   CASE WHEN 10 * nell > 3 * nlines THEN 1 ELSE 0 END AS f_ell,
+            |   CASE WHEN 10 * nalpha < 8 * nw THEN 1 ELSE 0 END AS f_alpha,
+            |   CASE WHEN nstop < 2 THEN 1 ELSE 0 END AS f_stop
+            |  FROM g)
+            |SELECT source, count(*) AS n_docs,
+            | CAST(sum(f_wc) AS BIGINT) AS n_fail_wordcount,
+            | CAST(sum(f_mwl) AS BIGINT) AS n_fail_meanwordlen,
+            | CAST(sum(f_sym) AS BIGINT) AS n_fail_symbolratio,
+            | CAST(sum(f_bul) AS BIGINT) AS n_fail_bulletlines,
+            | CAST(sum(f_ell) AS BIGINT) AS n_fail_ellipsislines,
+            | CAST(sum(f_alpha) AS BIGINT) AS n_fail_alphawords,
+            | CAST(sum(f_stop) AS BIGINT) AS n_fail_stopwords,
+            | CAST(sum(CASE WHEN f_wc + f_mwl + f_sym + f_bul + f_ell
+            |     + f_alpha + f_stop = 0 THEN 1 ELSE 0 END) AS BIGINT)
+            |   AS n_pass_all
+            |FROM f GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val qs: Seq[Q] = Seq(winnowing, repetition, pii, stratified, winnowPairs,
     decontaminate, decontaminateBloom, topNgrams, tokenDf, paraDedup, shards,
     dsir, contamFrac, perplexity, streamGatesTwin, curriculum, heaps,
-    klDivergence)
+    klDivergence, gopherGates)
 }
