@@ -116,6 +116,95 @@ object TextQueries extends QueryPack {
            |SELECT pair, count(*) AS n FROM p
            |GROUP BY 1 ORDER BY n DESC, pair LIMIT 20""".stripMargin))
 
+  /** The full BPE TRAINING loop (Sennrich et al. 2016), distributed —
+    * [[bpePairs]] is one iteration's statistic; this runs the actual
+    * algorithm: 10 merge rounds, each = weighted adjacent-pair count
+    * over the current segmentation → deterministic argmax (count desc,
+    * then the ASCII "l r" pair string — identical to (l, r)
+    * lexicographic for space-free tokens) → greedy left-to-right
+    * non-overlapping merge of that pair in every word. The engine
+    * trains on the WORD-FREQUENCY table, not the corpus: after one
+    * corpus pass the state is |vocab| rows (the standard BPE trick —
+    * at 100 TB the corpus is read once and ten tiny vocab-frame
+    * rounds follow), each round stageCheckpointed so plans stay flat.
+    * The greedy merge is a single fold (merged tokens never re-match
+    * as the LEFT of the same pair in one pass — "aaaa" → "aa aa"),
+    * expressed identically as the JVM fold here and a `list_reduce`
+    * string fold in the 10-round unrolled DuckDB oracle. Output: the
+    * learned merge table (rank, l, r, merged, weighted count) — the
+    * artifact a tokenizer ships.
+    */
+  private val bpeTrain = Q(
+    "text_bpe_train_merges",
+    (s, d) => {
+      import graft.ops.Checkpoints.StageCheckpoint
+      val mergeU = udf { (segs: Seq[String], l: String, r: String) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        segs.foreach { t =>
+          if (out.nonEmpty && out.last == l && t == r)
+            out(out.length - 1) = l + r
+          else out += t
+        }
+        out.toSeq
+      }
+      val vocab = Tables.documents(s, d)
+        .select(explode(regexp_extract_all(lower(col("text")),
+          lit("[a-z]+"), lit(0))).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+        .withColumn("s", expr(
+          "transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+        .stageCheckpoint()
+      var seg = vocab
+      var merges = Seq.empty[org.apache.spark.sql.DataFrame]
+      for (i <- 1 to 10) {
+        val best = seg
+          .select(col("freq"), explode(expr(
+            """transform(slice(s, 1, size(s) - 1),
+              |  (x, j) -> concat(x, ' ', element_at(s, j + 2)))"""
+              .stripMargin)).as("pr"))
+          .groupBy(col("pr")).agg(sum(col("freq")).as("c"))
+          .orderBy(col("c").desc, col("pr")).limit(1)
+          .select(expr("split_part(pr, ' ', 1)").as("l"),
+            expr("split_part(pr, ' ', 2)").as("r"), col("c"))
+        merges = merges :+ best.select(lit(i.toLong).as("rank"),
+          col("l"), col("r"), concat(col("l"), col("r")).as("merged"),
+          col("c").as("pair_count"))
+        seg = seg.crossJoin(broadcast(best))
+          .select(col("word"), col("freq"),
+            mergeU(col("s"), col("l"), col("r")).as("s"))
+          .stageCheckpoint()
+      }
+      merges.reduce(_ unionByName _).orderBy(col("rank"))
+    },
+    Some {
+      val iters = (1 to 10).map { i =>
+        val prev = if (i == 1) "seg0" else s"seg${i - 1}"
+        s"""p$i AS (SELECT unnest([s[j] || ' ' || s[j+1]
+           |    for j in range(1, len(s))]) AS pr, freq FROM $prev),
+           |m$i AS (SELECT split_part(pr, ' ', 1) AS l,
+           |   split_part(pr, ' ', 2) AS r, c
+           |  FROM (SELECT pr, CAST(sum(freq) AS BIGINT) AS c FROM p$i
+           |   GROUP BY 1 ORDER BY c DESC, pr LIMIT 1)),
+           |seg$i AS (SELECT word, freq,
+           |   string_split(list_reduce(s, (a, b) ->
+           |     CASE WHEN regexp_extract(a, '[^ ]+$$') = m.l AND b = m.r
+           |      THEN regexp_replace(a, '[^ ]+$$', m.l || m.r)
+           |      ELSE a || ' ' || b END), ' ') AS s
+           |  FROM $prev, m$i m)""".stripMargin
+      }.mkString(",\n")
+      val rows = (1 to 10).map(i =>
+        s"SELECT $i AS rank, l, r, l || r AS merged, c AS pair_count FROM m$i")
+        .mkString("\nUNION ALL ")
+      s"""WITH w AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+'))
+         |   AS word FROM documents),
+         |v AS (SELECT word, count(*) AS freq FROM w GROUP BY 1),
+         |seg0 AS (SELECT word, freq,
+         |   [word[j:j] for j in range(1, len(word) + 1)] AS s FROM v),
+         |$iters
+         |$rows
+         |ORDER BY rank""".stripMargin
+    })
+
   /** Spell-variant detection over the frequent vocabulary — SymSpell's
     * deletion-neighborhood trick distributed: two words are within edit
     * distance 1 iff their {word} ∪ delete-one-char sets intersect, so
@@ -819,7 +908,8 @@ object TextQueries extends QueryPack {
             | (10000 * mass_k) // total_mass AS coverage_bp
             |FROM m CROSS JOIN tot ORDER BY 1""".stripMargin))
 
-  val qs: Seq[Q] = Seq(tokenStats, packWindows, bpePairs, spellVariants,
+  val qs: Seq[Q] = Seq(tokenStats, packWindows, bpePairs, bpeTrain,
+    spellVariants,
     weightedSample, quality, langid, langidPrf, fingerprintQ, subwords,
     polyFingerprint, chunking, sampling, bm25, mixtureSample, charStats,
     tfidfTop, zipf, neyman, vocabCoverage)
