@@ -133,77 +133,119 @@ object TextQueries extends QueryPack {
     * string fold in the 10-round unrolled DuckDB oracle. Output: the
     * learned merge table (rank, l, r, merged, weighted count) — the
     * artifact a tokenizer ships.
+    *
+    * Shared by [[bpeTrain]] (emits the merge table) and [[bpeStats]]
+    * (consumes the final segmentation): returns (final seg frame
+    * (word, freq, s), per-round merge rows).
     */
+  private def bpeLoop(s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, Seq[org.apache.spark.sql.DataFrame]) = {
+    import graft.ops.Checkpoints.StageCheckpoint
+    val mergeU = udf { (segs: Seq[String], l: String, r: String) =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      segs.foreach { t =>
+        if (out.nonEmpty && out.last == l && t == r)
+          out(out.length - 1) = l + r
+        else out += t
+      }
+      out.toSeq
+    }
+    val vocab = Tables.documents(s, d)
+      .select(explode(regexp_extract_all(lower(col("text")),
+        lit("[a-z]+"), lit(0))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .withColumn("s", expr(
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+      .stageCheckpoint()
+    var seg = vocab
+    var merges = Seq.empty[org.apache.spark.sql.DataFrame]
+    for (i <- 1 to 10) {
+      val best = seg
+        .select(col("freq"), explode(expr(
+          """transform(slice(s, 1, size(s) - 1),
+            |  (x, j) -> concat(x, ' ', element_at(s, j + 2)))"""
+            .stripMargin)).as("pr"))
+        .groupBy(col("pr")).agg(sum(col("freq")).as("c"))
+        .orderBy(col("c").desc, col("pr")).limit(1)
+        .select(expr("split_part(pr, ' ', 1)").as("l"),
+          expr("split_part(pr, ' ', 2)").as("r"), col("c"))
+      merges = merges :+ best.select(lit(i.toLong).as("rank"),
+        col("l"), col("r"), concat(col("l"), col("r")).as("merged"),
+        col("c").as("pair_count"))
+      seg = seg.crossJoin(broadcast(best))
+        .select(col("word"), col("freq"),
+          mergeU(col("s"), col("l"), col("r")).as("s"))
+        .stageCheckpoint()
+    }
+    (seg, merges)
+  }
+
+  /** The shared DuckDB 10-round chain: CTEs `w, v, seg0 … seg10, m1 …
+    * m10` — suffix with a final SELECT per consumer. */
+  private def bpeSqlChain: String = {
+    val iters = (1 to 10).map { i =>
+      val prev = if (i == 1) "seg0" else s"seg${i - 1}"
+      s"""p$i AS (SELECT unnest([s[j] || ' ' || s[j+1]
+         |    for j in range(1, len(s))]) AS pr, freq FROM $prev),
+         |m$i AS (SELECT split_part(pr, ' ', 1) AS l,
+         |   split_part(pr, ' ', 2) AS r, c
+         |  FROM (SELECT pr, CAST(sum(freq) AS BIGINT) AS c FROM p$i
+         |   GROUP BY 1 ORDER BY c DESC, pr LIMIT 1)),
+         |seg$i AS (SELECT word, freq,
+         |   string_split(list_reduce(s, (a, b) ->
+         |     CASE WHEN regexp_extract(a, '[^ ]+$$') = m.l AND b = m.r
+         |      THEN regexp_replace(a, '[^ ]+$$', m.l || m.r)
+         |      ELSE a || ' ' || b END), ' ') AS s
+         |  FROM $prev, m$i m)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH w AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+'))
+       |   AS word FROM documents),
+       |v AS (SELECT word, count(*) AS freq FROM w GROUP BY 1),
+       |seg0 AS (SELECT word, freq,
+       |   [word[j:j] for j in range(1, len(word) + 1)] AS s FROM v),
+       |$iters""".stripMargin
+  }
+
   private val bpeTrain = Q(
     "text_bpe_train_merges",
-    (s, d) => {
-      import graft.ops.Checkpoints.StageCheckpoint
-      val mergeU = udf { (segs: Seq[String], l: String, r: String) =>
-        val out = scala.collection.mutable.ArrayBuffer.empty[String]
-        segs.foreach { t =>
-          if (out.nonEmpty && out.last == l && t == r)
-            out(out.length - 1) = l + r
-          else out += t
-        }
-        out.toSeq
-      }
-      val vocab = Tables.documents(s, d)
-        .select(explode(regexp_extract_all(lower(col("text")),
-          lit("[a-z]+"), lit(0))).as("word"))
-        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
-        .withColumn("s", expr(
-          "transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
-        .stageCheckpoint()
-      var seg = vocab
-      var merges = Seq.empty[org.apache.spark.sql.DataFrame]
-      for (i <- 1 to 10) {
-        val best = seg
-          .select(col("freq"), explode(expr(
-            """transform(slice(s, 1, size(s) - 1),
-              |  (x, j) -> concat(x, ' ', element_at(s, j + 2)))"""
-              .stripMargin)).as("pr"))
-          .groupBy(col("pr")).agg(sum(col("freq")).as("c"))
-          .orderBy(col("c").desc, col("pr")).limit(1)
-          .select(expr("split_part(pr, ' ', 1)").as("l"),
-            expr("split_part(pr, ' ', 2)").as("r"), col("c"))
-        merges = merges :+ best.select(lit(i.toLong).as("rank"),
-          col("l"), col("r"), concat(col("l"), col("r")).as("merged"),
-          col("c").as("pair_count"))
-        seg = seg.crossJoin(broadcast(best))
-          .select(col("word"), col("freq"),
-            mergeU(col("s"), col("l"), col("r")).as("s"))
-          .stageCheckpoint()
-      }
-      merges.reduce(_ unionByName _).orderBy(col("rank"))
-    },
+    (s, d) => bpeLoop(s, d)._2.reduce(_ unionByName _)
+      .orderBy(col("rank")),
     Some {
-      val iters = (1 to 10).map { i =>
-        val prev = if (i == 1) "seg0" else s"seg${i - 1}"
-        s"""p$i AS (SELECT unnest([s[j] || ' ' || s[j+1]
-           |    for j in range(1, len(s))]) AS pr, freq FROM $prev),
-           |m$i AS (SELECT split_part(pr, ' ', 1) AS l,
-           |   split_part(pr, ' ', 2) AS r, c
-           |  FROM (SELECT pr, CAST(sum(freq) AS BIGINT) AS c FROM p$i
-           |   GROUP BY 1 ORDER BY c DESC, pr LIMIT 1)),
-           |seg$i AS (SELECT word, freq,
-           |   string_split(list_reduce(s, (a, b) ->
-           |     CASE WHEN regexp_extract(a, '[^ ]+$$') = m.l AND b = m.r
-           |      THEN regexp_replace(a, '[^ ]+$$', m.l || m.r)
-           |      ELSE a || ' ' || b END), ' ') AS s
-           |  FROM $prev, m$i m)""".stripMargin
-      }.mkString(",\n")
       val rows = (1 to 10).map(i =>
         s"SELECT $i AS rank, l, r, l || r AS merged, c AS pair_count FROM m$i")
         .mkString("\nUNION ALL ")
-      s"""WITH w AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+'))
-         |   AS word FROM documents),
-         |v AS (SELECT word, count(*) AS freq FROM w GROUP BY 1),
-         |seg0 AS (SELECT word, freq,
-         |   [word[j:j] for j in range(1, len(word) + 1)] AS s FROM v),
-         |$iters
+      s"""$bpeSqlChain
          |$rows
          |ORDER BY rank""".stripMargin
     })
+
+  /** The trained tokenizer APPLIED — the fertility/compression read
+    * every tokenizer choice is judged by: after [[bpeLoop]]'s 10
+    * merges, how many tokens does the corpus need? Per-corpus totals
+    * (weighted by word frequency): words, characters, tokens under the
+    * learned segmentation, tokens saved vs character-level, and
+    * fertility in integer milli-tokens-per-word (the `div` convention).
+    * Consumes the SAME loop and the SAME unrolled oracle chain as the
+    * training query — one artifact, two reads.
+    */
+  private val bpeStats = Q(
+    "text_bpe_tokenize_stats",
+    (s, d) => bpeLoop(s, d)._1
+      .agg(sum(col("freq")).as("n_words"),
+        sum(col("freq") * length(col("word"))).as("n_chars"),
+        sum(col("freq") * size(col("s"))).as("n_tokens"))
+      .select(col("n_words"), col("n_chars"), col("n_tokens"),
+        (col("n_chars") - col("n_tokens")).as("tokens_saved"),
+        expr("(1000 * n_tokens) div n_words").as("fertility_milli")),
+    Some(s"""$bpeSqlChain
+            |SELECT CAST(sum(freq) AS BIGINT) AS n_words,
+            | CAST(sum(freq * length(word)) AS BIGINT) AS n_chars,
+            | CAST(sum(freq * len(s)) AS BIGINT) AS n_tokens,
+            | CAST(sum(freq * length(word)) - sum(freq * len(s)) AS BIGINT)
+            |   AS tokens_saved,
+            | (1000 * CAST(sum(freq * len(s)) AS BIGINT))
+            |   // CAST(sum(freq) AS BIGINT) AS fertility_milli
+            |FROM seg10""".stripMargin))
 
   /** Spell-variant detection over the frequent vocabulary — SymSpell's
     * deletion-neighborhood trick distributed: two words are within edit
@@ -908,7 +950,7 @@ object TextQueries extends QueryPack {
             | (10000 * mass_k) // total_mass AS coverage_bp
             |FROM m CROSS JOIN tot ORDER BY 1""".stripMargin))
 
-  val qs: Seq[Q] = Seq(tokenStats, packWindows, bpePairs, bpeTrain,
+  val qs: Seq[Q] = Seq(tokenStats, packWindows, bpePairs, bpeTrain, bpeStats,
     spellVariants,
     weightedSample, quality, langid, langidPrf, fingerprintQ, subwords,
     polyFingerprint, chunking, sampling, bm25, mixtureSample, charStats,
