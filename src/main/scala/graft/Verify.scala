@@ -71,17 +71,24 @@ object Verify {
           }.mkString("\u0001"))
           .sorted
       }
+      // a query whose DUMP failed (in either run) is not evidence of
+      // nondeterminism — report it as SKIP so a failing-but-stable
+      // query can't read as an accumulation-order ghost
       var bad = 0
+      var skip = 0
       selected.map(_._1).sorted.foreach { name =>
-        val ok =
-          try canon(s"$outDir/$name") == canon(s"$second/$name")
-          catch { case _: Throwable => false }
-        if (!ok) bad += 1
-        System.err.println(
-          s"[determinism] $name: ${if (ok) "OK" else "MISMATCH"}")
+        val status =
+          try {
+            if (canon(s"$outDir/$name") == canon(s"$second/$name")) "OK"
+            else "MISMATCH"
+          } catch { case _: Throwable => "SKIP (dump unreadable)" }
+        if (status == "MISMATCH") bad += 1
+        if (status.startsWith("SKIP")) skip += 1
+        System.err.println(s"[determinism] $name: $status")
       }
       System.err.println(
-        s"[determinism] summary: ${selected.size - bad}/${selected.size} stable")
+        s"[determinism] summary: ${selected.size - bad - skip}/" +
+          s"${selected.size} stable, $bad mismatched, $skip skipped")
     }
     pool.shutdown()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

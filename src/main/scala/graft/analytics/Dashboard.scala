@@ -285,8 +285,7 @@ object Dashboard extends QueryPack {
       val merged = ev.groupBy(col("event_type"))
         .agg(graft.functions.KmvAgg
           .sketchMd5(col("user_id").cast("string"), k).as("sk"))
-        .select(explode(col("sk")).as("h"))
-        .agg(slice(array_sort(collect_set(col("h"))), 1, k).as("skm"))
+        .agg(graft.functions.KmvAgg.mergeSketches(col("sk"), k).as("skm"))
       direct.crossJoin(merged)
         .select(size(col("skd")).cast("long").as("n_sketch"),
           kmvEst("skd", k).as("est_direct"),

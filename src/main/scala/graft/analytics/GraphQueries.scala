@@ -354,9 +354,13 @@ object GraphQueries extends QueryPack {
       // sides and two degree lookups — each would otherwise re-plan
       // the whole orders⋈lineitem build
       val e0 = edges(s, d).stageCheckpoint()
+      // the capped list is itself staged: it feeds the degree lookup
+      // and BOTH wedge sides, and each would otherwise re-run the
+      // whole DegreeCap build (degree histogram + rank window)
       val e = e0.join(
-        graft.ops.DegreeCap.keptMids(e0, "cu"),
-        Seq("cu"), "left_semi")
+          graft.ops.DegreeCap.keptMids(e0, "cu"),
+          Seq("cu"), "left_semi")
+        .stageCheckpoint()
       val deg = e.groupBy(col("su")).agg(count(lit(1)).as("deg"))
       val pairs = e.as("a")
         .join(e.withColumnRenamed("su", "sv").as("b"), "cu")

@@ -209,13 +209,16 @@ object StatsQueries extends QueryPack {
     * [[twoHopReach]] expands Σ d(mid)² wedge pairs, which a densifying
     * graph cannot afford, while the sketch is one edge-keyed sketch
     * merge per hop with O(k) state per node. Below k=256 distinct
-    * members the KMV sketch IS the ball set, so at the verify SF
-    * (balls ≈ 100 members) the estimate is EXACT and the exact query's
-    * SQL is a true oracle: ball₂ = reach₂ + 1 (the paper's
-    * self-inclusive ball convention). Above width — which the sf0.1
-    * bench graph (~1000 suppliers) actually reaches — the (k−1)/v_k
-    * estimator engages with ~1/√k relative error; HyperBallSpec pins
-    * that regime against a brute BFS. Top-20 by estimated ball.
+    * members the KMV sketch IS the ball set and the estimate is exact
+    * (ball₂ = reach₂ + 1, the paper's self-inclusive convention);
+    * above width the (k−1)/v_k estimator engages with ~1/√k relative
+    * error. The oracle is valid in BOTH regimes at any SF: it
+    * enumerates each ball exactly, hashes members through the same
+    * md5-60 convention, takes the k smallest per node, and applies the
+    * identically-written estimator expression — so the compare holds
+    * whether or not the graph (sf0.1 reaches ~1000-member balls)
+    * exceeds the sketch. HyperBallSpec additionally pins the
+    * above-width regime against a brute BFS. Top-20 by estimated ball.
     */
   private val twoHopHyperball = Q(
     "graph_two_hop_hyperball",
@@ -228,12 +231,24 @@ object StatsQueries extends QueryPack {
             |sym AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
             |h2 AS (SELECT a.u AS u, b.v AS w FROM sym a
             |  JOIN sym b ON a.v = b.u WHERE b.v <> a.u),
-            |allr AS (SELECT u, v AS w FROM sym UNION SELECT u, w FROM h2),
-            |reach AS (SELECT u, count(*) AS reach2 FROM allr GROUP BY 1)
-            |SELECT u AS node, reach2 + 1 AS sketch_size,
-            | reach2 + 1 AS ball2_est
-            |FROM reach
-            |ORDER BY ball2_est DESC, node LIMIT 20""".stripMargin),
+            |ball AS (SELECT u, v AS w FROM sym UNION SELECT u, w FROM h2
+            |  UNION SELECT DISTINCT u, u FROM sym),
+            |hh AS (SELECT DISTINCT u,
+            |   ('0x' || substring(md5(CAST(w AS VARCHAR)), 1, 15))
+            |     ::BIGINT AS h
+            |  FROM ball),
+            |r AS (SELECT u, h, row_number() OVER (
+            |   PARTITION BY u ORDER BY h) AS rn FROM hh),
+            |sk AS (SELECT u,
+            |   CAST(sum(CASE WHEN rn <= 256 THEN 1 ELSE 0 END) AS BIGINT)
+            |     AS n_sk,
+            |   max(CASE WHEN rn <= 256 THEN h END) AS vk
+            |  FROM r GROUP BY 1)
+            |SELECT u AS node, n_sk AS sketch_size,
+            | CASE WHEN n_sk < 256 THEN n_sk
+            |  ELSE CAST(floor((256 - 1) / (CAST(vk AS DOUBLE)
+            |    / pow(2.0, 60))) AS BIGINT) END AS ball2_est
+            |FROM sk ORDER BY ball2_est DESC, node LIMIT 20""".stripMargin),
     headline = true)
 
   /** Range-partition write plan — the boundary computation behind

@@ -25,55 +25,64 @@ import org.apache.spark.sql.expressions.Aggregator
   * O(log k), merge is O(k log k) — the mergeable shape that ships one
   * sketch per partition/day/shard and folds later.
   */
-class KmvAgg(k: Int, md5: Boolean = false)
-    extends Aggregator[String, mutable.HashSet[Long], Array[Long]] {
+/** The ONE copy of the k-minimum buffer discipline: a hash set trimmed
+  * LAZILY (sort once when it reaches 4k, not a tree insert per row) —
+  * kryo round-trips HashSet where ordered collections lose their
+  * comparator; the k-smallest semantics are restored at every trim and
+  * at finish. Subclasses supply only how an input row enters the
+  * buffer.
+  */
+abstract class KmvBufferAgg[IN](k: Int)
+    extends Aggregator[IN, mutable.HashSet[Long], Array[Long]] {
   require(k >= 2, s"k must be >= 2: $k")
 
-  // order hashes as UNSIGNED 64-bit values (flip the sign bit): the
-  // estimator needs the k smallest points of a uniform [0, 2^64) draw.
-  // In md5 mode the draw is instead the md5-derived 60-bit uniform
-  // (non-negative, natural order — no flip), which an independent
-  // engine reproduces hash-for-hash; see [[Hashing.md5Uniform60]].
-  // The buffer is a hash set trimmed LAZILY (sort once when it reaches
-  // 4k, not a tree insert per row) — kryo round-trips HashSet where
-  // ordered collections lose their comparator; the k-smallest semantics
-  // are restored at every trim and at finish.
-  private def ord(h: Long): Long = h ^ Long.MinValue
-
-  private def hashOf(a: String): Long =
-    if (md5) Hashing.md5Uniform60(a) else ord(Hashing.hash64(a))
-
-  private def trim(b: mutable.HashSet[Long]): mutable.HashSet[Long] =
+  protected final def trim(b: mutable.HashSet[Long]): mutable.HashSet[Long] =
     if (b.size <= k) b else {
       val kept = b.toArray.sorted.take(k)
       b.clear()
       b ++= kept
     }
 
-  override def zero: mutable.HashSet[Long] = mutable.HashSet.empty[Long]
+  protected final def trimWatermark: Int = 4 * k
 
-  override def reduce(b: mutable.HashSet[Long], a: String): mutable.HashSet[Long] = {
-    if (a != null) {
-      b.add(hashOf(a))
-      if (b.size > 4 * k) trim(b)
-    }
-    b
-  }
+  override final def zero: mutable.HashSet[Long] =
+    mutable.HashSet.empty[Long]
 
-  override def merge(x: mutable.HashSet[Long],
+  override final def merge(x: mutable.HashSet[Long],
       y: mutable.HashSet[Long]): mutable.HashSet[Long] = {
     x ++= y
     trim(x)
   }
 
   /** The sketch: ascending (unsigned-order) hash minima, exact set below k. */
-  override def finish(b: mutable.HashSet[Long]): Array[Long] =
+  override final def finish(b: mutable.HashSet[Long]): Array[Long] =
     b.toArray.sorted.take(k)
 
-  override def bufferEncoder: Encoder[mutable.HashSet[Long]] =
+  override final def bufferEncoder: Encoder[mutable.HashSet[Long]] =
     Encoders.kryo[mutable.HashSet[Long]]
-  override def outputEncoder: Encoder[Array[Long]] =
+  override final def outputEncoder: Encoder[Array[Long]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+}
+
+class KmvAgg(k: Int, md5: Boolean = false) extends KmvBufferAgg[String](k) {
+
+  // order hashes as UNSIGNED 64-bit values (flip the sign bit): the
+  // estimator needs the k smallest points of a uniform [0, 2^64) draw.
+  // In md5 mode the draw is instead the md5-derived 60-bit uniform
+  // (non-negative, natural order — no flip), which an independent
+  // engine reproduces hash-for-hash; see [[Hashing.md5Uniform60]].
+  private def ord(h: Long): Long = h ^ Long.MinValue
+
+  private def hashOf(a: String): Long =
+    if (md5) Hashing.md5Uniform60(a) else ord(Hashing.hash64(a))
+
+  override def reduce(b: mutable.HashSet[Long], a: String): mutable.HashSet[Long] = {
+    if (a != null) {
+      b.add(hashOf(a))
+      if (b.size > trimWatermark) trim(b)
+    }
+    b
+  }
 }
 
 object KmvAgg {
@@ -152,42 +161,16 @@ object KmvAgg {
 }
 
 /** Grouped MERGE of finished KMV sketches ([[KmvAgg.mergeSketches]]) —
-  * same lazily-trimmed HashSet buffer discipline as the base
-  * aggregator (kryo-safe, O(k) bounded), input already hashed.
+  * the shared [[KmvBufferAgg]] buffer discipline, input already hashed.
   */
-class KmvMergeAgg(k: Int)
-    extends Aggregator[Array[Long], mutable.HashSet[Long], Array[Long]] {
-  require(k >= 2, s"k must be >= 2: $k")
-
-  private def trim(b: mutable.HashSet[Long]): mutable.HashSet[Long] =
-    if (b.size <= k) b else {
-      val kept = b.toArray.sorted.take(k)
-      b.clear()
-      b ++= kept
-    }
-
-  override def zero: mutable.HashSet[Long] = mutable.HashSet.empty[Long]
+class KmvMergeAgg(k: Int) extends KmvBufferAgg[Array[Long]](k) {
 
   override def reduce(b: mutable.HashSet[Long],
       a: Array[Long]): mutable.HashSet[Long] = {
     if (a != null) {
       b ++= a
-      if (b.size > 4 * k) trim(b)
+      if (b.size > trimWatermark) trim(b)
     }
     b
   }
-
-  override def merge(x: mutable.HashSet[Long],
-      y: mutable.HashSet[Long]): mutable.HashSet[Long] = {
-    x ++= y
-    trim(x)
-  }
-
-  override def finish(b: mutable.HashSet[Long]): Array[Long] =
-    b.toArray.sorted.take(k)
-
-  override def bufferEncoder: Encoder[mutable.HashSet[Long]] =
-    Encoders.kryo[mutable.HashSet[Long]]
-  override def outputEncoder: Encoder[Array[Long]] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
 }

@@ -855,18 +855,22 @@ object CorpusQueries extends QueryPack {
   private val gopherGates = Q(
     "docs_gopher_gates",
     (s, d) => {
-      val w = graft.functions.Tokenize(col("text"))
-      val lines = split(col("text"), "\n")
+      // NULL text normalizes to '' up front (both engines): Tokenize's
+      // empty-array null contract and WordsExpr's NULL list would
+      // otherwise send the same row down different CASE branches.
+      val txt = coalesce(col("text"), lit(""))
+      val w = graft.functions.Tokenize(txt)
+      val lines = split(txt, "\n")
       val stops = array(Seq("the", "be", "to", "of", "and", "that",
         "have", "with").map(lit): _*)
       val t = Tables.documents(s, d).select(col("source"),
         size(w).as("nw"),
-        length(regexp_replace(col("text"), "[ \t\n\f\r]", ""))
+        length(regexp_replace(txt, "[ \t\n\f\r]", ""))
           .as("wchars"),
         size(filter(w, x => x.rlike("[a-zA-Z]"))).as("nalpha"),
-        (length(col("text"))
-          - length(regexp_replace(col("text"), "#", ""))
-          + size(regexp_extract_all(col("text"),
+        (length(txt)
+          - length(regexp_replace(txt, "#", ""))
+          + size(regexp_extract_all(txt,
               lit("\\.\\.\\.|…"), lit(0)))).as("nsym"),
         size(lines).as("nlines"),
         size(filter(lines, l => l.startsWith("- ") ||
@@ -900,13 +904,15 @@ object CorpusQueries extends QueryPack {
             col("f_stop") === 0, 1L).otherwise(0L)).as("n_pass_all"))
         .orderBy(col("source"))
     },
-    Some(s"""WITH t AS (SELECT source, $WordsExpr AS w,
+    Some(s"""WITH d0 AS (SELECT source, coalesce(text, '') AS text
+            |  FROM documents),
+            |t AS (SELECT source, $WordsExpr AS w,
             |   length(regexp_replace(text, '[ \\t\\n\\f\\r]', '', 'g'))
             |     AS wchars,
             |   length(text) - length(replace(text, '#', ''))
             |     + len(regexp_extract_all(text, '\\.\\.\\.|…')) AS nsym,
             |   string_split(text, chr(10)) AS ln
-            |  FROM documents),
+            |  FROM d0),
             |g AS (SELECT source, len(w) AS nw, wchars, nsym,
             |   len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]')))
             |     AS nalpha,

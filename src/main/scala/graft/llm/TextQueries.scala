@@ -172,7 +172,11 @@ object TextQueries extends QueryPack {
       merges = merges :+ best.select(lit(i.toLong).as("rank"),
         col("l"), col("r"), concat(col("l"), col("r")).as("merged"),
         col("c").as("pair_count"))
-      seg = seg.crossJoin(broadcast(best))
+      // LEFT join, not a cross join: once the vocabulary runs out of
+      // adjacent pairs `best` is EMPTY, and a cross join would erase
+      // the segmentation (and null out [[bpeStats]]' totals) — a null
+      // merge pair folds every word through unchanged instead.
+      seg = seg.join(broadcast(best), lit(true), "left")
         .select(col("word"), col("freq"),
           mergeU(col("s"), col("l"), col("r")).as("s"))
         .stageCheckpoint()
@@ -196,7 +200,7 @@ object TextQueries extends QueryPack {
          |     CASE WHEN regexp_extract(a, '[^ ]+$$') = m.l AND b = m.r
          |      THEN regexp_replace(a, '[^ ]+$$', m.l || m.r)
          |      ELSE a || ' ' || b END), ' ') AS s
-         |  FROM $prev, m$i m)""".stripMargin
+         |  FROM $prev LEFT JOIN m$i m ON TRUE)""".stripMargin
     }.mkString(",\n")
     s"""WITH w AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+'))
        |   AS word FROM documents),
@@ -829,12 +833,14 @@ object TextQueries extends QueryPack {
     * audit spends a labeling budget. The identity n_h·σ_h =
     * √(n·Σx² − (Σx)²) keeps everything integral until ONE sqrt: the
     * variance integrand goes through DECIMAL (the overflow rule for
-    * squared sums), each stratum's √var_num is micro-rounded ONCE to a
-    * BIGINT (the zipf/perplexity convention) so the Σw denominator is an
-    * order-independent integer sum — a raw sum(sqrt(double)) would
-    * depend on Spark's partition accumulation order and could flip the
-    * floor below — and the floor(1000·w/Σw) allocation is then pure
-    * integer division. The realized draw is the md5-uniform against
+    * squared sums), each stratum's √var_num is micro-floored ONCE into
+    * a DECIMAL(25,0) (integral, order-independent to sum, and wide
+    * enough for √1e38·1e6 — a BIGINT here would wrap silently in Spark
+    * at the very scale the DECIMAL integrand exists for; a raw
+    * sum(sqrt(double)) would depend on partition accumulation order
+    * and could flip the floor below), and the floor(1000·w/Σw)
+    * allocation is one identically-written double expression over two
+    * exact integral operands. The realized draw is the md5-uniform against
     * rate = alloc/n_h (the `text_mixture_sample` machinery). var_num is
     * published as its canonical decimal STRING: a DECIMAL(38,0) cell is
     * exact in both engines but readers disagree on its formatting
@@ -855,12 +861,22 @@ object TextQueries extends QueryPack {
           (col("n_s").cast(d19) * col("sxx").cast(d19) -
             col("sx").cast(d19) * col("sx").cast(d19))
             .cast("decimal(38,0)").as("var_num"))
+      // sqrtq through DECIMAL(25,0): sqrt of a DECIMAL(38,0) reaches
+      // 1e19, so micro-quantizing into a BIGINT would silently wrap in
+      // Spark (and raise in DuckDB) in exactly the regime var_num's
+      // DECIMAL exists for. floor() yields an integral double, whose
+      // exact binary value both engines convert to the same decimal;
+      // the decimal sum is order-independent, and the allocation is
+      // the identically-written double expression (both operands are
+      // exact integral decimals → identical doubles → identical floor).
       val stq = st.withColumn("sqrtq",
-        floor(sqrt(col("var_num").cast("double")) * 1e6).cast("long"))
-      val tot = stq.agg(sum(col("sqrtq")).as("sw"))
+        floor(sqrt(col("var_num").cast("double")) * 1e6)
+          .cast("decimal(25,0)"))
+      val tot = stq.agg(sum(col("sqrtq")).cast("decimal(35,0)").as("sw"))
       val alloc = stq.crossJoin(broadcast(tot))
         .select(col("source").as("src"), col("n_s"), col("var_num"),
-          expr("(1000 * sqrtq) div sw").as("alloc"))
+          floor(lit(1000.0) * col("sqrtq").cast("double") /
+            col("sw").cast("double")).cast("long").as("alloc"))
       val v = conv(substring(md5(col("doc_id").cast("string")), 1, 15),
         16, 10).cast("double")
       val u = (v + lit(1.0)) / lit(math.pow(16.0, 15) + 1.0)
@@ -885,12 +901,13 @@ object TextQueries extends QueryPack {
            |    AS DECIMAL(38,0)) AS var_num
            |  FROM st),
            |vq AS (SELECT source, n_s, var_num,
-           |   CAST(floor(sqrt(CAST(var_num AS DOUBLE)) * 1e6) AS BIGINT)
-           |     AS sqrtq
+           |   CAST(floor(sqrt(CAST(var_num AS DOUBLE)) * 1e6)
+           |     AS DECIMAL(25,0)) AS sqrtq
            |  FROM v),
-           |tot AS (SELECT CAST(sum(sqrtq) AS BIGINT) AS sw FROM vq),
+           |tot AS (SELECT CAST(sum(sqrtq) AS DECIMAL(35,0)) AS sw FROM vq),
            |al AS (SELECT source AS src, n_s, var_num,
-           |   (1000 * sqrtq) // sw AS alloc
+           |   CAST(floor(1000.0 * CAST(sqrtq AS DOUBLE)
+           |     / CAST(sw AS DOUBLE)) AS BIGINT) AS alloc
            |  FROM vq CROSS JOIN tot),
            |u AS (SELECT doc_id, source,
            |  (CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))

@@ -36,6 +36,25 @@ class BpeTrainSpec extends SparkSpec {
     assert(m.size === 2)
   }
 
+  test("tokenize stats survive pair exhaustion (LEFT-join rounds, no row loss)") {
+    // same corpus as above: pairs run out after round 2, so rounds 3-10
+    // must pass the segmentation through unchanged — a cross join with
+    // the empty argmax would erase it and null every total here.
+    val dir = java.nio.file.Files.createTempDirectory("bpe").toString
+    val text = "aaaa aaaa aaaa b"
+    Seq((1L, text, "en", "planted", text.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = SparkEntry.queries("text_bpe_tokenize_stats")(spark, dir)
+      .collect()(0)
+    // 4 words, 13 chars; aaaa fully merges to ONE token, b stays one
+    assert(r.getLong(0) === 4L, "n_words")
+    assert(r.getLong(1) === 13L, "n_chars")
+    assert(r.getLong(2) === 4L, "n_tokens")
+    assert(r.getLong(3) === 9L, "tokens_saved")
+    assert(r.getLong(4) === 1000L, "fertility_milli")
+  }
+
   test("frequency weighting and lexicographic tiebreak pick the argmax") {
     // 'ab' x2 vs 'cd' x2: tie on count 2 -> pair string "a b" < "c d".
     val m = trainOn("ab ab cd cd")
