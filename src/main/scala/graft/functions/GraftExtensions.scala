@@ -6,9 +6,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 /** SQL surface for the engine's custom expressions. Activate with
   * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`
-  * (or `.withExtensions(new GraftExtensions)`): `nfkc_lower(str)` and
-  * `poly_hash(str)` then work from plain `spark.sql(...)` exactly like
-  * built-ins, including codegen.
+  * (or `.withExtensions(new GraftExtensions)`): `nfkc_lower(str)`,
+  * `poly_hash(str)`, `cosine_sim(a, b)` and `tokenize_words(str)` then
+  * work from plain `spark.sql(...)` exactly like built-ins, including
+  * codegen.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import GraftExtensions.{binary, unary}
@@ -26,6 +27,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
       binary("cosine_sim", CosineSim(_, _))))
+    ext.injectFunction((
+      new FunctionIdentifier("tokenize_words"),
+      new ExpressionInfo(classOf[Tokenize].getName, "tokenize_words"),
+      unary("tokenize_words", Tokenize.apply(_: Expression))))
   }
 }
 
@@ -58,5 +63,7 @@ object GraftExtensions {
       spark, "poly_hash", unary("poly_hash", PolyHash.apply(_: Expression)))
     org.apache.spark.sql.graftshim.ColumnBridge.registerTempFunction(
       spark, "cosine_sim", binary("cosine_sim", CosineSim(_, _)))
+    org.apache.spark.sql.graftshim.ColumnBridge.registerTempFunction(
+      spark, "tokenize_words", unary("tokenize_words", Tokenize.apply(_: Expression)))
   }
 }

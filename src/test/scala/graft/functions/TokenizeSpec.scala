@@ -68,6 +68,13 @@ class TokenizeSpec extends SparkSpec {
     try body finally spark.conf.set(key, prev)
   }
 
+  test("SQL-registered: tokenize_words works from spark.sql") {
+    GraftExtensions.register(spark)
+    val out = spark.sql("SELECT tokenize_words('  a\tb  c ') AS w")
+      .collect()(0).getSeq[String](0)
+    assert(out === Seq("a", "b", "c"))
+  }
+
   test("explode(Tokenize) inside one whole-stage codegen span tokenizes a frame") {
     val counts = Seq("x y x", "y", "").toDF("t")
       .select(explode(Tokenize(col("t"))).as("tok"))
