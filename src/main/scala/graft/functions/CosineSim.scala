@@ -50,7 +50,10 @@ object CosineSim {
     var na = 0.0
     var nb = 0.0
     var i = 0
-    val n = a.numElements()
+    // min-length bound, in lockstep with Hashing.cosine: ragged rows
+    // score their overlap instead of throwing; equal-length inputs are
+    // bit-unchanged.
+    val n = math.min(a.numElements(), b.numElements())
     while (i < n) {
       val x = a.getFloat(i).toDouble
       val y = b.getFloat(i).toDouble

@@ -36,8 +36,13 @@ object Ann {
     */
   def bruteTopK(vectors: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
+    // null embeddings (failed upstream embedding jobs) are non-rows for
+    // every ANN path — the EdgeCaseSpec contract the signature/centroid
+    // UDFs below would otherwise NPE on. Applied at every entry point.
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .filter(col("qv").isNotNull)
     val n = vectors.select(col(idCol).as("vec_id"), col(vecCol).as("nv"))
+      .filter(col("nv").isNotNull)
     val scored = broadcast(q).join(n, col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"),
         cosine(col("qv"), col("nv")).as("score"))
@@ -66,7 +71,9 @@ object Ann {
     // a plain column read, cheaper at scale than corpus-sized cached
     // blocks that nothing can unpersist (the returned frame is lazy).
     val qBase = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .filter(col("qv").isNotNull)
     val nBase = vectors.select(col(idCol).as("vec_id"), col(vecCol).as("nv"))
+      .filter(col("nv").isNotNull)
     def keyed(df: DataFrame, id: String, vec: String) =
       df.select(col(id), posexplode(sigUdf(col(vec))).as(Seq("t", "sig")))
     val qk = keyed(qBase, "query_id", "qv")
@@ -99,6 +106,7 @@ object Ann {
     val sigUdf = udf((v: Array[Float]) => Hashing.rhpSignatures(v, tables, bits))
     // not cached — same lifecycle rationale as lshTopK
     val base = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .filter(col("v").isNotNull)
     val keyed = base.select(col("id"), posexplode(sigUdf(col("v"))).as(Seq("t", "sig")))
     val candidates = keyed.as("l").join(keyed.as("r"),
       col("l.t") === col("r.t") && col("l.sig") === col("r.sig") &&
@@ -181,6 +189,7 @@ object Ann {
       vecCol: String, k: Int, nCells: Int = 16, nProbe: Int = 4,
       iters: Int = 2): DataFrame = {
     val v = vectors.select(col(idCol).as("vec_id"), col(vecCol).as("nv"))
+      .filter(col("nv").isNotNull)
     val centroids = ivfCentroids(v, nCells, iters)
 
     def nearestUdf(cents: Array[Array[Float]]) =
@@ -190,6 +199,7 @@ object Ann {
     val nAssigned = v.withColumn("cell_id", nearestUdf(centroids)(col("nv")))
     val qAssigned = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .filter(col("qv").isNotNull)
       .withColumn("cell_id", explode(probeUdf(centroids, nProbe)(col("qv"))))
 
     val w = Window.partitionBy(col("query_id"))
@@ -224,25 +234,38 @@ object Ann {
     var c = 0
     while (c < book.length) {
       val b = book(c)
+      // min-length bound: ragged rows score their overlap (the cosine
+      // convention) instead of throwing
+      val n = math.min(s.length, b.length)
       var d = 0.0; var i = 0
-      while (i < s.length) { val t = s(i) - b(i); d += t * t; i += 1 }
+      while (i < n) { val t = s(i) - b(i); d += t * t; i += 1 }
       if (d < bestD) { bestD = d; best = c }
       c += 1
     }
     best
   }
 
+  /** Subspace layout is owned by the BOOKS, not the row: every subspace
+    * is `books(0)(0).length` wide except possibly the last (the ceil
+    * remainder when dim % m != 0), so encode/decode agree with training
+    * even on ragged rows.
+    */
   private[llm] def pqEncode(books: Array[Array[Array[Float]]], x: Array[Float]): Array[Int] = {
-    val m = books.length; val sub = x.length / m
+    val m = books.length; val sub = books(0)(0).length
     Array.tabulate(m)(j =>
-      nearestSubCode(books(j), java.util.Arrays.copyOfRange(x, j * sub, (j + 1) * sub)))
+      nearestSubCode(books(j), java.util.Arrays.copyOfRange(x,
+        math.min(j * sub, x.length), math.min((j + 1) * sub, x.length))))
   }
 
   private[llm] def pqDecode(books: Array[Array[Array[Float]]], codes: Seq[Int]): Array[Float] = {
     val m = books.length; val sub = books(0)(0).length
-    val out = new Array[Float](m * sub)
+    val out = new Array[Float]((m - 1) * sub + books(m - 1)(0).length)
     var j = 0
-    while (j < m) { System.arraycopy(books(j)(codes(j)), 0, out, j * sub, sub); j += 1 }
+    while (j < m) {
+      val piece = books(j)(codes(j))
+      System.arraycopy(piece, 0, out, j * sub, piece.length)
+      j += 1
+    }
     out
   }
 
@@ -256,15 +279,29 @@ object Ann {
       iters: Int): Array[Array[Array[Float]]] = {
     val seeds = v.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(ksub)
       .select(col("nv")).collect().map(_.getSeq[Float](0).toArray)
-    val sub = seeds(0).length / m
-    var books = Array.tabulate(m)(j =>
-      seeds.map(x => java.util.Arrays.copyOfRange(x, j * sub, (j + 1) * sub)))
+    // empty (or zero-dim) input degrades to no codebooks — pqTopK turns
+    // that into an empty result, the EdgeCaseSpec convention
+    if (seeds.isEmpty || seeds(0).isEmpty) return Array.empty
+    val dim = seeds(0).length
+    // dim need not divide m: mEff caps at dim (one dim per subspace is
+    // the finest split), sub is the ceil width and the LAST subspace
+    // takes the (possibly shorter) remainder — no tail dim is dropped
+    // and no code index ever reaches past mEff
+    val mEff = math.min(m, dim)
+    val sub = (dim + mEff - 1) / mEff
+    // seeds pinned to the training dim (pad/truncate) so a ragged seed
+    // can't produce a misshapen codebook
+    val seedsFit = seeds.map(x => java.util.Arrays.copyOf(x, dim))
+    var books = Array.tabulate(mEff)(j =>
+      seedsFit.map(x => java.util.Arrays.copyOfRange(x, j * sub,
+        math.min((j + 1) * sub, dim))))
     for (_ <- 1 to iters) {
       val b = books
       val codesUdf = udf((x: Array[Float]) => pqEncode(b, x))
       val j = (col("d") / sub).cast("int")
       val means = v.select(codesUdf(col("nv")).as("codes"),
           posexplode(col("nv")).as(Seq("d", "x")))
+        .filter(col("d") < dim) // ragged long rows: tail dims have no subspace
         .select(j.as("j"), col("d"), element_at(col("codes"), j + 1).as("code"), col("x"))
         .groupBy(col("j"), col("code"), col("d")).agg(avg(col("x")).as("mn"))
         .collect()
@@ -290,12 +327,18 @@ object Ann {
       vecCol: String, k: Int, m: Int = 16, ksub: Int = 16,
       iters: Int = 2): DataFrame = {
     val v = vectors.select(col(idCol).as("vec_id"), col(vecCol).as("nv"))
+      .filter(col("nv").isNotNull)
     val books = pqCodebooks(v, m, ksub, iters)
+    if (books.isEmpty)
+      // empty/degenerate corpus: empty result in the output schema
+      return queries.select(col(idCol).as("query_id"), lit(1).as("rank"),
+        col(idCol).as("vec_id")).limit(0)
     val encodeUdf = udf((x: Array[Float]) => pqEncode(books, x))
     val codes = v.select(col("vec_id"), encodeUdf(col("nv")).as("codes"))
     val adcUdf = udf((q: Array[Float], cs: Seq[Int]) =>
       Hashing.cosine(q, pqDecode(books, cs)))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .filter(col("qv").isNotNull)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("vec_id"))
     broadcast(q).join(codes, col("query_id") =!= col("vec_id"))
@@ -318,6 +361,7 @@ object Ann {
   def semDedup(vectors: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nCells: Int = 16, iters: Int = 2): DataFrame = {
     val v = vectors.select(col(idCol).as("vec_id"), col(vecCol).as("nv"))
+      .filter(col("nv").isNotNull)
     val centroids = ivfCentroids(v, nCells, iters)
     val cellUdf = udf((x: Array[Float]) => nearestCellIdx(centroids, x))
     val cells = v.select(col("vec_id"), col("nv"), cellUdf(col("nv")).as("cell"))

@@ -602,9 +602,10 @@ object CorpusQueries extends QueryPack {
     * dedup stage is spec-pinned in DocStreamSpec): the registered query
     * drives the exact library code the stream runs, so the DuckDB
     * compare oracles the streaming operator's row semantics. The
-    * decontamination here is the ANY-hit gate (one shared 5-gram with
-    * the benchmark drops the doc — the strict WMT/GPT-3 form),
-    * complementing `dedup_contaminate_ngram_frac`'s fractional report.
+    * decontamination is the same distinct-gram hit-RATIO gate (≥ 10%)
+    * as `docs_training_pipeline_v5` — the stream and the batch pipeline
+    * must keep/drop identically on the same rows, which DocStreamSpec
+    * pins and this oracle hash-checks cross-engine.
     */
   private val streamGatesTwin = Q(
     "stream_doc_curation_gates",
@@ -635,7 +636,8 @@ object CorpusQueries extends QueryPack {
             |     for i in range(1, len(w)-3)])) AS gram
             |   FROM (SELECT doc_id, $WordsExpr AS w FROM c0)
             |   WHERE len(w) >= 5)),
-            |hit AS (SELECT DISTINCT cg.doc_id FROM cg JOIN bf USING (fp))
+            |hit AS (SELECT cg.doc_id FROM cg LEFT JOIN bf ON cg.fp = bf.fp
+            |  GROUP BY 1 HAVING (count(bf.fp) * 10000) // count(*) >= 1000)
             |SELECT lang, count(*) AS n_docs,
             | CAST(sum(doc_id) AS BIGINT) AS sum_ids
             |FROM c0 WHERE doc_id NOT IN (SELECT doc_id FROM hit)

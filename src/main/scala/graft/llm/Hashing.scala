@@ -130,6 +130,22 @@ object Hashing {
     * repeated-span (exact-substring) dedup family; the DuckDB twin is
     * the list comprehension in CorpusQueries' gram chains.
     */
+  /** First 16 hex chars of md5(s) — the cross-engine fingerprint
+    * convention (`substring(md5(x), 1, 16)` in the DuckDB twins).
+    */
+  def md5Hex16(s: String): String = {
+    val dig = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    val sb = new java.lang.StringBuilder(16)
+    var bi = 0
+    while (bi < 8) {
+      sb.append(Character.forDigit((dig(bi) >> 4) & 0xf, 16))
+      sb.append(Character.forDigit(dig(bi) & 0xf, 16))
+      bi += 1
+    }
+    sb.toString
+  }
+
   def gramHashes(text: String, n: Int): Array[String] = {
     val ws = words(text)
     if (ws.length < n) return Array.empty
@@ -301,7 +317,12 @@ object Hashing {
     var na = 0.0
     var nb = 0.0
     var i = 0
-    while (i < a.length) {
+    // min-length bound: on a ragged table (one malformed row longer
+    // than its peers) the overlap scores instead of an AIOOBE killing
+    // the stage; identical-length inputs — every pinned case — are
+    // bit-unchanged. Must stay in lockstep with CosineSim.cosine.
+    val n = math.min(a.length, b.length)
+    while (i < n) {
       dot += a(i).toDouble * b(i).toDouble
       na += a(i).toDouble * a(i).toDouble
       nb += b(i).toDouble * b(i).toDouble

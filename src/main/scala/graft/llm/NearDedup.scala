@@ -118,15 +118,38 @@ object MinHashLsh {
     */
   def nearDupPairsIncremental(oldDocs: DataFrame, oldPairs: DataFrame,
       newDocs: DataFrame, idCol: String, textCol: String,
-      threshold: Double, shingleN: Int = 3): DataFrame = {
+      threshold: Double, shingleN: Int = 3): DataFrame =
+    nearDupPairsFromIndex(oldDocs,
+      bandKeys(oldDocs, idCol, textCol, shingleN), oldPairs,
+      newDocs, bandKeys(newDocs, idCol, textCol, shingleN),
+      idCol, textCol, threshold, shingleN)
+
+  /** The persistable band index for a document frame: one (id, band, h)
+    * row per band key. A long-lived index store (e.g. the streaming
+    * [[graft.streaming.DocStream.maintainLshIndex]] sink) appends each
+    * batch's keys ONCE and reuses them forever — recomputing minhash
+    * signatures for the whole corpus per increment would make every
+    * increment O(|corpus|) UDF work.
+    */
+  def bandKeys(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3): DataFrame =
+    docs.select(col(idCol).as("id"),
+      posexplode(bandsUdf(shingleN)(col(textCol))).as(Seq("band", "h")))
+
+  /** [[nearDupPairsIncremental]] with the band passes precomputed
+    * ([[bandKeys]] schema). The old corpus's TEXT is still the verify
+    * source for candidates touching old docs — a column fetch for just
+    * the candidate ids, never a signature recompute.
+    */
+  def nearDupPairsFromIndex(oldDocs: DataFrame, oldBands: DataFrame,
+      oldPairs: DataFrame, newDocs: DataFrame, newBands: DataFrame,
+      idCol: String, textCol: String, threshold: Double,
+      shingleN: Int = 3): DataFrame = {
     def prep(df: DataFrame) =
       df.select(col(idCol).as("id"), col(textCol).as("txt"))
     val src = prep(oldDocs).unionByName(prep(newDocs))
-    def buckets(df: DataFrame) = prep(df).select(col("id"),
-      posexplode(bandsUdf(shingleN)(col("txt"))).as(Seq("band", "h")))
-    val newB = buckets(newDocs)
-    val allB = buckets(oldDocs).unionByName(newB)
-    val candNew = newB.select(col("band"), col("h"), col("id").as("a"))
+    val allB = oldBands.unionByName(newBands)
+    val candNew = newBands.select(col("band"), col("h"), col("id").as("a"))
       .join(allB.select(col("band"), col("h"), col("id").as("b")),
         Seq("band", "h"))
       .filter(col("a") =!= col("b"))

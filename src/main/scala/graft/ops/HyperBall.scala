@@ -44,11 +44,17 @@ object HyperBall {
       .distinct()
     val sym = canon.unionByName(
       canon.select(col("v").as("u"), col("u").as("v")))
+    // node universe from the RAW edges: a node whose only incident edge
+    // is a self-loop has no sym row (u < v drops it) but still owns the
+    // ball {self} — dropping it would emit no row where a BFS oracle
+    // reports size 1
+    val nodes = edges.select(col(srcCol).cast("long").as("u"))
+      .unionByName(edges.select(col(dstCol).cast("long").as("u")))
+      .distinct()
     // radius-1 ball sketch: self + direct neighbors
     val members1 = sym.select(col("u"), col("v").cast("string").as("m"))
       .unionByName(
-        sym.select(col("u")).distinct()
-          .select(col("u"), col("u").cast("string").as("m")))
+        nodes.select(col("u"), col("u").cast("string").as("m")))
     val h1 = members1.groupBy(col("u"))
       .agg(graft.functions.KmvAgg.sketchMd5(col("m"), k).as("sk"))
     // radius-2 = merge of every neighbor's radius-1 sketch with our own

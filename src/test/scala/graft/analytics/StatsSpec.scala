@@ -75,6 +75,16 @@ class StatsSpec extends SparkSpec {
       nodes.map(v => (v, got(v), ball2(v).size)).filter(t => t._2 != t._3))
   }
 
+  test("HyperBall: self-loop-only nodes own ball {self}, loops never inflate") {
+    // node 9's only edge is (9,9): it must appear with ball size 1, not
+    // vanish; node 1's self-loop must not change its ball
+    val got = graft.ops.HyperBall
+      .twoHopBallSizes(edgeDf(Seq((1L, 2L), (2L, 3L), (1L, 1L), (9L, 9L))),
+        "a", "b", k = 256)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 9L -> 1L))
+  }
+
   test("Triangles.census matches brute force on a seeded random graph") {
     val rnd = new scala.util.Random(42)
     val n = 30

@@ -254,6 +254,75 @@ class AnnSpec extends SparkSpec {
       assert(sorted.zip(sorted.drop(1)).forall { case (a, b) => a >= b })
     }
   }
+
+  test("pq: dim not divisible by m — tail subspace trained, encoded, decoded") {
+    import spark.implicits._
+    // dim=10, m=4 → sub=ceil(10/4)=3 with a width-1 tail subspace; the
+    // old layout dropped dims 8-9 and indexed books out of range
+    val rnd = new scala.util.Random(7)
+    val rows = (0L until 40L).map(i => (i, Array.fill(10)(rnd.nextFloat())))
+    val df = rows.toDF("vec_id", "embedding")
+    val books = Ann.pqCodebooks(
+      df.select(col("vec_id"), col("embedding").as("nv")), m = 4, ksub = 8,
+      iters = 2)
+    assert(books.length === 4)
+    assert(books.map(_.head.length).toSeq === Seq(3, 3, 3, 1))
+    val codes = Ann.pqEncode(books, rows.head._2)
+    assert(codes.length === 4 && codes.forall(c => c >= 0 && c < 8))
+    // reconstruction covers ALL 10 dims (no dropped tail)
+    assert(Ann.pqDecode(books, codes.toSeq).length === 10)
+    val q = df.filter(col("vec_id") < 5)
+    val pq = Ann.pqTopK(df, q, "vec_id", "embedding", 3, m = 4, ksub = 8)
+      .as[(Long, Int, Long)].collect()
+    assert(pq.length === 15) // 5 queries × full k
+    // m > dim degenerates to one dim per subspace, not a crash
+    val narrow = (0L until 10L).map(i => (i, Array.fill(3)(rnd.nextFloat())))
+      .toDF("vec_id", "embedding")
+    val booksN = Ann.pqCodebooks(
+      narrow.select(col("vec_id"), col("embedding").as("nv")), m = 16,
+      ksub = 4, iters = 1)
+    assert(booksN.length === 3 && booksN.forall(_.head.length == 1))
+  }
+
+  test("pq/ann: empty corpus and null embedding rows degrade, never throw") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val q = emb.filter(col("vec_id") < 3)
+    assert(Ann.pqTopK(empty, q, "vec_id", "embedding", 5).count() === 0L)
+    assert(Ann.ivfTopK(empty, q, "vec_id", "embedding", 5).count() === 0L)
+
+    // a null embedding (failed upstream embed job) is a non-row for
+    // every path — results equal the same call without the null row
+    val good = (0L until 30L).map { i =>
+      val rnd = new scala.util.Random(i)
+      (i, Array.fill(8)(rnd.nextFloat()))
+    }
+    val withNull = (good :+ ((99L, null.asInstanceOf[Array[Float]])))
+      .toDF("vec_id", "embedding")
+    val clean = good.toDF("vec_id", "embedding")
+    val qs = withNull.filter(col("vec_id") < 5 || col("vec_id") === 99L)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("query_id"), col("rank"), col("vec_id"))
+        .as[(Long, Int, Long)].collect().toSet
+    assert(ids(Ann.bruteTopK(withNull, qs, "vec_id", "embedding", 3)) ===
+      ids(Ann.bruteTopK(clean, clean.filter(col("vec_id") < 5), "vec_id", "embedding", 3)))
+    assert(ids(Ann.lshTopK(withNull, qs, "vec_id", "embedding", 3)) ===
+      ids(Ann.lshTopK(clean, clean.filter(col("vec_id") < 5), "vec_id", "embedding", 3)))
+    assert(ids(Ann.ivfTopK(withNull, qs, "vec_id", "embedding", 3, nCells = 4)) ===
+      ids(Ann.ivfTopK(clean, clean.filter(col("vec_id") < 5), "vec_id", "embedding", 3, nCells = 4)))
+    assert(ids(Ann.pqTopK(withNull, qs, "vec_id", "embedding", 3, m = 4, ksub = 4)) ===
+      ids(Ann.pqTopK(clean, clean.filter(col("vec_id") < 5), "vec_id", "embedding", 3, m = 4, ksub = 4)))
+    val sd = Ann.semDedup(withNull, "vec_id", "embedding", 0.99, nCells = 4)
+    assert(sd.select(col("vec_id")).as[Long].collect().toSet ===
+      good.map(_._1).toSet)
+    assert(Ann.cosineNearDupPairs(withNull, "vec_id", "embedding", 0.99)
+      .filter(col("i") === 99L || col("j") === 99L).count() === 0L)
+  }
+
+  test("cosine: ragged lengths score the overlap instead of throwing") {
+    assert(math.abs(Hashing.cosine(Array(1f, 0f, 5f), Array(1f, 0f)) - 1.0) < 1e-12)
+    assert(math.abs(Hashing.cosine(Array(1f, 0f), Array(1f, 0f, 5f)) - 1.0) < 1e-12)
+  }
 }
 
 class MultimodalSpec extends SparkSpec {

@@ -63,6 +63,53 @@ class DocStreamSpec extends SparkSpec {
     assert(batch === Set(1L, 5L))
   }
 
+  test("decontaminate gates on the batch hit-RATIO, not any-hit") {
+    // a long doc QUOTING one benchmark 5-gram (2 hits / 56 grams ≈ 3.6%
+    // < 10%) must survive — the batch v5 gate keeps it, and the stream
+    // must agree; a doc that is mostly benchmark text must drop
+    val filler = (1 to 55).map(i => s"w$i").mkString(" ")
+    val quoting = s"$filler the quick brown fox jumps over"
+    val copied = s"$benchText and $benchText"
+    val docs = Seq(
+      Doc(1, quoting, "en", "w"),
+      Doc(2, copied, "en", "w")).toDF()
+    val kept = DocStream.decontaminate(docs, benchFps)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L))
+    // and the stream agrees with the batch v5 convention exactly:
+    // DISTINCT grams, n_hit * 10000 div n_grams >= 1000
+    val grams = graft.llm.Hashing.shingles(quoting, 5)
+      .map(graft.llm.Hashing.md5Hex16)
+    val bench = benchFps.as[String].collect().toSet
+    val hits = grams.count(bench.contains)
+    assert(hits > 0, "the quoting doc must actually hit the benchmark")
+    assert(hits * 10000L / grams.length < 1000L)
+  }
+
+  test("dedupExact with an event-time watermark dedups within the horizon") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def at(s: Int) = new java.sql.Timestamp(base.getTime + s * 1000L)
+    val docs = input.toDF().toDF("doc_id", "ts", "text")
+    val q = DocStream.dedupExact(docs, eventTimeCol = Some("ts"),
+        horizon = "10 minutes")
+      .writeStream.format("memory").queryName("wm_dedup")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        (1L, at(0), "alpha beta gamma"),
+        (2L, at(5), "alpha beta gamma"), // dup within horizon: dropped
+        (3L, at(9), "delta epsilon zeta"))
+      q.processAllAvailable()
+      input.addData((4L, at(20), "alpha beta gamma")) // still in horizon
+      q.processAllAvailable()
+      val got = spark.table("wm_dedup").select("doc_id")
+        .as[Long].collect().toSet
+      assert(got === Set(1L, 3L))
+    } finally q.stop()
+  }
+
   test("maintainLshIndex: per-batch incremental pairs equal the full recompute") {
     implicit val sq = spark.sqlContext
     val root = java.nio.file.Files.createTempDirectory("lshidx").toString
@@ -100,5 +147,12 @@ class DocStreamSpec extends SparkSpec {
     val corpus = spark.read.parquet(corpusDir)
       .select("doc_id").as[Long].collect().sorted
     assert(corpus.toSeq === Seq(1L, 2L, 3L, 4L, 5L))
+    // the band-signature store carries every doc's keys exactly once —
+    // the structure that keeps later batches from recomputing the whole
+    // corpus's signatures
+    val sigs = spark.read.parquet(s"${pairsDir}_sigs")
+    assert(sigs.select("id").distinct().as[Long].collect().sorted.toSeq ===
+      Seq(1L, 2L, 3L, 4L, 5L))
+    assert(sigs.count() === 5L * graft.llm.MinHashLsh.Bands)
   }
 }
