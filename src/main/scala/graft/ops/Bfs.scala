@@ -31,7 +31,9 @@ object Bfs {
   def hops(sym: DataFrame, sources: DataFrame, rounds: Int,
       stageEdges: Boolean = true): DataFrame = {
     val symC = if (stageEdges) sym.stageCheckpoint() else sym
-    var frontier = sources.select(col("node")).stageCheckpoint()
+    // distinct: duplicate source rows would emit duplicate (node, 0)
+    // state rows and fan out every downstream join/count
+    var frontier = sources.select(col("node")).distinct().stageCheckpoint()
     // state stays a lazy union of per-round CHECKPOINTED frontiers:
     // each member's lineage is already flat, so the union never
     // re-plans — one materialization per round, not two

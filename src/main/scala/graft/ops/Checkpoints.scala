@@ -35,7 +35,13 @@ object Checkpoints {
           sc.setCheckpointDir(dir)
         }
         df.checkpoint()
-      case _ => df.localCheckpoint()
+      case "local" => df.localCheckpoint()
+      case other =>
+        // fail fast: a typo'd mode silently running on non-fault-tolerant
+        // localCheckpoint blocks is exactly the failure `reliable` exists
+        // to prevent
+        throw new IllegalArgumentException(
+          s"spark.graft.checkpoint.mode must be 'local' or 'reliable', got '$other'")
     }
   }
 

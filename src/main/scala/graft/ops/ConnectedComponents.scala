@@ -71,6 +71,12 @@ object ConnectedComponents {
       labels = next.drop("_chg")
       iter += 1
     }
+    // fail LOUDLY at the iteration cap: truncated labels are silently
+    // WRONG (one component carrying several ids), and a downstream dedup
+    // would keep multiple "representatives" of one duplicate cluster
+    if (!converged) throw new IllegalStateException(
+      s"ConnectedComponents.components did not converge in $maxIter rounds " +
+        "(graph diameter exceeds maxIter) — raise maxIter or use componentsStar")
     labels
   }
 
@@ -121,10 +127,16 @@ object ConnectedComponents {
         .select(col("w").as("u"), col("m").as("v"))
         .distinct()
         .stageCheckpoint()
-      converged = small.exceptAll(e).isEmpty && e.exceptAll(small).isEmpty
+      // both frames are distinct(): set-equal iff equal cardinality and
+      // one-sided difference empty — one exceptAll shuffle per round,
+      // not two
+      converged = small.count() == e.count() && small.exceptAll(e).isEmpty
       e = small
       iter += 1
     }
+    if (!converged) throw new IllegalStateException(
+      s"ConnectedComponents.componentsStar did not converge in $maxIter " +
+        "rounds — a truncated star contraction can label one node twice")
     // star fixpoint: every remaining edge points child → component min.
     // Everything else (star roots, and nodes whose only edges were
     // self-loops) labels itself — matching [[components]]' node universe.

@@ -28,6 +28,11 @@ object GlobalOrder {
     */
   def ntileBy(df: DataFrame, sortCol: String, tieCol: String, tiles: Int,
       out: String = "_tile", nBuckets: Int = 32): DataFrame = {
+    // collision-proofed internals: withColumn REPLACES a same-named
+    // caller column and the final drop would then delete caller data
+    val (bC, offC, idxC) = ("_graft_ntile_b", "_graft_ntile_off", "_graft_ntile_idx")
+    require(!Seq(bC, offC, idxC).exists(df.columns.contains),
+      s"ntileBy input must not carry reserved columns $bC/$offC/$idxC")
     val cuts = df.stat
       .approxQuantile(sortCol,
         (1 until nBuckets).map(_.toDouble / nBuckets).toArray, 0.001)
@@ -37,8 +42,8 @@ object GlobalOrder {
     val bucketExpr = cuts
       .map(c => when(col(sortCol) > lit(c), 1).otherwise(0))
       .foldLeft(lit(0))(_ + _)
-    val bucketed = df.withColumn("_b", bucketExpr)
-    val counts = bucketed.groupBy(col("_b")).agg(count(lit(1)).as("_c"))
+    val bucketed = df.withColumn(bC, bucketExpr)
+    val counts = bucketed.groupBy(col(bC)).agg(count(lit(1)).as("_c"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     val n = counts.map(_._2).sum
     val offsets = {
@@ -51,20 +56,20 @@ object GlobalOrder {
       offsets.map { case (b, o) => org.apache.spark.sql.Row(b, o) }.asJava
     }
     val offDf = spark.createDataFrame(offRows,
-      org.apache.spark.sql.types.StructType.fromDDL("_b INT, _off BIGINT"))
-    val w = Window.partitionBy(col("_b")).orderBy(col(sortCol), col(tieCol))
+      org.apache.spark.sql.types.StructType.fromDDL(s"$bC INT, $offC BIGINT"))
+    val w = Window.partitionBy(col(bC)).orderBy(col(sortCol), col(tieCol))
     // SQL ntile: with q = n div tiles and r = n mod tiles, the first r
     // tiles hold q+1 rows, the rest q — expressed over the exact 0-based
     // global index with integer `div` (never double division)
     val (q, r) = (n / tiles, n % tiles)
     val tileExpr =
-      if (q == 0) expr("CAST(_idx AS INT) + 1")
-      else expr(s"CAST(IF(_idx < ${r * (q + 1)}, _idx div ${q + 1}, " +
-        s"$r + (_idx - ${r * (q + 1)}) div $q) AS INT) + 1")
+      if (q == 0) expr(s"CAST($idxC AS INT) + 1")
+      else expr(s"CAST(IF($idxC < ${r * (q + 1)}, $idxC div ${q + 1}, " +
+        s"$r + ($idxC - ${r * (q + 1)}) div $q) AS INT) + 1")
     bucketed
-      .join(broadcast(offDf), "_b")
-      .withColumn("_idx", col("_off") + row_number().over(w) - 1)
+      .join(broadcast(offDf), bC)
+      .withColumn(idxC, col(offC) + row_number().over(w) - 1)
       .withColumn(out, tileExpr)
-      .drop("_b", "_off", "_idx")
+      .drop(bC, offC, idxC)
   }
 }

@@ -40,7 +40,10 @@ object PageRank {
     val sym = sym0.union(sym0.select(col("v").as("u"), col("u").as("v")))
       .distinct()
       .stageCheckpoint()
+    // staged: deg is re-joined EVERY iteration — unstaged, each round's
+    // checkpoint would re-run the full edge-list aggregation
     val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("d"))
+      .stageCheckpoint()
     val s = seeds.select(col("node")).distinct().stageCheckpoint()
     val ns = s.count()
     val seedR = s.withColumn("s", lit(1.0 / ns))
@@ -67,7 +70,9 @@ object PageRank {
     val sym = sym0.union(sym0.select(col("v").as("u"), col("u").as("v")))
       .distinct()
       .stageCheckpoint()
+    // staged for the same per-iteration reuse as in personalizedRanks
     val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("d"))
+      .stageCheckpoint()
     val n = deg.count()
     var ranks = deg.select(col("u").as("node"), lit(1.0 / n).as("r"))
     for (_ <- 1 to iters) {

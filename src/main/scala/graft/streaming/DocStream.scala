@@ -33,16 +33,8 @@ object DocStream {
   final case class Doc(doc_id: Long, text: String, lang: String,
       source: String)
 
-  /** Path existence through the Hadoop FileSystem API — `java.io.File`
-    * is only correct for bare local paths and silently answers `false`
-    * for `hdfs://`/`s3a://` stores, which would re-bootstrap (and, for
-    * an overwrite sink, DESTROY) state on every batch at deployment
-    * scale.
-    */
-  private def pathExists(spark: SparkSession, dir: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-  }
+  private def pathExists(spark: SparkSession, dir: String): Boolean =
+    graft.util.Fs.exists(spark, dir)
 
   /** Quality gate: same predicates as the v5 pipeline's first stage
     * (token count ≥ minTokens, alpha ratio ≥ minAlpha), stateless. */

@@ -63,20 +63,31 @@ object EventStream {
         state.remove()
         Iterator(SessionUpdate(userId, n, new Timestamp(start), new Timestamp(end), closed = true))
       } else {
-        val sorted = rows.toSeq.sortBy(_.ts.getTime)
+        // Interval fold: the held session and the batch events, sorted by
+        // START time, merge when next.start − cur.end ≤ gap. This is the
+        // batch sessionizer's rule applied to the retained information:
+        // an out-of-order event INSIDE or within gap of the held session
+        // merges (and can extend its start backwards); one farther than
+        // gap BEFORE it forms its own earlier session — the old
+        // `t − end ≤ gap` test merged those (negative delta), silently
+        // fusing sessions the batch twin splits. (An event so late that
+        // its true session was already emitted in a prior batch still
+        // emits separately — append mode cannot retract; the watermark
+        // bounds how late that can happen.)
+        val items: Seq[(Int, Long, Long)] =
+          (state.getOption.toSeq ++
+            rows.map(e => (1, e.ts.getTime, e.ts.getTime)))
+            .sortBy(i => (i._2, i._3))
         var out = List.empty[SessionUpdate]
-        var cur = state.getOption
-        sorted.foreach { e =>
-          val t = e.ts.getTime
+        var cur: Option[(Int, Long, Long)] = None
+        items.foreach { case (n1, s1, e1) =>
           cur = cur match {
-            case Some((n, start, end)) if t - end <= gapMs =>
-              // min on start too: an out-of-order event from a later
-              // micro-batch may precede the session's current start
-              Some((n + 1, math.min(start, t), math.max(end, t)))
+            case Some((n, start, end)) if s1 - end <= gapMs =>
+              Some((n + n1, start, math.max(end, e1)))
             case Some((n, start, end)) =>
               out ::= SessionUpdate(userId, n, new Timestamp(start), new Timestamp(end), closed = true)
-              Some((1, t, t))
-            case None => Some((1, t, t))
+              Some((n1, s1, e1))
+            case None => Some((n1, s1, e1))
           }
         }
         cur.foreach { c =>
@@ -208,9 +219,23 @@ object EventStream {
     // normalize ts to a session-UTC TIMESTAMP whatever the parquet
     // encoding (nanos-as-long / NTZ micros / adjusted micros), exactly
     // like Tables.events — without the legacy conf the schema inference
-    // itself throws PARQUET_TYPE_ILLEGAL on nanos files
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // itself throws PARQUET_TYPE_ILLEGAL on nanos files. srcDir must
+    // already hold at least one file: a file STREAM can start on an
+    // empty dir only with an explicit schema, which inference here
+    // cannot provide.
+    val confKey = "spark.sql.legacy.parquet.nanosAsLong"
+    val prevConf = spark.conf.getOption(confKey)
+    spark.conf.set(confKey, "true")
     val schema = spark.read.parquet(srcDir).schema
+    // nanos files need the conf for every micro-batch read too — leave
+    // it set ONLY in that case, otherwise restore the caller's session
+    // state (setting it permanently changes unrelated batch reads)
+    if (schema("ts").dataType != org.apache.spark.sql.types.LongType) {
+      prevConf match {
+        case Some(v) => spark.conf.set(confKey, v)
+        case None => spark.conf.unset(confKey)
+      }
+    }
     val raw = spark.readStream.schema(schema).parquet(srcDir)
     val in = schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
@@ -249,7 +274,7 @@ object EventStream {
         val sp = batch.sparkSession
         val updates = latestPerUser(batch)
         val existing =
-          if (new java.io.File(dimDir).exists) sp.read.parquet(dimDir)
+          if (graft.util.Fs.exists(sp, dimDir)) sp.read.parquet(dimDir)
           else sp.emptyDataFrame
             .withColumn("user_id", lit(0L)).withColumn("last_us", lit(0L))
             .withColumn("event_type", lit("")).limit(0)
@@ -362,20 +387,27 @@ class TimerSessionProcessor extends org.apache.spark.sql.streaming.StatefulProce
   override def handleInputRows(user: Long,
       rows: Iterator[EventStream.Event],
       timerValues: TimerValues): Iterator[EventStream.SessionOut] = {
+    // Same interval fold as [[EventStream.sessionize]]: the held session
+    // and the batch events sorted by START, merged when
+    // next.start − cur.end ≤ gap — an out-of-order event within gap of
+    // the held session extends it (including its START, which the old
+    // merge never min'd), one farther than gap before it emits as its
+    // own earlier session instead of silently fusing.
     val sorted = rows.toArray.sortBy(e => (us(e), e.event_id))
-    val out = scala.collection.mutable.ArrayBuffer.empty[EventStream.SessionOut]
-    var cur: Option[(Long, Long, Long, Long)] =
+      .map(e => (us(e), us(e), 1L, math.round(e.value * 100)))
+    val held: Option[(Long, Long, Long, Long)] =
       if (sess.exists()) Some(sess.get()) else None
-    sorted.foreach { e =>
-      val eus = us(e)
-      val c = math.round(e.value * 100)
+    val items = (held.toSeq ++ sorted).sortBy(i => (i._1, i._2))
+    val out = scala.collection.mutable.ArrayBuffer.empty[EventStream.SessionOut]
+    var cur: Option[(Long, Long, Long, Long)] = None
+    items.foreach { case (s1, e1, n1, c1) =>
       cur = cur match {
-        case Some((st, last, n, s)) if eus - last > GapMs * 1000 =>
+        case Some((st, last, n, s)) if s1 - last > GapMs * 1000 =>
           out += EventStream.SessionOut(user, st, last, n, s, "gap")
-          Some((eus, eus, 1L, c))
+          Some((s1, e1, n1, c1))
         case Some((st, last, n, s)) =>
-          Some((st, math.max(last, eus), n + 1, s + c))
-        case None => Some((eus, eus, 1L, c))
+          Some((st, math.max(last, e1), n + n1, s + c1))
+        case None => Some((s1, e1, n1, c1))
       }
     }
     cur.foreach { c4 =>

@@ -37,6 +37,14 @@ class BfsSpec extends SparkSpec {
     assert(out === Map(1L -> 0L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("duplicate source rows yield one (node, 0) state row, not two") {
+    val g = sym(Seq((1L, 2L)))
+    val out = Bfs.hops(g, Seq(1L, 1L, 1L).toDF("node"), rounds = 1)
+      .select("node", "dist").as[(Long, Long)].collect()
+    assert(out.length === 2)
+    assert(out.toMap === Map(1L -> 0L, 2L -> 1L))
+  }
+
   test("personalized pagerank: mass stays near the seed and sums to 1") {
     // path 1-2-3-4-5, seed {1}: rank decays with distance from the seed
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("u", "v")

@@ -81,4 +81,14 @@ class CheckpointsSpec extends SparkSpec {
         // the require is only reachable on a fresh context; nothing to pin
     } finally spark.conf.set("spark.graft.checkpoint.mode", "local")
   }
+
+  test("unknown checkpoint mode fails fast instead of silently running local") {
+    spark.conf.set("spark.graft.checkpoint.mode", "Reliable") // typo'd case
+    try {
+      import spark.implicits._
+      val df = Seq(1, 2).toDF("x")
+      val e = intercept[IllegalArgumentException](Checkpoints.stage(df))
+      assert(e.getMessage.contains("Reliable"))
+    } finally spark.conf.set("spark.graft.checkpoint.mode", "local")
+  }
 }

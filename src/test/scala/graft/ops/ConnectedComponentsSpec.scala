@@ -28,6 +28,21 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(m.size == 13 && m.values.forall(_ == 0L))
   }
 
+  test("hitting the iteration cap throws instead of returning wrong labels") {
+    import org.apache.spark.sql.functions.col
+    // diameter-12 path cannot converge in 3 min-label rounds; truncated
+    // labels would split one component into several ids — fail loudly
+    val edges = (0L until 12L).map(i => (i, i + 1))
+    intercept[IllegalStateException] {
+      ConnectedComponents.components(edges.toDF("a", "b"), "a", "b",
+        maxIter = 3).filter(col("node") >= 0).count()
+    }
+    intercept[IllegalStateException] {
+      ConnectedComponents.componentsStar(edges.toDF("a", "b"), "a", "b",
+        maxIter = 1).filter(col("node") >= 0).count()
+    }
+  }
+
   test("edge direction is irrelevant (symmetrized internally)") {
     assert(comps(Seq((7L, 3L))) == Map(7L -> 3L, 3L -> 3L))
   }

@@ -135,6 +135,35 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize: a late event farther than the gap BEFORE the session splits") {
+    implicit val s = spark
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val q = EventStream.sessionize(input.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessions_split")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        ev(1, "2024-01-01 12:00:00", 7, "click", 1.0),
+        ev(2, "2024-01-01 12:05:00", 7, "click", 1.0))
+      q.processAllAvailable()
+      // 45 min before the session start (within the 1 h watermark): the
+      // batch sessionizer puts it in its OWN session — the old
+      // `t − end ≤ gap` test fused it into the held session
+      input.addData(ev(3, "2024-01-01 11:15:00", 7, "click", 1.0))
+      q.processAllAvailable()
+      input.addData(ev(4, "2024-01-01 14:00:00", 7, "click", 1.0))
+      q.processAllAvailable()
+      val closed = spark.table("sessions_split").as[SessionUpdate]
+        .collect().filter(_.closed)
+      assert(closed.exists(u => u.n_events == 1 &&
+        u.start == ts("2024-01-01 11:15:00") && u.end == ts("2024-01-01 11:15:00")))
+      assert(closed.exists(u => u.n_events == 2 &&
+        u.start == ts("2024-01-01 12:00:00") && u.end == ts("2024-01-01 12:05:00")))
+    } finally q.stop()
+  }
+
   test("clickAttribution: stream-stream interval join within the time bound") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
@@ -314,6 +343,43 @@ class EventStreamSpec extends SparkSpec {
           1L, 0L, "timer"),
         (1L, tus("2024-01-01 11:30:00"), tus("2024-01-01 11:30:00"),
           1L, 50L, "timer")), got)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
+  test("timerSessions: an out-of-order merge lowers the session start") {
+    implicit val sq = spark.sqlContext
+    implicit val sp = spark
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    def tus(s: String) = java.sql.Timestamp.valueOf(s).getTime * 1000
+    val input = MemoryStream[Event]
+    val q = EventStream.timerSessions(input.toDS())
+      .writeStream.format("memory").queryName("timer_sessions_ooo")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(ev(1, "2024-01-01 12:10:00", 1, "view", 1.00))
+      q.processAllAvailable()
+      // watermark is now 12:00; a 12:05 event is admitted, precedes the
+      // held session's start, and must LOWER start on merge (the old
+      // merge kept start at 12:10 while counting the event)
+      input.addData(ev(2, "2024-01-01 12:05:00", 1, "view", 1.00))
+      q.processAllAvailable()
+      input.addData(ev(3, "2024-01-01 13:30:00", 1, "view", 0.00))
+      q.processAllAvailable()
+      val got = spark.table("timer_sessions_ooo")
+        .as[(Long, Long, Long, Long, Long, String)].collect()
+        .filter(_._6 == "gap").toSet
+      assert(got === Set((1L, tus("2024-01-01 12:05:00"),
+        tus("2024-01-01 12:10:00"), 2L, 200L, "gap")), got)
     } finally {
       q.stop()
       prev match {
