@@ -315,7 +315,7 @@ object SequenceQueries extends QueryPack {
            |     AS delta,
            |   row_number() OVER (PARTITION BY user_id
            |     ORDER BY ts, event_id) AS rn
-           |  FROM events),
+           |  FROM events WHERE value IS NOT NULL),
            |cnt AS (SELECT user_id, count(*) AS n FROM e0 GROUP BY 1),
            |walk AS (
            | SELECT user_id, rn, greatest(0, delta) AS bal,

@@ -133,14 +133,8 @@ object KmvAgg {
   /** md5-mode intersection estimate — same shared-minima estimator as
     * [[estimateIntersection]], scaled for the 60-bit draw.
     */
-  def estimateIntersectionMd5(a: Array[Long], b: Array[Long], k: Int): Double = {
-    val u = union(a, b, k)
-    if (u.isEmpty) return 0.0
-    val (sa, sb) = (a.toSet, b.toSet)
-    val shared = u.count(h => sa(h) && sb(h))
-    val jaccard = shared.toDouble / u.length
-    jaccard * estimateDistinctMd5(u, k)
-  }
+  def estimateIntersectionMd5(a: Array[Long], b: Array[Long], k: Int): Double =
+    intersectionWith(a, b, k, estimateDistinctMd5)
 
   /** Merge two finished sketches (k smallest of the union). */
   def union(a: Array[Long], b: Array[Long], k: Int): Array[Long] =
@@ -150,13 +144,17 @@ object KmvAgg {
     * present in BOTH input sketches estimates Jaccard; scaled by the
     * union estimate it estimates the intersection size.
     */
-  def estimateIntersection(a: Array[Long], b: Array[Long], k: Int): Double = {
+  def estimateIntersection(a: Array[Long], b: Array[Long], k: Int): Double =
+    intersectionWith(a, b, k, estimateDistinct)
+
+  private def intersectionWith(a: Array[Long], b: Array[Long], k: Int,
+      distinct: (Array[Long], Int) => Double): Double = {
     val u = union(a, b, k)
     if (u.isEmpty) return 0.0
     val (sa, sb) = (a.toSet, b.toSet)
     val shared = u.count(h => sa(h) && sb(h))
     val jaccard = shared.toDouble / u.length
-    jaccard * estimateDistinct(u, k)
+    jaccard * distinct(u, k)
   }
 }
 

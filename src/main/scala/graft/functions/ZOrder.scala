@@ -22,24 +22,32 @@ object ZOrder {
 
   /** Interleave the low `bits` bits of two non-negative integer columns:
     * x's bit i lands at z-bit 2i+1, y's at 2i. Monotone in each dimension
-    * within a fixed value of the other; `bits` must cover the dimension
-    * domains (values ≥ 2^bits fold into the top cell, which only degrades
-    * clustering, never correctness).
+    * within a fixed value of the other. Values ≥ 2^bits CLAMP to the top
+    * cell (2^bits − 1): without the clamp their high bits would simply be
+    * discarded, ALIASING distant values onto the low cells (2^bits
+    * interleaves like 0) and silently destroying the min/max file-skipping
+    * the layout exists for — clamped, an undersized `bits` only coarsens
+    * the top cell.
     */
   def zValue(x: Column, y: Column, bits: Int = 18): Column = {
     require(bits >= 1 && bits <= 31, s"bits must be in [1,31]: $bits")
+    val top = lit((1L << bits) - 1)
+    val (xc, yc) = (least(x.cast("long"), top), least(y.cast("long"), top))
     (0 until bits).map { i =>
-      shiftright(x.cast("long"), i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1)) +
-        shiftright(y.cast("long"), i).bitwiseAND(lit(1L)) * lit(1L << (2 * i))
+      shiftright(xc, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1)) +
+        shiftright(yc, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i))
     }.reduce(_ + _)
   }
 
-  /** The identical computation as SQL text (DuckDB/ANSI `>>`, `&`) — the
-    * oracle side of [[zValue]]. Integer-exact, so the two engines agree
-    * bit for bit.
+  /** The identical computation as SQL text (DuckDB/ANSI `>>`, `&`,
+    * `least`) — the oracle side of [[zValue]]. Integer-exact, so the two
+    * engines agree bit for bit.
     */
-  def zValueSql(x: String, y: String, bits: Int = 18): String =
+  def zValueSql(x: String, y: String, bits: Int = 18): String = {
+    val top = (1L << bits) - 1
+    val (xc, yc) = (s"least($x, $top)", s"least($y, $top)")
     (0 until bits).map { i =>
-      s"((($x >> $i) & 1) * ${1L << (2 * i + 1)} + (($y >> $i) & 1) * ${1L << (2 * i)})"
+      s"((($xc >> $i) & 1) * ${1L << (2 * i + 1)} + (($yc >> $i) & 1) * ${1L << (2 * i)})"
     }.mkString("(", " + ", ")")
+  }
 }

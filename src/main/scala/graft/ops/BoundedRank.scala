@@ -23,7 +23,10 @@ object BoundedRank {
 
   /** Attach `rankCol` (1-based INT) to `df` ordered lexicographically by
     * `order` — (column name, descending?) pairs. `df` must be bounded
-    * (both join sides re-evaluate it; keep it post-limit / post-agg).
+    * (both join sides re-evaluate it; keep it post-limit / post-agg),
+    * and the order columns must be NON-NULL (a null never compares, so a
+    * null-carrying row would neither count predecessors nor be counted —
+    * the totality precondition already excludes it).
     */
   def attach(df: DataFrame, rankCol: String,
       order: Seq[(String, Boolean)]): DataFrame = {
@@ -37,8 +40,11 @@ object BoundedRank {
         if (desc) col(s"b.$c") > col(s"a.$c") else col(s"b.$c") < col(s"a.$c")
       eqPrefix && cmp
     }.reduce(_ || _)
-    df.as("a").join(broadcast(df.as("b")), before, "left")
+    // count a non-null MARKER, not an order column: counting b.<col>
+    // would skip matched predecessors whose first order column is null
+    val marked = df.withColumn("_graft_rank_one", lit(1))
+    marked.as("a").join(broadcast(marked.as("b")), before, "left")
       .groupBy(outCols.map(c => col(s"a.$c").as(c)): _*)
-      .agg((count(col(s"b.${order.head._1}")) + 1).cast("int").as(rankCol))
+      .agg((count(col("b._graft_rank_one")) + 1).cast("int").as(rankCol))
   }
 }

@@ -17,20 +17,35 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  // collision-proofed internals: withColumn would silently REPLACE a
+  // same-named caller column and the trailing drop would delete it
+  private val Rn = "_graft_dedup_rn"
+  private val D1 = "_graft_dedup_d1"
+  private val D2 = "_graft_dedup_d2"
+  private val Rn2 = "_graft_dedup_rn2"
+  private val N = "_graft_dedup_n"
+
+  private def guard(df: DataFrame): Unit =
+    require(!Seq(Rn, D1, D2, Rn2, N).exists(df.columns.contains),
+      "Dedup input must not carry reserved _graft_dedup_* columns")
+
   /** D2/D3 shape: keep the first row per key by `ord`; second return is
     * the dropped rows (D3 logs dropped only).
     */
   def keepFirst(df: DataFrame, keys: Seq[Column], ord: Column): (DataFrame, DataFrame) = {
+    guard(df)
     val rn = row_number().over(Window.partitionBy(keys: _*).orderBy(ord))
-    val marked = df.withColumn("_rn", rn)
-    (marked.filter(col("_rn") === 1).drop("_rn"),
-      marked.filter(col("_rn") > 1).drop("_rn"))
+    val marked = df.withColumn(Rn, rn)
+    (marked.filter(col(Rn) === 1).drop(Rn),
+      marked.filter(col(Rn) > 1).drop(Rn))
   }
 
   /** D2 log flavor: every member of every >1 group (pandas keep=False). */
-  def dupGroupMembers(df: DataFrame, keys: Seq[Column]): DataFrame =
-    df.withColumn("_n", count(lit(1)).over(Window.partitionBy(keys: _*)))
-      .filter(col("_n") > 1).drop("_n")
+  def dupGroupMembers(df: DataFrame, keys: Seq[Column]): DataFrame = {
+    guard(df)
+    df.withColumn(N, count(lit(1)).over(Window.partitionBy(keys: _*)))
+      .filter(col(N) > 1).drop(N)
+  }
 
   /** D1 shape: two-key CASCADE — dedup by `keys1` (keep first by `ord`),
     * then by `keys2` on the survivors. Second return: rows marked
@@ -41,14 +56,15 @@ object Dedup {
     */
   def cascade(df: DataFrame, keys1: Seq[Column], keys2: Seq[Column],
       ord: Column): (DataFrame, DataFrame) = {
+    guard(df)
     val marked = df
-      .withColumn("_d1", row_number().over(Window.partitionBy(keys1: _*).orderBy(ord)) > 1)
-      .withColumn("_d2", row_number().over(Window.partitionBy(keys2: _*).orderBy(ord)) > 1)
-    val logged = marked.filter(col("_d1") || col("_d2")).drop("_d1", "_d2")
-    val kept = marked.filter(!col("_d1"))
-      .withColumn("_rn2", row_number().over(Window.partitionBy(keys2: _*).orderBy(ord)))
-      .filter(col("_rn2") === 1)
-      .drop("_d1", "_d2", "_rn2")
+      .withColumn(D1, row_number().over(Window.partitionBy(keys1: _*).orderBy(ord)) > 1)
+      .withColumn(D2, row_number().over(Window.partitionBy(keys2: _*).orderBy(ord)) > 1)
+    val logged = marked.filter(col(D1) || col(D2)).drop(D1, D2)
+    val kept = marked.filter(!col(D1))
+      .withColumn(Rn2, row_number().over(Window.partitionBy(keys2: _*).orderBy(ord)))
+      .filter(col(Rn2) === 1)
+      .drop(D1, D2, Rn2)
     (kept, logged)
   }
 }

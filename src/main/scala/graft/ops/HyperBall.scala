@@ -38,8 +38,10 @@ object HyperBall {
   def twoHopBallSizes(edges: DataFrame, srcCol: String, dstCol: String,
       k: Int = 256): DataFrame = {
     val canon = edges
-      .select(least(col(srcCol), col(dstCol)).cast("long").as("u"),
-        greatest(col(srcCol), col(dstCol)).cast("long").as("v"))
+      // cast BEFORE least/greatest — string ids order lexicographically
+      // ("9" > "10") and the u < v filter would drop those edges
+      .select(least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("u"),
+        greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("v"))
       .filter(col("u") < col("v"))
       .distinct()
     val sym = canon.unionByName(

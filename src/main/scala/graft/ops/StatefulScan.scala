@@ -33,6 +33,9 @@ object StatefulScan {
     val delta = (round(col("value") * 100).cast("long") *
       when(col("event_type") === debitType, lit(-1L)).otherwise(lit(1L)))
     val prepared: Dataset[(Long, Long, Long, Long)] = events
+      // null value = no delta: same skip rule as ewma/holt (a null would
+      // otherwise crash the non-nullable tuple decode)
+      .filter(col("value").isNotNull)
       .select(col("user_id"), expr("unix_micros(ts)").as("us"),
         col("event_id"), delta.as("delta_c"))
       .repartition(col("user_id"))

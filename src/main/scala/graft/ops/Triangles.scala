@@ -78,8 +78,11 @@ object Triangles {
     // per consumer (measured on the co-purchase query: 44 parquet scans
     // of lineitem, 2.2s → 0.9s). Same lifecycle as the CC/PageRank loops.
     val canon = edges
-      .select(least(col(srcCol), col(dstCol)).cast("long").as("u"),
-        greatest(col(srcCol), col(dstCol)).cast("long").as("v"))
+      // cast BEFORE least/greatest: on string-typed ids the lexicographic
+      // order disagrees with the numeric one ("9" > "10") and the u < v
+      // filter would silently drop those edges
+      .select(least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("u"),
+        greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("v"))
       .filter(col("u") < col("v"))
       .distinct()
       .stageCheckpoint()

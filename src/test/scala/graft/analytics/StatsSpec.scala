@@ -85,6 +85,17 @@ class StatsSpec extends SparkSpec {
     assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 9L -> 1L))
   }
 
+  test("Triangles: string-typed numeric ids canonicalize numerically, not lexically") {
+    import spark.implicits._
+    // ("9","10") ordered lexicographically gives least="10" > greatest="9"
+    // after the cast — the old cast-after-least dropped such edges
+    val edges = Seq(("9", "10"), ("10", "11"), ("11", "9"))
+      .toDF("a", "b")
+    val c = graft.ops.Triangles.census(edges, "a", "b").collect()(0)
+    assert(c.getLong(1) === 3L) // n_edges: no edge dropped
+    assert(c.getLong(2) === 1L) // the triangle survives
+  }
+
   test("Triangles.census matches brute force on a seeded random graph") {
     val rnd = new scala.util.Random(42)
     val n = 30
@@ -295,6 +306,16 @@ class StatsSpec extends SparkSpec {
       ZOrder.zValue(lit(1), lit(0), 8).as("b"),   // → 2
       ZOrder.zValue(lit(0), lit(1), 8).as("c"),   // → 1
       ZOrder.zValue(lit(7), lit(7), 3).as("d"))   // → 63
+    // out-of-range values clamp into the TOP cell — without the clamp,
+    // 2^bits would interleave like 0 and alias distant rows onto the
+    // low cells, wrecking min/max file skipping
+    val clamped = spark.range(1).select(
+      ZOrder.zValue(lit(8), lit(0), 3).as("a"),   // 8 ≥ 2³ → clamps to 7
+      ZOrder.zValue(lit(1000), lit(1000), 3).as("b"))
+      .collect()(0)
+    assert(clamped.getLong(0) ===
+      spark.range(1).select(ZOrder.zValue(lit(7), lit(0), 3)).collect()(0).getLong(0))
+    assert(clamped.getLong(1) === 63L)
     val r = df.collect()(0)
     // z(3,5): x bits {0,1} → z bits {1,3} = 10; y bits {0,2} → z bits {0,4} = 17
     assert(r.getLong(0) === 27L)

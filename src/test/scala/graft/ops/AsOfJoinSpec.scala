@@ -37,6 +37,51 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out(2).isNullAt(out(2).fieldIndex("v"))) // user 2: no clicks
   }
 
+  test("null tiebreaks LOSE and null keys never match — identically in both variants") {
+    // right rows: at 10:00 user 1 has tiebreaks (null, 5); a NULL-key
+    // right row could otherwise leak through the window path only
+    val l = Seq(
+      (Option(1L), "2024-01-01 10:30:00", "a"),
+      (Option.empty[Long], "2024-01-01 10:30:00", "b"))
+      .toDF("user_id", "ts", "pid")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val r = Seq(
+      (Option(1L), "2024-01-01 10:00:00", 1.0, Option.empty[Long]),
+      (Option(1L), "2024-01-01 10:00:00", 2.0, Option(5L)),
+      (Option.empty[Long], "2024-01-01 09:00:00", 9.0, Option(7L)))
+      .toDF("user_id", "ts", "v", "eid")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    for (variant <- Seq(
+        AsOfJoin.backward(l, r, "user_id", "ts", Seq("v"), "eid"),
+        AsOfJoin.backwardBucketed(l, r, "user_id", "ts", Seq("v"), "eid"))) {
+      val rows = variant.orderBy(col("pid")).collect()
+      // non-null tiebreak 5 beats the NULL tiebreak at the same ts
+      assert(rows(0).getAs[Double]("v") === 2.0)
+      // NULL-key left row matches nothing (SQL equality)
+      assert(rows(1).isNullAt(rows(1).fieldIndex("v")))
+    }
+  }
+
+  test("bucketed carry inherits the same null-tiebreak rule across buckets") {
+    // both right rows in one bucket hour, the left row hours later: the
+    // match comes from the CARRY summary, which must also prefer the
+    // non-null tiebreak
+    val l = Seq((1L, "2024-01-01 15:00:00", "a"))
+      .toDF("user_id", "ts", "pid")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val r = Seq(
+      (1L, "2024-01-01 10:00:00", 1.0, Option.empty[Long]),
+      (1L, "2024-01-01 10:00:00", 2.0, Option(5L)))
+      .toDF("user_id", "ts", "v", "eid")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val plain = AsOfJoin.backward(l, r, "user_id", "ts", Seq("v"), "eid")
+      .collect().head.getAs[Double]("v")
+    val bucketed = AsOfJoin
+      .backwardBucketed(l, r, "user_id", "ts", Seq("v"), "eid")
+      .collect().head.getAs[Double]("v")
+    assert(plain === 2.0 && bucketed === 2.0)
+  }
+
   test("bucketed variant ≡ plain backward on real events data") {
     val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
     val purchases = ev.filter(col("event_type") === "purchase")

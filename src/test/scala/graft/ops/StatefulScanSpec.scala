@@ -19,6 +19,20 @@ class StatefulScanSpec extends SparkSpec {
       .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
   }
 
+  test("a null value row is skipped, not a crash or a null delta") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (1L, "2024-01-01 00:00:00", 1L, "view", Option(5.0)),
+      (2L, "2024-01-01 00:01:00", 1L, "view", Option.empty[Double]),
+      (3L, "2024-01-01 00:02:00", 1L, "view", Option(2.0)))
+      .toDF("event_id", "ts_s", "user_id", "event_type", "value")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    val got = StatefulScan.cappedBalance(df)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.toSeq === Seq((1L, 700L, 700L, 0L)))
+  }
+
   test("clamp at zero counts a floor hit and the balance restarts from 0") {
     // user 1: +500, -800 (clamp, hit), +300  →  final 300, peak 500, 1 hit
     val got = run(Seq(
