@@ -47,15 +47,17 @@ object Bench {
 
     def run(name: String): Double = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
+      // finally: a FAILED query may already have checkpointed frames —
+      // skipping the cleanup on the error path would leak its blocks
+      // into every subsequent timed query
+      try {
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        return -1.0
-      }
-      val t = (System.nanoTime() - t0) / 1e9
-      dropQueryState()
-      t
+        -1.0
+      } finally dropQueryState()
     }
 
     // Warm-up: run EVERY headline query once at the smallest SF (fills

@@ -41,6 +41,13 @@ object Tables {
     */
   private def loadNanosSafe(spark: SparkSession, dir: String, name: String,
       tsCols: Seq[String]): DataFrame = {
+    // Deliberately left SET for the session (not save/restore-scoped):
+    // the parquet reader consults it lazily at each action's
+    // reader-factory build, so restoring it after read() would break
+    // later actions on the returned frame. Session-wide consequence: a
+    // TIMESTAMP(NANOS) column in any OTHER parquet read surfaces as raw
+    // LongType instead of erroring — normalize such columns at their own
+    // load boundary exactly as this helper does for `tsCols`.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = load(spark, dir, name)
     tsCols.foldLeft(df) { (d, c) =>

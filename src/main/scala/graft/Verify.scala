@@ -56,6 +56,9 @@ object Verify {
     dumpAll(outDir)
     if (sys.env.get("SPARK_GRAFT_VERIFY_TWICE").exists(_.nonEmpty)) {
       val second = outDir + "_second"
+      // drop the memoized fixture pipeline: comparing a cache against
+      // itself proves nothing — the second pass must RE-EXECUTE
+      graft.etl.EtlPipeline.invalidate()
       dumpAll(second)
       // canonicalize exactly like the driver compare: every cell via
       // String.valueOf (arrays print stably for same-engine reads),

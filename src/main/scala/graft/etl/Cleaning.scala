@@ -13,10 +13,16 @@ import org.apache.spark.sql.functions._
 object Cleaning {
 
   /** Python-`strip()`-equivalent trim: Spark's `trim` removes only ASCII
-    * spaces, but the reference strips tabs/CR/LF too — a tab-padded cell
-    * must not defeat the parsers.
+    * spaces and Java's `\s` only ASCII whitespace, but Python strips the
+    * full Unicode set — an NBSP-padded cell (`"M "`) must compare
+    * equal to `"M"` exactly as the reference sees it. The class below is
+    * Python 3's `str.isspace()` set: ASCII `\s` + NEL + NBSP + the
+    * Unicode space separators and line/paragraph separators.
     */
-  def wsTrim(c: Column): Column = regexp_replace(c, "^\\s+|\\s+$", "")
+  private val PyWs =
+    "[\\s\\u0085\\u00A0\\u1680\\u2000-\\u200A\\u2028\\u2029\\u202F\\u205F\\u3000]"
+  def wsTrim(c: Column): Column =
+    regexp_replace(c, s"^$PyWs+|$PyWs+$$", "")
 
   // ---------------------------------------------------------------- P3
   /** `height_to_cm` (ref `etl.py:146-183`): unit-sniffing height

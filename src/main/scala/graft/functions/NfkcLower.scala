@@ -5,7 +5,7 @@ import java.util.Locale
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.graftshim.ColumnBridge
 import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -25,8 +25,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * in a DataFrame (malformed input bytes are replaced at source-read time
   * via the csv/text `mode`/charset options).
   */
-case class NfkcLower(child: Expression) extends UnaryExpression {
+case class NfkcLower(child: Expression) extends UnaryExpression
+    with ImplicitCastInputTypes {
 
+  // analyzer-inserted cast: a SQL call on a non-string column must
+  // behave like the Column API (which wraps with Cast), not crash
+  override def inputTypes: Seq[DataType] =
+    Seq(StringType)
   override def dataType: DataType = StringType
   override def prettyName: String = "nfkc_lower"
 

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.graftshim.ColumnBridge
 import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -17,8 +17,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * operator, one pass over the bytes, no UDF boundary, stays inside
   * whole-stage codegen next to the rest of the projection.
   */
-case class PolyHash(child: Expression) extends UnaryExpression {
+case class PolyHash(child: Expression) extends UnaryExpression
+    with ImplicitCastInputTypes {
 
+  // analyzer-inserted cast — see NfkcLower: SQL calls on non-string
+  // columns must match the Column API's Cast wrapper
+  override def inputTypes: Seq[DataType] =
+    Seq(StringType)
   override def dataType: DataType = LongType
   override def prettyName: String = "poly_hash"
 

@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
-import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftshim.ColumnBridge
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
@@ -27,8 +27,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * (never null), so `explode` drops the row identically and array
   * consumers (`size`, joins on tokens) see a well-typed empty list.
   */
-case class Tokenize(child: Expression) extends UnaryExpression {
+case class Tokenize(child: Expression) extends UnaryExpression
+    with ImplicitCastInputTypes {
 
+  // analyzer-inserted cast — see NfkcLower: SQL calls on non-string
+  // columns must match the Column API's Cast wrapper
+  override def inputTypes: Seq[DataType] =
+    Seq(StringType)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullable: Boolean = false
   override def prettyName: String = "tokenize_words"

@@ -133,6 +133,47 @@ object Multimodal {
       "media_id", "sig", maxDist)
   }
 
+  /** Aspect-preserving resize plan: for each image, the target (tw, th)
+    * fitting a `box`×`box` budget with the aspect ratio kept, plus the
+    * `bucketPx`-pixel size bucket the row batches into. ALL integer
+    * arithmetic (`(side · box) div long_side` — no FP, so a DuckDB twin
+    * replays it exactly). Vision preprocessing at scale is bucketed
+    * exactly like this: a decode/resize batch wants same-shaped tensors,
+    * so rows group by target-size bucket BEFORE the expensive decode —
+    * the relational plan here is the shuffle key; [[resizeTo]] is the
+    * partition-wise byte path that consumes it.
+    */
+  def resizePlan(media: DataFrame, box: Int = 224,
+      bucketPx: Int = 32): DataFrame =
+    media.filter(col("format").isin("png", "jpeg"))
+      .withColumn("_ls", greatest(col("width"), col("height")))
+      .withColumn("tw", expr(s"(width * $box) div _ls").cast("int"))
+      .withColumn("th", expr(s"(height * $box) div _ls").cast("int"))
+      .withColumn("bw", expr(s"tw div $bucketPx").cast("int"))
+      .withColumn("bh", expr(s"th div $bucketPx").cast("int"))
+      .drop("_ls")
+
+  /** Partition-wise resize through the stub codec boundary: one decoder
+    * setup per partition, rows arrive pre-bucketed by [[resizePlan]]'s
+    * (bw, bh) shuffle key in a real pipeline. Returns (media_id, tw, th,
+    * out_bytes); null payloads produce 0 bytes, never an NPE.
+    */
+  def resizeTo(media: DataFrame, box: Int = 224)
+      (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    resizePlan(media, box)
+      .select("media_id", "media", "tw", "th")
+      .as[(Long, Array[Byte], Int, Int)]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload, tw, th) =>
+          val out =
+            if (payload == null) Array.empty[Byte]
+            else MediaCodec.resize(payload, tw, th)
+          (id, tw, th, out.length)
+        }
+      }.toDF("media_id", "tw", "th", "out_bytes")
+  }
+
   /** Partition-wise feature extraction — the mapInPandas-equivalent
     * batched decode. Decoder init happens once per partition, not per
     * row; partition sizing (spark.sql.files.maxPartitionBytes) is the

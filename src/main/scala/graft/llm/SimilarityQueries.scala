@@ -351,6 +351,87 @@ object SimilarityQueries extends QueryPack {
             |FROM w3 ORDER BY 1 LIMIT 8""".stripMargin),
     headline = true)
 
+  /** Aspect-preserving resize planning + size-bucket batching
+    * ([[Multimodal.resizePlan]]): the relational half of vision
+    * preprocessing — each image's integer target dims in a 224-px box
+    * and its 32-px batch bucket, aggregated per (format, bucket). The
+    * bucket IS the shuffle key a decode stage batches by at 100 TB
+    * (same-shaped tensors per task); the byte-level path through the
+    * stub codec is [[Multimodal.resizeTo]], pinned in MultimodalSpec.
+    * All arithmetic is integer `div`, replayed exactly by the oracle.
+    */
+  private val mmResizePlan = Q(
+    "mm_resize_batch_plan",
+    (s, d) => {
+      val media = Multimodal.synthesize(Tables.documents(s, d), "doc_id", "text")
+      Multimodal.resizePlan(media)
+        .groupBy(col("format"), col("bw"), col("bh"))
+        .agg(count(lit(1)).as("n_images"),
+          min(col("tw")).as("min_tw"), max(col("th")).as("max_th"),
+          sum(col("media_id")).as("sum_ids"))
+        .orderBy(col("format"), col("bw"), col("bh"))
+    },
+    Some("""WITH m AS (SELECT doc_id,
+           |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'wav' END AS format,
+           |  doc_id % 64 + 1 AS width, doc_id % 48 + 1 AS height
+           | FROM documents),
+           |i AS (SELECT doc_id, format, width, height,
+           |  greatest(width, height) AS ls FROM m
+           | WHERE format IN ('png', 'jpeg')),
+           |t AS (SELECT doc_id, format,
+           |  (width * 224) // ls AS tw, (height * 224) // ls AS th FROM i)
+           |SELECT format, CAST(tw // 32 AS INT) AS bw,
+           | CAST(th // 32 AS INT) AS bh, count(*) AS n_images,
+           | CAST(min(tw) AS INT) AS min_tw, CAST(max(th) AS INT) AS max_th,
+           | CAST(sum(doc_id) AS BIGINT) AS sum_ids
+           |FROM t GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin))
+
+  /** Embedding-space eval-set decontamination, attribution form: every
+    * corpus vector finds its nearest BENCHMARK vector (the eval set,
+    * vec_id < 50 — broadcast-sized by definition, so the corpus-wide
+    * pass is one broadcast join however large the corpus). Reported as
+    * per-benchmark attraction counts — the "which eval items does my
+    * training data crowd around" audit that embedding decontamination
+    * (cf. SemDeDup's cosine gate applied corpus-vs-eval) acts on; a
+    * deployment drops or downweights the attracted docs above a cosine
+    * threshold. Ranking uses the house 6dp-round + id tiebreak, so the
+    * float-vs-double accumulation tails can't flip the compare.
+    */
+  private val decontamNearest = Q(
+    "emb_decontam_nearest_eval",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val bench = e.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("bench_id"), col("embedding").as("bv"))
+      val corpus = e.filter(col("vec_id") >= 50)
+        .select(col("vec_id").as("corpus_id"), col("embedding").as("cv"))
+      val scored = corpus.crossJoin(broadcast(bench))
+        .select(col("corpus_id"), col("bench_id"),
+          round(Ann.cosine(col("cv"), col("bv")), 6).as("c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("corpus_id"))
+        .orderBy(col("c").desc, col("bench_id"))
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .groupBy(col("bench_id"))
+        .agg(count(lit(1)).as("n_attracted"),
+          sum(col("corpus_id")).as("sum_corpus_ids"))
+        .orderBy(col("bench_id"))
+    },
+    Some("""WITH b AS (SELECT vec_id AS bench_id, embedding AS bv
+           |  FROM embeddings WHERE vec_id < 50),
+           |c AS (SELECT vec_id AS corpus_id, embedding AS cv
+           |  FROM embeddings WHERE vec_id >= 50),
+           |sc AS (SELECT corpus_id, bench_id,
+           |  round(CAST(list_cosine_similarity(cv, bv) AS DOUBLE), 6) AS c
+           | FROM c, b),
+           |r AS (SELECT corpus_id, bench_id, row_number() OVER (
+           |   PARTITION BY corpus_id ORDER BY c DESC, bench_id) AS rn
+           |  FROM sc)
+           |SELECT bench_id, count(*) AS n_attracted,
+           | CAST(sum(corpus_id) AS BIGINT) AS sum_corpus_ids
+           |FROM r WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val qs: Seq[Q] = Seq(brute, lsh, ivf, pq, embDedup, mmFeatures, argmaxHist,
-    centroidDist, mmFrames, mmPhash, semdedup, topComponent)
+    centroidDist, mmFrames, mmPhash, semdedup, topComponent, mmResizePlan,
+    decontamNearest)
 }

@@ -192,4 +192,13 @@ class EdgeCaseSpec extends SparkSpec {
       assert(row.getAs[String]("wr") === "missing_marker")
     }
   }
+
+  test("wsTrim strips the full Python whitespace set, not just ASCII") {
+    // NBSP-, ideographic-space-, and NEL-padded cells must trim exactly
+    // like Python str.strip() does in the reference (ASCII \s misses all
+    // three); interior whitespace stays
+    val got = Seq("M\u00A0", "\u3000F\u3000", "\u0085x", " a b ")
+      .toDF("s").select(Cleaning.wsTrim(col("s"))).collect().map(_.getString(0))
+    assert(got.toSeq === Seq("M", "F", "x", "a b"))
+  }
 }

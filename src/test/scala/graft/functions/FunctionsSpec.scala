@@ -266,4 +266,28 @@ class KmvSpec extends SparkSpec {
       java.lang.Double.doubleToLongBits(viaLoop.head))
     assert(viaSql.isNullAt(1))
   }
+
+  test("SQL surface coerces input types like the Column API (no silent garbage)") {
+    GraftExtensions.register(spark)
+    // a bare SQL array literal is array<double>: without declared input
+    // types, getFloat() reinterprets the 8-byte slots and returns
+    // nonsense instead of 1.0
+    val cos = spark.sql(
+      "SELECT cosine_sim(array(0.6, 0.8), array(0.6, 0.8))")
+      .collect()(0).getDouble(0)
+    assert(math.abs(cos - 1.0) < 1e-9, s"got $cos")
+    // int-array input coerces too
+    val cosInt = spark.sql(
+      "SELECT cosine_sim(array(3, 4), array(3, 4))").collect()(0).getDouble(0)
+    assert(math.abs(cosInt - 1.0) < 1e-9)
+    // unary string expressions accept non-string columns exactly like
+    // the Column API's Cast wrapper (previously a runtime crash)
+    val r = spark.sql(
+      "SELECT nfkc_lower(42), poly_hash(42), tokenize_words(42)").collect()(0)
+    assert(r.getString(0) === "42")
+    assert(r.getLong(1) ===
+      graft.functions.PolyHash.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString("42")))
+    assert(r.getSeq[String](2) === Seq("42"))
+  }
 }

@@ -346,6 +346,31 @@ class MultimodalSpec extends SparkSpec {
     assert(f.features.toSeq === f2.features.toSeq)
   }
 
+  test("resize plan + batched resize: aspect kept, buckets bound shapes, bytes match") {
+    implicit val s = spark
+    val media = Multimodal.synthesize(docs, "doc_id", "text")
+    val plan = Multimodal.resizePlan(media).collect()
+    assert(plan.nonEmpty)
+    plan.foreach { r =>
+      val (w, h) = (r.getAs[Int]("width"), r.getAs[Int]("height"))
+      val (tw, th) = (r.getAs[Int]("tw"), r.getAs[Int]("th"))
+      assert(Seq("png", "jpeg").contains(r.getAs[String]("format")))
+      assert(tw <= 224 && th <= 224 && math.max(tw, th) === 224)
+      // aspect preserved under integer floor: tw = w*224 div max(w,h)
+      assert(tw === (w.toLong * 224 / math.max(w, h)).toInt)
+      assert(th === (h.toLong * 224 / math.max(w, h)).toInt)
+      assert(r.getAs[Int]("bw") === tw / 32 && r.getAs[Int]("bh") === th / 32)
+    }
+    // the byte path consumes the same plan: out_bytes == tw*th exactly
+    val out = Multimodal.resizeTo(media.filter(col("media_id") < 30))
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Int]("out_bytes") ===
+        r.getAs[Int]("tw") * r.getAs[Int]("th"))
+    }
+  }
+
   test("codec stubs: resize and frame-sampling shapes") {
     val payload = Array.tabulate(100)(_.toByte)
     assert(Multimodal.MediaCodec.resize(payload, 4, 5).length === 20)

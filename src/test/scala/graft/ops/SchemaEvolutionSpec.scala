@@ -42,7 +42,11 @@ class SchemaEvolutionSpec extends SparkSpec {
       .filter(col("id") === 2L).select("id", "v")
     val scan = df.queryExecution.executedPlan.collectLeaves()
       .map(_.toString).mkString("\n")
-    assert(scan.contains("PushedFilters") && scan.contains("id"), scan)
+    // assert the ACTUAL pushed predicate — "PushedFilters: []" also
+    // contains the substring "PushedFilters", which made the old check
+    // vacuously true even with pushdown disabled
+    assert(scan.contains("EqualTo(id,2)") ||
+      scan.contains("IsNotNull(id), EqualTo(id,2)"), scan)
     assert(df.collect().map(_.getString(1)).toSeq === Seq("y"))
   }
 
