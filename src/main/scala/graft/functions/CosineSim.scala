@@ -68,7 +68,11 @@ object CosineSim {
       nb += y * y
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    // zero-norm guard in lockstep with Hashing.cosine: without it a
+    // zero vector scores NaN, which Spark orders ABOVE every real
+    // score — ranking it first for every query.
+    if (na == 0.0 || nb == 0.0) 0.0
+    else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   def apply(a: Column, b: Column): Column =

@@ -36,7 +36,7 @@ object CorpusQueries extends QueryPack {
 
   /** [[TextAnalysis.fingerprint]] as DuckDB SQL — the exact-dedup key. */
   private[llm] def fingerprintExpr(textCol: String): String =
-    s"substring(md5(regexp_replace(lower(trim($textCol)), '\\s+', ' ', 'g')), 1, 16)"
+    s"substring(md5(trim(regexp_replace(lower($textCol), '\\s+', ' ', 'g'))), 1, 16)"
 
   /** The training-pipeline quality gate (token count ≥ minTokens, alpha
     * ratio ≥ minAlpha) as DuckDB SQL — mirrors TextAnalysis.tokenCount's

@@ -134,8 +134,16 @@ object Hashing {
     * convention (`substring(md5(x), 1, 16)` in the DuckDB twins).
     */
   def md5Hex16(s: String): String = {
-    val dig = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8"))
+    val md = md5Local.get()
+    md.reset()
+    hex16(md.digest(s.getBytes("UTF-8")))
+  }
+
+  /** Hex-encode the first 8 digest bytes — the single implementation
+    * shared by [[md5Hex16]] and [[gramHashes]] (it was inlined in both,
+    * a lockstep hazard).
+    */
+  private def hex16(dig: Array[Byte]): String = {
     val sb = new java.lang.StringBuilder(16)
     var bi = 0
     while (bi < 8) {
@@ -151,20 +159,15 @@ object Hashing {
     if (ws.length < n) return Array.empty
     val m = ws.length - n + 1
     val hashes = new Array[String](m)
-    val md = java.security.MessageDigest.getInstance("MD5")
+    // cached per-thread digest (see md5Local): getInstance walks the
+    // provider registry, measurable at one hash per gram; digest()
+    // resets the instance, so no explicit reset() in the loop
+    val md = md5Local.get()
+    md.reset()
     var i = 0
     while (i < m) {
       val gram = ws.slice(i, i + n).mkString(" ")
-      val dig = md.digest(gram.getBytes("UTF-8"))
-      val sb = new java.lang.StringBuilder(16)
-      var bi = 0
-      while (bi < 8) {
-        sb.append(Character.forDigit((dig(bi) >> 4) & 0xf, 16))
-        sb.append(Character.forDigit(dig(bi) & 0xf, 16))
-        bi += 1
-      }
-      hashes(i) = sb.toString
-      md.reset()
+      hashes(i) = hex16(md.digest(gram.getBytes("UTF-8")))
       i += 1
     }
     hashes
@@ -283,10 +286,20 @@ object Hashing {
     out
   }
 
-  /** Hyperplane component for (table, bit, dim) in [-0.5, 0.5). */
+  /** Hyperplane component for (table, bit, dim) in [-0.5, 0.5).
+    *
+    * The three indices occupy DISJOINT bit fields of the mix64 input
+    * (21 bits each) — the previous small-prime strides
+    * (table·1000003 + bit·1009 + dim) collided across bits whenever
+    * dim exceeded 1009: for a 1536-dim embedding, bit b's components
+    * 1009..1535 equaled bit b+1's components 0..526, correlating
+    * adjacent signature bits and silently degrading LSH bucket recall.
+    * Field widths (2²¹ ≈ 2M tables/bits/dims) exceed any plausible
+    * configuration.
+    */
   def hyperplane(table: Int, bit: Int, dim: Int): Double =
-    (mix64(table.toLong * 1000003 + bit.toLong * 1009 + dim) >>> 11).toDouble /
-      (1L << 53).toDouble - 0.5
+    (mix64((table.toLong << 42) | (bit.toLong << 21) | dim.toLong) >>> 11)
+      .toDouble / (1L << 53).toDouble - 0.5
 
   /** Sign-bit LSH signatures, one Long per table. */
   def rhpSignatures(vec: Array[Float], tables: Int, bits: Int): Array[Long] = {
@@ -328,6 +341,14 @@ object Hashing {
       nb += b(i).toDouble * b(i).toDouble
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    // zero-norm guard: 0/0 = NaN, and Spark ORDERS NaN above every real
+    // number, so an all-zeros embedding (failed embed call, padding row)
+    // would rank as the TOP match for every query in bruteTopK/lshTopK
+    // and pass every `>= threshold` near-dup test. A zero vector carries
+    // no directional evidence — similarity 0.0. Lockstep with
+    // CosineSim.cosine; the oracled corpora contain no zero vectors, so
+    // compared outputs are unchanged.
+    if (na == 0.0 || nb == 0.0) 0.0
+    else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 }

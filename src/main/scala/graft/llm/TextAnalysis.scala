@@ -38,8 +38,11 @@ object TextAnalysis {
     * reproduce it.
     */
   def subwordCount(text: Column): Column =
+    // the punctuation class excludes the FULL [[Ws]] set — leaving \r\f
+    // out counted every CR in CRLF-line-ending text as a phantom
+    // punctuation token, inflating corpus token budgets by one per line
     size(regexp_extract_all(lower(text),
-      lit("[a-z]+|[0-9]+|[^a-z0-9 \t\n]+"), lit(0)))
+      lit("[a-z]+|[0-9]+|[^a-z0-9 \t\n\f\r]+"), lit(0)))
 
   /** Word n-gram shingles (distinct, first-seen order), the unit for
     * MinHash/Jaccard dedup. Docs with fewer than n words yield an empty
@@ -125,7 +128,8 @@ object TextAnalysis {
   def spellVariantPairs(words: org.apache.spark.sql.DataFrame,
       wordCol: String): org.apache.spark.sql.DataFrame = {
     val delUdf = udf { (w: String) =>
-      (w +: Array.tabulate(w.length)(i =>
+      if (w == null) Array.empty[String]
+      else (w +: Array.tabulate(w.length)(i =>
         w.substring(0, i) + w.substring(i + 1))).distinct
     }
     val keyed = words.select(col(wordCol).as("word"),
@@ -149,7 +153,14 @@ object TextAnalysis {
     }.apply(word)
 
   def fingerprint(text: Column): Column =
-    substring(md5(regexp_replace(lower(trim(text)), s"$Ws+", " ")), 1, 16)
+    // collapse FIRST, trim second: trim() strips only ASCII spaces, so
+    // trim-first left edge tabs/newlines behind as a residual leading/
+    // trailing space in the canonical form — "foo bar" and "foo bar\n"
+    // then keyed differently and exact dupes survived the dedup.
+    // Collapsing turns any edge-whitespace run into one edge space,
+    // which trim then removes. Mirrored in the DuckDB twins
+    // (CorpusQueries.fingerprintExpr, text_fingerprint oracle).
+    substring(md5(trim(regexp_replace(lower(text), s"$Ws+", " "))), 1, 16)
 
   /** Context-window packing: split a document into chunks of at most
     * `maxTokens` whitespace tokens (the training-data prep step that fits
@@ -171,22 +182,18 @@ object TextAnalysis {
       if (t == null) Array.empty[String] else Hashing.winnow(t, n, window))
       .apply(text)
 
-  /** Clean tokenization matching [[Hashing.words]] (edge-strip the full
-    * \s class, split, drop empties) — the convention every shingle-
-    * family oracle mirrors. [[tokens]] above keeps SQL split semantics
-    * (phantom empties on edge whitespace) for the token-count family,
-    * whose oracles mirror THAT; the two conventions must not be mixed
-    * within one compared quantity.
-    */
-  private def cleanTokens(text: Column): Column =
-    filter(split(regexp_replace(text, s"^$Ws+|$Ws+$$", ""), s"$Ws+"),
-      t => t =!= "")
-
   /** Positional (non-distinct) word 2-gram count: clean tokens − 1,
-    * floored at 0. The denominator of the repetition ratio.
+    * floored at 0. The denominator of the repetition ratio. Uses the
+    * [[graft.functions.Tokenize]] codegen expression — the ONE
+    * [[Hashing.words]] convention every shingle-family oracle mirrors —
+    * rather than a hand-rolled regexp chain that would have to be kept
+    * in lockstep manually. ([[tokens]] above keeps SQL split semantics
+    * — phantom empties on edge whitespace — for the token-count family,
+    * whose oracles mirror THAT; the two conventions must not be mixed
+    * within one compared quantity.)
     */
   def bigramTotal(text: Column): Column =
-    greatest(size(cleanTokens(text)) - 1, lit(0))
+    greatest(size(graft.functions.Tokenize(text)) - 1, lit(0))
 
   /** Distinct word 2-gram count — the numerator's complement. Shares
     * [[Hashing.words]] tokenization with [[bigramTotal]]'s clean tokens.

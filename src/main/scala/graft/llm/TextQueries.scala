@@ -461,8 +461,8 @@ object TextQueries extends QueryPack {
       .agg(count(lit(1)).as("n"), count_distinct(col("fp")).as("n_distinct"))
       .orderBy(col("lang")),
     Some("""SELECT lang, count(*) AS n,
-           | count(DISTINCT substring(md5(regexp_replace(lower(trim(text)),
-           |   '\s+', ' ', 'g')), 1, 16)) AS n_distinct
+           | count(DISTINCT substring(md5(trim(regexp_replace(lower(text),
+           |   '\s+', ' ', 'g'))), 1, 16)) AS n_distinct
            |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin))
 
   private val subwords = Q(
@@ -476,7 +476,7 @@ object TextQueries extends QueryPack {
         .orderBy(col("lang"))
     },
     Some("""WITH t AS (SELECT lang,
-           |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 \t\n]+')) AS sc
+           |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 \t\n\f\r]+')) AS sc
            | FROM documents)
            |SELECT lang, count(*) AS n, CAST(sum(sc) AS BIGINT) AS sum_subwords,
            | min(sc) AS min_subwords, max(sc) AS max_subwords
