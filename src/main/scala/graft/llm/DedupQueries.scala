@@ -945,13 +945,18 @@ object DedupQueries extends QueryPack {
           (col("n_j") === col("n_i") && col("j") < col("i")))
         .select(col("i").as("doc_id")).distinct()
       val dd = stage(quality.join(dropIds, Seq("doc_id"), "left_anti"))
+      // sqrt(n_s) micro-floors to a BIGINT before the sum — the
+      // text_neyman_allocation convention; a raw sum(sqrt(double)) is
+      // accumulation-order-dependent and rate feeds a `u < rate` gate
       val counts = dd.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+        .withColumn("sq",
+          floor(sqrt(col("n_s").cast("double")) * 1e6).cast("long"))
       val stats = counts.agg(sum(col("n_s")).as("n_total"),
-        sum(sqrt(col("n_s").cast("double"))).as("sum_sqrt"))
+        sum(col("sq")).as("sum_sq"))
       val rates = counts.crossJoin(broadcast(stats))
         .select(col("source").as("src"), least(lit(1.0),
           col("n_total").cast("double") * 0.5
-            * (sqrt(col("n_s").cast("double")) / col("sum_sqrt"))
+            * (col("sq").cast("double") / col("sum_sq").cast("double"))
             / col("n_s")).as("rate"))
       val v = conv(substring(md5(col("doc_id").cast("string")), 1, 15),
         16, 10).cast("double")
@@ -987,12 +992,16 @@ object DedupQueries extends QueryPack {
             |    OR (len(b.sh) = len(a.sh) AND b.doc_id < a.doc_id))),
             |dd AS (SELECT * FROM q
             | WHERE doc_id NOT IN (SELECT doc_id FROM drp)),
-            |c AS (SELECT source, count(*) AS n_s FROM dd GROUP BY 1),
+            |c AS (SELECT source, count(*) AS n_s,
+            |  CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 1e6) AS BIGINT)
+            |    AS sq
+            | FROM dd GROUP BY 1),
             |st AS (SELECT CAST(sum(n_s) AS BIGINT) AS n_total,
-            |  sum(sqrt(CAST(n_s AS DOUBLE))) AS sum_sqrt FROM c),
+            |  CAST(sum(sq) AS BIGINT) AS sum_sq FROM c),
             |r AS (SELECT source AS src,
             |  least(1.0, CAST(n_total AS DOUBLE) * 0.5
-            |    * (sqrt(CAST(n_s AS DOUBLE)) / sum_sqrt) / n_s) AS rate
+            |    * (CAST(sq AS DOUBLE) / CAST(sum_sq AS DOUBLE)) / n_s)
+            |    AS rate
             | FROM c CROSS JOIN st),
             |kept AS (SELECT dd.doc_id, dd.tc FROM dd
             | JOIN r ON dd.source = src

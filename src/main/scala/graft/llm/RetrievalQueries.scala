@@ -172,17 +172,26 @@ object RetrievalQueries extends QueryPack {
     */
   private[llm] def temperatureMixture(
       docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // each sqrt(n_s) micro-floors into a BIGINT BEFORE the sum (the
+    // text_neyman_allocation convention): a raw sum(sqrt(double)) would
+    // depend on partition accumulation order, and rate feeds a `u <
+    // rate` gate, so one flipped ulp could move a doc across the draw.
+    // sqrt(n_s)·1e6 ≤ ~3e12 even at 1e13 docs/source — BIGINT-safe.
     val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+      .withColumn("sq",
+        floor(sqrt(col("n_s").cast("double")) * 1e6).cast("long"))
     val stats = counts.agg(
       sum(col("n_s")).as("n_total"),
-      sum(sqrt(col("n_s").cast("double"))).as("sum_sqrt"))
+      sum(col("sq")).as("sum_sq"))
     // target draw M = n_total/2 docs, allocated ∝ sqrt(n_s):
-    // rate_s = min(1, (n_total*0.5) * (sqrt(n_s)/sum_sqrt) / n_s)
+    // rate_s = min(1, (n_total*0.5) * (sq/sum_sq) / n_s) — both ratio
+    // operands exact integers, so the one double expression is
+    // identical across engines
     val rates = counts.crossJoin(broadcast(stats))
       .select(col("source").as("src"), col("n_s"),
         least(lit(1.0),
           col("n_total").cast("double") * 0.5
-            * (sqrt(col("n_s").cast("double")) / col("sum_sqrt"))
+            * (col("sq").cast("double") / col("sum_sq").cast("double"))
             / col("n_s")).as("rate"))
     val v = conv(substring(md5(col("doc_id").cast("string")), 1, 15),
       16, 10).cast("double")
@@ -198,13 +207,16 @@ object RetrievalQueries extends QueryPack {
   private val temperature = Q(
     "text_temperature_mixture",
     (s, d) => temperatureMixture(Tables.documents(s, d)),
-    Some("""WITH c AS (SELECT source, count(*) AS n_s
+    Some("""WITH c AS (SELECT source, count(*) AS n_s,
+           |  CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 1e6) AS BIGINT)
+           |    AS sq
            |  FROM documents GROUP BY 1),
            |st AS (SELECT CAST(sum(n_s) AS BIGINT) AS n_total,
-           |  sum(sqrt(CAST(n_s AS DOUBLE))) AS sum_sqrt FROM c),
+           |  CAST(sum(sq) AS BIGINT) AS sum_sq FROM c),
            |r AS (SELECT source AS src, n_s,
            |  least(1.0, CAST(n_total AS DOUBLE) * 0.5
-           |    * (sqrt(CAST(n_s AS DOUBLE)) / sum_sqrt) / n_s) AS rate
+           |    * (CAST(sq AS DOUBLE) / CAST(sum_sq AS DOUBLE)) / n_s)
+           |    AS rate
            | FROM c CROSS JOIN st),
            |u AS (SELECT doc_id, source,
            |  (CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
