@@ -1172,9 +1172,75 @@ object RelationalExt extends QueryPack {
            | (rev_centi * 10000) // type_centi AS share_bp
            |FROM t ORDER BY 1, 2""".stripMargin))
 
+  /** Sorted-neighborhood entity resolution (Hernández & Stolfo,
+    * SIGMOD'95) — the third classic blocking strategy next to the
+    * equi-key passes (`er_blocked_fuzzy_match`, `er_multipass_blocking`):
+    * sort the population on a fuzzy key (here exact account balance in
+    * integer cents — the duplicate-account screen: true duplicates
+    * carry equal or near-equal balances and land adjacent in the sorted
+    * order), slide a window of w = 4 over it, and verify only in-window
+    * pairs —
+    * candidates are exactly 3n−6 at ANY population size, the tightest
+    * candidate bound of the three strategies. Distributed without a
+    * global sort: [[graft.ops.GlobalOrder.indexBy]] assigns the exact
+    * 0-based rank (range-bucketed two-phase index — parallel windows,
+    * centroid-sized driver state), blocks of s = w−1 = 3 consecutive
+    * ranks become the shuffle key, and each right-side row also probes
+    * the PRECEDING block so straddling pairs join exactly once
+    * (b_j ∈ {b_i, b_i+1} when j−i ≤ s — the two-key emit makes every
+    * qualifying pair meet in exactly one block). The published sum of
+    * pair indices pins the exact candidate set, not just its size.
+    */
+  private val erSortedNeighborhood = Q(
+    "er_sorted_neighborhood",
+    (s, d) => {
+      val base = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_name"),
+          round(col("c_acctbal") * 100).cast("long").as("bal_centi"))
+      // staged: the indexed frame feeds both join sides (and indexBy
+      // itself runs two actions on `base`) — one materialization
+      import graft.ops.Checkpoints.StageCheckpoint
+      val idx = graft.ops.GlobalOrder
+        .indexBy(base, "bal_centi", "c_custkey", out = "idx")
+        .stageCheckpoint()
+      val left = idx.select(col("idx").as("l_idx"),
+          col("c_name").as("l_name"))
+        .withColumn("blk", expr("l_idx div 3"))
+      val right = idx.select(col("idx").as("r_idx"),
+          col("c_name").as("r_name"))
+        .withColumn("blk",
+          explode(array(expr("r_idx div 3"), expr("r_idx div 3 - 1"))))
+      left.join(right, "blk")
+        .filter(col("r_idx") > col("l_idx") &&
+          col("r_idx") - col("l_idx") <= 3)
+        .withColumn("lev", levenshtein(col("l_name"), col("r_name")))
+        .agg(count(lit(1)).as("n_cand"),
+          sum(col("l_idx") + col("r_idx")).as("sum_idx"),
+          count(when(col("lev") <= 1, lit(1))).as("n_match_d1"),
+          count(when(col("lev") <= 2, lit(1))).as("n_match_d2"))
+    },
+    Some("""WITH b AS (SELECT c_custkey, c_name,
+           |  CAST(round(c_acctbal * 100) AS BIGINT) AS bal_centi
+           | FROM customer),
+           |r AS (SELECT c_name,
+           |  CAST(row_number() OVER (ORDER BY bal_centi, c_custkey) - 1
+           |    AS BIGINT) AS idx
+           | FROM b),
+           |p AS (SELECT l.idx AS l_idx, r2.idx AS r_idx,
+           |  levenshtein(l.c_name, r2.c_name) AS lev
+           | FROM r l JOIN r r2
+           |  ON r2.idx > l.idx AND r2.idx - l.idx <= 3)
+           |SELECT count(*) AS n_cand,
+           | CAST(sum(l_idx + r_idx) AS BIGINT) AS sum_idx,
+           | CAST(count(CASE WHEN lev <= 1 THEN 1 END) AS BIGINT)
+           |   AS n_match_d1,
+           | CAST(count(CASE WHEN lev <= 2 THEN 1 END) AS BIGINT)
+           |   AS n_match_d2
+           |FROM p""".stripMargin))
+
   val qs: Seq[Q] = Seq(q4, q8, q9, q12, q13, q14, q15, q16, q17, q18, q19, q21, q22,
     quantiles, decimalPricing, dqChecks, tableChecksum, iqrOutliers,
     rangeWindow, pagerank, saltedTopk, saltedJoin, rangeJoin, groupingSets,
     unpivotQ, ntileDeciles, partitionSkew, erBlockedMatch, erMultipass,
-    bloomPrunedJoin, erSurvivorship, shareOfTotal)
+    erSortedNeighborhood, bloomPrunedJoin, erSurvivorship, shareOfTotal)
 }

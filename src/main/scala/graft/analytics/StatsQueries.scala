@@ -1207,9 +1207,143 @@ object StatsQueries extends QueryPack {
            | CAST(sum(i * rev_centi) AS BIGINT) AS rank_weighted_centi
            |FROM r GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** DDSketch-style mergeable quantile sketch (Masson et al., VLDB'19
+    * — the relative-error quantile structure production metric stores
+    * run): log-spaced buckets b = ⌊ln(x)/lnγ⌋ with lnγ = 0.04 (≈2%
+    * relative error at the bucket midpoint), quantile = first bucket
+    * whose cumulative count reaches the k = ⌈q·n⌉ rank, estimate = the
+    * bucket's geometric midpoint e^{(b+½)·lnγ}. THE scale story is that
+    * the per-bucket counts ARE the sketch: they add under union, so
+    * Spark's map-side partial aggregation performs the sketch merge and
+    * the shuffled state is ≤ a few hundred (bucket, count) rows at ANY
+    * input size — the same lifecycle as a t-digest/KLL merge tree but
+    * with a closed-form, engine-portable bucket function. The cumulative
+    * walk runs on that bounded bucket frame (the latency-histogram
+    * bounded-window precedent), and the rank arithmetic is pure integer
+    * (k = (q_bp·n + 9999) div 10⁴). The ln/exp doubles are per-row,
+    * identically written in both engines, and never cross an
+    * aggregation; StatsSpec pins the ≤4%-relative-error guarantee
+    * against the exact order statistic.
+    */
+  private val ddsketch = Q(
+    "agg_ddsketch_quantiles",
+    (s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_extendedprice"))
+      val counts = li
+        .groupBy(floor(log(col("l_extendedprice")) / lit(0.04)).cast("int")
+          .as("b"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.orderBy(col("b"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = counts.withColumn("cum", sum(col("c")).over(w))
+      val tot = counts.agg(sum(col("c")).as("n"))
+      val qrows = s.range(1).select(explode(
+        array(lit(5000), lit(9000), lit(9900))).as("q_bp"))
+      cum.crossJoin(broadcast(tot)).crossJoin(broadcast(qrows))
+        .withColumn("k", expr("(q_bp * n + 9999) div 10000"))
+        .filter(col("cum") >= col("k"))
+        .groupBy(col("q_bp"))
+        .agg(min(col("n")).as("n"), min(col("k")).as("k"),
+          min(col("b")).as("bucket"))
+        .withColumn("est_centi",
+          round(exp((col("bucket") + lit(0.5)) * lit(0.04)) * 100)
+            .cast("long"))
+        .orderBy(col("q_bp"))
+    },
+    Some("""WITH s AS (SELECT CAST(floor(ln(l_extendedprice) / 0.04) AS INT)
+           |    AS b, count(*) AS c
+           |  FROM lineitem GROUP BY 1),
+           |cm AS (SELECT b, c, sum(c) OVER (ORDER BY b
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           |  FROM s),
+           |t AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM s),
+           |q AS (SELECT unnest([5000, 9000, 9900]) AS q_bp),
+           |pick AS (SELECT q_bp, min(n) AS n,
+           |   min((q_bp * n + 9999) // 10000) AS k, min(b) AS bucket
+           |  FROM cm CROSS JOIN t CROSS JOIN q
+           |  WHERE cum >= (q_bp * n + 9999) // 10000
+           |  GROUP BY 1)
+           |SELECT q_bp, n, k, bucket,
+           | CAST(round(exp((bucket + 0.5) * 0.04) * 100) AS BIGINT)
+           |   AS est_centi
+           |FROM pick ORDER BY q_bp""".stripMargin))
+
+  /** Chi-squared test of independence between event type and day of
+    * week — the categorical-association screen behind "does traffic mix
+    * shift by weekday". Observed counts, row/column margins, and N are
+    * integral sufficient statistics from ONE map-side-combined scan
+    * (the `stats_ab_proportion_ztest` discipline); the per-cell
+    * (o−e)²/e term quantizes to micro-units per CELL (each cell's
+    * double math is one identically-written expression from exact
+    * integers — the KL-divergence rule) and the statistic is then an
+    * integer sum over the |types|×7 bounded cell frame, immune to
+    * accumulation order. Day of week is the epoch-anchored
+    * (epoch_days+4) mod 7 house convention. Output: one row per event
+    * type pinning its margin and its chi² contribution, plus the test's
+    * degrees of freedom — the global statistic is the exact integer sum
+    * of the published column.
+    */
+  private val chi2 = Q(
+    "stats_chi2_independence",
+    (s, d) => {
+      val base = Tables.events(s, d).select(col("event_type"),
+        pmod(datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+          + lit(4), lit(7)).as("dow"))
+      val cells = base.groupBy(col("event_type"), col("dow"))
+        .agg(count(lit(1)).as("o"))
+      val rowM = cells.groupBy(col("event_type")).agg(sum(col("o")).as("r"))
+      val colM = cells.groupBy(col("dow")).agg(sum(col("o")).as("cm"))
+      val tot = cells.agg(sum(col("o")).as("nn"),
+        countDistinct(col("event_type")).as("n_types"),
+        countDistinct(col("dow")).as("n_dows"))
+      // complete the contingency grid: unobserved (type, dow) cells
+      // still contribute their expected count (o=0 → term = e) — the
+      // margins' cross product is |types|×7, dimension-sized
+      rowM.crossJoin(colM)
+        .join(cells, Seq("event_type", "dow"), "left_outer")
+        .withColumn("o", coalesce(col("o"), lit(0L)))
+        .crossJoin(broadcast(tot))
+        .withColumn("term_micro", expr(
+          """CAST(round(pow(CAST(o AS DOUBLE)
+            |  - CAST(r AS DOUBLE) * cm / nn, 2)
+            |  / (CAST(r AS DOUBLE) * cm / nn) * 1e6) AS BIGINT)"""
+            .stripMargin))
+        .groupBy(col("event_type"))
+        .agg(min(col("r")).as("row_total"),
+          count(lit(1)).as("n_cells"),
+          sum(col("term_micro")).as("chi2_part_micro"),
+          min((col("n_types") - 1) * (col("n_dows") - 1)).as("dof"))
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH b AS (SELECT event_type,
+           |  (CAST(ts AS DATE) - DATE '1970-01-01' + 4) % 7 AS dow
+           | FROM events),
+           |cl AS (SELECT event_type, dow, count(*) AS o FROM b GROUP BY 1, 2),
+           |rm AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS r
+           |  FROM cl GROUP BY 1),
+           |cm AS (SELECT dow, CAST(sum(o) AS BIGINT) AS cm FROM cl GROUP BY 1),
+           |t AS (SELECT CAST(sum(o) AS BIGINT) AS nn,
+           |  count(DISTINCT event_type) AS n_types,
+           |  count(DISTINCT dow) AS n_dows FROM cl),
+           |grid AS (SELECT rm.event_type, rm.r, cm.dow, cm.cm,
+           |  coalesce(cl.o, 0) AS o
+           | FROM rm CROSS JOIN cm
+           | LEFT JOIN cl ON cl.event_type = rm.event_type
+           |  AND cl.dow = cm.dow),
+           |terms AS (SELECT grid.event_type, r,
+           |  CAST(round(pow(CAST(o AS DOUBLE)
+           |    - CAST(r AS DOUBLE) * cm / nn, 2)
+           |    / (CAST(r AS DOUBLE) * cm / nn) * 1e6) AS BIGINT) AS term_micro,
+           |  n_types, n_dows
+           | FROM grid CROSS JOIN t)
+           |SELECT event_type, min(r) AS row_total, count(*) AS n_cells,
+           | CAST(sum(term_micro) AS BIGINT) AS chi2_part_micro,
+           | CAST(min((n_types - 1) * (n_dows - 1)) AS BIGINT) AS dof
+           |FROM terms GROUP BY 1 ORDER BY 1""".stripMargin))
+
   override def qs: Seq[Q] =
     Seq(triangles, clusteringCoeff, twoHopReach, twoHopHyperball,
-      rangePartitionPlan,
+      rangePartitionPlan, ddsketch, chi2,
       mannKendall, richClub, trend,
       pareto, equidepth, madOutliers,
       zorder, compactionBins, distributionDrift, windowValues, rollingWau,

@@ -292,5 +292,68 @@ object SupplyQueries extends QueryPack {
            | max(lead_d) AS max_d
            |FROM r GROUP BY 1 ORDER BY 1""".stripMargin))
 
-  val qs: Seq[Q] = Seq(q2, q11, q20, basketPairs, leadTime)
+  /** PMI-ranked co-purchase pairs — the association measure that
+    * surfaces pairs which are INTERESTING rather than merely frequent
+    * (lift-by-support, `basket_top_part_pairs`, rewards popular items;
+    * PMI = ln(P(a,b)/(P(a)P(b))) normalizes both margins away — the
+    * word-embedding / recsys co-occurrence statistic). Same scale shape
+    * as the lift query: pair expansion INSIDE each order's ≤7-item
+    * sorted basket array (never an item-table self-join), per-part
+    * counts broadcast onto survivors. The min-support gate (≥3 baskets)
+    * is what makes PMI usable — unfiltered PMI degenerates to 1-count
+    * pairs; at 100 TB the gate also bounds the ranked frame before the
+    * TakeOrdered. PMI publishes in integer micro-nats: the ln argument
+    * assembles from exact integers with division FIRST (the KL
+    * overflow rule — support·N can exceed BIGINT at corpus scale,
+    * support/ca · N/cb cannot), one identically-written double
+    * expression per surviving ROW, rounded once, never summed.
+    */
+  private val basketPmi = Q(
+    "basket_pmi_pairs",
+    (s, d) => {
+      val items = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val cnt = items.groupBy(col("p")).agg(count(lit(1)).as("c"))
+      val tot = items.agg(countDistinct(col("o")).as("n_orders"))
+      val pairs = items.groupBy(col("o"))
+        .agg(sort_array(collect_set(col("p"))).as("ps"))
+        .select(explode(expr(
+          """flatten(transform(ps, (x, i) ->
+            |  transform(slice(ps, i + 2, size(ps)), y -> struct(x AS a, y AS b))))"""
+            .stripMargin)).as("pr"))
+        .groupBy(col("pr.a").as("pa"), col("pr.b").as("pb"))
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 3)
+      pairs
+        .join(broadcast(cnt.select(col("p").as("pa"), col("c").as("ca"))), "pa")
+        .join(broadcast(cnt.select(col("p").as("pb"), col("c").as("cb"))), "pb")
+        .crossJoin(broadcast(tot))
+        .withColumn("pmi_micro", expr(
+          """CAST(round(ln((CAST(support AS DOUBLE) / ca)
+            |  * (CAST(n_orders AS DOUBLE) / cb)) * 1e6) AS BIGINT)"""
+            .stripMargin))
+        .select(col("pa"), col("pb"), col("support"), col("ca"), col("cb"),
+          col("pmi_micro"))
+        .orderBy(col("pmi_micro").desc, col("pa"), col("pb"))
+        .limit(15)
+    },
+    Some("""WITH i AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+           |  FROM lineitem),
+           |c AS (SELECT p, count(*) AS c FROM i GROUP BY 1),
+           |t AS (SELECT count(DISTINCT o) AS n_orders FROM i),
+           |pr AS (SELECT a.p AS pa, b.p AS pb, count(*) AS support
+           |  FROM i a JOIN i b ON a.o = b.o AND a.p < b.p
+           |  GROUP BY 1, 2 HAVING count(*) >= 3),
+           |sc AS (SELECT pa, pb, CAST(support AS BIGINT) AS support,
+           |  CAST(ca.c AS BIGINT) AS ca, CAST(cb.c AS BIGINT) AS cb,
+           |  CAST(round(ln((CAST(support AS DOUBLE) / ca.c)
+           |    * (CAST(n_orders AS DOUBLE) / cb.c)) * 1e6) AS BIGINT)
+           |    AS pmi_micro
+           | FROM pr JOIN c ca ON ca.p = pr.pa
+           |  JOIN c cb ON cb.p = pr.pb CROSS JOIN t)
+           |SELECT * FROM sc
+           |ORDER BY pmi_micro DESC, pa, pb LIMIT 15""".stripMargin))
+
+  val qs: Seq[Q] = Seq(q2, q11, q20, basketPairs, basketPmi, leadTime)
 }

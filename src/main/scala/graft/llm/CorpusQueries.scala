@@ -949,8 +949,170 @@ object CorpusQueries extends QueryPack {
             |   AS n_pass_all
             |FROM f GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** CCNet-style perplexity partition (Wenzek et al., LREC'20 — the
+    * head/middle/tail split every crawl-curation pipeline applies
+    * before mixing): score each document with the corpus bigram LM
+    * ([[bigramNllScores]] — integer micro-nat NLL, the determinism
+    * spine of the perplexity family), cut the population into exact
+    * terciles with the range-bucketed global-ntile operator (NO
+    * unpartitioned window — the `rfm_customer_segments` machinery),
+    * and publish the per-bucket profile a mixing recipe reads: doc
+    * count, bigram mass, NLL range, and the id-sum pinning exact
+    * membership. Bucket 1 is the fluent "head" a quality-weighted
+    * sampler oversamples; bucket 3 the tail it prunes. Scale: scoring
+    * is the two-scan DSIR shape, the tercile assignment two extra jobs
+    * with ≤64 scalars of driver state, the output 3 rows.
+    */
+  private val ccnetBuckets = Q(
+    "docs_ccnet_perplexity_buckets",
+    (s, d) => {
+      // staged: ntileBy runs two actions (cut sketch + bucket counts)
+      // and the final pass a third — without the checkpoint each would
+      // re-derive the whole bigram-LM scoring
+      val scores = bigramNllScores(Tables.documents(s, d)).stageCheckpoint()
+      graft.ops.GlobalOrder
+        .ntileBy(scores, "avg_nll_micro", "doc_id", 3, out = "bucket")
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_bigrams")).as("sum_bigrams"),
+          min(col("avg_nll_micro")).as("min_nll_micro"),
+          max(col("avg_nll_micro")).as("max_nll_micro"),
+          sum(col("doc_id")).as("sum_ids"))
+        .orderBy(col("bucket"))
+    },
+    Some(s"""WITH t AS (SELECT doc_id, $WordsExpr AS w FROM documents),
+            |tok AS (SELECT unnest(w) AS tok FROM t),
+            |c1 AS (SELECT tok AS w1, count(*) AS c1 FROM tok GROUP BY 1),
+            |v AS (SELECT count(DISTINCT tok) AS v FROM tok),
+            |bg AS (SELECT doc_id, unnest([w[i] || ' ' || w[i+1]
+            |    for i in range(1, len(w))]) AS bg
+            |  FROM t WHERE len(w) >= 2),
+            |c2 AS (SELECT bg, count(*) AS n2 FROM bg GROUP BY 1),
+            |nll AS (SELECT c2.bg, CAST(round((ln(c1.c1 + v.v)
+            |    - ln(c2.n2 + 1.0)) * 1e6) AS BIGINT) AS nll_micro
+            |  FROM c2 JOIN c1 ON c1.w1 = string_split(c2.bg, ' ')[1]
+            |  CROSS JOIN v),
+            |dbg AS (SELECT doc_id, bg, count(*) AS k FROM bg GROUP BY 1, 2),
+            |sc AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
+            |  CAST(sum(k * nll_micro) AS BIGINT)
+            |    // CAST(sum(k) AS BIGINT) AS avg_nll_micro
+            |  FROM dbg JOIN nll USING (bg) GROUP BY 1),
+            |tiled AS (SELECT doc_id, n_bigrams, avg_nll_micro,
+            |  ntile(3) OVER (ORDER BY avg_nll_micro, doc_id) AS bucket
+            |  FROM sc)
+            |SELECT bucket, count(*) AS n_docs,
+            | CAST(sum(n_bigrams) AS BIGINT) AS sum_bigrams,
+            | min(avg_nll_micro) AS min_nll_micro,
+            | max(avg_nll_micro) AS max_nll_micro,
+            | CAST(sum(doc_id) AS BIGINT) AS sum_ids
+            |FROM tiled GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** N-gram novelty curve over the training-shard order — the
+    * diminishing-returns diagnostic behind "is another crawl snapshot
+    * worth ingesting": with shards 0..7 as arrival order (the
+    * `docs_shuffle_shards` md5 assignment), a shard's novelty is the
+    * fraction of its distinct 5-gram shingles whose FIRST corpus-wide
+    * occurrence is that shard. The first-seen attribution is one
+    * min-aggregation keyed by gram (map-side combined), joined back on
+    * the same gram key — two shuffles on the gram domain and a
+    * pure-integer basis-point ratio; no pairwise shard comparison
+    * anywhere, so the curve costs the same two scans whether there are
+    * 8 shards or 8,000 snapshots.
+    */
+  private val noveltyCurve = Q(
+    "text_ngram_novelty_curve",
+    (s, d) => {
+      val g = Tables.documents(s, d)
+        .withColumn("shard",
+          conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+            .cast("long") % 8)
+        .select(col("shard"),
+          explode(TextAnalysis.shingles(col("text"), 5)).as("gram"))
+        .distinct()
+        // consumed by both the first-seen aggregation and the join probe
+        .stageCheckpoint()
+      val first = g.groupBy(col("gram")).agg(min(col("shard")).as("first_shard"))
+      g.join(first, "gram")
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_distinct_grams"),
+          sum(when(col("shard") === col("first_shard"), 1L).otherwise(0L))
+            .as("n_novel"))
+        .withColumn("novel_bp",
+          expr("n_novel * 10000 div n_distinct_grams"))
+        .orderBy(col("shard"))
+    },
+    Some(s"""WITH t AS (SELECT
+            |  ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+            |    % 8 AS shard, $WordsExpr AS w
+            | FROM documents),
+            |g AS (SELECT DISTINCT shard,
+            |  unnest([w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]
+            |    for i in range(1, len(w) - 3)]) AS gram
+            |  FROM t WHERE len(w) >= 5),
+            |f AS (SELECT gram, min(shard) AS first_shard FROM g GROUP BY 1)
+            |SELECT shard, count(*) AS n_distinct_grams,
+            | CAST(sum(CASE WHEN shard = first_shard THEN 1 ELSE 0 END)
+            |   AS BIGINT) AS n_novel,
+            | CAST(sum(CASE WHEN shard = first_shard THEN 1 ELSE 0 END)
+            |   AS BIGINT) * 10000 // count(*) AS novel_bp
+            |FROM g JOIN f USING (gram)
+            |GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** Length-bucketed inference batch planning — the dynamic-batching
+    * layout step a serving/eval fleet runs before tokenizing 100 TB of
+    * prompts: documents bucket by the smallest power-of-two width that
+    * holds their token count (capped at the 16,384-token context;
+    * longer docs truncate to the cap), each batch packs
+    * C div width same-width docs against a C = 16,384-token budget,
+    * and the output profiles every bucket: batch count, the padding
+    * tokens the power-of-two rounding wastes, and utilization in basis
+    * points. The width exponent is pure integer arithmetic —
+    * length(bin(tc−1)) is the bit length both engines agree on, no
+    * float log2 near a power-of-two boundary. One scan, one
+    * ≤15-group aggregation; the per-group math is integral.
+    */
+  private val lengthBuckets = Q(
+    "docs_length_bucket_batching",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(graft.functions.Tokenize(col("text"))).as("tc"))
+        .filter(col("tc") >= 1)
+        .withColumn("e", expr(
+          "least(CASE WHEN tc <= 1 THEN 0 ELSE length(bin(tc - 1)) END, 14)"))
+        .withColumn("width", expr("CAST(pow(2, e) AS BIGINT)"))
+        .withColumn("fit", expr("least(CAST(tc AS BIGINT), width)"))
+      docs.groupBy(col("width"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(expr("16384 div width")).as("docs_per_batch"),
+          sum(col("fit")).as("sum_tokens"),
+          sum(col("width") - col("fit")).as("pad_tokens"))
+        .withColumn("n_batches",
+          expr("(n_docs + docs_per_batch - 1) div docs_per_batch"))
+        .withColumn("util_bp", expr(
+          "sum_tokens * 10000 div (n_batches * docs_per_batch * width)"))
+        .orderBy(col("width"))
+    },
+    Some(s"""WITH t AS (SELECT doc_id, len($WordsExpr) AS tc FROM documents),
+            |b AS (SELECT doc_id, tc,
+            |  CAST(pow(2, least(CASE WHEN tc <= 1 THEN 0
+            |    ELSE length(bin(tc - 1)) END, 14)) AS BIGINT) AS width
+            |  FROM t WHERE tc >= 1),
+            |w AS (SELECT width, doc_id,
+            |  least(CAST(tc AS BIGINT), width) AS fit FROM b),
+            |g AS (SELECT width, count(*) AS n_docs,
+            |  min(16384 // width) AS docs_per_batch,
+            |  CAST(sum(fit) AS BIGINT) AS sum_tokens,
+            |  CAST(sum(width - fit) AS BIGINT) AS pad_tokens
+            | FROM w GROUP BY 1)
+            |SELECT width, n_docs, docs_per_batch, sum_tokens, pad_tokens,
+            | (n_docs + docs_per_batch - 1) // docs_per_batch AS n_batches,
+            | sum_tokens * 10000 // (((n_docs + docs_per_batch - 1)
+            |   // docs_per_batch) * docs_per_batch * width) AS util_bp
+            |FROM g ORDER BY width""".stripMargin))
+
   val qs: Seq[Q] = Seq(winnowing, repetition, pii, stratified, winnowPairs,
     decontaminate, decontaminateBloom, topNgrams, tokenDf, paraDedup, shards,
     dsir, contamFrac, perplexity, streamGatesTwin, curriculum, heaps,
-    klDivergence, gopherGates)
+    klDivergence, gopherGates, ccnetBuckets, noveltyCurve, lengthBuckets)
 }

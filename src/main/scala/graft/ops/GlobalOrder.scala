@@ -20,19 +20,19 @@ import org.apache.spark.sql.functions._
   */
 object GlobalOrder {
 
-  /** Exact SQL `ntile(tiles) OVER (ORDER BY sortCol, tieCol)` without a
-    * global window. `(sortCol, tieCol)` must be a total order (tieCol a
-    * unique id). Returns `df` plus an INT `out` column. Runs two jobs at
+  /** Shared two-phase core: `df` plus an exact 0-based BIGINT `idxOut`
+    * global index of the `(sortCol, tieCol)` total order, and the exact
+    * row count (known for free from the bucket counts). Runs two jobs at
     * construction (quantile sketch + bucket counts) — same eager
     * lifecycle as the localCheckpoint-staged operators.
     */
-  def ntileBy(df: DataFrame, sortCol: String, tieCol: String, tiles: Int,
-      out: String = "_tile", nBuckets: Int = 32): DataFrame = {
+  private def indexed(df: DataFrame, sortCol: String, tieCol: String,
+      idxOut: String, nBuckets: Int): (DataFrame, Long) = {
     // collision-proofed internals: withColumn REPLACES a same-named
     // caller column and the final drop would then delete caller data
-    val (bC, offC, idxC) = ("_graft_ntile_b", "_graft_ntile_off", "_graft_ntile_idx")
-    require(!Seq(bC, offC, idxC).exists(df.columns.contains),
-      s"ntileBy input must not carry reserved columns $bC/$offC/$idxC")
+    val (bC, offC) = ("_graft_ntile_b", "_graft_ntile_off")
+    require(!Seq(bC, offC, idxOut).exists(df.columns.contains),
+      s"GlobalOrder input must not carry reserved columns $bC/$offC/$idxOut")
     val cuts = df.stat
       .approxQuantile(sortCol,
         (1 until nBuckets).map(_.toDouble / nBuckets).toArray, 0.001)
@@ -58,6 +58,30 @@ object GlobalOrder {
     val offDf = spark.createDataFrame(offRows,
       org.apache.spark.sql.types.StructType.fromDDL(s"$bC INT, $offC BIGINT"))
     val w = Window.partitionBy(col(bC)).orderBy(col(sortCol), col(tieCol))
+    val out = bucketed
+      .join(broadcast(offDf), bC)
+      .withColumn(idxOut, col(offC) + row_number().over(w) - 1)
+      .drop(bC, offC)
+    (out, n)
+  }
+
+  /** Exact 0-based global row index of the `(sortCol, tieCol)` total
+    * order without a global sort — the primitive under [[ntileBy]] and
+    * the sorted-neighborhood blocking pass. `sortCol` must be numeric
+    * (the cut sketch samples it); `tieCol` a unique id.
+    */
+  def indexBy(df: DataFrame, sortCol: String, tieCol: String,
+      out: String = "_idx", nBuckets: Int = 32): DataFrame =
+    indexed(df, sortCol, tieCol, out, nBuckets)._1
+
+  /** Exact SQL `ntile(tiles) OVER (ORDER BY sortCol, tieCol)` without a
+    * global window. `(sortCol, tieCol)` must be a total order (tieCol a
+    * unique id). Returns `df` plus an INT `out` column.
+    */
+  def ntileBy(df: DataFrame, sortCol: String, tieCol: String, tiles: Int,
+      out: String = "_tile", nBuckets: Int = 32): DataFrame = {
+    val idxC = "_graft_ntile_idx"
+    val (withIdx, n) = indexed(df, sortCol, tieCol, idxC, nBuckets)
     // SQL ntile: with q = n div tiles and r = n mod tiles, the first r
     // tiles hold q+1 rows, the rest q — expressed over the exact 0-based
     // global index with integer `div` (never double division)
@@ -66,10 +90,6 @@ object GlobalOrder {
       if (q == 0) expr(s"CAST($idxC AS INT) + 1")
       else expr(s"CAST(IF($idxC < ${r * (q + 1)}, $idxC div ${q + 1}, " +
         s"$r + ($idxC - ${r * (q + 1)}) div $q) AS INT) + 1")
-    bucketed
-      .join(broadcast(offDf), bC)
-      .withColumn(idxC, col(offC) + row_number().over(w) - 1)
-      .withColumn(out, tileExpr)
-      .drop(bC, offC, idxC)
+    withIdx.withColumn(out, tileExpr).drop(idxC)
   }
 }

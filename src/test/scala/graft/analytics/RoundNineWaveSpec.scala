@@ -1,0 +1,231 @@
+package graft.analytics
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Planted-data semantics for the round-9 widening wave, driven through
+  * the REGISTERED queries end-to-end (the RoundSevenSpec pattern): each
+  * test writes a hand-checkable table set shaped like the harness data
+  * and asserts against an independent in-spec recomputation — the
+  * accuracy/membership claims the cross-engine oracle cannot express
+  * (it proves agreement, not correctness of the estimate).
+  */
+class RoundNineWaveSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def q(name: String, dir: String) =
+    graft.SparkEntry.queries(name)(spark, dir)
+
+  private def tmpDir(): String =
+    java.nio.file.Files.createTempDirectory("r9spec").toString
+
+  test("agg_ddsketch_quantiles estimates within the 2% relative-error band") {
+    val dir = tmpDir()
+    // 200 known prices: 1.00 .. 200.00
+    val prices = (1 to 200).map(_.toDouble)
+    prices.zipWithIndex.map { case (p, i) => (i.toLong, p) }
+      .toDF("l_orderkey", "l_extendedprice")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val out = q("agg_ddsketch_quantiles", dir)
+      .select("q_bp", "n", "k", "est_centi")
+      .as[(Int, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq === Seq(5000, 9000, 9900))
+    val sorted = prices.sorted
+    out.foreach { case (qBp, n, k, estCenti) =>
+      assert(n === 200L)
+      assert(k === (qBp * 200L + 9999) / 10000)
+      val exact = sorted(k.toInt - 1)
+      val relErr = math.abs(estCenti / 100.0 - exact) / exact
+      // DDSketch guarantee at lnγ=0.04: midpoint estimate within
+      // e^{0.02}−1 ≈ 2.02% of any value in the chosen bucket
+      assert(relErr <= 0.0202, s"q=$qBp est=${estCenti / 100.0} exact=$exact")
+    }
+  }
+
+  test("stats_chi2_independence matches the direct contingency computation") {
+    val dir = tmpDir()
+    // two full ISO weeks; 1970-01-01 is a Thursday so (epoch+4)%7 maps
+    // Sunday→0; plant one type uniform over all days, one Monday-only
+    val days = (0 until 14).map(i => Timestamp.valueOf(
+      java.time.LocalDate.of(2024, 1, 1).plusDays(i).atStartOfDay()))
+    val rows =
+      days.zipWithIndex.flatMap { case (t, i) =>
+        (1 to 3).map(j => ((i * 10 + j).toLong, t, 1L, "uniform",
+          Double.box(1.0), "{}"))
+      } ++
+      days.zipWithIndex.filter { case (_, i) => i % 7 == 0 } // Mondays
+        .flatMap { case (t, i) =>
+          (1 to 21).map(j => ((1000 + i * 100 + j).toLong, t, 2L, "monday",
+            Double.box(1.0), "{}"))
+        }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val got = q("stats_chi2_independence", dir)
+      .select("event_type", "row_total", "n_cells", "chi2_part_micro", "dof")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // direct recompute with the query's own rounding convention
+    val cells = rows.groupBy { r =>
+      val epochDays = r._2.toLocalDateTime.toLocalDate.toEpochDay
+      (r._4, ((epochDays + 4) % 7).toInt)
+    }.map { case (k, v) => k -> v.size.toLong }
+    val rowM = cells.groupBy(_._1._1).map { case (t, m) => t -> m.values.sum }
+    val colM = cells.groupBy(_._1._2).map { case (w, m) => w -> m.values.sum }
+    val nn = cells.values.sum
+    // full grid: unobserved cells contribute o=0 → term = e
+    // NB: .toSeq before the inner map — a Set would collapse the six
+    // equal off-Monday terms into one
+    val expect = rowM.keys.toSeq.map { t =>
+      t -> colM.keys.toSeq.map { w =>
+        val o = cells.getOrElse((t, w), 0L)
+        val e = rowM(t).toDouble * colM(w) / nn
+        math.round(math.pow(o.toDouble - e, 2) / e * 1e6)
+      }.sum
+    }.toMap
+    assert(got("uniform")._4 === expect("uniform"))
+    assert(got("monday")._4 === expect("monday"))
+    assert(got("monday")._2 === 42L) // 2 Mondays × 21
+    assert(got.values.forall(_._5 === 6L)) // dof = (2−1)(7−1)
+    // the planted dependence is detected: χ² = 63 ≫ the 12.59 critical
+    // value at dof 6 (in a 2-row table both rows contribute equally —
+    // residuals are symmetric)
+    assert(got.values.map(_._4).sum > 50L * 1000000L)
+  }
+
+  test("basket_pmi_pairs ranks the planted exclusive pair first") {
+    val dir = tmpDir()
+    // orders 1..5: parts {1,2} exclusively (perfect association);
+    // orders 1..20: parts 3 and 4 everywhere (popular, independent)
+    val li = (1L to 5L).flatMap(o => Seq((o, 1L), (o, 2L))) ++
+      (1L to 20L).flatMap(o => Seq((o, 3L), (o, 4L)))
+    li.toDF("l_orderkey", "l_partkey")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val out = q("basket_pmi_pairs", dir)
+      .select("pa", "pb", "support", "pmi_micro")
+      .as[(Long, Long, Long, Long)].collect()
+    val top = out.head
+    assert((top._1, top._2, top._3) === ((1L, 2L, 5L)))
+    // pmi(1,2) = ln((5/5)·(20/5)) = ln 4
+    assert(top._4 === math.round(math.log(5.0 / 5 * (20.0 / 5)) * 1e6))
+    // the popular pair is present but scores ln 1 = 0
+    val popular = out.find(r => r._1 == 3L && r._2 == 4L).get
+    assert(popular._3 === 20L && popular._4 === 0L)
+  }
+
+  test("er_sorted_neighborhood candidates are exactly the w=4 window pairs") {
+    val dir = tmpDir()
+    // 10 customers, balance i dollars → sorted order IS custkey order;
+    // names all pairwise levenshtein 1 (single final-char difference)
+    val rows = (1 to 10).map(i =>
+      (i.toLong, s"CUST_$i", 0L, i.toDouble, "SEG"))
+    rows.toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+        "c_mktsegment")
+      .write.parquet(s"$dir/customer.parquet")
+    val r = q("er_sorted_neighborhood", dir).collect().head
+    val pairs = for {
+      i <- 0 until 10; j <- i + 1 until 10; if j - i <= 3
+    } yield (i, j)
+    assert(r.getAs[Long]("n_cand") === pairs.size.toLong) // 3n−6 = 24
+    assert(r.getAs[Long]("sum_idx") === pairs.map { case (i, j) => i + j }.sum)
+    // CUST_1..CUST_9 differ in one char (d1); CUST_10 is d1 from CUST_1
+    // (one insertion) but d2 from the rest — recompute rather than guess
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1, b.length + 1) { (x, y) =>
+        if (x == 0) y else if (y == 0) x else 0 }
+      for (x <- 1 to a.length; y <- 1 to b.length)
+        dp(x)(y) = math.min(math.min(dp(x - 1)(y), dp(x)(y - 1)) + 1,
+          dp(x - 1)(y - 1) + (if (a(x - 1) == b(y - 1)) 0 else 1))
+      dp(a.length)(b.length)
+    }
+    val names = rows.sortBy(x => (x._4, x._1)).map(_._2)
+    val d1 = pairs.count { case (i, j) => lev(names(i), names(j)) <= 1 }
+    val d2 = pairs.count { case (i, j) => lev(names(i), names(j)) <= 2 }
+    assert(r.getAs[Long]("n_match_d1") === d1.toLong)
+    assert(r.getAs[Long]("n_match_d2") === d2.toLong)
+  }
+
+  test("docs_ccnet_perplexity_buckets cuts exact ordered terciles") {
+    val dir = tmpDir()
+    // 9 docs with ≥2 tokens each; fluency varies from pure repetition
+    // to unique-vocabulary text
+    val docs = (1 to 9).map { i =>
+      val text =
+        if (i <= 3) "the cat sat the cat sat the cat sat"
+        else if (i <= 6) s"the cat sat on mat number $i today"
+        else s"zx$i qw$i er$i ty$i ui$i op$i"
+      (i.toLong, text, "en", "s", text.length.toLong)
+    }
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = q("docs_ccnet_perplexity_buckets", dir)
+      .select("bucket", "n_docs", "min_nll_micro", "max_nll_micro", "sum_ids")
+      .as[(Int, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq === Seq(1, 2, 3))
+    assert(out.map(_._2).toSeq === Seq(3L, 3L, 3L)) // 9 docs → 3/3/3
+    assert(out.map(_._5).sum === (1 to 9).map(_.toLong).sum)
+    // tercile boundaries respect the NLL order
+    assert(out(0)._4 <= out(1)._3 && out(1)._4 <= out(2)._3)
+    // repetitive docs are the fluent head, unique-vocab docs the tail
+    assert(out(0)._5 === 1L + 2L + 3L)
+    assert(out(2)._5 === 7L + 8L + 9L)
+  }
+
+  test("text_ngram_novelty_curve conserves first-seen attribution") {
+    val dir = tmpDir()
+    // 40 docs over shared + private vocab so shards overlap on grams
+    val docs = (1 to 40).map { i =>
+      val shared = "alpha beta gamma delta epsilon zeta"
+      val priv = s"w${i}a w${i}b w${i}c w${i}d w${i}e"
+      (i.toLong, s"$shared $priv", "en", "s", 10L)
+    }
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = q("text_ngram_novelty_curve", dir)
+      .select("shard", "n_distinct_grams", "n_novel", "novel_bp")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    // the earliest populated shard is all-novel by construction
+    assert(out.head._4 === 10000L)
+    // every gram is novel in exactly one shard: Σ n_novel = |grams|
+    val allGrams = docs.flatMap { case (id, text, _, _, _) =>
+      graft.llm.Hashing.words(text).sliding(5).filter(_.length == 5)
+        .map(_.mkString(" "))
+    }.toSet
+    assert(out.map(_._3).sum === allGrams.size.toLong)
+    out.foreach { r =>
+      assert(r._3 <= r._2 && r._4 >= 0 && r._4 <= 10000)
+      assert(r._4 === r._3 * 10000 / r._2)
+    }
+  }
+
+  test("docs_length_bucket_batching plans power-of-two buckets exactly") {
+    val dir = tmpDir()
+    // token counts 1, 2, 3, 5, 100, 20000 → widths 1, 2, 4, 8, 128, 16384
+    val mk = (n: Int) => (1 to n).map(j => s"t$j").mkString(" ")
+    val docs = Seq(1, 2, 3, 5, 100, 20000).zipWithIndex.map {
+      case (n, i) => ((i + 1).toLong, mk(n), "en", "s", n.toLong)
+    }
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = q("docs_length_bucket_batching", dir)
+      .select("width", "n_docs", "docs_per_batch", "sum_tokens",
+        "pad_tokens", "n_batches", "util_bp")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out.keySet === Set(1L, 2L, 4L, 8L, 128L, 16384L))
+    // width 8 holds tc=5: pad 3, one batch of 2048 slots
+    assert(out(8L)._4 === 5L && out(8L)._5 === 3L && out(8L)._6 === 1L)
+    assert(out(8L)._3 === 2048L)
+    // the 20000-token doc truncates to the 16384 cap: zero padding,
+    // exactly one one-doc batch at full utilization
+    assert(out(16384L)._4 === 16384L && out(16384L)._5 === 0L)
+    assert(out(16384L)._3 === 1L && out(16384L)._6 === 1L)
+    assert(out(16384L)._7 === 10000L)
+    // utilization = fit / (batches · slots · width), in bp
+    out.values.foreach { r =>
+      assert(r._7 === r._4 * 10000 / (r._6 * r._3 * r._1))
+    }
+  }
+}

@@ -25,6 +25,17 @@ class GlobalOrderSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("indexBy equals the 0-based window row_number on ties and skew") {
+    val rnd = new scala.util.Random(11)
+    val df = (1L to 400L).map(i => (i, rnd.nextInt(10).toLong)).toDF("id", "v")
+    val got = GlobalOrder.indexBy(df, "v", "id", "idx")
+      .select(col("id"), col("idx")).as[(Long, Long)].collect().toMap
+    val w = Window.orderBy(col("v"), col("id"))
+    val want = df.withColumn("idx", row_number().over(w).cast("long") - 1)
+      .select(col("id"), col("idx")).as[(Long, Long)].collect().toMap
+    assert(got === want)
+  }
+
   test("caller columns that collide with former temp names survive") {
     // '_idx'/'_b' were the operator's internal scratch names — a caller
     // column with one of those names must pass through untouched
