@@ -1207,32 +1207,39 @@ object StatsQueries extends QueryPack {
            | CAST(sum(i * rev_centi) AS BIGINT) AS rank_weighted_centi
            |FROM r GROUP BY 1 ORDER BY 1""".stripMargin))
 
-  /** DDSketch-style mergeable quantile sketch (Masson et al., VLDB'19
-    * — the relative-error quantile structure production metric stores
-    * run): log-spaced buckets b = ⌊ln(x)/lnγ⌋ with lnγ = 0.04 (≈2%
-    * relative error at the bucket midpoint), quantile = first bucket
-    * whose cumulative count reaches the k = ⌈q·n⌉ rank, estimate = the
-    * bucket's geometric midpoint e^{(b+½)·lnγ}. THE scale story is that
-    * the per-bucket counts ARE the sketch: they add under union, so
-    * Spark's map-side partial aggregation performs the sketch merge and
-    * the shuffled state is ≤ a few hundred (bucket, count) rows at ANY
-    * input size — the same lifecycle as a t-digest/KLL merge tree but
-    * with a closed-form, engine-portable bucket function. The cumulative
-    * walk runs on that bounded bucket frame (the latency-histogram
-    * bounded-window precedent), and the rank arithmetic is pure integer
-    * (k = (q_bp·n + 9999) div 10⁴). The ln/exp doubles are per-row,
-    * identically written in both engines, and never cross an
-    * aggregation; StatsSpec pins the ≤4%-relative-error guarantee
+  /** DDSketch-style mergeable quantile sketch (Masson et al., VLDB'19;
+    * bucket function per the paper's "fast" variant / HdrHistogram's
+    * public design — log₂ octaves split into 32 linear sub-buckets):
+    * values quantize to exact integer cents, bucket
+    * b = (bitlen−6)·32 + (centi >> (bitlen−6)) for centi ≥ 32 (exact
+    * identity below 32) — a STRICTLY MONOTONE, pure-integer bit
+    * function, so unlike a ⌊ln x/lnγ⌋ key nothing transcendental ever
+    * decides GROUP MEMBERSHIP (the one place a last-ulp libm
+    * disagreement would change row counts rather than a published
+    * value). Quantile = first bucket whose cumulative count reaches the
+    * k = ⌈q·n⌉ rank; estimate = the bucket's integer midpoint, relative
+    * error ≤ 1/64 ≈ 1.6%. THE scale story is that the per-bucket counts
+    * ARE the sketch: they add under union, so Spark's map-side partial
+    * aggregation performs the sketch merge and the shuffled state is
+    * ≤ ~32·octaves (bucket, count) rows at ANY input size — the
+    * lifecycle of a t-digest/KLL merge tree with an engine-portable
+    * bucket function. The cumulative walk runs on that bounded bucket
+    * frame (the latency-histogram bounded-window precedent); every
+    * published cell is integral. RoundNineWaveSpec pins the error band
     * against the exact order statistic.
     */
   private val ddsketch = Q(
     "agg_ddsketch_quantiles",
     (s, d) => {
-      val li = Tables.lineitem(s, d).select(col("l_extendedprice"))
+      val li = Tables.lineitem(s, d)
+        .select(round(col("l_extendedprice") * 100).cast("long").as("centi"))
       val counts = li
-        .groupBy(floor(log(col("l_extendedprice")) / lit(0.04)).cast("int")
-          .as("b"))
-        .agg(count(lit(1)).as("c"))
+        .withColumn("b", expr(
+          """CASE WHEN centi < 32 THEN centi
+            | ELSE (length(bin(centi)) - 6) * 32
+            |   + (centi div CAST(pow(2, length(bin(centi)) - 6) AS BIGINT))
+            | END""".stripMargin))
+        .groupBy(col("b")).agg(count(lit(1)).as("c"))
       val w = Window.orderBy(col("b"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val cum = counts.withColumn("cum", sum(col("c")).over(w))
@@ -1245,14 +1252,21 @@ object StatsQueries extends QueryPack {
         .groupBy(col("q_bp"))
         .agg(min(col("n")).as("n"), min(col("k")).as("k"),
           min(col("b")).as("bucket"))
-        .withColumn("est_centi",
-          round(exp((col("bucket") + lit(0.5)) * lit(0.04)) * 100)
-            .cast("long"))
+        .withColumn("est_centi", expr(
+          """CASE WHEN bucket < 64 THEN bucket
+            | ELSE (32 + bucket % 32)
+            |     * CAST(pow(2, bucket div 32 - 1) AS BIGINT)
+            |   + CAST(pow(2, bucket div 32 - 2) AS BIGINT)
+            | END""".stripMargin))
         .orderBy(col("q_bp"))
     },
-    Some("""WITH s AS (SELECT CAST(floor(ln(l_extendedprice) / 0.04) AS INT)
-           |    AS b, count(*) AS c
-           |  FROM lineitem GROUP BY 1),
+    Some("""WITH v AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
+           |    AS centi FROM lineitem),
+           |s AS (SELECT CASE WHEN centi < 32 THEN centi
+           |    ELSE (length(bin(centi)) - 6) * 32
+           |      + (centi // CAST(pow(2, length(bin(centi)) - 6) AS BIGINT))
+           |    END AS b, count(*) AS c
+           |  FROM v GROUP BY 1),
            |cm AS (SELECT b, c, sum(c) OVER (ORDER BY b
            |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
            |  FROM s),
@@ -1264,8 +1278,11 @@ object StatsQueries extends QueryPack {
            |  WHERE cum >= (q_bp * n + 9999) // 10000
            |  GROUP BY 1)
            |SELECT q_bp, n, k, bucket,
-           | CAST(round(exp((bucket + 0.5) * 0.04) * 100) AS BIGINT)
-           |   AS est_centi
+           | CASE WHEN bucket < 64 THEN bucket
+           |  ELSE (32 + bucket % 32)
+           |      * CAST(pow(2, bucket // 32 - 1) AS BIGINT)
+           |    + CAST(pow(2, bucket // 32 - 2) AS BIGINT)
+           |  END AS est_centi
            |FROM pick ORDER BY q_bp""".stripMargin))
 
   /** Chi-squared test of independence between event type and day of

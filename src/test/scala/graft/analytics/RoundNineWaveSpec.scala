@@ -39,9 +39,9 @@ class RoundNineWaveSpec extends SparkSpec {
       assert(k === (qBp * 200L + 9999) / 10000)
       val exact = sorted(k.toInt - 1)
       val relErr = math.abs(estCenti / 100.0 - exact) / exact
-      // DDSketch guarantee at lnγ=0.04: midpoint estimate within
-      // e^{0.02}−1 ≈ 2.02% of any value in the chosen bucket
-      assert(relErr <= 0.0202, s"q=$qBp est=${estCenti / 100.0} exact=$exact")
+      // 32 linear sub-buckets per log₂ octave: the integer midpoint is
+      // within half a bucket (≤ 1/64 ≈ 1.6%) of any value in it
+      assert(relErr <= 0.016, s"q=$qBp est=${estCenti / 100.0} exact=$exact")
     }
   }
 
