@@ -483,6 +483,45 @@ object GraphQueries extends QueryPack {
             |FROM sym JOIN deg dx ON sym.u = dx.u
             | JOIN deg dy ON sym.v = dy.u""".stripMargin))
 
+  /** HITS hubs & authorities (Kleinberg, JACM'99) on the natural
+    * bipartite orientation of the trading graph — customers are hubs,
+    * suppliers authorities. Run UNNORMALIZED for two synchronous
+    * iterations: with h₀ ≡ 1, the scores stay exact INTEGERS with a
+    * combinatorial meaning (a₁ = degree, h₁ = Σ neighbor degrees,
+    * a₂ = number of length-3 alternating paths ending at the supplier)
+    * — the engine never sums a float, so the ranking is deterministic
+    * at any partitioning (the normalized variant would cross-partition
+    * double sums every round; normalization only rescales within an
+    * iteration, so the RANKING is identical). Each iteration is one
+    * keyed join + map-side-combined aggregation on the edge list —
+    * the PageRank shuffle shape without the damping constant. At
+    * 100 TB path counts outgrow BIGINT after ~3 rounds — the documented
+    * switch is DECIMAL(38,0) accumulators (the house overflow rule),
+    * not normalization.
+    */
+  private val hits = Q(
+    "graph_hits_bipartite",
+    (s, d) => {
+      val e = edges(s, d).stageCheckpoint()
+      val a1 = e.groupBy(col("su")).agg(count(lit(1)).as("a1"))
+      val h1 = e.join(a1, "su")
+        .groupBy(col("cu")).agg(sum(col("a1")).as("h1"))
+      e.join(h1, "cu")
+        .groupBy(col("su")).agg(sum(col("h1")).as("a2"))
+        .join(a1, "su")
+        .select(col("su"), col("a1"), col("a2"))
+        .orderBy(col("a2").desc, col("su"))
+        .limit(15)
+    },
+    Some(s"""WITH e AS ($edgeSql),
+            |a1 AS (SELECT su, count(*) AS a1 FROM e GROUP BY 1),
+            |h1 AS (SELECT cu, CAST(sum(a1) AS BIGINT) AS h1
+            |  FROM e JOIN a1 USING (su) GROUP BY 1),
+            |a2 AS (SELECT su, CAST(sum(h1) AS BIGINT) AS a2
+            |  FROM e JOIN h1 USING (cu) GROUP BY 1)
+            |SELECT su, a1, a2 FROM a2 JOIN a1 USING (su)
+            |ORDER BY a2 DESC, su LIMIT 15""".stripMargin))
+
   val qs: Seq[Q] = Seq(degreeDist, labelProp, modularity, kcore, bfs,
-    jaccardNeighbors, ppr, assortativity)
+    jaccardNeighbors, ppr, assortativity, hits)
 }

@@ -1228,17 +1228,32 @@ object StatsQueries extends QueryPack {
     * published cell is integral. RoundNineWaveSpec pins the error band
     * against the exact order statistic.
     */
+  /** The sketch's bucket index as a SQL expression over a non-negative
+    * BIGINT column — shared with the streaming monitor twin
+    * ([[graft.streaming.EventStream.quantileSketchSink]]) so the batch
+    * query and the stream maintain ONE bucket definition.
+    */
+  private[graft] def hdrBucketSql(centi: String): String =
+    s"""CASE WHEN $centi < 32 THEN $centi
+       | ELSE (length(bin($centi)) - 6) * 32
+       |   + ($centi div CAST(pow(2, length(bin($centi)) - 6) AS BIGINT))
+       | END""".stripMargin
+
+  /** Inverse midpoint estimate for [[hdrBucketSql]] buckets. */
+  private[graft] def hdrMidpointSql(bucket: String): String =
+    s"""CASE WHEN $bucket < 64 THEN $bucket
+       | ELSE (32 + $bucket % 32)
+       |     * CAST(pow(2, $bucket div 32 - 1) AS BIGINT)
+       |   + CAST(pow(2, $bucket div 32 - 2) AS BIGINT)
+       | END""".stripMargin
+
   private val ddsketch = Q(
     "agg_ddsketch_quantiles",
     (s, d) => {
       val li = Tables.lineitem(s, d)
         .select(round(col("l_extendedprice") * 100).cast("long").as("centi"))
       val counts = li
-        .withColumn("b", expr(
-          """CASE WHEN centi < 32 THEN centi
-            | ELSE (length(bin(centi)) - 6) * 32
-            |   + (centi div CAST(pow(2, length(bin(centi)) - 6) AS BIGINT))
-            | END""".stripMargin))
+        .withColumn("b", expr(hdrBucketSql("centi")))
         .groupBy(col("b")).agg(count(lit(1)).as("c"))
       val w = Window.orderBy(col("b"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1252,12 +1267,7 @@ object StatsQueries extends QueryPack {
         .groupBy(col("q_bp"))
         .agg(min(col("n")).as("n"), min(col("k")).as("k"),
           min(col("b")).as("bucket"))
-        .withColumn("est_centi", expr(
-          """CASE WHEN bucket < 64 THEN bucket
-            | ELSE (32 + bucket % 32)
-            |     * CAST(pow(2, bucket div 32 - 1) AS BIGINT)
-            |   + CAST(pow(2, bucket div 32 - 2) AS BIGINT)
-            | END""".stripMargin))
+        .withColumn("est_centi", expr(hdrMidpointSql("bucket")))
         .orderBy(col("q_bp"))
     },
     Some("""WITH v AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT)

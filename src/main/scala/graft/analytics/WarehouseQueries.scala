@@ -837,8 +837,61 @@ object WarehouseQueries extends QueryPack {
            | COALESCE(CAST(sum(cents) AS BIGINT), 0) AS flagged_value_c
            |FROM j""".stripMargin))
 
+  /** Gaps-and-islands over a filtered key sequence — the classic
+    * warehouse audit shape ("which contiguous id ranges satisfy the
+    * predicate", here fully-shipped orders): island id = key − rank,
+    * constant within each maximal consecutive run. The textbook SQL
+    * uses `row_number()` over the WHOLE table — a single-partition sort
+    * at scale — so the rank here is
+    * [[graft.ops.GlobalOrder.indexBy]]'s exact distributed global index
+    * (range-bucketed two-phase, centroid-sized driver state); keys are
+    * unique so (key − idx) islands are exact. Output: the top-10
+    * longest islands plus the island count and covered-row total
+    * cross-joined on (bounded frames throughout — the island aggregate
+    * is one keyed groupBy on the island id).
+    */
+  private val idIslands = Q(
+    "dq_id_gaps_islands",
+    (s, d) => {
+      import graft.ops.Checkpoints.StageCheckpoint
+      val base = Tables.orders(s, d)
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"))
+      val idx = graft.ops.GlobalOrder
+        .indexBy(base, "o_orderkey", "o_orderkey", out = "idx")
+      val islands = idx
+        .groupBy((col("o_orderkey") - col("idx")).as("isl"))
+        .agg(count(lit(1)).as("len"), min(col("o_orderkey")).as("start_key"),
+          max(col("o_orderkey")).as("end_key"))
+        .stageCheckpoint()
+      val summary = islands.agg(count(lit(1)).as("n_islands"),
+        sum(col("len")).as("n_rows"))
+      islands
+        .orderBy(col("len").desc, col("start_key"))
+        .limit(10)
+        .drop("isl")
+        .crossJoin(broadcast(summary))
+        .orderBy(col("len").desc, col("start_key"))
+    },
+    Some("""WITH b AS (SELECT o_orderkey FROM orders
+           |  WHERE o_orderstatus = 'F'),
+           |r AS (SELECT o_orderkey,
+           |  o_orderkey - (row_number() OVER (ORDER BY o_orderkey) - 1)
+           |    AS isl FROM b),
+           |i AS (SELECT isl, count(*) AS len, min(o_orderkey) AS start_key,
+           |   max(o_orderkey) AS end_key
+           |  FROM r GROUP BY 1),
+           |s AS (SELECT count(*) AS n_islands,
+           |  CAST(sum(len) AS BIGINT) AS n_rows FROM i),
+           |top AS (SELECT len, start_key, end_key FROM i
+           |  ORDER BY len DESC, start_key LIMIT 10)
+           |SELECT len, start_key, end_key, n_islands, n_rows
+           |FROM top CROSS JOIN s
+           |ORDER BY len DESC, start_key""".stripMargin))
+
   override def qs: Seq[Q] =
     Seq(upsertMerge, incMerge, cmsEstimates, kmvOverlap, checksumBuckets,
       calendarDim, jsonKeyProfile, fdAudit, profileDrift, incJoinMerge,
-      rfm, kAnonymity, cdcApply, ledgerRecon, backlog, dupPayments)
+      rfm, kAnonymity, cdcApply, ledgerRecon, backlog, dupPayments,
+      idIslands)
 }

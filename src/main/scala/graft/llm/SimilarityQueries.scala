@@ -431,7 +431,64 @@ object SimilarityQueries extends QueryPack {
            | CAST(sum(corpus_id) AS BIGINT) AS sum_corpus_ids
            |FROM r WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** Matryoshka-style prefix-dimension recall (Kusupati et al.,
+    * NeurIPS'22 — truncate the embedding to its first d dimensions and
+    * measure how much of the full-dimension top-k survives): the eval
+    * that prices the "shorter vectors = cheaper ANN index" tradeoff
+    * before committing an index build. Exact brute top-5 at d = 8 and
+    * d = 16 joins against the full-64-d truth per query; both rankings
+    * use the house 6dp-quantize + id-tiebreak convention, so the
+    * compare is deterministic. Truth is Q×k = 50 rows — broadcast-sized
+    * at any corpus scale (the `withRecall` monitoring shape); each
+    * prefix pass is one broadcast-queries scan of the corpus, and the
+    * slice happens BEFORE the cosine so the scan ships d floats, not 64.
+    */
+  private val matryoshka = Q(
+    "emb_matryoshka_prefix_recall",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") < 10)
+      def pre(df: org.apache.spark.sql.DataFrame, dim: Int) =
+        df.select(col("vec_id"), slice(col("embedding"), 1, dim).as("embedding"))
+      val truth = Ann.bruteTopK(e, q, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("vec_id"), lit(1L).as("hit"))
+      Seq(8, 16)
+        .map { dim =>
+          Ann.bruteTopK(pre(e, dim), pre(q, dim), "vec_id", "embedding", k = 5)
+            .withColumn("prefix_dim", lit(dim))
+        }
+        .reduce(_ unionByName _)
+        .join(broadcast(truth), Seq("query_id", "vec_id"), "left_outer")
+        .groupBy(col("prefix_dim"), col("query_id"))
+        .agg(coalesce(sum(col("hit")), lit(0L)).as("n_hits"))
+        .withColumn("recall_pct", col("n_hits") * 20)
+        .orderBy(col("prefix_dim"), col("query_id"))
+    },
+    Some("""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+           |  WHERE vec_id < 10),
+           |ft AS (SELECT qid, e.vec_id AS vid, row_number() OVER (
+           |   PARTITION BY qid ORDER BY
+           |    round(CAST(list_cosine_similarity(qe, e.embedding) AS DOUBLE),
+           |     6) DESC, e.vec_id) AS rnk
+           |  FROM q, embeddings e WHERE e.vec_id <> qid),
+           |truth AS (SELECT qid, vid FROM ft WHERE rnk <= 5),
+           |dims AS (SELECT unnest([8, 16]) AS prefix_dim),
+           |pt AS (SELECT prefix_dim, qid, e.vec_id AS vid, row_number() OVER (
+           |   PARTITION BY prefix_dim, qid ORDER BY
+           |    round(CAST(list_cosine_similarity(
+           |      qe[1:CAST(prefix_dim AS INT)],
+           |      e.embedding[1:CAST(prefix_dim AS INT)]) AS DOUBLE), 6)
+           |     DESC, e.vec_id) AS rnk
+           |  FROM dims, q, embeddings e WHERE e.vec_id <> qid),
+           |top AS (SELECT prefix_dim, qid, vid FROM pt WHERE rnk <= 5)
+           |SELECT prefix_dim, top.qid AS query_id,
+           | CAST(count(truth.vid) AS BIGINT) AS n_hits,
+           | CAST(count(truth.vid) AS BIGINT) * 20 AS recall_pct
+           |FROM top LEFT JOIN truth
+           | ON top.qid = truth.qid AND top.vid = truth.vid
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
   val qs: Seq[Q] = Seq(brute, lsh, ivf, pq, embDedup, mmFeatures, argmaxHist,
     centroidDist, mmFrames, mmPhash, semdedup, topComponent, mmResizePlan,
-    decontamNearest)
+    decontamNearest, matryoshka)
 }

@@ -296,6 +296,45 @@ object EventStream {
       }
       .start()
 
+  /** Streaming quantile-sketch monitor — the stream twin of
+    * `agg_ddsketch_quantiles`, maintaining the SAME integer-bucket
+    * sketch ([[graft.analytics.StatsQueries.hdrBucketSql]] — one bucket
+    * definition for batch and stream) over the event `value` column:
+    * each micro-batch reduces to its (bucket, count) rows and lands in
+    * its own `batch_id=<n>` partition of the store, so a REPLAYED batch
+    * overwrites its own partition instead of double-counting — the
+    * additive-sink idempotency move (contrast [[upsertSink]], which is
+    * idempotent because latest-wins; counts need the partition trick).
+    * Readers sum across partitions: because the sketch is mergeable by
+    * plain addition, that read-side sum IS the sketch of everything
+    * streamed so far, proven equal to the direct batch sketch in
+    * EventStreamSpec. Per-batch state shipped to the store is
+    * ≤ ~32·octaves rows regardless of batch size.
+    */
+  def quantileSketchSink(events: DataFrame, storeDir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val counts = batch
+          .filter(col("value").isNotNull && col("value") > 0)
+          .select(round(col("value") * 100).cast("long").as("centi"))
+          .withColumn("b",
+            expr(graft.analytics.StatsQueries.hdrBucketSql("centi")))
+          .groupBy(col("b")).agg(count(lit(1)).as("c"))
+        counts.write.mode("overwrite").parquet(s"$storeDir/batch_id=$id")
+        ()
+      }
+      .start()
+
+  /** Read-side merge of [[quantileSketchSink]]'s store: the summed
+    * bucket counts (one keyed aggregation over the tiny per-batch
+    * partitions).
+    */
+  def readQuantileSketch(spark: SparkSession, storeDir: String): DataFrame =
+    spark.read.option("recursiveFileLookup", "true").parquet(storeDir)
+      .groupBy(col("b")).agg(sum(col("c")).as("c"))
+
   /** One row per user: latest (event-time, id)-ordered event. */
   private[streaming] def latestPerUser(batch: DataFrame): DataFrame =
     batch.groupBy(col("user_id"))

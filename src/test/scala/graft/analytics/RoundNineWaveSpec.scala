@@ -200,6 +200,62 @@ class RoundNineWaveSpec extends SparkSpec {
     }
   }
 
+  test("dq_id_gaps_islands finds exactly the planted consecutive runs") {
+    val dir = tmpDir()
+    // F-keys {1,2,3, 7,8, 10, 15,16,17,18} → islands [15-18],[1-3],[7-8],[10]
+    val fKeys = Set(1L, 2L, 3L, 7L, 8L, 10L, 15L, 16L, 17L, 18L)
+    (1L to 20L).map(k => (k, if (fKeys(k)) "F" else "O"))
+      .toDF("o_orderkey", "o_orderstatus")
+      .write.parquet(s"$dir/orders.parquet")
+    val out = q("dq_id_gaps_islands", dir)
+      .select("len", "start_key", "end_key", "n_islands", "n_rows")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(out.map(r => (r._1, r._2, r._3)).toSeq ===
+      Seq((4L, 15L, 18L), (3L, 1L, 3L), (2L, 7L, 8L), (1L, 10L, 10L)))
+    assert(out.forall(r => r._4 === 4L && r._5 === 10L))
+  }
+
+  test("graph_hits_bipartite computes integer alternating-path counts") {
+    val dir = tmpDir()
+    // bipartite: c1→{s1,s2}, c2→{s1}; a1=deg, h1=Σ a1, a2=Σ h1
+    Seq((1L, 1L), (2L, 2L)).toDF("o_orderkey", "o_custkey")
+      .write.parquet(s"$dir/orders.parquet")
+    Seq((1L, 1L), (1L, 2L), (2L, 1L)).toDF("l_orderkey", "l_suppkey")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val out = q("graph_hits_bipartite", dir)
+      .select("su", "a1", "a2").as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // a1: s1=2, s2=1; h1: c1=a1(s1)+a1(s2)=3, c2=a1(s1)=2;
+    // a2: s1=h1(c1)+h1(c2)=5, s2=h1(c1)=3
+    assert(out(1000001L) === ((2L, 5L)))
+    assert(out(1000002L) === ((1L, 3L)))
+  }
+
+  test("emb_matryoshka_prefix_recall separates prefix-blind from prefix-aware dims") {
+    val dir = tmpDir()
+    // query 0 = all-ones; "good" vectors anti-align on dims 1-8 but
+    // align strongly after; "trap" vectors align on dims 1-8 only →
+    // the 8-d prefix ranks all traps above all goods (recall 0), the
+    // 16-d prefix already separates them (recall 100)
+    def vec(a: Float, b: Float, c: Float, jitter: Int): Array[Float] =
+      Array.tabulate(64) { i =>
+        val base = if (i < 8) a else if (i < 16) b else c
+        base + (if (i == 63) jitter * 1e-4f else 0f)
+      }
+    val query = (0L, Array.fill(64)(1.0f), 0)
+    val good = (0 until 5).map(j => (10L + j, vec(-1f, 2f, 1f, j), 0))
+    val trap = (0 until 5).map(j => (20L + j, vec(1f, -2f, -1f, j), 0))
+    (Seq(query) ++ good ++ trap)
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val out = q("emb_matryoshka_prefix_recall", dir)
+      .select("prefix_dim", "query_id", "n_hits", "recall_pct")
+      .as[(Int, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(out((8, 0L)) === ((0L, 0L)))
+    assert(out((16, 0L)) === ((5L, 100L)))
+  }
+
   test("docs_length_bucket_batching plans power-of-two buckets exactly") {
     val dir = tmpDir()
     // token counts 1, 2, 3, 5, 100, 20000 → widths 1, 2, 4, 8, 128, 16384

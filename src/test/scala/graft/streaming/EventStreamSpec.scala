@@ -293,6 +293,50 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("quantileSketchSink: merged store equals the direct batch sketch and replays are idempotent") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("graft-qsketch").toString
+    val (store, ckpt) = (s"$base/store", s"$base/ckpt")
+    val input = MemoryStream[Event]
+    val q = EventStream.quantileSketchSink(input.toDF(), store, ckpt)
+    val wave1 = (1 to 40).map(i => ev(i.toLong, "2024-01-01 10:00:00", 1L,
+      "m", i * 1.25))
+    val wave2 = (41 to 90).map(i => ev(i.toLong, "2024-01-01 11:00:00", 1L,
+      "m", i * 7.5))
+    try {
+      input.addData(wave1: _*)
+      q.processAllAvailable()
+      input.addData(wave2: _*)
+      q.processAllAvailable()
+      def merged() = EventStream
+        .readQuantileSketch(spark, store)
+        .as[(Long, Long)].collect().toMap
+      // direct batch sketch over the union, same shared bucket expression
+      val direct = (wave1 ++ wave2).toDF()
+        .filter($"value".isNotNull && $"value" > 0)
+        .select(round($"value" * 100).cast("long").as("centi"))
+        .withColumn("b",
+          expr(graft.analytics.StatsQueries.hdrBucketSql("centi")))
+        .groupBy($"b").agg(count(lit(1)).as("c"))
+        .as[(Long, Long)].collect().toMap
+      val afterStream = merged()
+      assert(afterStream === direct)
+      assert(afterStream.values.sum === 90L)
+      // replay: rewriting batch 0's partition (as a restarted query would)
+      // must leave the merged sketch unchanged — partition overwrite, not
+      // append, is what makes the additive sink idempotent
+      wave1.toDF()
+        .select(round($"value" * 100).cast("long").as("centi"))
+        .withColumn("b",
+          expr(graft.analytics.StatsQueries.hdrBucketSql("centi")))
+        .groupBy($"b").agg(count(lit(1)).as("c"))
+        .write.mode("overwrite").parquet(s"$store/batch_id=0")
+      assert(merged() === direct)
+    } finally q.stop()
+  }
+
   test("timerSessions: gap closes inline, watermark timer closes the rest") {
     implicit val sq = spark.sqlContext
     implicit val sp = spark
