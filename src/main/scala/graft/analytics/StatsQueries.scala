@@ -1207,6 +1207,26 @@ object StatsQueries extends QueryPack {
            | CAST(sum(i * rev_centi) AS BIGINT) AS rank_weighted_centi
            |FROM r GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** The sketch's bucket index as a SQL expression over a non-negative
+    * BIGINT column (parenthesized against compound-expression callers) —
+    * shared with the streaming monitor twin
+    * ([[graft.streaming.EventStream.quantileSketchSink]]) so the batch
+    * query and the stream maintain ONE bucket definition.
+    */
+  private[graft] def hdrBucketSql(centi: String): String =
+    s"""CASE WHEN ($centi) < 32 THEN ($centi)
+       | ELSE (length(bin(($centi))) - 6) * 32
+       |   + (($centi) div CAST(pow(2, length(bin(($centi))) - 6) AS BIGINT))
+       | END""".stripMargin
+
+  /** Inverse midpoint estimate for [[hdrBucketSql]] buckets. */
+  private[graft] def hdrMidpointSql(bucket: String): String =
+    s"""CASE WHEN ($bucket) < 64 THEN ($bucket)
+       | ELSE (32 + ($bucket) % 32)
+       |     * CAST(pow(2, ($bucket) div 32 - 1) AS BIGINT)
+       |   + CAST(pow(2, ($bucket) div 32 - 2) AS BIGINT)
+       | END""".stripMargin
+
   /** DDSketch-style mergeable quantile sketch (Masson et al., VLDB'19;
     * bucket function per the paper's "fast" variant / HdrHistogram's
     * public design — log₂ octaves split into 32 linear sub-buckets):
@@ -1228,25 +1248,6 @@ object StatsQueries extends QueryPack {
     * published cell is integral. RoundNineWaveSpec pins the error band
     * against the exact order statistic.
     */
-  /** The sketch's bucket index as a SQL expression over a non-negative
-    * BIGINT column — shared with the streaming monitor twin
-    * ([[graft.streaming.EventStream.quantileSketchSink]]) so the batch
-    * query and the stream maintain ONE bucket definition.
-    */
-  private[graft] def hdrBucketSql(centi: String): String =
-    s"""CASE WHEN $centi < 32 THEN $centi
-       | ELSE (length(bin($centi)) - 6) * 32
-       |   + ($centi div CAST(pow(2, length(bin($centi)) - 6) AS BIGINT))
-       | END""".stripMargin
-
-  /** Inverse midpoint estimate for [[hdrBucketSql]] buckets. */
-  private[graft] def hdrMidpointSql(bucket: String): String =
-    s"""CASE WHEN $bucket < 64 THEN $bucket
-       | ELSE (32 + $bucket % 32)
-       |     * CAST(pow(2, $bucket div 32 - 1) AS BIGINT)
-       |   + CAST(pow(2, $bucket div 32 - 2) AS BIGINT)
-       | END""".stripMargin
-
   private val ddsketch = Q(
     "agg_ddsketch_quantiles",
     (s, d) => {

@@ -446,22 +446,23 @@ object SimilarityQueries extends QueryPack {
   private val matryoshka = Q(
     "emb_matryoshka_prefix_recall",
     (s, d) => {
+      val k = 5 // also pinned in the oracle text below
       val e = Tables.embeddings(s, d)
       val q = e.filter(col("vec_id") < 10)
       def pre(df: org.apache.spark.sql.DataFrame, dim: Int) =
         df.select(col("vec_id"), slice(col("embedding"), 1, dim).as("embedding"))
-      val truth = Ann.bruteTopK(e, q, "vec_id", "embedding", k = 5)
+      val truth = Ann.bruteTopK(e, q, "vec_id", "embedding", k)
         .select(col("query_id"), col("vec_id"), lit(1L).as("hit"))
       Seq(8, 16)
         .map { dim =>
-          Ann.bruteTopK(pre(e, dim), pre(q, dim), "vec_id", "embedding", k = 5)
+          Ann.bruteTopK(pre(e, dim), pre(q, dim), "vec_id", "embedding", k)
             .withColumn("prefix_dim", lit(dim))
         }
         .reduce(_ unionByName _)
         .join(broadcast(truth), Seq("query_id", "vec_id"), "left_outer")
         .groupBy(col("prefix_dim"), col("query_id"))
         .agg(coalesce(sum(col("hit")), lit(0L)).as("n_hits"))
-        .withColumn("recall_pct", col("n_hits") * 20)
+        .withColumn("recall_pct", col("n_hits") * lit(100L / k))
         .orderBy(col("prefix_dim"), col("query_id"))
     },
     Some("""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings

@@ -302,9 +302,15 @@ object EventStream {
     * definition for batch and stream) over the event `value` column:
     * each micro-batch reduces to its (bucket, count) rows and lands in
     * its own `batch_id=<n>` partition of the store, so a REPLAYED batch
-    * overwrites its own partition instead of double-counting — the
-    * additive-sink idempotency move (contrast [[upsertSink]], which is
-    * idempotent because latest-wins; counts need the partition trick).
+    * can never double-count — the additive-sink idempotency move
+    * (contrast [[upsertSink]], which is idempotent because latest-wins;
+    * counts need the partition trick). A replay of an already-COMMITTED
+    * partition (its _SUCCESS marker exists) is skipped outright rather
+    * than overwritten: batch contents are deterministic from the
+    * checkpoint, so the skip is equally correct and — unlike
+    * delete-then-rewrite — leaves no window where a concurrent
+    * [[readQuantileSketch]] would see the batch missing. Only an
+    * UNCOMMITTED partition (crash mid-write) gets the overwrite.
     * Readers sum across partitions: because the sketch is mergeable by
     * plain addition, that read-side sum IS the sketch of everything
     * streamed so far, proven equal to the direct batch sketch in
@@ -316,24 +322,32 @@ object EventStream {
     events.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        val counts = batch
-          .filter(col("value").isNotNull && col("value") > 0)
-          .select(round(col("value") * 100).cast("long").as("centi"))
-          .withColumn("b",
-            expr(graft.analytics.StatsQueries.hdrBucketSql("centi")))
-          .groupBy(col("b")).agg(count(lit(1)).as("c"))
-        counts.write.mode("overwrite").parquet(s"$storeDir/batch_id=$id")
+        val sp = batch.sparkSession
+        val part = s"$storeDir/batch_id=$id"
+        if (!graft.util.Fs.exists(sp, s"$part/_SUCCESS")) {
+          batch
+            .filter(col("value").isNotNull && col("value") > 0)
+            .select(round(col("value") * 100).cast("long").as("centi"))
+            .withColumn("b",
+              expr(graft.analytics.StatsQueries.hdrBucketSql("centi")))
+            .groupBy(col("b")).agg(count(lit(1)).as("c"))
+            .write.mode("overwrite").parquet(part)
+        }
         ()
       }
       .start()
 
   /** Read-side merge of [[quantileSketchSink]]'s store: the summed
     * bucket counts (one keyed aggregation over the tiny per-batch
-    * partitions).
+    * partitions). Before the first micro-batch commits the store does
+    * not exist yet — that is an EMPTY sketch, not a read error.
     */
   def readQuantileSketch(spark: SparkSession, storeDir: String): DataFrame =
-    spark.read.option("recursiveFileLookup", "true").parquet(storeDir)
-      .groupBy(col("b")).agg(sum(col("c")).as("c"))
+    if (!graft.util.Fs.exists(spark, storeDir))
+      spark.range(0).select(col("id").as("b"), col("id").as("c"))
+    else
+      spark.read.option("recursiveFileLookup", "true").parquet(storeDir)
+        .groupBy(col("b")).agg(sum(col("c")).as("c"))
 
   /** One row per user: latest (event-time, id)-ordered event. */
   private[streaming] def latestPerUser(batch: DataFrame): DataFrame =
