@@ -1369,9 +1369,122 @@ object StatsQueries extends QueryPack {
            | CAST(min((n_types - 1) * (n_dows - 1)) AS BIGINT) AS dof
            |FROM terms GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** Kendall rank correlation between the daily event count and daily
+    * value mass — the nonparametric "do these two series move together"
+    * readout that, unlike Pearson (`stats_event_correlation`), is
+    * immune to outlier days and monotone rescaling. Published as the
+    * tau-b INTEGRALS (concordant, discordant, per-series tie pair
+    * counts, n) — the house publish-the-sufficient-statistics rule: no
+    * square root or ratio is ever rounded, and the reader assembles
+    * τ_b = (nc−nd)/√((n₀−t_x)(n₀−t_y)) exactly. The pair enumeration is
+    * a self-join on the |days|-bounded daily frame (the `ts_acf_lags`
+    * precedent) — quadratic in DAYS, constant in events.
+    */
+  private val kendall = Q(
+    "stats_kendall_tau",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"),
+          coalesce(sum(round(col("value") * 100).cast("long")), lit(0L))
+            .as("y"))
+      val pairs = daily.as("a")
+        .join(daily.as("b"), col("a.day") < col("b.day"))
+        .select((col("a.x") - col("b.x")).as("dx"),
+          (col("a.y") - col("b.y")).as("dy"))
+      // sign comparison, never the dx·dy product: at corpus scale the
+      // product of a count delta and a centi-mass delta outruns BIGINT
+      // (the text_kl_source_divergence overflow rule)
+      pairs.agg(
+        count(lit(1)).as("n_pairs"),
+        count(when((col("dx") > 0 && col("dy") > 0) ||
+          (col("dx") < 0 && col("dy") < 0), lit(1))).as("n_concordant"),
+        count(when((col("dx") > 0 && col("dy") < 0) ||
+          (col("dx") < 0 && col("dy") > 0), lit(1))).as("n_discordant"),
+        count(when(col("dx") === 0 && col("dy") =!= 0, lit(1))).as("ties_x"),
+        count(when(col("dy") === 0 && col("dx") =!= 0, lit(1))).as("ties_y"),
+        count(when(col("dx") === 0 && col("dy") === 0, lit(1))).as("ties_xy"))
+    },
+    Some("""WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS x,
+           |  COALESCE(CAST(sum(CAST(round(value * 100) AS BIGINT))
+           |    AS BIGINT), 0) AS y
+           | FROM events GROUP BY 1),
+           |p AS (SELECT a.x - b.x AS dx, a.y - b.y AS dy
+           | FROM daily a JOIN daily b ON a.day < b.day)
+           |SELECT count(*) AS n_pairs,
+           | CAST(count(CASE WHEN (dx > 0 AND dy > 0)
+           |    OR (dx < 0 AND dy < 0) THEN 1 END) AS BIGINT)
+           |   AS n_concordant,
+           | CAST(count(CASE WHEN (dx > 0 AND dy < 0)
+           |    OR (dx < 0 AND dy > 0) THEN 1 END) AS BIGINT)
+           |   AS n_discordant,
+           | CAST(count(CASE WHEN dx = 0 AND dy <> 0 THEN 1 END) AS BIGINT)
+           |   AS ties_x,
+           | CAST(count(CASE WHEN dy = 0 AND dx <> 0 THEN 1 END) AS BIGINT)
+           |   AS ties_y,
+           | CAST(count(CASE WHEN dx = 0 AND dy = 0 THEN 1 END) AS BIGINT)
+           |   AS ties_xy
+           |FROM p""".stripMargin))
+
+  /** Spearman rank correlation over the same daily pair of series —
+    * the tie-robust integer formulation: each series ranks with
+    * DOUBLED average ranks (rank_min + rank_max per tie group — always
+    * an integer, never a .5), so the rank difference d and Σd² are
+    * exact BIGINTs at any tie structure, alongside the cubic tie
+    * corrections Σ(t³−t). The reader assembles ρ from the published
+    * integrals; nothing fractional ever crosses the compare. Ranks run
+    * on the |days|-bounded frame (two bounded windows per series).
+    */
+  private val spearman = Q(
+    "stats_spearman_rho",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"),
+          coalesce(sum(round(col("value") * 100).cast("long")), lit(0L))
+            .as("y"))
+      def dblRank(c: String) = {
+        val grp = Window.partitionBy(col(c))
+        // doubled average rank of a tie group = (first rank) + (last
+        // rank) = 2·rank + (count−1) with SQL rank() semantics
+        (rank().over(Window.orderBy(col(c))) * 2
+          + count(lit(1)).over(grp) - 1).as(s"r$c")
+      }
+      val ranked = daily.select(col("x"), col("y"), dblRank("x"), dblRank("y"))
+      val ties = (c: String) => daily.groupBy(col(c))
+        .agg(count(lit(1)).as("t"))
+        .agg(coalesce(sum(col("t") * col("t") * col("t") - col("t")), lit(0L)))
+      ranked
+        .select(((col("rx") - col("ry")) * (col("rx") - col("ry"))).as("d2"))
+        .agg(count(lit(1)).as("n"), sum(col("d2")).as("sum_4d2"))
+        .crossJoin(broadcast(ties("x").toDF("tie_cubic_x")))
+        .crossJoin(broadcast(ties("y").toDF("tie_cubic_y")))
+    },
+    Some("""WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS x,
+           |  COALESCE(CAST(sum(CAST(round(value * 100) AS BIGINT))
+           |    AS BIGINT), 0) AS y
+           | FROM events GROUP BY 1),
+           |r AS (SELECT
+           |  CAST(rank() OVER (ORDER BY x) * 2
+           |    + count(*) OVER (PARTITION BY x) - 1 AS BIGINT) AS rx,
+           |  CAST(rank() OVER (ORDER BY y) * 2
+           |    + count(*) OVER (PARTITION BY y) - 1 AS BIGINT) AS ry
+           | FROM daily),
+           |tx AS (SELECT COALESCE(CAST(sum(t * t * t - t) AS BIGINT), 0)
+           |   AS tie_cubic_x
+           |  FROM (SELECT count(*) AS t FROM daily GROUP BY x)),
+           |ty AS (SELECT COALESCE(CAST(sum(t * t * t - t) AS BIGINT), 0)
+           |   AS tie_cubic_y
+           |  FROM (SELECT count(*) AS t FROM daily GROUP BY y))
+           |SELECT count(*) AS n,
+           | CAST(sum((rx - ry) * (rx - ry)) AS BIGINT) AS sum_4d2,
+           | tie_cubic_x, tie_cubic_y
+           |FROM r CROSS JOIN tx CROSS JOIN ty
+           |GROUP BY tie_cubic_x, tie_cubic_y""".stripMargin))
+
   override def qs: Seq[Q] =
     Seq(triangles, clusteringCoeff, twoHopReach, twoHopHyperball,
-      rangePartitionPlan, ddsketch, chi2,
+      rangePartitionPlan, ddsketch, chi2, kendall, spearman,
       mannKendall, richClub, trend,
       pareto, equidepth, madOutliers,
       zorder, compactionBins, distributionDrift, windowValues, rollingWau,

@@ -932,9 +932,82 @@ object Temporal extends QueryPack {
            |   AS d14
            |FROM j GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** SCD2 point-in-time snapshot — the question an SCD2 dimension
+    * exists to answer: "what was every entity's attribute AT time T".
+    * The dimension versions itself derive from the event stream (each
+    * change of a user's event_type opens a version; valid_from = its
+    * first second, valid_to = the next version's valid_from — the
+    * `scd2_event_type_runs` change-detection shape), and T is the
+    * data's own temporal midpoint ((min+max) div 2 epoch seconds — no
+    * wall clock, so the query is replayable). The snapshot filter is
+    * the half-open interval membership valid_from ≤ T < valid_to
+    * (NULL-open tail), applied with T broadcast as a one-row frame;
+    * the versions frame is |changes|-sized and the output
+    * |event_types|-sized. At scale this is the audit/backfill primitive
+    * behind "rebuild features as of the training cutoff".
+    */
+  private val scd2Snapshot = Q(
+    "warehouse_scd2_pit_snapshot",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_timestamp(col("ts")).as("ts_s"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_s"), col("event_id"))
+      val versions = ev
+        .withColumn("chg",
+          when(lag(col("event_type"), 1).over(w).isNull ||
+            lag(col("event_type"), 1).over(w) =!= col("event_type"), 1L)
+            .otherwise(0L))
+        .withColumn("ver", sum(col("chg")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("event_type"), col("ver"))
+        .agg(min(col("ts_s")).as("valid_from"))
+        // ver tiebreak: two versions can open within the same SECOND
+        // (type flips inside one truncated timestamp) — valid_from alone
+        // would order them engine-dependently
+        .withColumn("valid_to", lead(col("valid_from"), 1).over(
+          Window.partitionBy(col("user_id"))
+            .orderBy(col("valid_from"), col("ver"))))
+      val t = ev.agg(
+        ((min(col("ts_s")) + max(col("ts_s"))) / 2).cast("long").as("t_s"))
+      versions.crossJoin(broadcast(t))
+        .filter(col("valid_from") <= col("t_s") &&
+          (col("valid_to").isNull || col("t_s") < col("valid_to")))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_users_active"),
+          sum(col("user_id")).as("sum_user_ids"))
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH ev AS (SELECT user_id, event_id, event_type,
+           |  epoch(date_trunc('second', ts))::BIGINT AS ts_s FROM events),
+           |m AS (SELECT user_id, event_id, event_type, ts_s,
+           |  CASE WHEN lag(event_type) OVER
+           |      (PARTITION BY user_id ORDER BY ts_s, event_id)
+           |    IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+           | FROM ev),
+           |r AS (SELECT user_id, event_type, ts_s,
+           |  CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           |    AS ver
+           | FROM m),
+           |v AS (SELECT user_id, event_type, ver,
+           |   min(ts_s) AS valid_from FROM r GROUP BY 1, 2, 3),
+           |v2 AS (SELECT user_id, event_type, valid_from,
+           |  lead(valid_from) OVER (PARTITION BY user_id
+           |    ORDER BY valid_from, ver) AS valid_to
+           | FROM v),
+           |t AS (SELECT (min(ts_s) + max(ts_s)) // 2 AS t_s FROM ev)
+           |SELECT event_type, count(*) AS n_users_active,
+           | CAST(sum(user_id) AS BIGINT) AS sum_user_ids
+           |FROM v2 CROSS JOIN t
+           |WHERE valid_from <= t_s AND (valid_to IS NULL OR t_s < valid_to)
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val qs: Seq[Q] = Seq(asof, asofBucketed, tumbling, jsonExtract, sliding,
     sessionWindows, funnel, cohorts, streamDedup, enrichStatic, gapfill,
     anomalies, scd2Runs, peakWindows, attribution, changepoint,
     windowedTopK, seasonalNaive, decayed, pointInTime, cappedSessions,
-    windowedFunnel, dnRetention)
+    windowedFunnel, dnRetention, scd2Snapshot)
 }

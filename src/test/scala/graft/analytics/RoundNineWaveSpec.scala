@@ -256,6 +256,67 @@ class RoundNineWaveSpec extends SparkSpec {
     assert(out((16, 0L)) === ((5L, 100L)))
   }
 
+  test("stats_kendall_tau counts planted concordance exactly") {
+    val dir = tmpDir()
+    // day j has j events; per-event value (6−j)/j dollars → daily value
+    // mass (6−j)·100 centi: x strictly increasing, y strictly decreasing
+    // → all 10 day pairs discordant
+    val rows = for {
+      j <- 1 to 5
+      i <- 1 to j
+    } yield ((j * 10 + i).toLong,
+      Timestamp.valueOf(f"2024-03-0$j%d 09:00:00"), 1L, "e",
+      Double.box((6.0 - j) / j), "{}")
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val r = q("stats_kendall_tau", dir).collect().head
+    assert(r.getAs[Long]("n_pairs") === 10L)
+    assert(r.getAs[Long]("n_concordant") === 0L)
+    assert(r.getAs[Long]("n_discordant") === 10L)
+    assert(r.getAs[Long]("ties_x") === 0L && r.getAs[Long]("ties_y") === 0L)
+  }
+
+  test("stats_spearman_rho publishes exact doubled-rank integrals") {
+    val dir = tmpDir()
+    val rows = for {
+      j <- 1 to 5
+      i <- 1 to j
+    } yield ((j * 10 + i).toLong,
+      Timestamp.valueOf(f"2024-03-0$j%d 09:00:00"), 1L, "e",
+      Double.box((6.0 - j) / j), "{}")
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val r = q("stats_spearman_rho", dir).collect().head
+    assert(r.getAs[Long]("n") === 5L)
+    // doubled ranks: rx = (2,4,6,8,10), ry reversed → Σ(rx−ry)² =
+    // 64+16+0+16+64 = 160 (= 4·Σd² with d = (−4,−2,0,2,4))
+    assert(r.getAs[Long]("sum_4d2") === 160L)
+    assert(r.getAs[Long]("tie_cubic_x") === 0L)
+    assert(r.getAs[Long]("tie_cubic_y") === 0L)
+  }
+
+  test("warehouse_scd2_pit_snapshot reconstructs the state at the midpoint") {
+    val dir = tmpDir()
+    def e(id: Long, t: String, u: Long, typ: String) =
+      (id, Timestamp.valueOf(t), u, typ, Double.box(1.0), "{}")
+    // data spans 10:00–14:00 → T = 12:00. At T: user1 in A (B opens
+    // 13:00), user2 in B, user3 not yet active (first event 13:30),
+    // user4 in A (B opens 12:30; the repeated 11:30 A extends, not
+    // versions)
+    val rows = Seq(
+      e(1, "2024-03-01 10:00:00", 1, "A"), e(2, "2024-03-01 13:00:00", 1, "B"),
+      e(3, "2024-03-01 11:00:00", 2, "B"), e(4, "2024-03-01 14:00:00", 2, "B"),
+      e(5, "2024-03-01 13:30:00", 3, "C"),
+      e(6, "2024-03-01 10:30:00", 4, "A"), e(7, "2024-03-01 11:30:00", 4, "A"),
+      e(8, "2024-03-01 12:30:00", 4, "B"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = q("warehouse_scd2_pit_snapshot", dir)
+      .select("event_type", "n_users_active", "sum_user_ids")
+      .as[(String, Long, Long)].collect().toSet
+    assert(out === Set(("A", 2L, 5L), ("B", 1L, 2L)))
+  }
+
   test("docs_length_bucket_batching plans power-of-two buckets exactly") {
     val dir = tmpDir()
     // token counts 1, 2, 3, 5, 100, 20000 → widths 1, 2, 4, 8, 128, 16384
