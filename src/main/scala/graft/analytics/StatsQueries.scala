@@ -1373,10 +1373,13 @@ object StatsQueries extends QueryPack {
     * value mass — the nonparametric "do these two series move together"
     * readout that, unlike Pearson (`stats_event_correlation`), is
     * immune to outlier days and monotone rescaling. Published as the
-    * tau-b INTEGRALS (concordant, discordant, per-series tie pair
-    * counts, n) — the house publish-the-sufficient-statistics rule: no
-    * square root or ratio is ever rounded, and the reader assembles
-    * τ_b = (nc−nd)/√((n₀−t_x)(n₀−t_y)) exactly. The pair enumeration is
+    * tau-b INTEGRALS (concordant, discordant, tie pair counts, n) —
+    * the house publish-the-sufficient-statistics rule: no square root
+    * or ratio is ever rounded, and the reader assembles
+    * τ_b = (nc−nd)/√((n₀−t_x)(n₀−t_y)) with t_x = ties_x + ties_xy and
+    * t_y = ties_y + ties_xy (the published tie columns are DISJOINT —
+    * x-only, y-only, both — so they add back to the formula's totals
+    * without double counting). The pair enumeration is
     * a self-join on the |days|-bounded daily frame (the `ts_acf_lags`
     * precedent) — quadratic in DAYS, constant in events.
     */
@@ -1438,11 +1441,15 @@ object StatsQueries extends QueryPack {
   private val spearman = Q(
     "stats_spearman_rho",
     (s, d) => {
+      import graft.ops.Checkpoints.StageCheckpoint
+      // staged: the daily frame feeds the rank pass plus both tie
+      // aggregates — one events scan instead of three
       val daily = Tables.events(s, d)
         .groupBy(to_date(col("ts")).as("day"))
         .agg(count(lit(1)).as("x"),
           coalesce(sum(round(col("value") * 100).cast("long")), lit(0L))
             .as("y"))
+        .stageCheckpoint()
       def dblRank(c: String) = {
         val grp = Window.partitionBy(col(c))
         // doubled average rank of a tie group = (first rank) + (last
@@ -1476,11 +1483,11 @@ object StatsQueries extends QueryPack {
            |ty AS (SELECT COALESCE(CAST(sum(t * t * t - t) AS BIGINT), 0)
            |   AS tie_cubic_y
            |  FROM (SELECT count(*) AS t FROM daily GROUP BY y))
-           |SELECT count(*) AS n,
-           | CAST(sum((rx - ry) * (rx - ry)) AS BIGINT) AS sum_4d2,
+           |SELECT (SELECT count(*) FROM r) AS n,
+           | (SELECT CAST(sum((rx - ry) * (rx - ry)) AS BIGINT) FROM r)
+           |   AS sum_4d2,
            | tie_cubic_x, tie_cubic_y
-           |FROM r CROSS JOIN tx CROSS JOIN ty
-           |GROUP BY tie_cubic_x, tie_cubic_y""".stripMargin))
+           |FROM tx CROSS JOIN ty""".stripMargin))
 
   override def qs: Seq[Q] =
     Seq(triangles, clusteringCoeff, twoHopReach, twoHopHyperball,

@@ -949,7 +949,6 @@ object Temporal extends QueryPack {
   private val scd2Snapshot = Q(
     "warehouse_scd2_pit_snapshot",
     (s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val ev = Tables.events(s, d)
         .select(col("user_id"), col("event_id"), col("event_type"),
           unix_timestamp(col("ts")).as("ts_s"))
