@@ -697,8 +697,57 @@ object SequenceQueries extends QueryPack {
            | END AS acf
            |FROM st ORDER BY 1""".stripMargin))
 
+  /** Sequence PATTERN matching with negation — the MATCH_RECOGNIZE
+    * shape plain funnels cannot express: "view, then click, then
+    * purchase, with NO error anywhere between them" is a regular
+    * expression over the journey, not a chain of conditional minima
+    * (`funnel_view_click_purchase` finds ordered stage times but cannot
+    * exclude intervening events). Each user's journey compresses to a
+    * string of type initials in exact (truncated-second, event_id)
+    * order — the sequence-key convention — and ONE regex evaluates the
+    * pattern per user: v[^e]*c[^e]*p. The journey build is a single
+    * user-keyed aggregation (sort inside the bounded per-user array);
+    * journeys here are session-scale — a production run over unbounded
+    * per-key histories would cap or window the sequence first, same as
+    * every sessionizer in this pack. Outputs the match census plus the
+    * id-sum pinning exact membership.
+    */
+  private val patternMatch = Q(
+    "seq_pattern_match_negation",
+    (s, d) => {
+      val journeys = Tables.events(s, d)
+        .select(col("user_id"),
+          struct(unix_timestamp(col("ts")).as("ts_s"), col("event_id"),
+            substring(col("event_type"), 1, 1).as("ini")).as("st"))
+        .groupBy(col("user_id"))
+        .agg(array_join(
+          expr("transform(array_sort(collect_list(st)), x -> x.ini)"), "")
+          .as("journey"))
+      journeys
+        .withColumn("matched",
+          col("journey").rlike("v[^e]*c[^e]*p").cast("long"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("matched")).as("n_matched"),
+          sum(col("matched") * col("user_id")).as("sum_matched_ids"),
+          sum(length(col("journey"))).as("sum_journey_len"))
+    },
+    Some("""WITH j AS (SELECT user_id,
+           |  string_agg(substring(event_type, 1, 1), ''
+           |    ORDER BY epoch(date_trunc('second', ts))::BIGINT, event_id)
+           |    AS journey
+           | FROM events GROUP BY 1),
+           |m AS (SELECT user_id, journey,
+           |  CASE WHEN regexp_matches(journey, 'v[^e]*c[^e]*p')
+           |   THEN 1 ELSE 0 END AS matched
+           | FROM j)
+           |SELECT count(*) AS n_users,
+           | CAST(sum(matched) AS BIGINT) AS n_matched,
+           | CAST(sum(matched * user_id) AS BIGINT) AS sum_matched_ids,
+           | CAST(sum(length(journey)) AS BIGINT) AS sum_journey_len
+           |FROM m""".stripMargin))
+
   val qs: Seq[Q] = Seq(transitions, concurrency, intervalCoverage,
     sessionPaths, cumulativeUsers, cdcDiff, topkHeap, cappedBalance, ewma,
     holt, dowResiduals, rollingMedian, botCadence, markov2, latenessProfile,
-    acf)
+    acf, patternMatch)
 }

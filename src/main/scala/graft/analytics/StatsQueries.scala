@@ -251,6 +251,74 @@ object StatsQueries extends QueryPack {
             |FROM sk ORDER BY ball2_est DESC, node LIMIT 20""".stripMargin),
     headline = true)
 
+  /** Harmonic centrality by HyperBall shell sums (Boldi & Vigna's
+    * stated use of the neighborhood function): harmonic(u) ≈
+    * Σ_r |shell_r(u)|/r over radii 1..3, with shell sizes from the
+    * [[graft.ops.HyperBall.ballSizes3]] KMV ball sketches — the
+    * centrality whose exact computation is all-pairs BFS, collapsed to
+    * three edge-keyed sketch-merge rounds with O(k) state per node.
+    * Published in integer milli-units with exact integer division per
+    * shell ((b3−b2)·1000 div 3 — no float division crosses the
+    * compare), over ball estimates that are monotone by construction
+    * (superset sketches estimate ≥ their subsets in both regimes, so
+    * shells are never negative). The oracle enumerates each radius's
+    * ball exactly, hashes members through the same md5-60 convention,
+    * takes the k smallest and applies the identically-written
+    * estimator — valid below AND above sketch width (the
+    * `graph_two_hop_hyperball` oracle contract). Top-20 by centrality.
+    */
+  private val harmonicCentrality = Q(
+    "graph_harmonic_hyperball",
+    (s, d) =>
+      graft.ops.HyperBall.ballSizes3(suppEdges(s, d), "u", "v", k = 256)
+        .withColumn("harmonic_milli", expr(
+          "(b1 - 1) * 1000 + (b2 - b1) * 500 + ((b3 - b2) * 1000) div 3"))
+        .orderBy(col("harmonic_milli").desc, col("node"))
+        .limit(20),
+    Some(s"""WITH $suppEdgeCte,
+            |sym AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+            |m1 AS (SELECT u, v AS w FROM sym
+            |  UNION SELECT DISTINCT u, u FROM sym),
+            |m2 AS (SELECT u, w FROM m1
+            |  UNION SELECT a.u, m.w FROM sym a JOIN m1 m ON m.u = a.v),
+            |m3 AS (SELECT u, w FROM m2
+            |  UNION SELECT a.u, m.w FROM sym a JOIN m2 m ON m.u = a.v),
+            |r1 AS (SELECT u, row_number() OVER (PARTITION BY u ORDER BY h)
+            |   AS rn, h FROM (SELECT DISTINCT u,
+            |   ('0x' || substring(md5(CAST(w AS VARCHAR)), 1, 15))::BIGINT
+            |     AS h FROM m1)),
+            |b1 AS (SELECT u, CASE
+            |   WHEN sum(CASE WHEN rn <= 256 THEN 1 ELSE 0 END) < 256
+            |   THEN CAST(sum(CASE WHEN rn <= 256 THEN 1 ELSE 0 END) AS BIGINT)
+            |   ELSE CAST(floor((256 - 1) / (CAST(max(CASE WHEN rn <= 256
+            |     THEN h END) AS DOUBLE) / pow(2.0, 60))) AS BIGINT)
+            |   END AS b1 FROM r1 GROUP BY 1),
+            |r2 AS (SELECT u, row_number() OVER (PARTITION BY u ORDER BY h)
+            |   AS rn, h FROM (SELECT DISTINCT u,
+            |   ('0x' || substring(md5(CAST(w AS VARCHAR)), 1, 15))::BIGINT
+            |     AS h FROM m2)),
+            |b2 AS (SELECT u, CASE
+            |   WHEN sum(CASE WHEN rn <= 256 THEN 1 ELSE 0 END) < 256
+            |   THEN CAST(sum(CASE WHEN rn <= 256 THEN 1 ELSE 0 END) AS BIGINT)
+            |   ELSE CAST(floor((256 - 1) / (CAST(max(CASE WHEN rn <= 256
+            |     THEN h END) AS DOUBLE) / pow(2.0, 60))) AS BIGINT)
+            |   END AS b2 FROM r2 GROUP BY 1),
+            |r3 AS (SELECT u, row_number() OVER (PARTITION BY u ORDER BY h)
+            |   AS rn, h FROM (SELECT DISTINCT u,
+            |   ('0x' || substring(md5(CAST(w AS VARCHAR)), 1, 15))::BIGINT
+            |     AS h FROM m3)),
+            |b3 AS (SELECT u, CASE
+            |   WHEN sum(CASE WHEN rn <= 256 THEN 1 ELSE 0 END) < 256
+            |   THEN CAST(sum(CASE WHEN rn <= 256 THEN 1 ELSE 0 END) AS BIGINT)
+            |   ELSE CAST(floor((256 - 1) / (CAST(max(CASE WHEN rn <= 256
+            |     THEN h END) AS DOUBLE) / pow(2.0, 60))) AS BIGINT)
+            |   END AS b3 FROM r3 GROUP BY 1)
+            |SELECT u AS node, b1, b2, b3,
+            | (b1 - 1) * 1000 + (b2 - b1) * 500 + ((b3 - b2) * 1000) // 3
+            |   AS harmonic_milli
+            |FROM b1 JOIN b2 USING (u) JOIN b3 USING (u)
+            |ORDER BY harmonic_milli DESC, node LIMIT 20""".stripMargin))
+
   /** Range-partition write plan — the boundary computation behind
     * every sorted/range-partitioned table layout (Spark's
     * repartitionByRange, Iceberg sort orders): 32 exact equi-depth
@@ -1491,6 +1559,7 @@ object StatsQueries extends QueryPack {
 
   override def qs: Seq[Q] =
     Seq(triangles, clusteringCoeff, twoHopReach, twoHopHyperball,
+      harmonicCentrality,
       rangePartitionPlan, ddsketch, chi2, kendall, spearman,
       mannKendall, richClub, trend,
       pareto, equidepth, madOutliers,

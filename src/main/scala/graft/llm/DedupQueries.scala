@@ -1079,10 +1079,86 @@ object DedupQueries extends QueryPack {
             |FROM sp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
     headline = true)
 
+  /** Near-dup threshold sweep — the tuning table you read BEFORE fixing
+    * a dedup threshold: exact shingle-Jaccard pair counts and affected-
+    * document counts at τ ∈ {0.5 … 0.9}, from ONE prefix-filtered
+    * candidate generation at the loosest τ = 0.5 (the candidate set at
+    * 0.5 is a superset of every tighter threshold's pairs, so a single
+    * verify pass buckets all five rows — no per-threshold re-join). The
+    * prefix filter keeps the quadratic step bounded exactly as in
+    * [[prefixJoin]]; the sweep output is 5 rows at any corpus size.
+    * Integer-exact threshold tests (inter·10 ≥ un·τ₁₀) throughout.
+    */
+  private val thresholdSweep = Q(
+    "dedup_threshold_sweep",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val sh = Tables.documents(s, d).select(col("doc_id"),
+          explode(TextAnalysis.shingles(col("text"))).as("token"))
+      val n = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val dfreq = sh.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("df"), md5(col("token")))
+      // prefix length for τ = 0.5: n − ⌈n·5/10⌉ + 1
+      val pref = sh.join(dfreq, "token").join(n, "doc_id")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= col("n") - expr("(n * 5 + 9) div 10") + 1)
+        .select(col("doc_id"), col("token"))
+      val cand = pref.as("a")
+        .join(pref.withColumnRenamed("doc_id", "j").as("b"), "token")
+        .filter(col("doc_id") < col("j"))
+        .select(col("doc_id").as("i"), col("j")).distinct()
+      val verified = cand
+        .join(sh.select(col("doc_id").as("i"), col("token")), "i")
+        .join(sh.select(col("doc_id").as("j"), col("token")), Seq("j", "token"))
+        .groupBy(col("i"), col("j")).agg(count(lit(1)).as("inter"))
+        .join(n.select(col("doc_id").as("i"), col("n").as("n_i")), "i")
+        .join(n.select(col("doc_id").as("j"), col("n").as("n_j")), "j")
+        .withColumn("un", col("n_i") + col("n_j") - col("inter"))
+        .filter(col("inter") * 10 >= col("un") * 5)
+      val taus = s.range(1).select(explode(
+        array(lit(5), lit(6), lit(7), lit(8), lit(9))).as("tau10"))
+      val atTau = verified.crossJoin(broadcast(taus))
+        .filter(col("inter") * 10 >= col("un") * col("tau10"))
+      val pairsAt = atTau.groupBy(col("tau10"))
+        .agg(count(lit(1)).as("n_pairs"))
+      val docsAt = atTau
+        .select(col("tau10"), explode(array(col("i"), col("j"))).as("doc"))
+        .groupBy(col("tau10"))
+        .agg(countDistinct(col("doc")).as("n_docs_involved"))
+      pairsAt.join(docsAt, Seq("tau10"), "left_outer")
+        .select(col("tau10"), col("n_pairs"),
+          coalesce(col("n_docs_involved"), lit(0L)).as("n_docs_involved"))
+        .orderBy(col("tau10"))
+    },
+    // the oracle affords the all-pairs verify at compare scale — no
+    // prefix filter, same integer threshold buckets
+    Some(s"""WITH d AS (SELECT doc_id,
+            |  list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+            |    for i in range(1, len(w)-1)]) AS sh
+            | FROM (SELECT doc_id, ${CorpusQueries.WordsExpr} AS w
+            |       FROM documents)
+            | WHERE len(w) >= 3),
+            |p AS (SELECT a.doc_id AS i, b.doc_id AS j,
+            |  len(list_intersect(a.sh, b.sh)) AS inter,
+            |  len(list_distinct(list_concat(a.sh, b.sh))) AS un
+            | FROM d a JOIN d b ON a.doc_id < b.doc_id),
+            |t AS (SELECT unnest([5, 6, 7, 8, 9]) AS tau10),
+            |at AS (SELECT tau10, i, j FROM p CROSS JOIN t
+            | WHERE inter * 10 >= un * tau10),
+            |pc AS (SELECT tau10, count(*) AS n_pairs FROM at GROUP BY 1),
+            |dc AS (SELECT tau10, count(DISTINCT doc) AS n_docs_involved
+            | FROM (SELECT tau10, unnest([i, j]) AS doc FROM at)
+            | GROUP BY 1)
+            |SELECT pc.tau10, n_pairs,
+            | COALESCE(n_docs_involved, 0) AS n_docs_involved
+            |FROM pc LEFT JOIN dc ON pc.tau10 = dc.tau10
+            |ORDER BY 1""".stripMargin))
+
   val qs: Seq[Q] = Seq(exact, minhash, simhash, ngramJaccard,
     lshClusters, lshIncremental, ccIncremental, clusterSizeHist,
     clusterSurvivors, clusterBestSurvivors,
     trainingPipeline,
     trainingV2, trainingV3, trainingV4, trainingV5, prefixJoin,
-    repeatedSpans, containment, trainingV6, trainingV7)
+    repeatedSpans, containment, trainingV6, trainingV7, thresholdSweep)
 }

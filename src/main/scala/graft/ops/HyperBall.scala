@@ -73,4 +73,53 @@ object HyperBall {
     merged.select(col("u").as("node"), size(col("sk2")).as("sketch_size"),
       estU(col("sk2")).as("ball2_est"))
   }
+
+  /** Ball-size estimates at radii 1, 2, 3 — the harmonic/closeness-
+    * centrality input: each radius is ONE more sketch-merge round over
+    * the edge list (the HyperBall iteration proper; [[twoHopBallSizes]]
+    * is the unrolled radius-2 special case). Ball growth is monotone by
+    * construction — ball_{r} ⊇ ball_{r−1}, and the KMV estimate of a
+    * superset's k-smallest hash set is ≥ the subset's — so derived
+    * per-shell differences are never negative. Per-round frames are
+    * localCheckpoint'd: each round's sketch feeds both the next merge
+    * and its own estimate, and the iterative-loop lineage rule applies.
+    * Returns (node, b1, b2, b3).
+    */
+  def ballSizes3(edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int = 256): DataFrame = {
+    import graft.ops.Checkpoints.StageCheckpoint
+    val canon = edges
+      .select(least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("u"),
+        greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("v"))
+      .filter(col("u") < col("v"))
+      .distinct()
+    val sym = canon.unionByName(
+        canon.select(col("v").as("u"), col("u").as("v")))
+      .stageCheckpoint()
+    val nodes = edges.select(col(srcCol).cast("long").as("u"))
+      .unionByName(edges.select(col(dstCol).cast("long").as("u")))
+      .distinct()
+    val members1 = sym.select(col("u"), col("v").cast("string").as("m"))
+      .unionByName(
+        nodes.select(col("u"), col("u").cast("string").as("m")))
+    val h1 = members1.groupBy(col("u"))
+      .agg(graft.functions.KmvAgg.sketchMd5(col("m"), k).as("sk"))
+      .stageCheckpoint()
+    def nextRadius(h: DataFrame): DataFrame = sym
+      .join(h.select(col("u").as("v"), col("sk")), "v")
+      .select(col("u"), col("sk"))
+      .unionByName(h)
+      .groupBy(col("u"))
+      .agg(graft.functions.KmvAgg.mergeSketches(col("sk"), k).as("sk"))
+    val h2 = nextRadius(h1).stageCheckpoint()
+    val h3 = nextRadius(h2)
+    val estU = udf { (arr: Seq[Long]) =>
+      math.floor(
+        graft.functions.KmvAgg.estimateDistinctMd5(arr.toArray, k)).toLong
+    }
+    h1.select(col("u"), estU(col("sk")).as("b1"))
+      .join(h2.select(col("u"), estU(col("sk")).as("b2")), "u")
+      .join(h3.select(col("u"), estU(col("sk")).as("b3")), "u")
+      .select(col("u").as("node"), col("b1"), col("b2"), col("b3"))
+  }
 }

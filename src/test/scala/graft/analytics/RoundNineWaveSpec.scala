@@ -317,6 +317,96 @@ class RoundNineWaveSpec extends SparkSpec {
     assert(out === Set(("A", 2L, 5L), ("B", 1L, 2L)))
   }
 
+  test("dedup_threshold_sweep matches an independent all-pairs recompute") {
+    val dir = tmpDir()
+    // near-dup families at different overlap levels plus unrelated docs
+    val base = (1 to 30).map(j => s"w$j").mkString(" ")
+    val docs = Seq(
+      (1L, base), (2L, base), // identical → j = 1.0
+      (3L, base + " x1 x2 x3 x4 x5"), // high-overlap variant
+      (4L, (1 to 18).map(j => s"w$j").mkString(" ") + " y1 y2 y3"),
+      (5L, (1 to 60).map(j => s"z$j").mkString(" ")))
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = q("dedup_threshold_sweep", dir)
+      .select("tau10", "n_pairs", "n_docs_involved")
+      .as[(Int, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // independent recompute: exact 3-gram Jaccard over all pairs
+    val sets = docs.map { case (id, t, _, _, _) =>
+      id -> graft.llm.Hashing.words(t).sliding(3).filter(_.length == 3)
+        .map(_.mkString(" ")).toSet
+    }.toMap
+    val pairs = for {
+      i <- sets.keys.toSeq.sorted; j <- sets.keys.toSeq.sorted
+      if i < j
+      inter = (sets(i) & sets(j)).size
+      un = (sets(i) | sets(j)).size
+      if un > 0
+    } yield (i, j, inter, un)
+    Seq(5, 6, 7, 8, 9).foreach { tau =>
+      val want = pairs.filter { case (_, _, inter, un) => inter * 10 >= un * tau }
+      val wantDocs = want.flatMap(p => Seq(p._1, p._2)).distinct.size
+      assert(got(tau) === ((want.size.toLong, wantDocs.toLong)),
+        s"tau=$tau got=${got(tau)} want=(${want.size}, $wantDocs)")
+    }
+    // the planted identical pair survives every threshold
+    assert(got(9)._1 >= 1L)
+  }
+
+  test("seq_pattern_match_negation excludes journeys with intervening errors") {
+    val dir = tmpDir()
+    def e(id: Long, u: Long, minute: Int, typ: String) =
+      (id, Timestamp.valueOf(f"2024-03-01 10:$minute%02d:00"), u, typ,
+        Double.box(1.0), "{}")
+    val rows = Seq(
+      // user 1: v c p → match
+      e(1, 1, 1, "view"), e(2, 1, 2, "click"), e(3, 1, 3, "purchase"),
+      // user 2: v e c p → error between view and click: no match
+      e(4, 2, 1, "view"), e(5, 2, 2, "error"), e(6, 2, 3, "click"),
+      e(7, 2, 4, "purchase"),
+      // user 3: v c e p → error between click and purchase: no match
+      e(8, 3, 1, "view"), e(9, 3, 2, "click"), e(10, 3, 3, "error"),
+      e(11, 3, 4, "purchase"),
+      // user 4: e v c p → the error PRECEDES the v anchor: match
+      e(12, 4, 1, "error"), e(13, 4, 2, "view"), e(14, 4, 3, "click"),
+      e(15, 4, 4, "purchase"),
+      // user 5: v c only → no purchase: no match
+      e(16, 5, 1, "view"), e(17, 5, 2, "click"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val r = q("seq_pattern_match_negation", dir).collect().head
+    assert(r.getAs[Long]("n_users") === 5L)
+    assert(r.getAs[Long]("n_matched") === 2L)
+    assert(r.getAs[Long]("sum_matched_ids") === 1L + 4L)
+    assert(r.getAs[Long]("sum_journey_len") === 17L)
+  }
+
+  test("graph_harmonic_hyperball is exact on a planted path graph") {
+    val dir = tmpDir()
+    // path 1-2-3-4-5 as supplier co-occurrence: each edge appears in 5
+    // orders (the suppEdges support floor)
+    val li = for {
+      (a, b) <- Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      rep <- 1 to 5
+      ok = a * 1000 + b * 100 + rep
+      sk <- Seq(a, b)
+    } yield (ok, sk)
+    li.toDF("l_orderkey", "l_suppkey")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val out = q("graph_harmonic_hyperball", dir)
+      .select("node", "b1", "b2", "b3", "harmonic_milli")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // below sketch width the balls are exact: center sees the whole
+    // path by radius 2, the ends grow one hop per radius
+    assert(out(3L) === ((3L, 3L, 5L, 5L, 2000L + 1000L + 0L)))
+    assert(out(1L) === ((1L, 2L, 3L, 4L, 1000L + 500L + 333L)))
+    assert(out(2L) === ((2L, 3L, 4L, 5L, 2000L + 500L + 333L)))
+    assert(out(5L)._5 === out(1L)._5 && out(4L)._5 === out(2L)._5)
+  }
+
   test("docs_length_bucket_batching plans power-of-two buckets exactly") {
     val dir = tmpDir()
     // token counts 1, 2, 3, 5, 100, 20000 → widths 1, 2, 4, 8, 128, 16384
