@@ -267,6 +267,24 @@ object StatsQueries extends QueryPack {
     * estimator — valid below AND above sketch width (the
     * `graph_two_hop_hyperball` oracle contract). Top-20 by centrality.
     */
+  /** The KMV ball-size estimator as paired (r_i, b_i) CTEs over a ball-
+    * membership CTE `src(u, w)` — the bit-identical expression
+    * [[graft.functions.KmvAgg.estimateDistinctMd5]] computes, written
+    * ONCE and interpolated per radius so a width change cannot desync
+    * the three copies.
+    */
+  private def kmvBallCte(src: String, out: String): String =
+    s"""r_$out AS (SELECT u, row_number() OVER (PARTITION BY u ORDER BY h)
+       |   AS rn, h FROM (SELECT DISTINCT u,
+       |   ('0x' || substring(md5(CAST(w AS VARCHAR)), 1, 15))::BIGINT
+       |     AS h FROM $src)),
+       |$out AS (SELECT u, CASE
+       |   WHEN sum(CASE WHEN rn <= 256 THEN 1 ELSE 0 END) < 256
+       |   THEN CAST(sum(CASE WHEN rn <= 256 THEN 1 ELSE 0 END) AS BIGINT)
+       |   ELSE CAST(floor((256 - 1) / (CAST(max(CASE WHEN rn <= 256
+       |     THEN h END) AS DOUBLE) / pow(2.0, 60))) AS BIGINT)
+       |   END AS $out FROM r_$out GROUP BY 1)""".stripMargin
+
   private val harmonicCentrality = Q(
     "graph_harmonic_hyperball",
     (s, d) =>
@@ -283,36 +301,9 @@ object StatsQueries extends QueryPack {
             |  UNION SELECT a.u, m.w FROM sym a JOIN m1 m ON m.u = a.v),
             |m3 AS (SELECT u, w FROM m2
             |  UNION SELECT a.u, m.w FROM sym a JOIN m2 m ON m.u = a.v),
-            |r1 AS (SELECT u, row_number() OVER (PARTITION BY u ORDER BY h)
-            |   AS rn, h FROM (SELECT DISTINCT u,
-            |   ('0x' || substring(md5(CAST(w AS VARCHAR)), 1, 15))::BIGINT
-            |     AS h FROM m1)),
-            |b1 AS (SELECT u, CASE
-            |   WHEN sum(CASE WHEN rn <= 256 THEN 1 ELSE 0 END) < 256
-            |   THEN CAST(sum(CASE WHEN rn <= 256 THEN 1 ELSE 0 END) AS BIGINT)
-            |   ELSE CAST(floor((256 - 1) / (CAST(max(CASE WHEN rn <= 256
-            |     THEN h END) AS DOUBLE) / pow(2.0, 60))) AS BIGINT)
-            |   END AS b1 FROM r1 GROUP BY 1),
-            |r2 AS (SELECT u, row_number() OVER (PARTITION BY u ORDER BY h)
-            |   AS rn, h FROM (SELECT DISTINCT u,
-            |   ('0x' || substring(md5(CAST(w AS VARCHAR)), 1, 15))::BIGINT
-            |     AS h FROM m2)),
-            |b2 AS (SELECT u, CASE
-            |   WHEN sum(CASE WHEN rn <= 256 THEN 1 ELSE 0 END) < 256
-            |   THEN CAST(sum(CASE WHEN rn <= 256 THEN 1 ELSE 0 END) AS BIGINT)
-            |   ELSE CAST(floor((256 - 1) / (CAST(max(CASE WHEN rn <= 256
-            |     THEN h END) AS DOUBLE) / pow(2.0, 60))) AS BIGINT)
-            |   END AS b2 FROM r2 GROUP BY 1),
-            |r3 AS (SELECT u, row_number() OVER (PARTITION BY u ORDER BY h)
-            |   AS rn, h FROM (SELECT DISTINCT u,
-            |   ('0x' || substring(md5(CAST(w AS VARCHAR)), 1, 15))::BIGINT
-            |     AS h FROM m3)),
-            |b3 AS (SELECT u, CASE
-            |   WHEN sum(CASE WHEN rn <= 256 THEN 1 ELSE 0 END) < 256
-            |   THEN CAST(sum(CASE WHEN rn <= 256 THEN 1 ELSE 0 END) AS BIGINT)
-            |   ELSE CAST(floor((256 - 1) / (CAST(max(CASE WHEN rn <= 256
-            |     THEN h END) AS DOUBLE) / pow(2.0, 60))) AS BIGINT)
-            |   END AS b3 FROM r3 GROUP BY 1)
+            |${kmvBallCte("m1", "b1")},
+            |${kmvBallCte("m2", "b2")},
+            |${kmvBallCte("m3", "b3")}
             |SELECT u AS node, b1, b2, b3,
             | (b1 - 1) * 1000 + (b2 - b1) * 500 + ((b3 - b2) * 1000) // 3
             |   AS harmonic_milli

@@ -547,24 +547,39 @@ object DedupQueries extends QueryPack {
     * prefixes shuffle by shingle (rare shingles → tiny buckets), the
     * quadratic step only ever sees prefix-bucket collisions.
     */
+  /** Prefix-filter candidate generation at Jaccard threshold tau10/10
+    * (the AllPairs/PPJoin lemma): per doc keep the n − ⌈n·τ⌉ + 1
+    * globally-rarest shingles (df-ascending, md5 tiebreak — a total
+    * order shared with the oracle side), equi-join prefixes on the
+    * shingle. Any pair with J ≥ τ shares a prefix shingle, so the
+    * candidate set is COMPLETE for the threshold — shared by
+    * [[prefixJoin]] (τ = 0.8) and [[thresholdSweep]] (τ = 0.5) so the
+    * prefix-length arithmetic lives once.
+    */
+  private def prefixCandidates(sh: org.apache.spark.sql.DataFrame,
+      n: org.apache.spark.sql.DataFrame,
+      tau10: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dfreq = sh.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("df"), md5(col("token")))
+    val pref = sh.join(dfreq, "token").join(n, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= col("n") - expr(s"(n * $tau10 + 9) div 10") + 1)
+      .select(col("doc_id"), col("token"))
+    pref.as("a")
+      .join(pref.withColumnRenamed("doc_id", "j").as("b"), "token")
+      .filter(col("doc_id") < col("j"))
+      .select(col("doc_id").as("i"), col("j")).distinct()
+  }
+
   private val prefixJoin = Q(
     "dedup_prefix_filter_join",
     (s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val sh = Tables.documents(s, d).select(col("doc_id"),
           explode(TextAnalysis.shingles(col("text"))).as("token"))
       val n = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val dfreq = sh.groupBy(col("token")).agg(count(lit(1)).as("df"))
-      val w = Window.partitionBy(col("doc_id"))
-        .orderBy(col("df"), md5(col("token")))
-      val pref = sh.join(dfreq, "token").join(n, "doc_id")
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= col("n") - expr("(n * 8 + 9) div 10") + 1)
-        .select(col("doc_id"), col("token"))
-      val cand = pref.as("a")
-        .join(pref.withColumnRenamed("doc_id", "j").as("b"), "token")
-        .filter(col("doc_id") < col("j"))
-        .select(col("doc_id").as("i"), col("j")).distinct()
+      val cand = prefixCandidates(sh, n, tau10 = 8)
       val inter = cand
         .join(sh.select(col("doc_id").as("i"), col("token")), "i")
         .join(sh.select(col("doc_id").as("j"), col("token")), Seq("j", "token"))
@@ -1092,29 +1107,39 @@ object DedupQueries extends QueryPack {
   private val thresholdSweep = Q(
     "dedup_threshold_sweep",
     (s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val sh = Tables.documents(s, d).select(col("doc_id"),
-          explode(TextAnalysis.shingles(col("text"))).as("token"))
-      val n = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val dfreq = sh.groupBy(col("token")).agg(count(lit(1)).as("df"))
-      val w = Window.partitionBy(col("doc_id"))
-        .orderBy(col("df"), md5(col("token")))
-      // prefix length for τ = 0.5: n − ⌈n·5/10⌉ + 1
-      val pref = sh.join(dfreq, "token").join(n, "doc_id")
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= col("n") - expr("(n * 5 + 9) div 10") + 1)
-        .select(col("doc_id"), col("token"))
-      val cand = pref.as("a")
-        .join(pref.withColumnRenamed("doc_id", "j").as("b"), "token")
-        .filter(col("doc_id") < col("j"))
-        .select(col("doc_id").as("i"), col("j")).distinct()
-      val verified = cand
-        .join(sh.select(col("doc_id").as("i"), col("token")), "i")
-        .join(sh.select(col("doc_id").as("j"), col("token")), Seq("j", "token"))
-        .groupBy(col("i"), col("j")).agg(count(lit(1)).as("inter"))
-        .join(n.select(col("doc_id").as("i"), col("n").as("n_i")), "i")
-        .join(n.select(col("doc_id").as("j"), col("n").as("n_j")), "j")
-        .withColumn("un", col("n_i") + col("n_j") - col("inter"))
+      import graft.ops.Checkpoints.StageCheckpoint
+      // shingle SETS staged once as arrays, hash arrays for the
+      // prefilter — the containmentJoin verify shape (measured ~3×
+      // cheaper than the explode-join verify); the exploded (doc,
+      // token) view for the prefix filter derives from the staged frame
+      val sets = Tables.documents(s, d).select(col("doc_id"),
+          TextAnalysis.shingles(col("text")).as("sh"))
+        .withColumn("hs", array_sort(array_distinct(
+          transform(col("sh"), t => xxhash64(t)))))
+        .stageCheckpoint()
+      val sh = sets.select(col("doc_id"), explode(col("sh")).as("token"))
+      val n = sets.select(col("doc_id"), size(col("sh")).cast("long").as("n"))
+      val cand = prefixCandidates(sh, n, tau10 = 5)
+      // hash prefilter at the loosest τ: hashed intersections only GROW
+      // and hashed set sizes only SHRINK, so hashed Jaccard ≥ true
+      // Jaccard — every true pair passes, survivors re-verify exactly
+      val prefiltered = cand
+        .join(sets.select(col("doc_id").as("i"), col("hs").as("hs_i")), "i")
+        .join(sets.select(col("doc_id").as("j"), col("hs").as("hs_j")), "j")
+        .withColumn("hinter",
+          size(array_intersect(col("hs_i"), col("hs_j"))).cast("long"))
+        .withColumn("hun",
+          (size(col("hs_i")) + size(col("hs_j"))).cast("long") - col("hinter"))
+        .filter(col("hinter") * 10 >= col("hun") * 5)
+        .select(col("i"), col("j"))
+      val verified = prefiltered
+        .join(sets.select(col("doc_id").as("i"), col("sh").as("sh_i")), "i")
+        .join(sets.select(col("doc_id").as("j"), col("sh").as("sh_j")), "j")
+        .select(col("i"), col("j"),
+          size(array_intersect(col("sh_i"), col("sh_j"))).cast("long")
+            .as("inter"),
+          (size(col("sh_i")) + size(col("sh_j"))).cast("long").as("szsum"))
+        .withColumn("un", col("szsum") - col("inter"))
         .filter(col("inter") * 10 >= col("un") * 5)
       val taus = s.range(1).select(explode(
         array(lit(5), lit(6), lit(7), lit(8), lit(9))).as("tau10"))
@@ -1126,8 +1151,12 @@ object DedupQueries extends QueryPack {
         .select(col("tau10"), explode(array(col("i"), col("j"))).as("doc"))
         .groupBy(col("tau10"))
         .agg(countDistinct(col("doc")).as("n_docs_involved"))
-      pairsAt.join(docsAt, Seq("tau10"), "left_outer")
-        .select(col("tau10"), col("n_pairs"),
+      // zero-fill from the τ frame: a threshold no pair reaches still
+      // publishes its row (n_pairs = 0), it does not vanish
+      taus.join(pairsAt, Seq("tau10"), "left_outer")
+        .join(docsAt, Seq("tau10"), "left_outer")
+        .select(col("tau10"),
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
           coalesce(col("n_docs_involved"), lit(0L)).as("n_docs_involved"))
         .orderBy(col("tau10"))
     },
@@ -1150,9 +1179,10 @@ object DedupQueries extends QueryPack {
             |dc AS (SELECT tau10, count(DISTINCT doc) AS n_docs_involved
             | FROM (SELECT tau10, unnest([i, j]) AS doc FROM at)
             | GROUP BY 1)
-            |SELECT pc.tau10, n_pairs,
+            |SELECT t.tau10, COALESCE(n_pairs, 0) AS n_pairs,
             | COALESCE(n_docs_involved, 0) AS n_docs_involved
-            |FROM pc LEFT JOIN dc ON pc.tau10 = dc.tau10
+            |FROM t LEFT JOIN pc ON t.tau10 = pc.tau10
+            | LEFT JOIN dc ON t.tau10 = dc.tau10
             |ORDER BY 1""".stripMargin))
 
   val qs: Seq[Q] = Seq(exact, minhash, simhash, ngramJaccard,

@@ -355,6 +355,27 @@ class RoundNineWaveSpec extends SparkSpec {
     assert(got(9)._1 >= 1L)
   }
 
+  test("dedup_threshold_sweep zero-fills thresholds no pair reaches") {
+    val dir = tmpDir()
+    // one pair just over tau=0.5, nothing tighter: every tau row must
+    // still publish (n_pairs = 0), not vanish
+    // a: 18 shingles; b: 17 shingles, 13 shared → J = 13/22 ≈ 0.59
+    val a = (1 to 20).map(j => s"w$j").mkString(" ")
+    val b = (1 to 15).map(j => s"w$j").mkString(" ") + " " +
+      (1 to 4).map(j => s"q$j").mkString(" ")
+    val docs = Seq((1L, a), (2L, b), (3L, (1 to 40).map(j => s"z$j")
+      .mkString(" ")))
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = q("dedup_threshold_sweep", dir)
+      .select("tau10", "n_pairs", "n_docs_involved")
+      .as[(Int, Long, Long)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq === Seq(5, 6, 7, 8, 9))
+    assert(got.head._2 === 1L && got.head._3 === 2L)
+    assert(got.drop(1).forall(r => r._2 === 0L && r._3 === 0L))
+  }
+
   test("seq_pattern_match_negation excludes journeys with intervening errors") {
     val dir = tmpDir()
     def e(id: Long, u: Long, minute: Int, typ: String) =
