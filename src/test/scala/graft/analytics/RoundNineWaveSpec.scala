@@ -428,6 +428,54 @@ class RoundNineWaveSpec extends SparkSpec {
     assert(out(5L)._5 === out(1L)._5 && out(4L)._5 === out(2L)._5)
   }
 
+  test("every extension-wave query survives fully empty inputs") {
+    // an empty partition is a normal event at 1000 executors — every
+    // registered query must yield a well-formed (possibly empty) frame,
+    // never throw (the EdgeCaseSpec contract, applied to the wave)
+    val dir = tmpDir()
+    Seq.empty[(Long, java.sql.Timestamp, Long, String, java.lang.Double,
+        String)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    Seq.empty[(Long, Long, Double, Double, Double, String)]
+      .toDF("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice",
+        "l_discount", "l_shipdate")
+      .withColumn("l_suppkey", lit(0L)).limit(0)
+      .write.parquet(s"$dir/lineitem.parquet")
+    Seq.empty[(Long, Long, String)]
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus")
+      .write.parquet(s"$dir/orders.parquet")
+    Seq.empty[(Long, String, Long, Double, String)]
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+        "c_mktsegment")
+      .write.parquet(s"$dir/customer.parquet")
+    Seq.empty[(Long, Array[Float], Int)]
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val expectRows = Map(
+      "dedup_threshold_sweep" -> Some(5L), // zero-filled τ frame
+      "stats_kendall_tau" -> Some(1L), // global aggregate
+      "stats_spearman_rho" -> Some(1L),
+      "seq_pattern_match_negation" -> Some(1L))
+    val waveQueries = Seq("agg_ddsketch_quantiles", "stats_chi2_independence",
+      "basket_pmi_pairs", "er_sorted_neighborhood",
+      "docs_ccnet_perplexity_buckets", "text_ngram_novelty_curve",
+      "docs_length_bucket_batching", "dq_id_gaps_islands",
+      "graph_hits_bipartite", "emb_matryoshka_prefix_recall",
+      "stats_kendall_tau", "stats_spearman_rho",
+      "warehouse_scd2_pit_snapshot", "dedup_threshold_sweep",
+      "seq_pattern_match_negation", "graph_harmonic_hyperball")
+    waveQueries.foreach { name =>
+      val rows = q(name, dir).collect()
+      expectRows.getOrElse(name, None).foreach { want =>
+        assert(rows.length.toLong === want, s"$name row count")
+      }
+    }
+  }
+
   test("docs_length_bucket_batching plans power-of-two buckets exactly") {
     val dir = tmpDir()
     // token counts 1, 2, 3, 5, 100, 20000 → widths 1, 2, 4, 8, 128, 16384
