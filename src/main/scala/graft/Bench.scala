@@ -8,8 +8,10 @@ import org.apache.spark.sql.SparkSession
   * Each query executes through the `noop` sink so the FULL physical plan
   * runs (sorts, projections, JSON extraction) — a bare `.count()` lets
   * Catalyst prune most of the work and under-measures (VERDICT.md r1 §9).
-  * A warm-up pass of the first query absorbs JVM/codegen start-up cost so
-  * per-query numbers reflect steady-state throughput.
+  * A small-SF warm-up pass absorbs JVM/codegen start-up cost; each query
+  * is then timed `Reps` times and reported as the MIN (spike-immune —
+  * see the rep rationale at the `Reps` definition), with rep-1 readings
+  * preserved in `queries_first`.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -45,7 +47,7 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
 
-    def run(name: String): Double = {
+    def runOnce(name: String): Double = {
       val t0 = System.nanoTime()
       // finally: a FAILED query may already have checkpointed frames —
       // skipping the cleanup on the error path would leak its blocks
@@ -60,34 +62,51 @@ object Bench {
       } finally dropQueryState()
     }
 
-    // Warm-up: run EVERY headline query once at the smallest SF (fills
-    // the JIT, the codegen cache, parquet footer caches), then once at
-    // the BENCH SF — AQE picks different physical shapes per data size
-    // (broadcast thresholds, coalesced partition counts), so the small-SF
-    // pass alone leaves the first timed run paying one-off plan/JIT cost
-    // (measured: up to 2× on the first execution vs steady state). Timed
-    // numbers then reflect steady-state engine throughput, which is what
-    // a long-running cluster actually sees.
+    // SPIKE-IMMUNE instrument (r9 verdict item 1): each query is timed
+    // REPS times back-to-back and the OFFICIAL number is the min — on a
+    // host with documented 5-8× transient swings (BASELINE.md r8/r9
+    // triage: identical code, single-query readings 0.7 s → 6.0 s, one
+    // 18.8 s reading for a query whose min-of-5 is 2.6 s), a single-shot
+    // reading is a lottery ticket, while the min of three is the
+    // engine's actual cost (an external spike can only ADD time, never
+    // subtract it). The first rep doubles as the at-SF warmup — its
+    // reading is reported separately in `queries_first` so cold-start
+    // cost (AQE re-plan at the bench SF, codegen fills) stays visible
+    // instead of being averaged into the steady-state number.
+    val Reps = 3
+    def run(name: String): Seq[Double] = Seq.fill(Reps)(runOnce(name))
+
+    // Warm-up: run EVERY headline query once at the smallest SF — fills
+    // the JIT, the codegen cache, and parquet footer caches cheaply.
+    // The per-query rep-1 at the bench SF then absorbs the AQE/plan
+    // adaptation cost (broadcast thresholds, coalesced partition counts
+    // differ per data size) and is excluded from the min when a later
+    // rep beats it.
     val names = SparkEntry.headlineNames
     val warmDir = "/root/testdata/sf0.001"
-    Seq(warmDir, sfDir).foreach { dir =>
-      names.foreach { n =>
-        try SparkEntry.queries(n)(spark, dir)
-          .write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
-        dropQueryState()
-      }
+    names.foreach { n =>
+      try SparkEntry.queries(n)(spark, warmDir)
+        .write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+      dropQueryState()
     }
-    // settle the heap before timing: the warmup passes leave tens of
+    // settle the heap before timing: the warmup pass leaves tens of
     // collected-but-unreclaimed shuffle/codegen buffers that otherwise
     // bill their GC pauses to whichever timed query triggers them
     System.gc()
     val results = names.map(n => n -> run(n))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def minOf(reps: Seq[Double]): Double = {
+      val ok = reps.filter(_ >= 0)
+      if (ok.isEmpty) -1.0 else ok.min
+    }
+    val qs = results.map { case (k, reps) => "\"" + k + "\":" + minOf(reps) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val qsFirst = results.map { case (k, reps) => "\"" + k + "\":" + reps.head }
+      .mkString("{", ",", "}")
+    val total = results.map { case (_, reps) => minOf(reps) }.filter(_ >= 0).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$Reps,""" +
+        s""""queries":$qs,"queries_first":$qsFirst,"sf":"$sfDir"}"""
     println(json)
     // stdout arrives wrapped in sbt "[info] " noise (both prior rounds
     // show "parsed": null on the driver) — also drop the bare line where

@@ -877,7 +877,8 @@ object DedupQueries extends QueryPack {
     // join) through a hash-array prefilter: hashed intersections can
     // only GROW (cross-doc collisions) and hashed set sizes only
     // SHRINK (in-doc collisions), so every true containment passes the
-    // prefilter — zero false negatives by construction; the few
+    // prefilter (up to the ~2⁻⁶⁴ chance of a collision between two
+    // SHARED shingles merging them — negligible, not zero); the few
     // prefilter survivors re-verify on the exact string arrays. The
     // hash arrays cut the wide shuffle's payload ~3× vs string
     // arrays, which is what kept the single-JVM 3×-scale run out of
@@ -1122,7 +1123,10 @@ object DedupQueries extends QueryPack {
       val cand = prefixCandidates(sh, n, tau10 = 5)
       // hash prefilter at the loosest τ: hashed intersections only GROW
       // and hashed set sizes only SHRINK, so hashed Jaccard ≥ true
-      // Jaccard — every true pair passes, survivors re-verify exactly
+      // Jaccard — every true pair passes, survivors re-verify exactly.
+      // (One caveat: an xxhash64 collision between two SHARED shingles
+      // merges them and can lower hashed Jaccard below true Jaccard —
+      // P ≈ 2⁻⁶⁴ per shingle pair, negligible but not zero.)
       val prefiltered = cand
         .join(sets.select(col("doc_id").as("i"), col("hs").as("hs_i")), "i")
         .join(sets.select(col("doc_id").as("j"), col("hs").as("hs_j")), "j")

@@ -49,9 +49,12 @@ object SimilarityQueries extends QueryPack {
         Seq("query_id", "vec_id"), "leftsemi")
       .groupBy(col("query_id")).agg(count(lit(1)).as("_hits"))
     ann.join(broadcast(hits), Seq("query_id"), "left")
-      .withColumn("recall_pct",
-        (coalesce(col("_hits"), lit(0L)) * 100 / k).cast("long"))
-      .drop("_hits")
+      // integer div end-to-end (the matryoshka recall_pct rule): the
+      // float-divide-then-cast form truncates identically today but
+      // silently diverges from an integer-sharing oracle if k changes
+      .withColumn("_h100", coalesce(col("_hits"), lit(0L)) * 100)
+      .withColumn("recall_pct", expr(s"_h100 div $k"))
+      .drop("_hits", "_h100")
   }
 
   // NOTE on the pinned recall values: this synthetic corpus is random
@@ -462,7 +465,11 @@ object SimilarityQueries extends QueryPack {
         .join(broadcast(truth), Seq("query_id", "vec_id"), "left_outer")
         .groupBy(col("prefix_dim"), col("query_id"))
         .agg(coalesce(sum(col("hit")), lit(0L)).as("n_hits"))
-        .withColumn("recall_pct", col("n_hits") * lit(100L / k))
+        // one integer-division expression (n·100 div k), the same formula
+        // the oracle's literal arithmetic reduces to — a Scala-side
+        // `lit(100L / k)` would silently TRUNCATE the multiplier for any
+        // k that doesn't divide 100 and desync the published percentages
+        .withColumn("recall_pct", expr(s"(n_hits * 100) div $k"))
         .orderBy(col("prefix_dim"), col("query_id"))
     },
     Some("""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings

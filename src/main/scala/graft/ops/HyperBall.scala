@@ -25,8 +25,8 @@ object HyperBall {
     * incident edge is a self-loop has no sym row (u < v drops it) but
     * still owns the ball {self} — dropping it would emit no row where
     * a BFS oracle reports size 1.
-    */
-  /** `stageSym` materializes the symmetric edge frame — worth it only
+    *
+    * `stageSym` materializes the symmetric edge frame — worth it only
     * when ≥2 merge ROUNDS re-consume it ([[ballSizes3]]); the radius-2
     * path measured ~1 s/sf0.1 SLOWER with the eager checkpoint than
     * with Spark's own exchange reuse, so [[twoHopBallSizes]] keeps its

@@ -342,12 +342,20 @@ object EventStream {
     * partitions). Before the first micro-batch commits the store does
     * not exist yet — that is an EMPTY sketch, not a read error.
     */
-  def readQuantileSketch(spark: SparkSession, storeDir: String): DataFrame =
-    if (!graft.util.Fs.exists(spark, storeDir))
+  def readQuantileSketch(spark: SparkSession, storeDir: String): DataFrame = {
+    // COMMITTED batch partitions only (their _SUCCESS marker exists): a
+    // crashed mid-write batch leaves partial part-files that a recursive
+    // glob would transiently sum into the sketch until the replay
+    // overwrites them — the no-window claim above holds for readers
+    // exactly because uncommitted partitions are invisible here.
+    val committed = graft.util.Fs.committedSubdirs(spark, storeDir)
+    if (committed.isEmpty)
       spark.range(0).select(col("id").as("b"), col("id").as("c"))
     else
-      spark.read.option("recursiveFileLookup", "true").parquet(storeDir)
+      spark.read.parquet(committed: _*)
+        .select(col("b"), col("c")) // batch_id partition col, if inferred, dropped
         .groupBy(col("b")).agg(sum(col("c")).as("c"))
+  }
 
   /** One row per user: latest (event-time, id)-ordered event. */
   private[streaming] def latestPerUser(batch: DataFrame): DataFrame =

@@ -14,4 +14,20 @@ object Fs {
     val p = new org.apache.hadoop.fs.Path(dir)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
+
+  /** Immediate subdirectories of `dir` that contain a `_SUCCESS` marker —
+    * the committed partitions of a per-batch parquet store. A reader that
+    * globs every file instead would transiently include a crashed batch's
+    * partial part-files until the replay overwrites them.
+    */
+  def committedSubdirs(spark: SparkSession, dir: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath)
+      .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d, "_SUCCESS")))
+      .map(_.toString)
+  }
 }
