@@ -12,7 +12,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * codegen.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  import GraftExtensions.{binary, unary}
+  import GraftExtensions.{binary, kmvBuilder, unary}
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
@@ -31,6 +31,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("tokenize_words"),
       new ExpressionInfo(classOf[Tokenize].getName, "tokenize_words"),
       unary("tokenize_words", Tokenize.apply(_: Expression))))
+    ext.injectFunction((
+      new FunctionIdentifier("kmv_estimate"),
+      new ExpressionInfo(classOf[KmvEstimate].getName, "kmv_estimate"),
+      kmvBuilder))
   }
 }
 
@@ -55,6 +59,29 @@ object GraftExtensions {
       build(children.head, children(1))
     }
 
+  /** `kmv_estimate(sketch, k)`: the width is part of the sketch's
+    * CONSTRUCTION, not per-row data, so it must be a foldable integer
+    * literal — anything else is an analysis-time error.
+    */
+  private[functions] val kmvBuilder: Seq[Expression] => Expression =
+    children => {
+      require(children.size == 2,
+        s"kmv_estimate expects exactly 2 arguments, got ${children.size}")
+      val kExpr = children(1)
+      require(kExpr.foldable,
+        "kmv_estimate: k must be a foldable integer literal")
+      val k = kExpr.eval(null) match {
+        case i: Int => i
+        case l: Long => l.toInt
+        case s: Short => s.toInt
+        case b: Byte => b.toInt
+        case other =>
+          throw new IllegalArgumentException(
+            s"kmv_estimate: k must be integral, got $other")
+      }
+      KmvEstimate(children.head, k)
+    }
+
   /** Late registration onto an existing session (harness driver path). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     org.apache.spark.sql.graftshim.ColumnBridge.registerTempFunction(
@@ -65,5 +92,7 @@ object GraftExtensions {
       spark, "cosine_sim", binary("cosine_sim", CosineSim(_, _)))
     org.apache.spark.sql.graftshim.ColumnBridge.registerTempFunction(
       spark, "tokenize_words", unary("tokenize_words", Tokenize.apply(_: Expression)))
+    org.apache.spark.sql.graftshim.ColumnBridge.registerTempFunction(
+      spark, "kmv_estimate", kmvBuilder)
   }
 }

@@ -65,10 +65,13 @@ object HyperBall {
       .groupBy(col("u"))
       .agg(graft.functions.KmvAgg.mergeSketches(col("sk"), k).as("sk"))
 
-  private def estU(k: Int) = udf { (arr: Seq[Long]) =>
-    math.floor(
-      graft.functions.KmvAgg.estimateDistinctMd5(arr.toArray, k)).toLong
-  }
+  /** Floored ball-size estimate per node — the codegen
+    * [[graft.functions.KmvEstimate]] expression (identical IEEE
+    * arithmetic to [[graft.functions.KmvAgg.estimateDistinctMd5]]; the
+    * former Scala udf here was the last udf in the graph family).
+    */
+  private def estU(k: Int)(c: org.apache.spark.sql.Column) =
+    graft.functions.KmvEstimate(c, k)
 
   /** Per-node 2-hop BALL size estimates (|{w : dist(v,w) ≤ 2}|,
     * self included — the paper's ball convention). Input may carry
@@ -101,7 +104,7 @@ object HyperBall {
     val h1 = radius1(sym, nodes, k).stageCheckpoint()
     val h2 = nextRadius(sym, h1, k).stageCheckpoint()
     val h3 = nextRadius(sym, h2, k)
-    val est = estU(k)
+    val est = estU(k) _
     h1.select(col("u"), est(col("sk")).as("b1"))
       .join(h2.select(col("u"), est(col("sk")).as("b2")), "u")
       .join(h3.select(col("u"), est(col("sk")).as("b3")), "u")

@@ -233,6 +233,35 @@ class KmvSpec extends SparkSpec {
     assert(one === sketchMd5Of(df.filter(col("g") === 0).select(col("k"))).toSeq)
   }
 
+  test("KmvEstimate: expression == floored helper, both regimes, SQL-callable") {
+    // below width (exact-set regime) and at capacity (estimator regime):
+    // the codegen expression must reproduce the scalar helper EXACTLY —
+    // the two copies of the (k-1)/(v_k/2^60) arithmetic may never drift
+    val frames = Seq(strings("e", 100), strings("e", 5000))
+    frames.foreach { df =>
+      val viaAgg = df.agg(KmvAgg.sketchMd5(col("k"), k).as("sk"))
+        .select(KmvEstimate(col("sk"), k).as("est"))
+        .first().getLong(0)
+      val sk = sketchMd5Of(df)
+      val viaHelper = math.floor(KmvAgg.estimateDistinctMd5(sk, k)).toLong
+      assert(viaAgg === viaHelper)
+    }
+    // null sketch -> null estimate (expression null contract)
+    val nullRow = spark.sql("SELECT CAST(NULL AS ARRAY<BIGINT>) AS sk")
+      .select(KmvEstimate(col("sk"), k)).first()
+    assert(nullRow.isNullAt(0))
+    // SQL surface with the registered builder; non-literal k must fail
+    GraftExtensions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT kmv_estimate(array(CAST(7 AS BIGINT), CAST(9 AS BIGINT)), 256)")
+      .first().getLong(0)
+    assert(viaSql === 2L)
+    assertThrows[Exception] {
+      spark.sql("SELECT kmv_estimate(array(CAST(7 AS BIGINT)), id) FROM range(1)")
+        .collect()
+    }
+  }
+
   test("CosineSim: bit-identical to the JVM loop, null-safe, SQL-callable") {
     val vecs = Seq(
       (Array(1.0f, 2.0f, 3.0f), Array(3.0f, 2.0f, 1.0f)),
