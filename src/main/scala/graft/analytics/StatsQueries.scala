@@ -310,6 +310,82 @@ object StatsQueries extends QueryPack {
             |FROM b1 JOIN b2 USING (u) JOIN b3 USING (u)
             |ORDER BY harmonic_milli DESC, node LIMIT 20""".stripMargin))
 
+  /** 90% effective diameter via the converged HyperBall neighborhood
+    * function ([[graft.ops.HyperBall.neighborhoodFunction]]) — the
+    * Boldi–Vigna headline number: how many hops cover 90% of all
+    * reachable pairs. One bounded KMV sketch-merge round per radius
+    * until the estimate total plateaus (never an all-pairs BFS — the
+    * exact computation is O(n·m) and the 100 TB non-starter this
+    * operator exists to replace); the diameter interpolates between
+    * the bracketing radii in integer milli-units, so every published
+    * cell is Long arithmetic. The oracle rebuilds the whole table
+    * independently: exact BFS distances via a recursive CTE capped at
+    * the same maxR, per-radius balls hashed through the shared md5-60
+    * convention with the identically-written (k−1)/v_k estimator
+    * (valid below AND above sketch width — the
+    * `graph_two_hop_hyperball` contract), the same first-plateau stop
+    * rule, and the same ⌈0.9·N∞⌉ integer interpolation. HyperBallSpec
+    * additionally pins the exact-regime table against a brute BFS and
+    * the estimator-regime band on a sparse random graph.
+    */
+  /** Sketch width 64, not the family's 256: the diameter sums ~n·k
+    * longs per merge round ACROSS ALL RADII to convergence, and the
+    * published number is a single corpus-level scalar where ±1/√64 ≈
+    * 12% per-node noise averages out across nodes — Boldi & Vigna run
+    * comparable register budgets (2⁶) for exactly this query. Width is
+    * interpolated into the oracle text so the two can't desync.
+    */
+  private val EffDiamK = 64
+
+  private val effectiveDiameter = Q(
+    "graph_effective_diameter",
+    (s, d) => graft.ops.HyperBall.neighborhoodFunction(
+        suppEdges(s, d), "u", "v", k = EffDiamK, maxR = 8)
+      .orderBy(col("r")),
+    Some(s"""WITH RECURSIVE $suppEdgeCte,
+            |sym AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+            |nodes AS (SELECT DISTINCT u FROM sym),
+            |r(u, w, d) AS (
+            |  SELECT u, u, 0 FROM nodes
+            |  UNION
+            |  SELECT r.u, s.v, r.d + 1 FROM r JOIN sym s ON s.u = r.w
+            |  WHERE r.d < 8),
+            |m AS (SELECT u, w, min(d) AS d FROM r GROUP BY 1, 2),
+            |mem AS (SELECT rad.rr, m.u,
+            |   ('0x' || substring(md5(CAST(m.w AS VARCHAR)), 1, 15))::BIGINT
+            |     AS h
+            |  FROM m JOIN range(9) rad(rr) ON m.d <= rad.rr),
+            |rk AS (SELECT rr, u, h, row_number() OVER (
+            |   PARTITION BY rr, u ORDER BY h) AS rn FROM mem),
+            |est AS (SELECT rr, u, CASE
+            |   WHEN sum(CASE WHEN rn <= $EffDiamK THEN 1 ELSE 0 END)
+            |     < $EffDiamK
+            |   THEN CAST(sum(CASE WHEN rn <= $EffDiamK THEN 1 ELSE 0 END)
+            |     AS BIGINT)
+            |   ELSE CAST(floor(($EffDiamK - 1) / (CAST(max(CASE WHEN
+            |     rn <= $EffDiamK THEN h END) AS DOUBLE) / pow(2.0, 60)))
+            |     AS BIGINT)
+            |   END AS b FROM rk GROUP BY 1, 2),
+            |nf AS (SELECT rr, CAST(sum(b) AS BIGINT) AS n_reach
+            |  FROM est GROUP BY 1),
+            |lagd AS (SELECT rr, n_reach,
+            |   lag(n_reach) OVER (ORDER BY rr) AS prev FROM nf),
+            |stp AS (SELECT CAST(coalesce(min(rr) FILTER (
+            |   WHERE n_reach = prev), 8) AS BIGINT) AS r_stop FROM lagd),
+            |rows_ AS (SELECT rr, n_reach FROM nf, stp WHERE rr <= r_stop),
+            |tgt AS (SELECT (9 * (SELECT n_reach FROM rows_
+            |   ORDER BY rr DESC LIMIT 1) + 9) // 10 AS t),
+            |hit AS (SELECT min(rr) AS rh FROM rows_, tgt WHERE n_reach >= t),
+            |dm AS (SELECT CAST(CASE WHEN x.rr = 0 THEN 0
+            |   ELSE (x.rr - 1) * 1000 + ((tgt.t - x.np) * 1000) // (x.nh - x.np)
+            |   END AS BIGINT) AS eff_diameter_milli
+            |  FROM (SELECT rr, n_reach AS nh,
+            |     lag(n_reach) OVER (ORDER BY rr) AS np FROM rows_) x, hit, tgt
+            |  WHERE x.rr = hit.rh)
+            |SELECT CAST(rr AS BIGINT) AS r, n_reach, eff_diameter_milli
+            |FROM rows_ CROSS JOIN dm ORDER BY 1""".stripMargin),
+    headline = true)
+
   /** Range-partition write plan — the boundary computation behind
     * every sorted/range-partitioned table layout (Spark's
     * repartitionByRange, Iceberg sort orders): 32 exact equi-depth
@@ -1550,7 +1626,7 @@ object StatsQueries extends QueryPack {
 
   override def qs: Seq[Q] =
     Seq(triangles, clusteringCoeff, twoHopReach, twoHopHyperball,
-      harmonicCentrality,
+      harmonicCentrality, effectiveDiameter,
       rangePartitionPlan, ddsketch, chi2, kendall, spearman,
       mannKendall, richClub, trend,
       pareto, equidepth, madOutliers,

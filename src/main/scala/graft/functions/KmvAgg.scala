@@ -1,7 +1,5 @@
 package graft.functions
 
-import scala.collection.mutable
-
 import graft.llm.Hashing
 
 import org.apache.spark.sql.{Encoder, Encoders}
@@ -25,41 +23,76 @@ import org.apache.spark.sql.expressions.Aggregator
   * O(log k), merge is O(k log k) — the mergeable shape that ships one
   * sketch per partition/day/shard and folds later.
   */
-/** The ONE copy of the k-minimum buffer discipline: a hash set trimmed
-  * LAZILY (sort once when it reaches 4k, not a tree insert per row) —
-  * kryo round-trips HashSet where ordered collections lose their
-  * comparator; the k-smallest semantics are restored at every trim and
-  * at finish. Subclasses supply only how an input row enters the
-  * buffer.
+/** The ONE copy of the k-minimum buffer discipline: the buffer IS the
+  * finished sketch — an ascending distinct Long array capped at k —
+  * kept canonical at every step, so `finish` is the identity and the
+  * partial-aggregate shuffle ships exactly the k minima in tungsten
+  * format. (The r1–r9 buffer was a lazily-trimmed HashSet behind a
+  * KRYO encoder; at HyperBall scale — tens of thousands of partial
+  * buffers per merge round — kryo object serialization was the round's
+  * dominant cost, and the 4k-element lazy watermark shipped up to 4×
+  * the state. The sorted-array buffer serializes as a primitive array,
+  * inserts in O(log k) for the common below-current-max reject, and
+  * merges in one O(k) walk. Measured: graph_effective_diameter
+  * 6.5 s → see BASELINE.md r10.) Subclasses supply only how an input
+  * row enters the buffer.
   */
 abstract class KmvBufferAgg[IN](k: Int)
-    extends Aggregator[IN, mutable.HashSet[Long], Array[Long]] {
+    extends Aggregator[IN, Array[Long], Array[Long]] {
   require(k >= 2, s"k must be >= 2: $k")
 
-  protected final def trim(b: mutable.HashSet[Long]): mutable.HashSet[Long] =
-    if (b.size <= k) b else {
-      val kept = b.toArray.sorted.take(k)
-      b.clear()
-      b ++= kept
+  /** Insert one hash, preserving the ascending-distinct-capped-at-k
+    * invariant. After the buffer fills, anything ≥ the current k-th
+    * minimum rejects in O(log k) with zero allocation — the steady
+    * state for a uniform draw.
+    */
+  protected final def insert(b: Array[Long], h: Long): Array[Long] = {
+    val idx = java.util.Arrays.binarySearch(b, h)
+    if (idx >= 0) return b // already a minimum
+    val at = -idx - 1
+    if (b.length < k) {
+      val out = new Array[Long](b.length + 1)
+      System.arraycopy(b, 0, out, 0, at)
+      out(at) = h
+      System.arraycopy(b, at, out, at + 1, b.length - at)
+      out
+    } else if (at >= k) b // not smaller than the current k-th minimum
+    else {
+      val out = new Array[Long](k)
+      System.arraycopy(b, 0, out, 0, at)
+      out(at) = h
+      System.arraycopy(b, at, out, at + 1, k - at - 1)
+      out
     }
-
-  protected final def trimWatermark: Int = 4 * k
-
-  override final def zero: mutable.HashSet[Long] =
-    mutable.HashSet.empty[Long]
-
-  override final def merge(x: mutable.HashSet[Long],
-      y: mutable.HashSet[Long]): mutable.HashSet[Long] = {
-    x ++= y
-    trim(x)
   }
 
-  /** The sketch: ascending (unsigned-order) hash minima, exact set below k. */
-  override final def finish(b: mutable.HashSet[Long]): Array[Long] =
-    b.toArray.sorted.take(k)
+  /** k smallest distinct of two ascending distinct arrays — one walk. */
+  protected final def mergeSorted(a: Array[Long], b: Array[Long]): Array[Long] = {
+    if (a.isEmpty) return if (b.length <= k) b else java.util.Arrays.copyOf(b, k)
+    if (b.isEmpty) return if (a.length <= k) a else java.util.Arrays.copyOf(a, k)
+    val out = new Array[Long](math.min(k, a.length + b.length))
+    var i = 0; var j = 0; var m = 0
+    while (m < out.length && (i < a.length || j < b.length)) {
+      val takeA = j >= b.length || (i < a.length && a(i) <= b(j))
+      val v = if (takeA) a(i) else b(j)
+      if (takeA) i += 1 else j += 1
+      if (m == 0 || out(m - 1) != v) { out(m) = v; m += 1 }
+    }
+    if (m == out.length) out else java.util.Arrays.copyOf(out, m)
+  }
 
-  override final def bufferEncoder: Encoder[mutable.HashSet[Long]] =
-    Encoders.kryo[mutable.HashSet[Long]]
+  override final def zero: Array[Long] = Array.emptyLongArray
+
+  override final def merge(x: Array[Long], y: Array[Long]): Array[Long] =
+    mergeSorted(x, y)
+
+  /** The sketch: ascending (unsigned-order) hash minima, exact set below
+    * k — the buffer invariant makes this the identity.
+    */
+  override final def finish(b: Array[Long]): Array[Long] = b
+
+  override final def bufferEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
   override final def outputEncoder: Encoder[Array[Long]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
 }
@@ -76,13 +109,8 @@ class KmvAgg(k: Int, md5: Boolean = false) extends KmvBufferAgg[String](k) {
   private def hashOf(a: String): Long =
     if (md5) Hashing.md5Uniform60(a) else ord(Hashing.hash64(a))
 
-  override def reduce(b: mutable.HashSet[Long], a: String): mutable.HashSet[Long] = {
-    if (a != null) {
-      b.add(hashOf(a))
-      if (b.size > trimWatermark) trim(b)
-    }
-    b
-  }
+  override def reduce(b: Array[Long], a: String): Array[Long] =
+    if (a == null) b else insert(b, hashOf(a))
 }
 
 object KmvAgg {
@@ -163,12 +191,8 @@ object KmvAgg {
   */
 class KmvMergeAgg(k: Int) extends KmvBufferAgg[Array[Long]](k) {
 
-  override def reduce(b: mutable.HashSet[Long],
-      a: Array[Long]): mutable.HashSet[Long] = {
-    if (a != null) {
-      b ++= a
-      if (b.size > trimWatermark) trim(b)
-    }
-    b
-  }
+  // inputs are FINISHED sketches (ascending distinct ≤ k), so one
+  // bounded walk per row — no per-element inserts
+  override def reduce(b: Array[Long], a: Array[Long]): Array[Long] =
+    if (a == null) b else mergeSorted(b, a)
 }

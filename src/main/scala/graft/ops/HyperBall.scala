@@ -110,4 +110,58 @@ object HyperBall {
       .join(h3.select(col("u"), est(col("sk")).as("b3")), "u")
       .select(col("u").as("node"), col("b1"), col("b2"), col("b3"))
   }
+
+  /** The neighborhood function iterated to CONVERGENCE plus the 90%
+    * effective diameter — the Boldi–Vigna headline use of HyperBall:
+    * N(r) = Σ_u |ball_r(u)| (floored KMV estimates), one bounded
+    * sketch-merge round per radius, stopping at the first radius whose
+    * total matches the previous one (the paper's "no counter changed"
+    * rule applied to the estimate totals — a plateau where balls still
+    * grow only in above-v_k hashes terminates identically on any
+    * engine sharing the estimator, which is exactly the oracle
+    * contract) or at `maxR`. Effective diameter = the smallest r with
+    * N(r) ≥ ⌈0.9·N(∞)⌉, integer-interpolated between the bracketing
+    * radii in milli-units — every step is Long arithmetic, so an
+    * independent engine reproduces the value bit-for-bit from the same
+    * N(r) table.
+    *
+    * Returns (r, n_reach, eff_diameter_milli) for r = 0..r_stop; the
+    * diameter column is constant by construction. Driver state is
+    * O(maxR) scalars — per-round frames are stage-checkpointed and the
+    * only collected values are the per-round totals.
+    */
+  def neighborhoodFunction(edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int = 256, maxR: Int = 8): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val (sym, nodes) = symAndNodes(edges, srcCol, dstCol, stageSym = true)
+    val n0 = nodes.count()
+    if (n0 == 0L)
+      return Seq.empty[(Long, Long, Long)]
+        .toDF("r", "n_reach", "eff_diameter_milli")
+    val est = estU(k) _
+    def total(h: DataFrame): Long =
+      h.agg(sum(est(col("sk"))).as("t")).first().getLong(0)
+    val ns = scala.collection.mutable.ArrayBuffer(n0)
+    var h = radius1(sym, nodes, k).stageCheckpoint()
+    ns += total(h)
+    var r = 1
+    while (r < maxR && ns(r) != ns(r - 1)) {
+      h = nextRadius(sym, h, k).stageCheckpoint()
+      ns += total(h)
+      r += 1
+    }
+    val ninf = ns.last
+    // ceil(0.9·N∞) and the interpolation below stay in Long arithmetic
+    // end-to-end (floor division on non-negative operands == DuckDB //)
+    val t = (9L * ninf + 9L) / 10L
+    val rh = ns.indexWhere(_ >= t)
+    val dMilli =
+      if (rh <= 0) 0L
+      else (rh - 1).toLong * 1000L +
+        (t - ns(rh - 1)) * 1000L / (ns(rh) - ns(rh - 1))
+    ns.zipWithIndex
+      .map { case (n, i) => (i.toLong, n, dMilli) }.toSeq
+      .toDF("r", "n_reach", "eff_diameter_milli")
+  }
 }

@@ -85,6 +85,65 @@ class StatsSpec extends SparkSpec {
     assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 9L -> 1L))
   }
 
+  test("HyperBall.neighborhoodFunction == brute BFS + estimator, both regimes") {
+    val rnd = new scala.util.Random(19)
+    val n = 30
+    val edges = (for {
+      i <- 0 until n; j <- (i + 1) until n if rnd.nextDouble() < 0.08
+    } yield (i.toLong, j.toLong)).toSeq
+    val adj = scala.collection.mutable.Map[Long, Set[Long]]()
+      .withDefaultValue(Set.empty)
+    edges.foreach { case (a, b) => adj(a) += b; adj(b) += a }
+    val nodes = adj.keySet.toSet
+    // exact BFS distances, then ball_r(v) = {w : d(v,w) <= r}
+    def dists(src: Long): Map[Long, Int] = {
+      var d = Map(src -> 0)
+      var frontier = Set(src)
+      var r = 0
+      while (frontier.nonEmpty) {
+        r += 1
+        frontier = frontier.flatMap(adj).diff(d.keySet)
+        d ++= frontier.map(_ -> r)
+      }
+      d
+    }
+    val dist = nodes.map(v => v -> dists(v)).toMap
+    def estFloor(s: Set[Long], k: Int): Long = {
+      val hs = s.toSeq.map(w => graft.llm.Hashing.md5Uniform60(w.toString))
+        .distinct.sorted
+      if (hs.size < k) hs.size.toLong
+      else math.floor(
+        (k - 1).toDouble / (hs(k - 1).toDouble / math.pow(2, 60))).toLong
+    }
+    // independent reimplementation of the table + the milli interpolation
+    def expected(k: Int, maxR: Int): (Seq[(Long, Long)], Long) = {
+      def nAt(r: Int): Long = nodes.toSeq
+        .map(v => estFloor(dist(v).filter(_._2 <= r).keySet, k)).sum
+      var ns = Vector(nodes.size.toLong, nAt(1))
+      var r = 1
+      while (r < maxR && ns(r) != ns(r - 1)) { r += 1; ns = ns :+ nAt(r) }
+      val t = (9L * ns.last + 9L) / 10L
+      val rh = ns.indexWhere(_ >= t)
+      val d =
+        if (rh <= 0) 0L
+        else (rh - 1) * 1000L + (t - ns(rh - 1)) * 1000L / (ns(rh) - ns(rh - 1))
+      (ns.zipWithIndex.map { case (v, i) => (i.toLong, v) }, d)
+    }
+    // k=256 > n: exact regime (the table IS exact reach counts);
+    // k=8 << ball sizes: estimator regime — still EXACTLY reproducible
+    // because the iterated bounded merge equals the k-minima of the
+    // exact ball (the KMV merge theorem), which is the oracle contract
+    Seq(256, 8).foreach { k =>
+      val got = graft.ops.HyperBall
+        .neighborhoodFunction(edgeDf(edges), "a", "b", k = k, maxR = 8)
+        .collect().sortBy(_.getLong(0))
+      val (expRows, expD) = expected(k, 8)
+      assert(got.map(r => (r.getLong(0), r.getLong(1))).toSeq === expRows,
+        s"k=$k")
+      assert(got.map(_.getLong(2)).distinct.toSeq === Seq(expD), s"k=$k")
+    }
+  }
+
   test("Triangles: string-typed numeric ids canonicalize numerically, not lexically") {
     import spark.implicits._
     // ("9","10") ordered lexicographically gives least="10" > greatest="9"
