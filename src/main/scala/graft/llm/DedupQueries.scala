@@ -548,13 +548,30 @@ object DedupQueries extends QueryPack {
     * quadratic step only ever sees prefix-bucket collisions.
     */
   /** Prefix-filter candidate generation at Jaccard threshold tau10/10
-    * (the AllPairs/PPJoin lemma): per doc keep the n − ⌈n·τ⌉ + 1
-    * globally-rarest shingles (df-ascending, md5 tiebreak — a total
-    * order shared with the oracle side), equi-join prefixes on the
-    * shingle. Any pair with J ≥ τ shares a prefix shingle, so the
-    * candidate set is COMPLETE for the threshold — shared by
-    * [[prefixJoin]] (τ = 0.8) and [[thresholdSweep]] (τ = 0.5) so the
-    * prefix-length arithmetic lives once.
+    * — the full AllPairs/PPJoin candidate machinery (Bayardo WWW'07,
+    * Xiao WWW'08), shared by [[prefixJoin]] (τ = 0.8) and
+    * [[thresholdSweep]] (τ = 0.5) so the prefix-length arithmetic
+    * lives once:
+    *
+    *  - Global token order: df-ascending, md5 tiebreak (rare-first
+    *    minimizes collisions; md5 sidesteps cross-engine collation).
+    *  - ASYMMETRIC prefixes (r10): each unordered pair joins with its
+    *    SMALLER-set member (ties: smaller id) as the probe. J ≥ τ with
+    *    n_b ≥ n_a forces I ≥ ⌈2τ/(1+τ)·n_a⌉ =: α_a (from
+    *    I ≥ τ/(1+τ)·(n_a+n_b)) AND I ≥ ⌈τ·n_b⌉ =: α_b (from U ≥ n_b),
+    *    and the globally-first shared token must sit within BOTH the
+    *    probe prefix (first n_a − α_a + 1) and the index prefix (first
+    *    n_b − α_b + 1) — were it deeper, fewer than α shared tokens
+    *    could remain. At τ = 0.8 the probe keeps ~n/9 + 1 instead of
+    *    the symmetric ~n/5 + 1; at τ = 0.5, ~n/3 + 1 instead of
+    *    ~n/2 + 1 — the collision workload drops proportionally.
+    *  - Size-compatibility filter in the join: I ≤ n_a and I ≥ τ·n_b
+    *    force n_a·10 ≥ n_b·tau10 — size-incompatible pairs never
+    *    reach the distinct.
+    *
+    * Zero false negatives end-to-end (every step above is an exact
+    * implication of J ≥ τ); PrefixJoinSpec pins pair-set equality with
+    * the MinHash path and the all-pairs oracles would surface any miss.
     */
   private def prefixCandidates(sh: org.apache.spark.sql.DataFrame,
       n: org.apache.spark.sql.DataFrame,
@@ -563,14 +580,24 @@ object DedupQueries extends QueryPack {
     val dfreq = sh.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("df"), md5(col("token")))
-    val pref = sh.join(dfreq, "token").join(n, "doc_id")
+    val ranked = sh.join(dfreq, "token").join(n, "doc_id")
       .withColumn("rn", row_number().over(w))
+    val index = ranked
       .filter(col("rn") <= col("n") - expr(s"(n * $tau10 + 9) div 10") + 1)
-      .select(col("doc_id"), col("token"))
-    pref.as("a")
-      .join(pref.withColumnRenamed("doc_id", "j").as("b"), "token")
-      .filter(col("doc_id") < col("j"))
-      .select(col("doc_id").as("i"), col("j")).distinct()
+      .select(col("doc_id"), col("token"), col("n"))
+    val probe = ranked
+      .filter(col("rn") <= col("n") -
+        expr(s"(n * ${2 * tau10} + ${10 + tau10} - 1) div ${10 + tau10}") + 1)
+      .select(col("doc_id"), col("token"), col("n"))
+    probe.as("a")
+      .join(index.as("b"),
+        col("a.token") === col("b.token") &&
+          (col("a.n") < col("b.n") ||
+            (col("a.n") === col("b.n") && col("a.doc_id") < col("b.doc_id"))) &&
+          col("a.n") * 10 >= col("b.n") * tau10)
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("i"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("j"))
+      .distinct()
   }
 
   private val prefixJoin = Q(
@@ -1127,24 +1154,34 @@ object DedupQueries extends QueryPack {
       // (One caveat: an xxhash64 collision between two SHARED shingles
       // merges them and can lower hashed Jaccard below true Jaccard —
       // P ≈ 2⁻⁶⁴ per shingle pair, negligible but not zero.)
+      // sets projections broadcast EXPLICITLY: the frame is corpus-
+      // bounded small (one row per doc, k-long hash arrays), but its
+      // post-checkpoint stats are opaque to AQE at 3x, where the flip
+      // to sort-merge re-sorts the candidate frame twice
       val prefiltered = cand
-        .join(sets.select(col("doc_id").as("i"), col("hs").as("hs_i")), "i")
-        .join(sets.select(col("doc_id").as("j"), col("hs").as("hs_j")), "j")
+        .join(broadcast(sets.select(col("doc_id").as("i"), col("hs").as("hs_i"))), "i")
+        .join(broadcast(sets.select(col("doc_id").as("j"), col("hs").as("hs_j"))), "j")
         .withColumn("hinter",
           size(array_intersect(col("hs_i"), col("hs_j"))).cast("long"))
         .withColumn("hun",
           (size(col("hs_i")) + size(col("hs_j"))).cast("long") - col("hinter"))
         .filter(col("hinter") * 10 >= col("hun") * 5)
         .select(col("i"), col("j"))
+      // STAGED: the verified pair frame fans out to BOTH the pair-count
+      // and the docs-involved aggregations — unstaged, each consumer
+      // re-planned the entire candidate pipeline (the r9 plan carried
+      // two full copies of the prefix join; staging alone halved the
+      // sweep)
       val verified = prefiltered
-        .join(sets.select(col("doc_id").as("i"), col("sh").as("sh_i")), "i")
-        .join(sets.select(col("doc_id").as("j"), col("sh").as("sh_j")), "j")
+        .join(broadcast(sets.select(col("doc_id").as("i"), col("sh").as("sh_i"))), "i")
+        .join(broadcast(sets.select(col("doc_id").as("j"), col("sh").as("sh_j"))), "j")
         .select(col("i"), col("j"),
           size(array_intersect(col("sh_i"), col("sh_j"))).cast("long")
             .as("inter"),
           (size(col("sh_i")) + size(col("sh_j"))).cast("long").as("szsum"))
         .withColumn("un", col("szsum") - col("inter"))
         .filter(col("inter") * 10 >= col("un") * 5)
+        .stageCheckpoint()
       val taus = s.range(1).select(explode(
         array(lit(5), lit(6), lit(7), lit(8), lit(9))).as("tau10"))
       val atTau = verified.crossJoin(broadcast(taus))
