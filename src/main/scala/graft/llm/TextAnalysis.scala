@@ -5,9 +5,14 @@ import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
   * tokenization, quality scoring, language-ID heuristics, fingerprinting,
-  * chunking, sampling. Catalyst expressions wherever they evaluate once
-  * per row; [[shingles]] and [[chunkByTokens]] are UDF-backed (see
-  * [[Hashing]] for the lambda-invariant-recomputation rationale).
+  * chunking, sampling. Everything evaluates as Catalyst expressions —
+  * built-ins where they fit, the [[graft.functions]] codegen scan
+  * expressions ([[shingles]], [[chunkByTokens]], [[winnowedFingerprints]],
+  * [[repetitionRatio]], [[charPairs]]) where a one-pass JVM scan is
+  * needed (see [[Hashing]] for why Catalyst higher-order functions are
+  * the wrong tool there). The one remaining Scala udf is
+  * [[spellVariantPairs]]' deletion-neighborhood generator — vocabulary-
+  * sized input by construction.
   */
 object TextAnalysis {
 
@@ -18,6 +23,17 @@ object TextAnalysis {
     * partner is the Python reference, whose \s ≈ Java's.)
     */
   private[llm] final val Ws = "[ \t\n\f\r]"
+
+  /** Column plumbing for the codegen text-scan expressions: wrap the
+    * column's expression, return a column ([[graft.functions.Tokenize]]
+    * handles its own cast; these take the text column as-is).
+    */
+  private def expr2col(
+      build: org.apache.spark.sql.catalyst.expressions.Expression =>
+        org.apache.spark.sql.catalyst.expressions.Expression,
+      c: Column): Column =
+    org.apache.spark.sql.graftshim.ColumnBridge.column(
+      build(org.apache.spark.sql.graftshim.ColumnBridge.expression(c)))
 
   /** Whitespace tokenization — the universal baseline tokenizer. SQL
     * split semantics end-to-end (edge empties kept, mirrored by the
@@ -46,14 +62,15 @@ object TextAnalysis {
 
   /** Word n-gram shingles (distinct, first-seen order), the unit for
     * MinHash/Jaccard dedup. Docs with fewer than n words yield an empty
-    * set. UDF-backed: the expression formulation re-evaluates the token
-    * split per element (lambda-invariant recomputation — see [[Hashing]]),
-    * turning an O(tokens) op into O(tokens²).
+    * set. A codegen expression since r10 ([[graft.functions.Shingles]]
+    * — one in-place pass per row inside whole-stage codegen; the
+    * Catalyst higher-order-function formulation would re-evaluate the
+    * token split per element — see [[Hashing]] — and the former Scala
+    * udf paid the serialization boundary on every dedup query's
+    * hottest pass).
     */
   def shingles(text: Column, n: Int = 3): Column =
-    udf((t: String) =>
-      if (t == null) Array.empty[String] else Hashing.shingles(t, n))
-      .apply(text)
+    expr2col(graft.functions.Shingles(_, n), text)
 
   /** Exact Jaccard similarity of two shingle sets. Two empty sets score
     * 0.0 (no similarity evidence), not 0/0 — under ANSI mode the bare
@@ -142,15 +159,12 @@ object TextAnalysis {
   }
 
   /** Adjacent character pairs within one word — the unit BPE tokenizer
-    * training counts to pick its first merge. One-pass JVM UDF (the
+    * training counts to pick its first merge. Codegen expression (the
     * higher-order-function formulation re-evaluates per element and
     * falls out of codegen — see [[Hashing]]).
     */
   def charPairs(word: Column): Column =
-    udf { (w: String) =>
-      if (w == null || w.length < 2) Array.empty[String]
-      else Array.tabulate(w.length - 1)(i => w.substring(i, i + 2))
-    }.apply(word)
+    expr2col(graft.functions.CharPairs(_), word)
 
   def fingerprint(text: Column): Column =
     // collapse FIRST, trim second: trim() strips only ASCII spaces, so
@@ -164,23 +178,18 @@ object TextAnalysis {
 
   /** Context-window packing: split a document into chunks of at most
     * `maxTokens` whitespace tokens (the training-data prep step that fits
-    * documents into a model's context budget). UDF-backed for the same
-    * reason as [[shingles]].
+    * documents into a model's context budget). Codegen expression for
+    * the same reason as [[shingles]].
     */
   def chunkByTokens(text: Column, maxTokens: Int): Column =
-    udf((t: String) => {
-      if (t == null) Array.empty[String]
-      else Hashing.words(t).grouped(maxTokens).map(_.mkString(" ")).toArray
-    }).apply(text)
+    expr2col(graft.functions.ChunkByTokens(_, maxTokens), text)
 
   /** Winnowing fingerprints ([[Hashing.winnow]]): the distinct window-min
-    * md5 hashes of positional word n-grams. UDF-backed for the same
-    * lambda-invariant reason as [[shingles]].
+    * md5 hashes of positional word n-grams. Codegen expression for the
+    * same reason as [[shingles]].
     */
   def winnowedFingerprints(text: Column, n: Int = 3, window: Int = 4): Column =
-    udf((t: String) =>
-      if (t == null) Array.empty[String] else Hashing.winnow(t, n, window))
-      .apply(text)
+    expr2col(graft.functions.Winnow(_, n, window), text)
 
   /** Positional (non-distinct) word 2-gram count: clean tokens − 1,
     * floored at 0. The denominator of the repetition ratio. Uses the
@@ -204,32 +213,16 @@ object TextAnalysis {
     * `1 − distinct/total` (0.0 for docs with <2 tokens). Boilerplate,
     * keyword-stuffed, and looping generated text skew high.
     *
-    * One-pass UDF: the expression formulation ([[bigramTotal]] referenced
-    * by both `when` branches + [[bigramDistinct]]) tokenizes the document
+    * One-pass codegen expression ([[graft.functions.RepetitionRatio]]):
+    * the built-in-expression formulation ([[bigramTotal]] referenced by
+    * both `when` branches + [[bigramDistinct]]) tokenizes the document
     * THREE times per row — measured 3.4× slower than `length(text)` as a
     * full-corpus pass, the hottest term of the pipeline quality gates.
     * Tokenization ([[Hashing.words]]) and arithmetic are bit-identical to
-    * the expression version, so the oracles' w2-list reimplementation is
-    * untouched.
+    * that version, so the oracles' w2-list reimplementation is untouched.
     */
   def repetitionRatio(text: Column): Column =
-    udf { (t: String) =>
-      if (t == null) 0.0
-      else {
-        val w = Hashing.words(t)
-        val total = w.length - 1
-        if (total <= 0) 0.0
-        else {
-          val seen = new java.util.HashSet[String](total * 2)
-          var i = 0
-          while (i < total) {
-            seen.add(w(i) + " " + w(i + 1))
-            i += 1
-          }
-          1.0 - seen.size.toDouble / total.toDouble
-        }
-      }
-    }.apply(text)
+    expr2col(graft.functions.RepetitionRatio(_), text)
 
   /** PII patterns, RE2-safe (no lookaround) so independent engines agree.
     * Deliberately high-precision/low-recall: a corpus scrub wants few

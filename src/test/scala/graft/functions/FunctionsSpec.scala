@@ -33,6 +33,45 @@ class FunctionsSpec extends SparkSpec {
     assert(viaSql.isNullAt(1))
   }
 
+  test("text-scan expressions == the Hashing scans they wrap, nulls empty") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .unionByName(Seq((-1L, null: String), (-2L, "one"), (-3L, "  \t "))
+        .toDF("doc_id", "text"))
+    val got = docs.select(col("doc_id"), col("text"),
+        TextAnalysis.shingles(col("text")).as("sh"),
+        TextAnalysis.chunkByTokens(col("text"), 10).as("ch"),
+        TextAnalysis.winnowedFingerprints(col("text")).as("wf"),
+        TextAnalysis.repetitionRatio(col("text")).as("rr"),
+        org.apache.spark.sql.graftshim.ColumnBridge.column(
+          CharPairs(org.apache.spark.sql.graftshim.ColumnBridge
+            .expression(col("text")))).as("cp"))
+      .collect()
+    got.foreach { r =>
+      val t = r.getString(1)
+      def words = graft.llm.Hashing.words(t)
+      val expSh = if (t == null) Seq.empty
+        else graft.llm.Hashing.shingles(t, 3).toSeq
+      assert(r.getSeq[String](2) === expSh, s"shingles doc ${r.getLong(0)}")
+      val expCh = if (t == null) Seq.empty
+        else words.grouped(10).map(_.mkString(" ")).toSeq
+      assert(r.getSeq[String](3) === expCh, s"chunks doc ${r.getLong(0)}")
+      val expWf = if (t == null) Seq.empty
+        else graft.llm.Hashing.winnow(t, 3, 4).toSeq
+      assert(r.getSeq[String](4) === expWf, s"winnow doc ${r.getLong(0)}")
+      val expRr = if (t == null) 0.0 else {
+        val w = words
+        val tot = w.length - 1
+        if (tot <= 0) 0.0
+        else 1.0 - w.sliding(2).map(_.mkString(" ")).toSet.size.toDouble / tot
+      }
+      assert(r.getDouble(5) === expRr, s"repetition doc ${r.getLong(0)}")
+      val expCp = if (t == null || t.length < 2) Seq.empty
+        else (0 until t.length - 1).map(i => t.substring(i, i + 2))
+      assert(r.getSeq[String](6) === expCp, s"charpairs doc ${r.getLong(0)}")
+    }
+  }
+
   test("codegen and interpreted paths agree on corpus data") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val withExprs = docs.select(col("doc_id"),
