@@ -104,9 +104,66 @@ object Bench {
     val qsFirst = results.map { case (k, reps) => "\"" + k + "\":" + reps.head }
       .mkString("{", ",", "}")
     val total = results.map { case (_, reps) => minOf(reps) }.filter(_ >= 0).sum
+
+    // ---- streaming throughput rows (r9 verdict item 8): the streaming
+    // layer is spec-pinned for correctness but never appeared in BENCH,
+    // so a perf regression there was invisible round-over-round. Two
+    // MemoryStream drives, each split into two micro-batches so the
+    // cross-batch state machinery (keyed dedup; batch_id partition
+    // commits) is on the measured path. Throughput in rows/s — HIGHER
+    // is better, unlike the seconds above.
+    def streamingBench(): String = try {
+      import spark.implicits._
+      implicit val sq = spark.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import org.apache.spark.sql.functions._
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-bench-stream").toString
+      // curate: the bench-SF documents corpus through the full gate
+      // chain (quality, decontamination vs a benchmark fingerprint set,
+      // cross-batch exact-dedup keyed state)
+      val docsDf = spark.read.parquet(s"$sfDir/documents.parquet")
+      val docs = docsDf
+        .select(col("doc_id"), col("text"), col("lang"), col("source"))
+        .as[graft.streaming.DocStream.Doc].collect()
+      val benchFps = docsDf.filter(col("doc_id") < 50)
+        .select(explode(graft.llm.TextAnalysis.shingles(col("text"), 5)).as("g"))
+        .select(substring(md5(col("g")), 1, 16).as("fp")).distinct()
+      val din = MemoryStream[graft.streaming.DocStream.Doc]
+      val dq = graft.streaming.DocStream.curate(din.toDF(), benchFps)
+        .writeStream.format("noop")
+        .option("checkpointLocation", s"$base/cckpt").start()
+      val (d1, d2) = docs.splitAt(docs.length / 2)
+      val t0 = System.nanoTime()
+      din.addData(d1.toIndexedSeq: _*); dq.processAllAvailable()
+      din.addData(d2.toIndexedSeq: _*); dq.processAllAvailable()
+      val curateRate = docs.length / ((System.nanoTime() - t0) / 1e9)
+      dq.stop()
+      // quantile-sketch sink: synthetic events through the additive
+      // batch_id-partitioned store (bucket agg + parquet commit per batch)
+      val evs = (1 to 200000).map(i => graft.streaming.EventStream.Event(
+        i.toLong, new java.sql.Timestamp(1700000000000L + i),
+        (i % 1000).toLong, "m", (i % 500) * 0.37))
+      val ein = MemoryStream[graft.streaming.EventStream.Event]
+      val eq = graft.streaming.EventStream.quantileSketchSink(
+        ein.toDF(), s"$base/store", s"$base/sckpt")
+      val (e1, e2) = evs.splitAt(evs.length / 2)
+      val t1 = System.nanoTime()
+      ein.addData(e1: _*); eq.processAllAvailable()
+      ein.addData(e2: _*); eq.processAllAvailable()
+      val sketchRate = evs.length / ((System.nanoTime() - t1) / 1e9)
+      eq.stop()
+      s""""streaming":{"curate_docs_per_s":${math.round(curateRate)},""" +
+        s""""sketch_events_per_s":${math.round(sketchRate)}}"""
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] streaming failed: ${e.getMessage}")
+      """"streaming":{"curate_docs_per_s":-1,"sketch_events_per_s":-1}"""
+    } finally dropQueryState()
+
+    val streaming = streamingBench()
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","reps":$Reps,""" +
-        s""""queries":$qs,"queries_first":$qsFirst,"sf":"$sfDir"}"""
+        s""""queries":$qs,"queries_first":$qsFirst,$streaming,"sf":"$sfDir"}"""
     println(json)
     // stdout arrives wrapped in sbt "[info] " noise (both prior rounds
     // show "parsed": null on the driver) — also drop the bare line where
