@@ -348,6 +348,108 @@ object Ann {
       .select(col("query_id"), col("rank"), col("vec_id"))
   }
 
+  /** Cross-engine-PORTABLE IVF recall (the `a4_kmv_md5_portable` move
+    * applied to ANN): the full IVF build — seeds, Lloyd iterations,
+    * assignment, multi-probe search — expressed so an independent SQL
+    * engine reproduces every intermediate bit-for-bit, which is what
+    * lets recall@k against the oracled brute truth close as a DuckDB
+    * hash compare (the plain [[ivfTopK]] stays spec-pinned: its
+    * xxhash64 seed order is Spark-internal).
+    *
+    *  - Seeds: the nCells vectors with the smallest md5-60(vec_id) —
+    *    the house cross-engine uniform; cell ids by that same order.
+    *  - Centroids: INTEGER micro-units. Components floor to
+    *    ⌊x·10⁶⌋ (exact in either engine); the Lloyd mean is
+    *    (Σ micro + 10⁷·n) div n − 10⁷ — the +offset keeps the integer
+    *    division on non-negative ground, where Spark's truncating
+    *    `div` and DuckDB's flooring `//` agree, so the mean is
+    *    floor(Σ/n) on both. Micro magnitudes stay < 2²⁴, so the
+    *    float array the cosine reads is exact.
+    *  - Every argmax/rank: the house round(cos, 6) + index tiebreak.
+    *
+    * Cosine is scale-invariant, so ranking against micro-unit
+    * centroids equals ranking against the real means up to the shared
+    * 6dp quantization. The whole build is ONE lazy plan — no driver
+    * collect anywhere; the per-iteration centroid frames (nCells rows)
+    * are stage-checkpointed because each carries a full corpus-pass
+    * lineage and feeds the next iteration AND the final
+    * assignment/probe.
+    */
+  private def assignCells(v: DataFrame, cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c6").desc, col("cell"))
+    v.crossJoin(broadcast(cents))
+      .withColumn("c6", round(cosine(col("nv"), col("cv")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("nv"), col("cell"))
+  }
+
+  private def lloydStep(v: DataFrame, cents: DataFrame): DataFrame = {
+    import graft.ops.Checkpoints.StageCheckpoint
+    val means = assignCells(v, cents)
+      .select(col("cell"), posexplode(col("nv")).as(Seq("d", "x")))
+      .groupBy(col("cell"), col("d"))
+      .agg(sum(floor(col("x").cast("double") * 1e6).cast("long")).as("s"),
+        count(lit(1)).as("n"))
+      .withColumn("mc", expr("(s + 10000000 * n) div n - 10000000"))
+      .groupBy(col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("mc")))),
+        e => e.getField("mc").cast("float")).as("ncv"))
+    // empty cells keep their previous centroid
+    cents.join(means, Seq("cell"), "left")
+      .select(col("cell"), coalesce(col("ncv"), col("cv")).as("cv"))
+      .stageCheckpoint()
+  }
+
+  def ivfPortableRecall(vectors: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nCells: Int = 16,
+      nProbe: Int = 4, iters: Int = 2): DataFrame = {
+    import graft.ops.Checkpoints.StageCheckpoint
+    val v = vectors.select(col(idCol).as("vec_id"), col(vecCol).as("nv"))
+      .filter(col("nv").isNotNull)
+      .stageCheckpoint()
+    val h = conv(substring(md5(col("vec_id").cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val seedW = Window.orderBy(col("h"), col("vec_id"))
+    val c0 = v.withColumn("h", h).orderBy(col("h"), col("vec_id"))
+      .limit(nCells)
+      .select((row_number().over(seedW) - 1).as("cell"),
+        transform(col("nv"),
+          x => floor(x.cast("double") * 1e6).cast("float")).as("cv"))
+      .stageCheckpoint()
+    val cFinal = (1 to iters).foldLeft(c0)((c, _) => lloydStep(v, c))
+    val assigned = assignCells(v, cFinal)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .filter(col("qv").isNotNull)
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("p6").desc, col("cell"))
+    val probes = q.crossJoin(broadcast(cFinal))
+      .withColumn("p6", round(cosine(col("qv"), col("cv")), 6))
+      .withColumn("rn", row_number().over(probeW))
+      .filter(col("rn") <= nProbe)
+      .select(col("query_id"), col("qv"), col("cell"))
+    val rankW = Window.partitionBy(col("query_id"))
+      .orderBy(col("s6").desc, col("vec_id"))
+    val ivfTop = probes.join(assigned, Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("s6", round(cosine(col("qv"), col("nv")), 6))
+      .withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"))
+    val truth = bruteTopK(vectors, queries, idCol, vecCol, k)
+      .select(col("query_id"), col("vec_id"), lit(1L).as("hit"))
+    q.select(col("query_id"))
+      .join(ivfTop.join(broadcast(truth), Seq("query_id", "vec_id"), "left")
+          .groupBy(col("query_id"))
+          .agg(coalesce(sum(col("hit")), lit(0L)).as("h")),
+        Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("h"), lit(0L)).as("n_hits"))
+      .withColumn("recall_pct", expr(s"(n_hits * 100) div $k"))
+      .orderBy(col("query_id"))
+  }
+
   /** SemDeDup-style semantic dedup (Abbas et al., arXiv:2303.09540):
     * k-means the embeddings into cells, then near-dup ONLY within each
     * cell — the candidate set shrinks from O(n²) to Σ|cell|², and the

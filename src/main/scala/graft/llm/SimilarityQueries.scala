@@ -97,6 +97,95 @@ object SimilarityQueries extends QueryPack {
     },
     None)
 
+  /** Portable IVF recall@5 with a FULL DuckDB oracle — the ANN family's
+    * oracled recall anchor ([[Ann.ivfPortableRecall]]): md5-60 seed
+    * order, integer micro-unit Lloyd means (offset-div keeps Spark
+    * `div` == DuckDB `//`), 6dp-rounded cosine at every argmax — so the
+    * oracle below rebuilds the ENTIRE index (both unrolled iterations),
+    * reruns the multi-probe search, recomputes recall against its own
+    * brute truth, and the hash compare closes. The spec-pinned
+    * `ann_ivf_topk` keeps Spark-internal xxhash64 seeds; this twin is
+    * the auditable flavor (the `a4_kmv_md5_portable` pattern).
+    */
+  private def ivfIterCte(prev: String, an: String, mn: String, out: String) =
+    s"""$an AS (SELECT vec_id, embedding, cell FROM (
+       |  SELECT e.vec_id, e.embedding, p.cell, row_number() OVER (
+       |    PARTITION BY e.vec_id ORDER BY round(CAST(
+       |      list_cosine_similarity(e.embedding, p.cv) AS DOUBLE), 6) DESC,
+       |      p.cell) AS rn
+       |  FROM e CROSS JOIN $prev p) WHERE rn = 1),
+       |$mn AS (SELECT cell, CAST(gs - 1 AS INT) AS d,
+       |   (CAST(sum(CAST(floor(CAST(embedding[CAST(gs AS INT)] AS DOUBLE)
+       |      * 1e6) AS BIGINT)) AS BIGINT)
+       |    + 10000000 * count(*)) // count(*) - 10000000 AS mc
+       |  FROM (SELECT cell, embedding,
+       |     generate_subscripts(embedding, 1) AS gs FROM $an)
+       |  GROUP BY 1, 2),
+       |${out}n AS (SELECT cell, list(CAST(mc AS DOUBLE) ORDER BY d) AS ncv
+       |  FROM $mn GROUP BY 1),
+       |$out AS (SELECT p.cell, COALESCE(n.ncv, p.cv) AS cv
+       |  FROM $prev p LEFT JOIN ${out}n n USING (cell))""".stripMargin
+
+  private val ivfPortable = Q(
+    "ann_ivf_recall_portable",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      Ann.ivfPortableRecall(e, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5)
+    },
+    Some(s"""WITH e AS (SELECT vec_id, embedding FROM embeddings
+            |  WHERE embedding IS NOT NULL),
+            |sd AS (SELECT vec_id, embedding,
+            |   row_number() OVER (ORDER BY
+            |     ('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+            |       ::BIGINT, vec_id) - 1 AS cell
+            |  FROM e ORDER BY
+            |   ('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+            |     ::BIGINT, vec_id LIMIT 16),
+            |c0 AS (SELECT cell,
+            |   [CAST(floor(CAST(x AS DOUBLE) * 1e6) AS DOUBLE)
+            |    for x in embedding] AS cv FROM sd),
+            |${ivfIterCte("c0", "a1", "m1", "c1")},
+            |${ivfIterCte("c1", "a2", "m2", "c2")},
+            |af AS (SELECT vec_id, cell FROM (
+            |  SELECT e.vec_id, p.cell, row_number() OVER (
+            |    PARTITION BY e.vec_id ORDER BY round(CAST(
+            |      list_cosine_similarity(e.embedding, p.cv) AS DOUBLE), 6)
+            |      DESC, p.cell) AS rn
+            |  FROM e CROSS JOIN c2 p) WHERE rn = 1),
+            |q AS (SELECT vec_id AS qid, embedding AS qe FROM e
+            |  WHERE vec_id < 10),
+            |pr AS (SELECT qid, qe, cell FROM (
+            |  SELECT q.qid, q.qe, p.cell, row_number() OVER (
+            |    PARTITION BY q.qid ORDER BY round(CAST(
+            |      list_cosine_similarity(q.qe, p.cv) AS DOUBLE), 6) DESC,
+            |      p.cell) AS rn
+            |  FROM q CROSS JOIN c2 p) WHERE rn <= 4),
+            |iv AS (SELECT qid, vid FROM (
+            |  SELECT pr.qid, e.vec_id AS vid, row_number() OVER (
+            |    PARTITION BY pr.qid ORDER BY round(CAST(
+            |      list_cosine_similarity(pr.qe, e.embedding) AS DOUBLE), 6)
+            |      DESC, e.vec_id) AS rnk
+            |  FROM pr JOIN af ON af.cell = pr.cell
+            |  JOIN e ON e.vec_id = af.vec_id AND e.vec_id <> pr.qid)
+            |  WHERE rnk <= 5),
+            |ft AS (SELECT qid, e.vec_id AS vid, row_number() OVER (
+            |   PARTITION BY qid ORDER BY round(CAST(
+            |     list_cosine_similarity(qe, e.embedding) AS DOUBLE), 6)
+            |     DESC, e.vec_id) AS rnk
+            |  FROM q, e WHERE e.vec_id <> qid),
+            |truth AS (SELECT qid, vid FROM ft WHERE rnk <= 5),
+            |hits AS (SELECT iv.qid,
+            |   CAST(count(truth.vid) AS BIGINT) AS n_hits
+            |  FROM iv LEFT JOIN truth
+            |   ON iv.qid = truth.qid AND iv.vid = truth.vid
+            |  GROUP BY 1)
+            |SELECT q.qid AS query_id,
+            | COALESCE(n_hits, 0) AS n_hits,
+            | COALESCE(n_hits, 0) * 100 // 5 AS recall_pct
+            |FROM q LEFT JOIN hits ON hits.qid = q.qid
+            |ORDER BY 1""".stripMargin))
+
   /** Embedding-cosine near-dup dedup: LSH-bucketed candidates, exact
     * verify, FULL brute-force oracle. This corpus plants no near-identical
     * vectors (max pairwise cosine ≈ 0.6 — measured), so the verified
@@ -496,7 +585,8 @@ object SimilarityQueries extends QueryPack {
            | ON top.qid = truth.qid AND top.vid = truth.vid
            |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
-  val qs: Seq[Q] = Seq(brute, lsh, ivf, pq, embDedup, mmFeatures, argmaxHist,
+  val qs: Seq[Q] = Seq(brute, lsh, ivf, pq, ivfPortable, embDedup,
+    mmFeatures, argmaxHist,
     centroidDist, mmFrames, mmPhash, semdedup, topComponent, mmResizePlan,
     decontamNearest, matryoshka)
 }
