@@ -1252,6 +1252,128 @@ object StatsQueries extends QueryPack {
            |   THEN 1 ELSE 0 END AS INT) AS significant
            |FROM c, t ORDER BY 1""".stripMargin))
 
+  /** CUPED variance-reduced A/B effect (Deng et al., WSDM'13 — adjust
+    * the experiment metric by a pre-experiment covariate:
+    * Y' = Y − θ·X with θ = cov(X,Y)/var(X); variance drops by ρ²): the
+    * experimentation-platform companion to the proportion z-test.
+    * Pre/post periods split at the data's own temporal midpoint (the
+    * SCD2-snapshot convention), per-user centi-unit sums, variants by
+    * the md5 %2 split. Every moment (Σx, Σy, Σxy, Σx², Σy², per-variant
+    * sums) is an exact BIGINT; the overflow-prone cross products
+    * n·Σxy − Σx·Σy run through DECIMAL(19,0)×DECIMAL(19,0) (the house
+    * int128 rule), and θ / effects / ρ² are single-expression doubles
+    * from those exact integers — no double is ever summed, so the
+    * compare is deterministic. One fact pass: the per-user fold is one
+    * keyed aggregation; everything after is a one-row frame.
+    */
+  private val cuped = Q(
+    "stats_ab_cuped_adjusted",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("user_id").isNotNull && col("value").isNotNull)
+        .select(col("user_id"), expr("unix_micros(ts)").as("us"),
+          round(col("value") * 100).cast("long").as("centi"))
+      val mid = ev.agg(expr("(min(us) + max(us)) div 2").as("mid"))
+      val per = ev.crossJoin(broadcast(mid))
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("us") < col("mid"), col("centi")).otherwise(0L))
+            .as("x"),
+          sum(when(col("us") >= col("mid"), col("centi")).otherwise(0L))
+            .as("y"))
+        .withColumn("v",
+          conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+            .cast("long") % 2)
+      val st = per.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("v") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("v") === 1, 1L).otherwise(0L)).as("n_b"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(when(col("v") === 0, col("x")).otherwise(0L)).as("sx_a"),
+        sum(when(col("v") === 1, col("x")).otherwise(0L)).as("sx_b"),
+        sum(when(col("v") === 0, col("y")).otherwise(0L)).as("sy_a"),
+        sum(when(col("v") === 1, col("y")).otherwise(0L)).as("sy_b"))
+      def dec(c: String) = col(c).cast("decimal(19,0)")
+      st
+        .withColumn("cov_n",
+          (dec("n") * dec("sxy") - dec("sx") * dec("sy")).cast("double"))
+        .withColumn("var_n",
+          (dec("n") * dec("sxx") - dec("sx") * dec("sx")).cast("double"))
+        .withColumn("vary_n",
+          (dec("n") * dec("syy") - dec("sy") * dec("sy")).cast("double"))
+        .select(col("n").as("n_users"), col("n_a"), col("n_b"),
+          col("sx"), col("sy"), col("sxy"), col("sxx"), col("syy"),
+          when(col("var_n") > 0, round(col("cov_n") / col("var_n"), 6))
+            .as("theta"),
+          when(col("n_a") > 0 && col("n_b") > 0, round(
+            col("sy_b").cast("double") / col("n_b").cast("double")
+              - col("sy_a").cast("double") / col("n_a").cast("double"), 6))
+            .as("effect_raw_centi"),
+          when(col("n_a") > 0 && col("n_b") > 0 && col("var_n") > 0, round(
+            (col("sy_b").cast("double") / col("n_b").cast("double")
+              - col("sy_a").cast("double") / col("n_a").cast("double"))
+              - (col("cov_n") / col("var_n"))
+                * (col("sx_b").cast("double") / col("n_b").cast("double")
+                  - col("sx_a").cast("double") / col("n_a").cast("double")), 6))
+            .as("effect_cuped_centi"),
+          when(col("var_n") > 0 && col("vary_n") > 0, round(
+            col("cov_n") * col("cov_n") / (col("var_n") * col("vary_n")), 6))
+            .as("rho2"))
+    },
+    Some("""WITH ev AS (SELECT user_id, epoch_us(ts) AS us,
+           |  CAST(round(value * 100) AS BIGINT) AS centi
+           | FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+           |md AS (SELECT (min(us) + max(us)) // 2 AS mid FROM ev),
+           |per AS (SELECT user_id,
+           |  CAST(sum(CASE WHEN us < mid THEN centi ELSE 0 END) AS BIGINT)
+           |    AS x,
+           |  CAST(sum(CASE WHEN us >= mid THEN centi ELSE 0 END) AS BIGINT)
+           |    AS y,
+           |  ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
+           |    ::BIGINT % 2 AS v
+           | FROM ev, md GROUP BY user_id, v),
+           |st AS (SELECT count(*) AS n,
+           |  CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+           |  CAST(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+           |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+           |  CAST(sum(x * y) AS BIGINT) AS sxy,
+           |  CAST(sum(x * x) AS BIGINT) AS sxx,
+           |  CAST(sum(y * y) AS BIGINT) AS syy,
+           |  CAST(sum(CASE WHEN v = 0 THEN x ELSE 0 END) AS BIGINT) AS sx_a,
+           |  CAST(sum(CASE WHEN v = 1 THEN x ELSE 0 END) AS BIGINT) AS sx_b,
+           |  CAST(sum(CASE WHEN v = 0 THEN y ELSE 0 END) AS BIGINT) AS sy_a,
+           |  CAST(sum(CASE WHEN v = 1 THEN y ELSE 0 END) AS BIGINT) AS sy_b
+           | FROM per),
+           |dd AS (SELECT st.*,
+           |  CAST(CAST(n AS DECIMAL(19,0)) * CAST(sxy AS DECIMAL(19,0))
+           |    - CAST(sx AS DECIMAL(19,0)) * CAST(sy AS DECIMAL(19,0))
+           |   AS DOUBLE) AS cov_n,
+           |  CAST(CAST(n AS DECIMAL(19,0)) * CAST(sxx AS DECIMAL(19,0))
+           |    - CAST(sx AS DECIMAL(19,0)) * CAST(sx AS DECIMAL(19,0))
+           |   AS DOUBLE) AS var_n,
+           |  CAST(CAST(n AS DECIMAL(19,0)) * CAST(syy AS DECIMAL(19,0))
+           |    - CAST(sy AS DECIMAL(19,0)) * CAST(sy AS DECIMAL(19,0))
+           |   AS DOUBLE) AS vary_n
+           | FROM st)
+           |SELECT n AS n_users, n_a, n_b, sx, sy, sxy, sxx, syy,
+           | CASE WHEN var_n > 0 THEN round(cov_n / var_n, 6) END AS theta,
+           | CASE WHEN n_a > 0 AND n_b > 0 THEN round(
+           |   CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+           |   - CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6)
+           |  END AS effect_raw_centi,
+           | CASE WHEN n_a > 0 AND n_b > 0 AND var_n > 0 THEN round(
+           |   (CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+           |    - CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+           |   - (cov_n / var_n)
+           |     * (CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+           |       - CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE)), 6)
+           |  END AS effect_cuped_centi,
+           | CASE WHEN var_n > 0 AND vary_n > 0 THEN round(
+           |   cov_n * cov_n / (var_n * vary_n), 6) END AS rho2
+           |FROM dd""".stripMargin))
+
   /** Market-concentration audit per nation (supplier side): total
     * revenue, the Herfindahl numerator Σ revᵢ² (HHI = Σ shareᵢ² falls
     * out as sum_rev_sq/total² — publishing the integrals keeps the
@@ -1632,5 +1754,5 @@ object StatsQueries extends QueryPack {
       pareto, equidepth, madOutliers,
       zorder, compactionBins, distributionDrift, windowValues, rollingWau,
       groupQuantiles, benford, rankMetrics, groupedMode, hist2d,
-      winsorized, abTest, concentration, gini)
+      winsorized, abTest, cuped, concentration, gini)
 }

@@ -415,6 +415,71 @@ object CorpusQueries extends QueryPack {
            | min(doc_id) AS min_doc, max(doc_id) AS max_doc
            |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** Multi-epoch shuffle dispersion audit: a multi-epoch training run
+    * re-shuffles the corpus per epoch with a deterministic keyed draw
+    * (shard_e = md5(e:doc) mod 8 — the `docs_shuffle_shards` assignment
+    * salted by the epoch), and this query answers "do consecutive
+    * epochs actually decorrelate?": for every epoch pair, how many docs
+    * landed in the SAME shard (expected n/8 under independence),
+    * published as an exact count plus integer basis points. One corpus
+    * scan computes all three epoch assignments as columns — the
+    * pairwise overlap needs no join at all, which is the scale point:
+    * the naive formulation self-joins the corpus per epoch pair.
+    */
+  private val epochOverlap = Q(
+    "docs_epoch_shuffle_overlap",
+    (s, d) => {
+      def shard(e: Int) =
+        conv(substring(md5(concat(lit(e.toString), lit(":"),
+          col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long") % 8
+      val agg = Tables.documents(s, d)
+        .select(shard(0).as("s0"), shard(1).as("s1"), shard(2).as("s2"))
+        .agg(count(lit(1)).as("n"),
+          // coalesce: sum over an EMPTY corpus is null, and the oracle
+          // publishes 0 — the empty-input guard convention
+          coalesce(sum(when(col("s0") === col("s1"), 1L).otherwise(0L)),
+            lit(0L)).as("m01"),
+          coalesce(sum(when(col("s0") === col("s2"), 1L).otherwise(0L)),
+            lit(0L)).as("m02"),
+          coalesce(sum(when(col("s1") === col("s2"), 1L).otherwise(0L)),
+            lit(0L)).as("m12"))
+      agg.select(explode(array(
+          struct(lit(0L).as("epoch_a"), lit(1L).as("epoch_b"),
+            col("n"), col("m01").as("n_same_shard")),
+          struct(lit(0L).as("epoch_a"), lit(2L).as("epoch_b"),
+            col("n"), col("m02").as("n_same_shard")),
+          struct(lit(1L).as("epoch_a"), lit(2L).as("epoch_b"),
+            col("n"), col("m12").as("n_same_shard")))).as("p"))
+        .select(col("p.epoch_a"), col("p.epoch_b"),
+          col("p.n").as("n_docs"), col("p.n_same_shard"))
+        .withColumn("same_bp",
+          when(col("n_docs") > 0,
+            expr("(n_same_shard * 10000) div n_docs")).otherwise(0L))
+        .orderBy(col("epoch_a"), col("epoch_b"))
+    },
+    Some("""WITH sh AS (SELECT
+           |  ('0x' || substring(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 15))
+           |    ::BIGINT % 8 AS s0,
+           |  ('0x' || substring(md5('1:' || CAST(doc_id AS VARCHAR)), 1, 15))
+           |    ::BIGINT % 8 AS s1,
+           |  ('0x' || substring(md5('2:' || CAST(doc_id AS VARCHAR)), 1, 15))
+           |    ::BIGINT % 8 AS s2
+           | FROM documents),
+           |a AS (SELECT count(*) AS n,
+           |  CAST(sum(CASE WHEN s0 = s1 THEN 1 ELSE 0 END) AS BIGINT) AS m01,
+           |  CAST(sum(CASE WHEN s0 = s2 THEN 1 ELSE 0 END) AS BIGINT) AS m02,
+           |  CAST(sum(CASE WHEN s1 = s2 THEN 1 ELSE 0 END) AS BIGINT) AS m12
+           | FROM sh),
+           |p AS (SELECT 0 AS epoch_a, 1 AS epoch_b, n, m01 AS ns FROM a
+           | UNION ALL SELECT 0, 2, n, m02 FROM a
+           | UNION ALL SELECT 1, 2, n, m12 FROM a)
+           |SELECT CAST(epoch_a AS BIGINT) AS epoch_a,
+           | CAST(epoch_b AS BIGINT) AS epoch_b, n AS n_docs,
+           | COALESCE(ns, 0) AS n_same_shard,
+           | CASE WHEN n > 0 THEN (COALESCE(ns, 0) * 10000) // n ELSE 0 END
+           |   AS same_bp
+           |FROM p ORDER BY 1, 2""".stripMargin))
+
   /** DSIR-style importance weighting (Xie et al., "Data Selection for
     * Language Models via Importance Resampling", NeurIPS'23): score every
     * document by how target-like its hashed unigram distribution is,
@@ -1114,5 +1179,6 @@ object CorpusQueries extends QueryPack {
   val qs: Seq[Q] = Seq(winnowing, repetition, pii, stratified, winnowPairs,
     decontaminate, decontaminateBloom, topNgrams, tokenDf, paraDedup, shards,
     dsir, contamFrac, perplexity, streamGatesTwin, curriculum, heaps,
-    klDivergence, gopherGates, ccnetBuckets, noveltyCurve, lengthBuckets)
+    klDivergence, gopherGates, ccnetBuckets, noveltyCurve, lengthBuckets,
+    epochOverlap)
 }

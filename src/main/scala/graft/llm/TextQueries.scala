@@ -967,9 +967,106 @@ object TextQueries extends QueryPack {
             | (10000 * mass_k) // total_mass AS coverage_bp
             |FROM m CROSS JOIN tot ORDER BY 1""".stripMargin))
 
+  /** Sparse TF-IDF document-similarity top-k self-join — the doc-doc
+    * complement of [[bm25]]'s query-doc retrieval: every document's
+    * 3 most-similar neighbors under idf-weighted cosine over its
+    * 3-gram shingle features. The inverted-index formulation is the
+    * scale shape: candidates come from an equi-join on the FEATURE
+    * (never a doc×doc product), restricted to discriminative features
+    * (df ≥ 2 — singletons cannot co-occur — and df·10 ≤ N, the
+    * stopword-feature cut that bounds every join bucket at N/10; on
+    * this corpus shingle df maxes at ~25 so the cut is headroom, at
+    * 100 TB it is the lever that keeps Σ df² linear). Weights are the
+    * house micro-rounded idf (ln((N+1)/(df+1))·10⁶, rounded ONCE) so
+    * numerators and squared norms are exact BIGINTs; the cosine is a
+    * single-expression double over those integers floored to micro
+    * units — nothing order-dependent crosses the compare. Both
+    * directions of each verified pair enter the per-doc rank window
+    * ((cos desc, neighbor id) tiebreak), top-3 kept.
+    */
+  private val tfidfDocSim = Q(
+    "text_tfidf_doc_similarity",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.ops.Checkpoints.StageCheckpoint
+      val docs = Tables.documents(s, d)
+      val feat = docs.select(col("doc_id"),
+        explode(TextAnalysis.shingles(col("text"))).as("tok"))
+      val withDf = feat.withColumn("df",
+        count(lit(1)).over(Window.partitionBy(col("tok"))))
+      val nDocs = docs.agg(count(lit(1)).as("n"))
+      val weighted = withDf.crossJoin(broadcast(nDocs))
+        .filter(col("df") >= 2 && col("df") * 10 <= col("n"))
+        .withColumn("w",
+          round(log((col("n") + lit(1.0)) / (col("df") + lit(1.0))) * 1e6, 0)
+            .cast("long"))
+        .select(col("doc_id"), col("tok"), col("w"))
+        .stageCheckpoint() // feeds both join sides AND the norms
+      val norms = weighted.groupBy(col("doc_id"))
+        .agg(sum(col("w") * col("w")).as("s2"))
+      val num = weighted.select(col("doc_id").as("i"), col("tok"),
+          col("w").as("wa"))
+        .join(weighted.select(col("doc_id").as("j"), col("tok"),
+          col("w").as("wb")), "tok")
+        .filter(col("i") < col("j"))
+        .groupBy(col("i"), col("j"))
+        .agg(sum(col("wa") * col("wb")).as("num"))
+      val pairs = num
+        .join(broadcast(norms.select(col("doc_id").as("i"),
+          col("s2").as("s2i"))), "i")
+        .join(broadcast(norms.select(col("doc_id").as("j"),
+          col("s2").as("s2j"))), "j")
+        .withColumn("cos_micro",
+          floor(col("num").cast("double") * 1e6
+            / (sqrt(col("s2i").cast("double"))
+              * sqrt(col("s2j").cast("double")))).cast("long"))
+        .select(col("i"), col("j"), col("cos_micro"))
+      val sym = pairs
+        .select(col("i").as("doc_id"), col("j").as("nbr_id"), col("cos_micro"))
+        .unionByName(pairs.select(col("j").as("doc_id"),
+          col("i").as("nbr_id"), col("cos_micro")))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("cos_micro").desc, col("nbr_id"))
+      sym.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank"), col("nbr_id"), col("cos_micro"))
+        .orderBy(col("doc_id"), col("rank"))
+    },
+    Some(s"""WITH sh AS (SELECT doc_id, unnest(
+            |   list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+            |     for i in range(1, len(w)-1)])) AS tok
+            |  FROM (SELECT doc_id, ${CorpusQueries.WordsExpr} AS w
+            |        FROM documents) WHERE len(w) >= 3),
+            |df AS (SELECT tok, count(*) AS df FROM sh GROUP BY 1),
+            |nd AS (SELECT count(*) AS n FROM documents),
+            |wt AS (SELECT doc_id, sh.tok,
+            |   CAST(round(ln((n + 1.0) / (df + 1.0)) * 1e6, 0) AS BIGINT)
+            |     AS w
+            |  FROM sh JOIN df USING (tok), nd
+            |  WHERE df >= 2 AND df * 10 <= n),
+            |nr AS (SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS s2
+            |  FROM wt GROUP BY 1),
+            |nm AS (SELECT a.doc_id AS i, b.doc_id AS j,
+            |   CAST(sum(a.w * b.w) AS BIGINT) AS num
+            |  FROM wt a JOIN wt b ON a.tok = b.tok AND a.doc_id < b.doc_id
+            |  GROUP BY 1, 2),
+            |pr AS (SELECT i, j, CAST(floor(CAST(num AS DOUBLE) * 1e6
+            |    / (sqrt(CAST(na.s2 AS DOUBLE)) * sqrt(CAST(nb.s2 AS DOUBLE))))
+            |   AS BIGINT) AS cos_micro
+            |  FROM nm JOIN nr na ON na.doc_id = nm.i
+            |  JOIN nr nb ON nb.doc_id = nm.j),
+            |sym AS (SELECT i AS doc_id, j AS nbr_id, cos_micro FROM pr
+            | UNION ALL SELECT j, i, cos_micro FROM pr),
+            |r AS (SELECT doc_id, nbr_id, cos_micro, row_number() OVER (
+            |   PARTITION BY doc_id ORDER BY cos_micro DESC, nbr_id) AS rank
+            |  FROM sym)
+            |SELECT doc_id, rank, nbr_id, cos_micro FROM r
+            |WHERE rank <= 3 ORDER BY 1, 2""".stripMargin),
+    headline = true)
+
   val qs: Seq[Q] = Seq(tokenStats, packWindows, bpePairs, bpeTrain, bpeStats,
     spellVariants,
     weightedSample, quality, langid, langidPrf, fingerprintQ, subwords,
     polyFingerprint, chunking, sampling, bm25, mixtureSample, charStats,
-    tfidfTop, zipf, neyman, vocabCoverage)
+    tfidfTop, zipf, neyman, vocabCoverage, tfidfDocSim)
 }
