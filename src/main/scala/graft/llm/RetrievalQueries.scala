@@ -514,6 +514,160 @@ object RetrievalQueries extends QueryPack {
             |  THEN (10000 * dcg_micro) // idcg_micro END AS ndcg_bp
             |FROM cnt, dcg, idcg""".stripMargin))
 
+  /** Cohen's κ agreement between two INDEPENDENT quality gates — the
+    * filter-governance question ("do my classifiers agree beyond
+    * chance, or is one redundant?") a curation stack answers before
+    * stacking gates: gate A = the hashed-feature logistic model
+    * ([[logitPerDoc]] > 0), gate B = the v6 heuristic gate
+    * (tokens ≥ 20 ∧ alpha ≥ 0.5). κ = (n·(n₁₁+n₀₀) − Σ marginal
+    * products) / (n² − Σ marginal products) — every term an exact
+    * BIGINT from one confusion-matrix aggregation (n ≤ corpus, so the
+    * products sit far under 2⁵³ and the single floor(num·10⁶/den)
+    * double is deterministic cross-engine). One corpus pass per gate,
+    * one join, one agg row.
+    */
+  private val gateKappa = Q(
+    "dq_gate_agreement_kappa",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val ab = docs.select(col("doc_id"),
+          (TextAnalysis.tokenCount(col("text")) >= 20 &&
+            TextAnalysis.alphaRatio(col("text")) >= 0.5).cast("long").as("b"))
+        .join(logitPerDoc(docs), Seq("doc_id"))
+        .withColumn("a", (col("logit") > 0).cast("long"))
+      ab.agg(count(lit(1)).as("n"),
+          coalesce(sum(col("a") * col("b")), lit(0L)).as("n11"),
+          coalesce(sum(col("a") * (lit(1L) - col("b"))), lit(0L)).as("n10"),
+          coalesce(sum((lit(1L) - col("a")) * col("b")), lit(0L)).as("n01"),
+          coalesce(sum((lit(1L) - col("a")) * (lit(1L) - col("b"))), lit(0L))
+            .as("n00"))
+        .withColumn("pe_n2", expr(
+          "(n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)"))
+        .select(col("n").as("n_docs"), col("n11"), col("n10"),
+          col("n01"), col("n00"),
+          expr("""CASE WHEN n * n - pe_n2 > 0 THEN
+                 | CAST(floor(CAST(n * (n11 + n00) - pe_n2 AS DOUBLE) * 1e6
+                 |   / CAST(n * n - pe_n2 AS DOUBLE)) AS BIGINT)
+                 |END""".stripMargin).as("kappa_micro"))
+    },
+    Some(s"""WITH $LogitCte,
+            |b AS (SELECT d.doc_id,
+            |  CASE WHEN ${CorpusQueries.qualityPredSql("d.text", 20, 0.5)}
+            |   THEN 1 ELSE 0 END AS b
+            | FROM documents d),
+            |ab AS (SELECT CASE WHEN lg.logit > 0 THEN 1 ELSE 0 END AS a, b.b
+            | FROM lg JOIN b ON lg.doc_id = b.doc_id),
+            |st AS (SELECT count(*) AS n,
+            |  CAST(COALESCE(sum(a * b), 0) AS BIGINT) AS n11,
+            |  CAST(COALESCE(sum(a * (1 - b)), 0) AS BIGINT) AS n10,
+            |  CAST(COALESCE(sum((1 - a) * b), 0) AS BIGINT) AS n01,
+            |  CAST(COALESCE(sum((1 - a) * (1 - b)), 0) AS BIGINT) AS n00
+            | FROM ab),
+            |pe AS (SELECT st.*,
+            |  (n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00) AS pe_n2
+            | FROM st)
+            |SELECT n AS n_docs, n11, n10, n01, n00,
+            | CASE WHEN n * n - pe_n2 > 0 THEN
+            |  CAST(floor(CAST(n * (n11 + n00) - pe_n2 AS DOUBLE) * 1e6
+            |    / CAST(n * n - pe_n2 AS DOUBLE)) AS BIGINT)
+            | END AS kappa_micro
+            |FROM pe""".stripMargin))
+
+  /** Quality-classifier calibration table: exact global DECILES of the
+    * logistic score (via the range-bucketed two-phase global ntile —
+    * never an unpartitioned window) against the heuristic gate's pass
+    * rate per decile, in integer basis points. A calibrated score shows
+    * monotone qual_bp across deciles; a flat curve means the model adds
+    * no signal over the heuristic. Integer arithmetic end-to-end.
+    */
+  private val calibration = Q(
+    "dq_quality_calibration",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val scored = docs.select(col("doc_id"),
+          (TextAnalysis.tokenCount(col("text")) >= 20 &&
+            TextAnalysis.alphaRatio(col("text")) >= 0.5).cast("long")
+            .as("qual"))
+        .join(logitPerDoc(docs), Seq("doc_id"))
+      graft.ops.GlobalOrder.ntileBy(
+          scored, "logit", "doc_id", 10, "decile")
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("logit")).as("sum_logit"),
+          sum(col("qual")).as("n_qual_pass"))
+        .withColumn("qual_bp", expr("(n_qual_pass * 10000) div n_docs"))
+        .orderBy(col("decile"))
+    },
+    Some(s"""WITH $LogitCte,
+            |b AS (SELECT d.doc_id,
+            |  CASE WHEN ${CorpusQueries.qualityPredSql("d.text", 20, 0.5)}
+            |   THEN 1 ELSE 0 END AS qual
+            | FROM documents d),
+            |t AS (SELECT lg.logit, b.qual,
+            |  ntile(10) OVER (ORDER BY lg.logit, lg.doc_id) AS decile
+            | FROM lg JOIN b ON lg.doc_id = b.doc_id)
+            |SELECT decile, count(*) AS n_docs,
+            | CAST(sum(logit) AS BIGINT) AS sum_logit,
+            | CAST(sum(qual) AS BIGINT) AS n_qual_pass,
+            | (CAST(sum(qual) AS BIGINT) * 10000) // count(*) AS qual_bp
+            |FROM t GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** Best-first token-budget quota fill: per source, admit documents in
+    * (quality desc, id) order until the running token sum exceeds the
+    * per-source budget — the "fill each source's quota with its best
+    * documents" selection step between scoring and training. The
+    * admission rule is the deterministic PREFIX of the per-source
+    * quality order (a doc whose cumulative sum crosses the budget is
+    * dropped along with everything after it — no knapsack backtracking,
+    * so the kept set is a pure function of the order and both engines
+    * replay it from one partitioned window cumsum). Per-source windows
+    * — never a global sort; id-sums pin the exact admitted set.
+    */
+  private val quotaFill = Q(
+    "docs_quota_fill_best_first",
+    (s, d) => {
+      val budget = 20000L
+      val docs = Tables.documents(s, d)
+      val scored = docs.select(col("doc_id"), col("source"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("tc"))
+        .join(logitPerDoc(docs), Seq("doc_id"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(col("logit").desc, col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)
+      scored.withColumn("cum", sum(col("tc")).over(w))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(when(col("cum") <= budget, 1L).otherwise(0L)),
+            lit(0L)).as("n_kept"),
+          coalesce(sum(when(col("cum") <= budget, col("tc"))
+            .otherwise(0L)), lit(0L)).as("kept_tokens"),
+          coalesce(sum(when(col("cum") <= budget, col("doc_id"))
+            .otherwise(0L)), lit(0L)).as("sum_kept_ids"))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH $LogitCte,
+            |t AS (SELECT d.doc_id, d.source,
+            |  CAST(CASE WHEN length(regexp_replace(d.text, '\\s', '', 'g'))
+            |     = 0 THEN 0
+            |    ELSE len(string_split_regex(trim(d.text), '\\s+')) END
+            |   AS BIGINT) AS tc, lg.logit
+            | FROM documents d JOIN lg ON d.doc_id = lg.doc_id),
+            |c AS (SELECT source, tc, doc_id,
+            |  CAST(sum(tc) OVER (PARTITION BY source
+            |    ORDER BY logit DESC, doc_id ROWS UNBOUNDED PRECEDING)
+            |   AS BIGINT) AS cum
+            | FROM t)
+            |SELECT source, count(*) AS n_docs,
+            | CAST(COALESCE(sum(CASE WHEN cum <= 20000 THEN 1 ELSE 0 END), 0)
+            |   AS BIGINT) AS n_kept,
+            | CAST(COALESCE(sum(CASE WHEN cum <= 20000 THEN tc ELSE 0 END), 0)
+            |   AS BIGINT) AS kept_tokens,
+            | CAST(COALESCE(sum(CASE WHEN cum <= 20000 THEN doc_id ELSE 0 END),
+            |   0) AS BIGINT) AS sum_kept_ids
+            |FROM c GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val qs: Seq[Q] = Seq(rrf, featHash, temperature, logistic, negSampling,
-    indexShardPlan, evalMetrics)
+    indexShardPlan, evalMetrics, gateKappa, calibration, quotaFill)
 }
