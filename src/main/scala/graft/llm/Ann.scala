@@ -375,15 +375,18 @@ object Ann {
     * lineage and feeds the next iteration AND the final
     * assignment/probe.
     */
-  private def assignCells(v: DataFrame, cents: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("c6").desc, col("cell"))
+  private def assignCells(v: DataFrame, cents: DataFrame): DataFrame =
+    // argmax as a partial-aggregating max(struct), not a rank window:
+    // the corpus×nCells frame collapses map-side to one row per vector
+    // before the shuffle (the latest-row-per-key house rule). Tiebreak
+    // identical to ORDER BY c6 DESC, cell: max of (c6, −cell).
     v.crossJoin(broadcast(cents))
       .withColumn("c6", round(cosine(col("nv"), col("cv")), 6))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("nv"), col("cell"))
-  }
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("c6"), (-col("cell")).as("negc"),
+        col("nv"))).as("m"))
+      .select(col("vec_id"), col("m.nv").as("nv"),
+        (-col("m.negc")).as("cell"))
 
   private def lloydStep(v: DataFrame, cents: DataFrame): DataFrame = {
     import graft.ops.Checkpoints.StageCheckpoint
