@@ -337,42 +337,52 @@ object StatsQueries extends QueryPack {
     */
   private val EffDiamK = 64
 
+  /** The converged neighborhood-function table as DuckDB CTEs ending in
+    * `rows_(rr, n_reach)` — exact recursive-BFS balls, the KMV
+    * estimator at width [[EffDiamK]], the first-plateau stop rule —
+    * shared by the effective-diameter and mean-distance oracles so the
+    * chain lives once.
+    */
+  private def nfCtes: String =
+    s"""WITH RECURSIVE $suppEdgeCte,
+       |sym AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+       |nodes AS (SELECT DISTINCT u FROM sym),
+       |r(u, w, d) AS (
+       |  SELECT u, u, 0 FROM nodes
+       |  UNION
+       |  SELECT r.u, s.v, r.d + 1 FROM r JOIN sym s ON s.u = r.w
+       |  WHERE r.d < 8),
+       |m AS (SELECT u, w, min(d) AS d FROM r GROUP BY 1, 2),
+       |mem AS (SELECT rad.rr, m.u,
+       |   ('0x' || substring(md5(CAST(m.w AS VARCHAR)), 1, 15))::BIGINT
+       |     AS h
+       |  FROM m JOIN range(9) rad(rr) ON m.d <= rad.rr),
+       |rk AS (SELECT rr, u, h, row_number() OVER (
+       |   PARTITION BY rr, u ORDER BY h) AS rn FROM mem),
+       |est AS (SELECT rr, u, CASE
+       |   WHEN sum(CASE WHEN rn <= $EffDiamK THEN 1 ELSE 0 END)
+       |     < $EffDiamK
+       |   THEN CAST(sum(CASE WHEN rn <= $EffDiamK THEN 1 ELSE 0 END)
+       |     AS BIGINT)
+       |   ELSE CAST(floor(($EffDiamK - 1) / (CAST(max(CASE WHEN
+       |     rn <= $EffDiamK THEN h END) AS DOUBLE) / pow(2.0, 60)))
+       |     AS BIGINT)
+       |   END AS b FROM rk GROUP BY 1, 2),
+       |nf AS (SELECT rr, CAST(sum(b) AS BIGINT) AS n_reach
+       |  FROM est GROUP BY 1),
+       |lagd AS (SELECT rr, n_reach,
+       |   lag(n_reach) OVER (ORDER BY rr) AS prev FROM nf),
+       |stp AS (SELECT CAST(coalesce(min(rr) FILTER (
+       |   WHERE n_reach = prev), 8) AS BIGINT) AS r_stop FROM lagd),
+       |rows_ AS (SELECT rr, n_reach FROM nf, stp WHERE rr <= r_stop)"""
+      .stripMargin
+
   private val effectiveDiameter = Q(
     "graph_effective_diameter",
     (s, d) => graft.ops.HyperBall.neighborhoodFunction(
         suppEdges(s, d), "u", "v", k = EffDiamK, maxR = 8)
       .orderBy(col("r")),
-    Some(s"""WITH RECURSIVE $suppEdgeCte,
-            |sym AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
-            |nodes AS (SELECT DISTINCT u FROM sym),
-            |r(u, w, d) AS (
-            |  SELECT u, u, 0 FROM nodes
-            |  UNION
-            |  SELECT r.u, s.v, r.d + 1 FROM r JOIN sym s ON s.u = r.w
-            |  WHERE r.d < 8),
-            |m AS (SELECT u, w, min(d) AS d FROM r GROUP BY 1, 2),
-            |mem AS (SELECT rad.rr, m.u,
-            |   ('0x' || substring(md5(CAST(m.w AS VARCHAR)), 1, 15))::BIGINT
-            |     AS h
-            |  FROM m JOIN range(9) rad(rr) ON m.d <= rad.rr),
-            |rk AS (SELECT rr, u, h, row_number() OVER (
-            |   PARTITION BY rr, u ORDER BY h) AS rn FROM mem),
-            |est AS (SELECT rr, u, CASE
-            |   WHEN sum(CASE WHEN rn <= $EffDiamK THEN 1 ELSE 0 END)
-            |     < $EffDiamK
-            |   THEN CAST(sum(CASE WHEN rn <= $EffDiamK THEN 1 ELSE 0 END)
-            |     AS BIGINT)
-            |   ELSE CAST(floor(($EffDiamK - 1) / (CAST(max(CASE WHEN
-            |     rn <= $EffDiamK THEN h END) AS DOUBLE) / pow(2.0, 60)))
-            |     AS BIGINT)
-            |   END AS b FROM rk GROUP BY 1, 2),
-            |nf AS (SELECT rr, CAST(sum(b) AS BIGINT) AS n_reach
-            |  FROM est GROUP BY 1),
-            |lagd AS (SELECT rr, n_reach,
-            |   lag(n_reach) OVER (ORDER BY rr) AS prev FROM nf),
-            |stp AS (SELECT CAST(coalesce(min(rr) FILTER (
-            |   WHERE n_reach = prev), 8) AS BIGINT) AS r_stop FROM lagd),
-            |rows_ AS (SELECT rr, n_reach FROM nf, stp WHERE rr <= r_stop),
+    Some(s"""$nfCtes,
             |tgt AS (SELECT (9 * (SELECT n_reach FROM rows_
             |   ORDER BY rr DESC LIMIT 1) + 9) // 10 AS t),
             |hit AS (SELECT min(rr) AS rh FROM rows_, tgt WHERE n_reach >= t),
@@ -385,6 +395,51 @@ object StatsQueries extends QueryPack {
             |SELECT CAST(rr AS BIGINT) AS r, n_reach, eff_diameter_milli
             |FROM rows_ CROSS JOIN dm ORDER BY 1""".stripMargin),
     headline = true)
+
+  /** Mean distance over reachable ordered pairs — Boldi & Vigna's other
+    * headline statistic from the SAME converged neighborhood function:
+    * MD = Σ_r r·(N(r) − N(r−1)) / (N(∞) − N(0)), the shell-weighted
+    * average published in integer milli-units (shells are never
+    * negative — ball monotonicity — so the single integer division is
+    * on non-negative ground). One extra bounded-frame window over the
+    * ≤ maxR+1-row table [[graft.ops.HyperBall.neighborhoodFunction]]
+    * already produces; no additional graph pass.
+    */
+  private val meanDistance = Q(
+    "graph_mean_distance_hyperball",
+    (s, d) => {
+      val nf = graft.ops.HyperBall.neighborhoodFunction(
+        suppEdges(s, d), "u", "v", k = EffDiamK, maxR = 8)
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("r"))
+      nf.withColumn("prev", lag(col("n_reach"), 1).over(w))
+        .select(col("r"), col("n_reach"),
+          (col("n_reach") - coalesce(col("prev"), col("n_reach")))
+            .as("shell"))
+        .agg(coalesce(min(when(col("r") === 0, col("n_reach"))), lit(0L))
+            .as("n_nodes"),
+          coalesce(max(col("n_reach")), lit(0L)).as("n_reach_inf"),
+          coalesce(sum(col("r") * col("shell")), lit(0L)).as("wsum"))
+        .select(col("n_nodes"), col("n_reach_inf"),
+          when(col("n_reach_inf") > col("n_nodes"),
+            expr("(wsum * 1000) div (n_reach_inf - n_nodes)"))
+            .as("mean_dist_milli"))
+    },
+    Some(s"""$nfCtes,
+            |sh AS (SELECT rr, n_reach,
+            |   n_reach - coalesce(lag(n_reach) OVER (ORDER BY rr), n_reach)
+            |     AS shell
+            |  FROM rows_),
+            |ag AS (SELECT
+            |  CAST(coalesce(min(CASE WHEN rr = 0 THEN n_reach END), 0)
+            |    AS BIGINT) AS n_nodes,
+            |  CAST(coalesce(max(n_reach), 0) AS BIGINT) AS n_reach_inf,
+            |  CAST(coalesce(sum(rr * shell), 0) AS BIGINT) AS wsum
+            | FROM sh)
+            |SELECT n_nodes, n_reach_inf,
+            | CASE WHEN n_reach_inf > n_nodes
+            |  THEN (wsum * 1000) // (n_reach_inf - n_nodes) END
+            |   AS mean_dist_milli
+            |FROM ag""".stripMargin))
 
   /** Range-partition write plan — the boundary computation behind
     * every sorted/range-partitioned table layout (Spark's
@@ -1748,7 +1803,7 @@ object StatsQueries extends QueryPack {
 
   override def qs: Seq[Q] =
     Seq(triangles, clusteringCoeff, twoHopReach, twoHopHyperball,
-      harmonicCentrality, effectiveDiameter,
+      harmonicCentrality, effectiveDiameter, meanDistance,
       rangePartitionPlan, ddsketch, chi2, kendall, spearman,
       mannKendall, richClub, trend,
       pareto, equidepth, madOutliers,

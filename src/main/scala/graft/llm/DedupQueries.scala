@@ -1122,6 +1122,51 @@ object DedupQueries extends QueryPack {
             |FROM sp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
     headline = true)
 
+  /** Cross-source near-duplication matrix — WHERE the duplication
+    * lives: the verified LSH pair set rolled up by unordered source
+    * pair ("which snapshots copy from which", the provenance question
+    * a multi-crawl corpus answers before deciding what to drop). Rides
+    * the banded-LSH machinery end-to-end (candidates + exact verify,
+    * never all-pairs); id-sums pin the exact pair set per cell. Source
+    * names are ASCII, so the least/greatest canonicalization and the
+    * ordering are collation-safe cross-engine.
+    */
+  private val crossSourceMatrix = Q(
+    "dedup_cross_source_matrix",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = MinHashLsh.nearDupPairs(docs, "doc_id", "text",
+        threshold = 0.8)
+      val src = docs.select(col("doc_id"), col("source"))
+      pairs
+        .join(src.select(col("doc_id").as("i"), col("source").as("s_i")), "i")
+        .join(src.select(col("doc_id").as("j"), col("source").as("s_j")), "j")
+        .select(least(col("s_i"), col("s_j")).as("source_a"),
+          greatest(col("s_i"), col("s_j")).as("source_b"),
+          col("i"), col("j"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("i") + col("j")).as("sum_pair_ids"))
+        .orderBy(col("source_a"), col("source_b"))
+    },
+    // ground truth: the brute-force pairwise-Jaccard pair set (the
+    // dedup_minhash_lsh oracle contract) grouped by source pair
+    Some(s"""WITH dd AS (SELECT doc_id, source,
+            |  list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+            |    for i in range(1, len(w)-1)]) AS sh
+            | FROM (SELECT doc_id, source, ${CorpusQueries.WordsExpr} AS w
+            |       FROM documents)
+            | WHERE len(w) >= 3),
+            |p AS (SELECT a.doc_id AS i, b.doc_id AS j,
+            |  least(a.source, b.source) AS source_a,
+            |  greatest(a.source, b.source) AS source_b
+            | FROM dd a JOIN dd b ON a.doc_id < b.doc_id
+            | WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            |   / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8)
+            |SELECT source_a, source_b, count(*) AS n_pairs,
+            | CAST(sum(i + j) AS BIGINT) AS sum_pair_ids
+            |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
   /** Near-dup threshold sweep — the tuning table you read BEFORE fixing
     * a dedup threshold: exact shingle-Jaccard pair counts and affected-
     * document counts at τ ∈ {0.5 … 0.9}, from ONE prefix-filtered
@@ -1231,5 +1276,6 @@ object DedupQueries extends QueryPack {
     clusterSurvivors, clusterBestSurvivors,
     trainingPipeline,
     trainingV2, trainingV3, trainingV4, trainingV5, prefixJoin,
-    repeatedSpans, containment, trainingV6, trainingV7, thresholdSweep)
+    repeatedSpans, containment, trainingV6, trainingV7, thresholdSweep,
+    crossSourceMatrix)
 }
