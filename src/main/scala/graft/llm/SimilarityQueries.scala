@@ -478,6 +478,51 @@ object SimilarityQueries extends QueryPack {
            | CAST(sum(doc_id) AS BIGINT) AS sum_ids
            |FROM t GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin))
 
+  /** Exact MEDIA dedup by payload digest — the first pass every
+    * multimodal corpus runs (identical bytes are identical media
+    * regardless of metadata): digest the binary column, keep-first by
+    * media id within (format, digest), report the per-format
+    * duplication profile incl. reclaimable bytes. The digest group-by
+    * is the whole plan — one scan, one map-side-combined aggregation,
+    * payloads never pairwise-compared (the [[Multimodal.phashNearDup]]
+    * contract's exact sibling). The oracle rebuilds the synthesized
+    * payload's identity from its CONSTRUCTION ((md5(text), repeat k) —
+    * [[Multimodal.synthesize]]'s one convention) rather than digesting
+    * the blob, so the compare holds on any engine whose md5-over-binary
+    * support differs; payload length is 16·k bytes by construction.
+    */
+  private val mmPayloadDedup = Q(
+    "mm_payload_exact_dedup",
+    (s, d) => {
+      val media = Multimodal.synthesize(
+        Tables.documents(s, d), "doc_id", "text", "doc_id % 5 + 1")
+      media
+        .groupBy(col("format"), md5(col("media")).as("dg"))
+        .agg(count(lit(1)).as("cnt"),
+          max(length(col("media"))).as("len"),
+          min(col("media_id")).as("keeper"))
+        .groupBy(col("format"))
+        .agg(sum(col("cnt")).as("n_media"),
+          count(lit(1)).as("n_distinct"),
+          sum(col("cnt") - 1).as("n_dupes"),
+          sum((col("cnt") - 1) * col("len")).as("reclaim_bytes"),
+          sum(col("keeper")).as("sum_keeper_ids"))
+        .orderBy(col("format"))
+    },
+    Some("""WITH m AS (SELECT doc_id AS media_id, md5(text) AS hx,
+           |  doc_id % 5 + 1 AS k,
+           |  ['png', 'jpeg', 'wav'][CAST(doc_id % 3 + 1 AS INT)] AS format
+           | FROM documents),
+           |g AS (SELECT format, hx, k, count(*) AS cnt,
+           |  min(media_id) AS keeper
+           | FROM m GROUP BY 1, 2, 3)
+           |SELECT format, CAST(sum(cnt) AS BIGINT) AS n_media,
+           | count(*) AS n_distinct,
+           | CAST(sum(cnt - 1) AS BIGINT) AS n_dupes,
+           | CAST(sum((cnt - 1) * k * 16) AS BIGINT) AS reclaim_bytes,
+           | CAST(sum(keeper) AS BIGINT) AS sum_keeper_ids
+           |FROM g GROUP BY 1 ORDER BY 1""".stripMargin))
+
   /** Embedding-space eval-set decontamination, attribution form: every
     * corpus vector finds its nearest BENCHMARK vector (the eval set,
     * vec_id < 50 — broadcast-sized by definition, so the corpus-wide
@@ -586,7 +631,7 @@ object SimilarityQueries extends QueryPack {
            |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
   val qs: Seq[Q] = Seq(brute, lsh, ivf, pq, ivfPortable, embDedup,
-    mmFeatures, argmaxHist,
+    mmFeatures, mmPayloadDedup, argmaxHist,
     centroidDist, mmFrames, mmPhash, semdedup, topComponent, mmResizePlan,
     decontamNearest, matryoshka)
 }
