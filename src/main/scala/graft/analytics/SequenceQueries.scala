@@ -746,7 +746,72 @@ object SequenceQueries extends QueryPack {
            | CAST(sum(length(journey)) AS BIGINT) AS sum_journey_len
            |FROM m""".stripMargin))
 
+  /** Journey-predictability score: per-user transition ENTROPY in
+    * micro-nats per transition — the information-theoretic companion
+    * to [[botCadence]]'s timing regularity (a scripted client repeats
+    * the same transitions: entropy ≈ 0; organic journeys mix). The
+    * identity H·T = Σ c·(ln T − ln c) keeps everything integral: each
+    * ln is micro-rounded ONCE per row (the KL/TF-IDF convention — both
+    * engines round the identical double), the weighted sum is an exact
+    * BIGINT, and the published per-transition rate is one integer
+    * division. ln T ≥ ln c and rounding is monotone, so no term is
+    * negative. Per-user totals ride a user-partitioned window on the
+    * already-bounded (user, pair) count frame; top-20 most predictable
+    * (≥ 10 transitions) via TakeOrderedAndProject.
+    */
+  private val journeyEntropy = Q(
+    "seq_journey_entropy_topk",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val tr = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("to_type", lead(col("event_type"), 1).over(w))
+        .filter(col("to_type").isNotNull)
+      val counts = tr.groupBy(col("user_id"),
+          col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("t",
+          sum(col("c")).over(Window.partitionBy(col("user_id"))))
+      counts
+        .withColumn("term", col("c") *
+          (round(log(col("t").cast("double")) * 1e6, 0).cast("long")
+            - round(log(col("c").cast("double")) * 1e6, 0).cast("long")))
+        .groupBy(col("user_id"))
+        .agg(max(col("t")).as("n_transitions"),
+          count(lit(1)).as("n_distinct_pairs"),
+          sum(col("term")).as("h_total"))
+        .filter(col("n_transitions") >= 10)
+        .withColumn("h_per_trans_micro",
+          expr("h_total div n_transitions"))
+        .select(col("user_id"), col("n_transitions"),
+          col("n_distinct_pairs"), col("h_per_trans_micro"))
+        .orderBy(col("h_per_trans_micro"), col("user_id"))
+        .limit(20)
+    },
+    Some("""WITH tr AS (SELECT user_id, event_type AS from_type,
+           |  lead(event_type) OVER (PARTITION BY user_id
+           |    ORDER BY ts, event_id) AS to_type
+           | FROM events),
+           |c AS (SELECT user_id, from_type, to_type, count(*) AS c
+           | FROM tr WHERE to_type IS NOT NULL GROUP BY 1, 2, 3),
+           |ct AS (SELECT user_id, c,
+           |  CAST(sum(c) OVER (PARTITION BY user_id) AS BIGINT) AS t
+           | FROM c),
+           |h AS (SELECT user_id, max(t) AS n_transitions,
+           |  count(*) AS n_distinct_pairs,
+           |  CAST(sum(c * (CAST(round(ln(CAST(t AS DOUBLE)) * 1e6, 0)
+           |      AS BIGINT)
+           |    - CAST(round(ln(CAST(c AS DOUBLE)) * 1e6, 0) AS BIGINT)))
+           |   AS BIGINT) AS h_total
+           | FROM ct GROUP BY 1)
+           |SELECT user_id, n_transitions, n_distinct_pairs,
+           | h_total // n_transitions AS h_per_trans_micro
+           |FROM h WHERE n_transitions >= 10
+           |ORDER BY h_per_trans_micro, user_id LIMIT 20""".stripMargin))
+
   val qs: Seq[Q] = Seq(transitions, concurrency, intervalCoverage,
+    journeyEntropy,
     sessionPaths, cumulativeUsers, cdcDiff, topkHeap, cappedBalance, ewma,
     holt, dowResiduals, rollingMedian, botCadence, markov2, latenessProfile,
     acf, patternMatch)

@@ -1122,6 +1122,45 @@ object DedupQueries extends QueryPack {
             |FROM sp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
     headline = true)
 
+  /** Crawl-fragment stitch detection: documents whose LAST 3-word gram
+    * equals another document's FIRST 3-word gram — the reassembly
+    * signal for content split across page boundaries/snapshots (the
+    * dedup family's directional cousin: containment finds quotes,
+    * stitching finds continuations). One scan derives both edge grams;
+    * candidates come from an equi-join on the GRAM (never doc×doc),
+    * whose buckets are bounded by gram frequency exactly like the
+    * prefix-filter joins. Docs need ≥ 6 words so head and tail cannot
+    * overlap. Pairs ordered by ids only (the gram is payload — never
+    * an ORDER BY key, the unicode-collation rule).
+    */
+  private val fragmentStitch = Q(
+    "dedup_fragment_stitch_pairs",
+    (s, d) => {
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), graft.functions.Tokenize(col("text")).as("w"))
+        .filter(size(col("w")) >= 6)
+      val edges = base.select(col("doc_id"),
+        concat_ws(" ", slice(col("w"), 1, 3)).as("head_gram"),
+        concat_ws(" ", slice(col("w"), -3, 3)).as("tail_gram"))
+      edges.select(col("doc_id").as("left_doc"), col("tail_gram").as("gram"))
+        .join(edges.select(col("doc_id").as("right_doc"),
+          col("head_gram").as("gram")), "gram")
+        .filter(col("left_doc") =!= col("right_doc"))
+        .select(col("left_doc"), col("right_doc"), col("gram"))
+        .orderBy(col("left_doc"), col("right_doc"))
+    },
+    Some(s"""WITH w AS (SELECT doc_id, ${CorpusQueries.WordsExpr} AS w
+            |  FROM documents),
+            |e AS (SELECT doc_id,
+            |   array_to_string(w[1:3], ' ') AS head_gram,
+            |   array_to_string(w[len(w)-2:len(w)], ' ') AS tail_gram
+            |  FROM w WHERE len(w) >= 6)
+            |SELECT a.doc_id AS left_doc, b.doc_id AS right_doc,
+            | a.tail_gram AS gram
+            |FROM e a JOIN e b ON a.tail_gram = b.head_gram
+            | AND a.doc_id <> b.doc_id
+            |ORDER BY 1, 2""".stripMargin))
+
   /** Cross-source near-duplication matrix — WHERE the duplication
     * lives: the verified LSH pair set rolled up by unordered source
     * pair ("which snapshots copy from which", the provenance question
@@ -1277,5 +1316,5 @@ object DedupQueries extends QueryPack {
     trainingPipeline,
     trainingV2, trainingV3, trainingV4, trainingV5, prefixJoin,
     repeatedSpans, containment, trainingV6, trainingV7, thresholdSweep,
-    crossSourceMatrix)
+    crossSourceMatrix, fragmentStitch)
 }
