@@ -191,8 +191,32 @@ object KmvAgg {
   */
 class KmvMergeAgg(k: Int) extends KmvBufferAgg[Array[Long]](k) {
 
-  // inputs are FINISHED sketches (ascending distinct ≤ k), so one
-  // bounded walk per row — no per-element inserts
+  /** Sketches produced by this module are ascending-distinct by
+    * construction, but `mergeSketches` is a public Column API — a
+    * hand-built or descending array would silently corrupt the merge
+    * walk (the r1–r9 HashSet buffer was order-insensitive), so inputs
+    * are canonicalized first: one O(n) ascending check on the fast
+    * path, sort+dedupe only when violated.
+    */
+  private def canonical(a: Array[Long]): Array[Long] = {
+    var i = 1
+    while (i < a.length && a(i - 1) < a(i)) i += 1
+    if (i >= a.length) a
+    else {
+      val c = a.clone()
+      java.util.Arrays.sort(c)
+      var m = 0
+      var j = 0
+      while (j < c.length) {
+        if (m == 0 || c(m - 1) != c(j)) { c(m) = c(j); m += 1 }
+        j += 1
+      }
+      java.util.Arrays.copyOf(c, m)
+    }
+  }
+
+  // inputs are normally FINISHED sketches (ascending distinct ≤ k), so
+  // one bounded walk per row — no per-element inserts
   override def reduce(b: Array[Long], a: Array[Long]): Array[Long] =
-    if (a == null) b else mergeSorted(b, a)
+    if (a == null) b else mergeSorted(b, canonical(a))
 }

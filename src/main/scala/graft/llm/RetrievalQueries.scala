@@ -530,9 +530,15 @@ object RetrievalQueries extends QueryPack {
     "dq_gate_agreement_kappa",
     (s, d) => {
       val docs = Tables.documents(s, d)
+      // text normalized to '' for the MATERIALIZED gate value (the
+      // gopherGates convention): a NULL text must score b = 0 exactly
+      // like the oracle's CASE ... ELSE 0 — the bare predicate would
+      // yield NULL and silently drop the doc from the confusion matrix
+      // while still counting it in n
+      val txt = coalesce(col("text"), lit(""))
       val ab = docs.select(col("doc_id"),
-          (TextAnalysis.tokenCount(col("text")) >= 20 &&
-            TextAnalysis.alphaRatio(col("text")) >= 0.5).cast("long").as("b"))
+          (TextAnalysis.tokenCount(txt) >= 20 &&
+            TextAnalysis.alphaRatio(txt) >= 0.5).cast("long").as("b"))
         .join(logitPerDoc(docs), Seq("doc_id"))
         .withColumn("a", (col("logit") > 0).cast("long"))
       ab.agg(count(lit(1)).as("n"),
@@ -584,9 +590,11 @@ object RetrievalQueries extends QueryPack {
     "dq_quality_calibration",
     (s, d) => {
       val docs = Tables.documents(s, d)
+      // '' normalization for the same NULL-text reason as gateKappa
+      val txt = coalesce(col("text"), lit(""))
       val scored = docs.select(col("doc_id"),
-          (TextAnalysis.tokenCount(col("text")) >= 20 &&
-            TextAnalysis.alphaRatio(col("text")) >= 0.5).cast("long")
+          (TextAnalysis.tokenCount(txt) >= 20 &&
+            TextAnalysis.alphaRatio(txt) >= 0.5).cast("long")
             .as("qual"))
         .join(logitPerDoc(docs), Seq("doc_id"))
       graft.ops.GlobalOrder.ntileBy(

@@ -494,8 +494,13 @@ object SimilarityQueries extends QueryPack {
   private val mmPayloadDedup = Q(
     "mm_payload_exact_dedup",
     (s, d) => {
+      // NULL text yields a NULL payload — "no media", excluded on both
+      // sides (engine-side a NULL digest would collapse all such rows
+      // into one cross-k group and drop their lengths from the reclaim
+      // sum, silently diverging from the oracle's (hx, k) grouping)
       val media = Multimodal.synthesize(
-        Tables.documents(s, d), "doc_id", "text", "doc_id % 5 + 1")
+        Tables.documents(s, d).filter(col("text").isNotNull),
+        "doc_id", "text", "doc_id % 5 + 1")
       media
         .groupBy(col("format"), md5(col("media")).as("dg"))
         .agg(count(lit(1)).as("cnt"),
@@ -512,7 +517,7 @@ object SimilarityQueries extends QueryPack {
     Some("""WITH m AS (SELECT doc_id AS media_id, md5(text) AS hx,
            |  doc_id % 5 + 1 AS k,
            |  ['png', 'jpeg', 'wav'][CAST(doc_id % 3 + 1 AS INT)] AS format
-           | FROM documents),
+           | FROM documents WHERE text IS NOT NULL),
            |g AS (SELECT format, hx, k, count(*) AS cnt,
            |  min(media_id) AS keeper
            | FROM m GROUP BY 1, 2, 3)

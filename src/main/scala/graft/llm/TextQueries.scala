@@ -1011,11 +1011,12 @@ object TextQueries extends QueryPack {
         .filter(col("i") < col("j"))
         .groupBy(col("i"), col("j"))
         .agg(sum(col("wa") * col("wb")).as("num"))
+      // norms is PER-DOCUMENT — unbounded at corpus scale, so no
+      // broadcast hint: it derives from the staged frame, whose runtime
+      // size lets AQE pick broadcast itself at SFs where it fits
       val pairs = num
-        .join(broadcast(norms.select(col("doc_id").as("i"),
-          col("s2").as("s2i"))), "i")
-        .join(broadcast(norms.select(col("doc_id").as("j"),
-          col("s2").as("s2j"))), "j")
+        .join(norms.select(col("doc_id").as("i"), col("s2").as("s2i")), "i")
+        .join(norms.select(col("doc_id").as("j"), col("s2").as("s2j")), "j")
         .withColumn("cos_micro",
           floor(col("num").cast("double") * 1e6
             / (sqrt(col("s2i").cast("double"))

@@ -272,6 +272,21 @@ class KmvSpec extends SparkSpec {
     assert(one === sketchMd5Of(df.filter(col("g") === 0).select(col("k"))).toSeq)
   }
 
+  test("mergeSketches canonicalizes non-sketch input arrays") {
+    import spark.implicits._
+    // a hand-built descending/duplicated array is NOT a finished sketch;
+    // the merge must treat it as the set it denotes (the r1-r9 HashSet
+    // buffer was order-insensitive — the sorted-array buffer keeps that
+    // contract through canonicalization)
+    val messy = Seq(
+      (Array(9L, 5L, 7L, 5L, 1L), 0),
+      (Array(3L, 3L, 2L), 0)).toDF("sk", "g")
+    val merged = messy.groupBy(col("g"))
+      .agg(KmvAgg.mergeSketches(col("sk"), 4).as("m"))
+      .first().getSeq[Long](1)
+    assert(merged === Seq(1L, 2L, 3L, 5L)) // 4 smallest distinct
+  }
+
   test("KmvEstimate: expression == floored helper, both regimes, SQL-callable") {
     // below width (exact-set regime) and at capacity (estimator regime):
     // the codegen expression must reproduce the scalar helper EXACTLY —
