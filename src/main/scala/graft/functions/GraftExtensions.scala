@@ -7,9 +7,11 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 /** SQL surface for the engine's custom expressions. Activate with
   * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`
   * (or `.withExtensions(new GraftExtensions)`): `nfkc_lower(str)`,
-  * `poly_hash(str)`, `cosine_sim(a, b)` and `tokenize_words(str)` then
-  * work from plain `spark.sql(...)` exactly like built-ins, including
-  * codegen.
+  * `poly_hash(str)`, `cosine_sim(a, b)`, `tokenize_words(str)` and
+  * `kmv_estimate(sketch, k)` then work from plain `spark.sql(...)`
+  * exactly like built-ins, including codegen. (The text-scan family —
+  * shingles/chunks/winnow/repetition/char-pairs — is Column-API only:
+  * their n/window parameters are query-construction constants.)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import GraftExtensions.{binary, kmvBuilder, unary}
