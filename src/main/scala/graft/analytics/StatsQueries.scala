@@ -1429,6 +1429,71 @@ object StatsQueries extends QueryPack {
            |   cov_n * cov_n / (var_n * vary_n), 6) END AS rho2
            |FROM dd""".stripMargin))
 
+  /** Weekly-seasonality STRENGTH of the daily event series — the
+    * variance-decomposition companion to the per-dow median residuals
+    * (`ts_dow_seasonal_residuals` shows the profile; this publishes ONE
+    * number: the share of daily-count variance the day-of-week means
+    * explain, η² in integer basis points — the "is weekly seasonality
+    * worth modeling" gate). ANOVA identity in exact integers:
+    * SS_between·10⁶ = Σ_g ⌊S_g²·10⁶ / n_g⌋ − ⌊S²·10⁶ / n⌋ and
+    * SS_total·10⁶ = Q·10⁶ − ⌊S²·10⁶ / n⌋, where the per-group
+    * quantization happens BEFORE the 7-term sum (a double Σ S_g²/n_g
+    * would be accumulation-order-dependent); every division is on
+    * non-negative ground. Day of week is the epoch-anchored
+    * (epoch_days+4) mod 7 house convention.
+    */
+  private val seasonalityStrength = Q(
+    "ts_weekly_seasonality_strength",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"))
+        .withColumn("dow", pmod(datediff(col("day"),
+          lit("1970-01-01").cast("date")) + lit(4), lit(7)))
+      val tot = daily.agg(count(lit(1)).as("n_days"),
+        coalesce(sum(col("x")), lit(0L)).as("s"),
+        coalesce(sum(col("x") * col("x")), lit(0L)).as("q"))
+      val between = daily.groupBy(col("dow"))
+        .agg(count(lit(1)).as("n_g"), sum(col("x")).as("s_g"))
+        .agg(coalesce(sum(expr("(s_g * s_g * 1000000) div n_g")), lit(0L))
+          .as("sum_terms"))
+      tot.crossJoin(broadcast(between))
+        .select(col("n_days"), col("s").as("n_events"),
+          when(col("n_days") > 0,
+            expr("sum_terms - (s * s * 1000000) div n_days"))
+            .otherwise(0L).as("ss_between_micro"),
+          when(col("n_days") > 0,
+            expr("q * 1000000 - (s * s * 1000000) div n_days"))
+            .otherwise(0L).as("ss_total_micro"))
+        .withColumn("strength_bp",
+          when(col("ss_total_micro") > 0,
+            expr("(ss_between_micro * 10000) div ss_total_micro")))
+    },
+    Some("""WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS x
+           |  FROM events GROUP BY 1),
+           |dd AS (SELECT x,
+           |  (day - DATE '1970-01-01' + 4) % 7 AS dow FROM daily),
+           |t AS (SELECT count(*) AS n_days,
+           |  CAST(COALESCE(sum(x), 0) AS BIGINT) AS s,
+           |  CAST(COALESCE(sum(x * x), 0) AS BIGINT) AS q FROM dd),
+           |g AS (SELECT dow, count(*) AS n_g,
+           |  CAST(sum(x) AS BIGINT) AS s_g FROM dd GROUP BY 1),
+           |b AS (SELECT CAST(COALESCE(sum((s_g * s_g * 1000000) // n_g), 0)
+           |   AS BIGINT) AS sum_terms FROM g),
+           |f AS (SELECT n_days, s AS n_events,
+           |  CASE WHEN n_days > 0
+           |   THEN sum_terms - (s * s * 1000000) // n_days ELSE 0 END
+           |    AS ss_between_micro,
+           |  CASE WHEN n_days > 0
+           |   THEN q * 1000000 - (s * s * 1000000) // n_days ELSE 0 END
+           |    AS ss_total_micro
+           | FROM t, b)
+           |SELECT n_days, n_events, ss_between_micro, ss_total_micro,
+           | CASE WHEN ss_total_micro > 0
+           |  THEN (ss_between_micro * 10000) // ss_total_micro END
+           |   AS strength_bp
+           |FROM f""".stripMargin))
+
   /** Market-concentration audit per nation (supplier side): total
     * revenue, the Herfindahl numerator Σ revᵢ² (HHI = Σ shareᵢ² falls
     * out as sum_rev_sq/total² — publishing the integrals keeps the
@@ -1809,5 +1874,5 @@ object StatsQueries extends QueryPack {
       pareto, equidepth, madOutliers,
       zorder, compactionBins, distributionDrift, windowValues, rollingWau,
       groupQuantiles, benford, rankMetrics, groupedMode, hist2d,
-      winsorized, abTest, cuped, concentration, gini)
+      winsorized, abTest, cuped, seasonalityStrength, concentration, gini)
 }
