@@ -415,6 +415,92 @@ object CorpusQueries extends QueryPack {
            | min(doc_id) AS min_doc, max(doc_id) AS max_doc
            |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** Decontamination METHOD agreement — the governance read before
+    * trusting any single contamination gate (the [[gateKappa]] idea
+    * applied to decontamination): the winnow-fingerprint drop set
+    * (shared-run evidence, ≥ 2 shared window-min fingerprints) vs the
+    * 5-gram-fraction drop set (≥ 10% of a doc's distinct 5-grams hit
+    * the benchmark), as one full-outer flag join — set sizes, overlap,
+    * Jaccard in integer bp, and id-sums pinning each region's exact
+    * membership. Both member pipelines keep their own oracled scale
+    * shapes (broadcast fingerprint sets, map-side-combined counts);
+    * the agreement layer is one doc-keyed join over two drop-set
+    * frames, each already corpus-filtered small.
+    */
+  private val decontamAgreement = Q(
+    "dedup_decontam_method_agreement",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val d1 = Winnowing.contaminated(
+          docs.filter(col("doc_id") >= 50), docs.filter(col("doc_id") < 50),
+          "doc_id", "text", minShared = 2)
+        .select(col("id").as("doc_id"), lit(1L).as("in_winnow"))
+      def grams(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("doc_id"),
+          explode(TextAnalysis.shingles(col("text"), 5)).as("g"))
+        .select(col("doc_id"), substring(md5(col("g")), 1, 16).as("fp"))
+      val bench = grams(docs.filter(col("doc_id") < 50))
+        .select(col("fp")).distinct().withColumn("hit", lit(1))
+      val d2 = grams(docs.filter(col("doc_id") >= 50))
+        .join(broadcast(bench), Seq("fp"), "left_outer")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_hit"))
+        .filter(expr("n_hit * 10000 div n_grams") >= 1000)
+        .select(col("doc_id"), lit(1L).as("in_frac"))
+      d1.join(d2, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          coalesce(col("in_winnow"), lit(0L)).as("w"),
+          coalesce(col("in_frac"), lit(0L)).as("f"))
+        .agg(coalesce(sum(col("w")), lit(0L)).as("n_winnow"),
+          coalesce(sum(col("f")), lit(0L)).as("n_frac"),
+          coalesce(sum(col("w") * col("f")), lit(0L)).as("n_both"),
+          coalesce(sum(when(col("w") === 1 && col("f") === 0,
+            col("doc_id"))), lit(0L)).as("sum_winnow_only_ids"),
+          coalesce(sum(when(col("w") === 0 && col("f") === 1,
+            col("doc_id"))), lit(0L)).as("sum_frac_only_ids"),
+          coalesce(sum(when(col("w") === 1 && col("f") === 1,
+            col("doc_id"))), lit(0L)).as("sum_both_ids"))
+        .withColumn("jaccard_bp",
+          when(col("n_winnow") + col("n_frac") - col("n_both") > 0,
+            expr("(n_both * 10000) div (n_winnow + n_frac - n_both)")))
+    },
+    Some(s"""WITH ${winnowChain("doc_id")},
+            |wb AS (SELECT DISTINCT fp FROM u WHERE doc_id < 50),
+            |w1 AS (SELECT u.doc_id FROM u JOIN wb USING (fp)
+            |  WHERE u.doc_id >= 50 GROUP BY 1 HAVING count(*) >= 2),
+            |qt AS (SELECT doc_id, $WordsExpr AS w FROM documents),
+            |qg AS (SELECT doc_id, unnest(list_distinct(
+            |   [w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]
+            |    for i in range(1, len(w)-3)])) AS gram
+            |  FROM qt WHERE len(w) >= 5),
+            |qf AS (SELECT doc_id, substring(md5(gram), 1, 16) AS fp FROM qg),
+            |qb AS (SELECT DISTINCT fp FROM qf WHERE doc_id < 50),
+            |w2 AS (SELECT qf.doc_id FROM qf LEFT JOIN qb ON qf.fp = qb.fp
+            |  WHERE qf.doc_id >= 50 GROUP BY 1
+            |  HAVING (CAST(count(qb.fp) AS BIGINT) * 10000) // count(*)
+            |    >= 1000),
+            |fl AS (SELECT COALESCE(w1.doc_id, w2.doc_id) AS doc_id,
+            |  CASE WHEN w1.doc_id IS NOT NULL THEN 1 ELSE 0 END AS w,
+            |  CASE WHEN w2.doc_id IS NOT NULL THEN 1 ELSE 0 END AS f
+            | FROM w1 FULL OUTER JOIN w2 ON w1.doc_id = w2.doc_id),
+            |ag AS (SELECT
+            |  CAST(COALESCE(sum(w), 0) AS BIGINT) AS n_winnow,
+            |  CAST(COALESCE(sum(f), 0) AS BIGINT) AS n_frac,
+            |  CAST(COALESCE(sum(w * f), 0) AS BIGINT) AS n_both,
+            |  CAST(COALESCE(sum(CASE WHEN w = 1 AND f = 0 THEN doc_id END),
+            |    0) AS BIGINT) AS sum_winnow_only_ids,
+            |  CAST(COALESCE(sum(CASE WHEN w = 0 AND f = 1 THEN doc_id END),
+            |    0) AS BIGINT) AS sum_frac_only_ids,
+            |  CAST(COALESCE(sum(CASE WHEN w = 1 AND f = 1 THEN doc_id END),
+            |    0) AS BIGINT) AS sum_both_ids
+            | FROM fl)
+            |SELECT n_winnow, n_frac, n_both, sum_winnow_only_ids,
+            | sum_frac_only_ids, sum_both_ids,
+            | CASE WHEN n_winnow + n_frac - n_both > 0
+            |  THEN (n_both * 10000) // (n_winnow + n_frac - n_both) END
+            |   AS jaccard_bp
+            |FROM ag""".stripMargin))
+
   /** Multi-epoch shuffle dispersion audit: a multi-epoch training run
     * re-shuffles the corpus per epoch with a deterministic keyed draw
     * (shard_e = md5(e:doc) mod 8 — the `docs_shuffle_shards` assignment
@@ -1180,5 +1266,5 @@ object CorpusQueries extends QueryPack {
     decontaminate, decontaminateBloom, topNgrams, tokenDf, paraDedup, shards,
     dsir, contamFrac, perplexity, streamGatesTwin, curriculum, heaps,
     klDivergence, gopherGates, ccnetBuckets, noveltyCurve, lengthBuckets,
-    epochOverlap)
+    epochOverlap, decontamAgreement)
 }

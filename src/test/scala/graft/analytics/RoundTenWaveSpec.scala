@@ -178,7 +178,8 @@ class RoundTenWaveSpec extends SparkSpec {
       "mm_payload_exact_dedup" -> Some(0L),
       "seq_journey_entropy_topk" -> Some(0L),
       "dedup_fragment_stitch_pairs" -> Some(0L),
-      "ts_weekly_seasonality_strength" -> Some(1L))
+      "ts_weekly_seasonality_strength" -> Some(1L),
+      "dedup_decontam_method_agreement" -> Some(1L))
     val waveQueries = Seq("graph_effective_diameter",
       "graph_mean_distance_hyperball", "ann_ivf_recall_portable",
       "stats_ab_cuped_adjusted", "text_tfidf_doc_similarity",
@@ -186,7 +187,8 @@ class RoundTenWaveSpec extends SparkSpec {
       "dq_quality_calibration", "docs_quota_fill_best_first",
       "dedup_cross_source_matrix", "mm_payload_exact_dedup",
       "seq_journey_entropy_topk", "dedup_fragment_stitch_pairs",
-      "ts_weekly_seasonality_strength")
+      "ts_weekly_seasonality_strength",
+      "dedup_decontam_method_agreement")
     waveQueries.foreach { name =>
       val rows = q(name, dir).collect()
       expectRows.getOrElse(name, None).foreach { want =>
