@@ -1439,8 +1439,15 @@ object StatsQueries extends QueryPack {
     * SS_total·10⁶ = Q·10⁶ − ⌊S²·10⁶ / n⌋, where the per-group
     * quantization happens BEFORE the 7-term sum (a double Σ S_g²/n_g
     * would be accumulation-order-dependent); every division is on
-    * non-negative ground. Day of week is the epoch-anchored
-    * (epoch_days+4) mod 7 house convention.
+    * non-negative ground — including the final bp division, because
+    * ss_between_micro is clamped to ≥ 0 on both sides (the per-group
+    * floors can land a few micro-units below the global floor when the
+    * true SS_between is 0, and a negative η² is semantically invalid;
+    * unclamped, Spark's trunc-toward-zero `div` and DuckDB's flooring
+    * `//` would also disagree on that negative ground). All squared
+    * cross-products route through DECIMAL(38,0) / HUGEINT (the house
+    * int128 rule) so S²·10⁶ cannot wrap BIGINT at large SFs. Day of
+    * week is the epoch-anchored (epoch_days+4) mod 7 house convention.
     */
   private val seasonalityStrength = Q(
     "ts_weekly_seasonality_strength",
@@ -1455,19 +1462,23 @@ object StatsQueries extends QueryPack {
         coalesce(sum(col("x") * col("x")), lit(0L)).as("q"))
       val between = daily.groupBy(col("dow"))
         .agg(count(lit(1)).as("n_g"), sum(col("x")).as("s_g"))
-        .agg(coalesce(sum(expr("(s_g * s_g * 1000000) div n_g")), lit(0L))
+        .agg(coalesce(sum(expr(
+          "(CAST(s_g AS DECIMAL(38,0)) * s_g * 1000000) div n_g")), lit(0L))
           .as("sum_terms"))
       tot.crossJoin(broadcast(between))
         .select(col("n_days"), col("s").as("n_events"),
-          when(col("n_days") > 0,
-            expr("sum_terms - (s * s * 1000000) div n_days"))
+          when(col("n_days") > 0, expr(
+            "greatest(sum_terms - " +
+              "(CAST(s AS DECIMAL(38,0)) * s * 1000000) div n_days, 0)"))
             .otherwise(0L).as("ss_between_micro"),
-          when(col("n_days") > 0,
-            expr("q * 1000000 - (s * s * 1000000) div n_days"))
+          when(col("n_days") > 0, expr(
+            "CAST(CAST(q AS DECIMAL(38,0)) * 1000000 - " +
+              "(CAST(s AS DECIMAL(38,0)) * s * 1000000) div n_days AS BIGINT)"))
             .otherwise(0L).as("ss_total_micro"))
         .withColumn("strength_bp",
-          when(col("ss_total_micro") > 0,
-            expr("(ss_between_micro * 10000) div ss_total_micro")))
+          when(col("ss_total_micro") > 0, expr(
+            "(CAST(ss_between_micro AS DECIMAL(38,0)) * 10000)" +
+              " div ss_total_micro")))
     },
     Some("""WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS x
            |  FROM events GROUP BY 1),
@@ -1478,20 +1489,23 @@ object StatsQueries extends QueryPack {
            |  CAST(COALESCE(sum(x * x), 0) AS BIGINT) AS q FROM dd),
            |g AS (SELECT dow, count(*) AS n_g,
            |  CAST(sum(x) AS BIGINT) AS s_g FROM dd GROUP BY 1),
-           |b AS (SELECT CAST(COALESCE(sum((s_g * s_g * 1000000) // n_g), 0)
+           |b AS (SELECT CAST(COALESCE(sum(
+           |   (CAST(s_g AS HUGEINT) * s_g * 1000000) // n_g), 0)
            |   AS BIGINT) AS sum_terms FROM g),
            |f AS (SELECT n_days, s AS n_events,
            |  CASE WHEN n_days > 0
-           |   THEN sum_terms - (s * s * 1000000) // n_days ELSE 0 END
-           |    AS ss_between_micro,
+           |   THEN GREATEST(CAST(sum_terms
+           |     - (CAST(s AS HUGEINT) * s * 1000000) // n_days AS BIGINT), 0)
+           |   ELSE 0 END AS ss_between_micro,
            |  CASE WHEN n_days > 0
-           |   THEN q * 1000000 - (s * s * 1000000) // n_days ELSE 0 END
-           |    AS ss_total_micro
+           |   THEN CAST(CAST(q AS HUGEINT) * 1000000
+           |     - (CAST(s AS HUGEINT) * s * 1000000) // n_days AS BIGINT)
+           |   ELSE 0 END AS ss_total_micro
            | FROM t, b)
            |SELECT n_days, n_events, ss_between_micro, ss_total_micro,
            | CASE WHEN ss_total_micro > 0
-           |  THEN (ss_between_micro * 10000) // ss_total_micro END
-           |   AS strength_bp
+           |  THEN CAST((CAST(ss_between_micro AS HUGEINT) * 10000)
+           |    // ss_total_micro AS BIGINT) END AS strength_bp
            |FROM f""".stripMargin))
 
   /** Market-concentration audit per nation (supplier side): total

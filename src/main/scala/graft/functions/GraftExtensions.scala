@@ -35,7 +35,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       unary("tokenize_words", Tokenize.apply(_: Expression))))
     ext.injectFunction((
       new FunctionIdentifier("kmv_estimate"),
-      new ExpressionInfo(classOf[KmvEstimate].getName, "kmv_estimate"),
+      new ExpressionInfo(classOf[KmvEstimate].getName, null, "kmv_estimate",
+        "_FUNC_(sketch, k) - Floored KMV distinct estimate over a FINISHED" +
+          " md5-60 sketch (kmv_sketch_md5 output or merged sketches):" +
+          " ascending positive 60-bit hash minima. Other arrays - e.g. a" +
+          " sign-flipped xxhash sketch or one ending in a non-positive" +
+          " value - fail at eval time by contract.",
+        ""),
       kmvBuilder))
   }
 }

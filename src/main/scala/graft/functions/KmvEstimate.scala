@@ -59,13 +59,24 @@ object KmvEstimate {
   /** Shared by interpreted + codegen paths. The sketch is ascending by
     * construction, so its LAST element is v_k; below width the sketch
     * IS the distinct set and the estimate is its exact size.
+    *
+    * md5-60-only contract, enforced: v_k must be a positive 60-bit hash
+    * minimum. A non-positive v_k means the input is NOT a finished
+    * md5-60 sketch (e.g. [[KmvAgg.sketch]]'s sign-bit-flipped xxhash
+    * form, or a hand-built array ending in 0 that would divide to
+    * Infinity) — fail loudly rather than publish negative garbage.
     */
   def estMd5Floor(sketch: ArrayData, k: Int): Long = {
     val n = sketch.numElements()
     if (n < k) n.toLong
-    else math.floor(
-      (k - 1).toDouble / (sketch.getLong(n - 1).toDouble / math.pow(2, 60)))
-      .toLong
+    else {
+      val vk = sketch.getLong(n - 1)
+      if (vk <= 0L) throw new IllegalArgumentException(
+        s"kmv_estimate: sketch max $vk is not a positive md5-60 hash; " +
+          "kmv_estimate accepts only finished md5-60 sketches " +
+          "(kmv_sketch_md5 / merged), not sign-flipped xxhash sketches")
+      math.floor((k - 1).toDouble / (vk.toDouble / math.pow(2, 60))).toLong
+    }
   }
 
   def apply(c: Column, k: Int): Column =
