@@ -110,6 +110,23 @@ case class Winnow(child: Expression, n: Int, window: Int)
     copy(child = newChild)
 }
 
+/** Positional (non-distinct) word bigrams, multiplicity kept — the
+  * unit the bigram LM ([[graft.llm.CorpusQueries.bigramNllScores]])
+  * counts: a looping doc must pay per occurrence. Same
+  * [[graft.llm.Hashing.words]] token convention as every shingle
+  * oracle; below 2 tokens → empty.
+  */
+case class WordBigrams(child: Expression) extends TextScanArrayExpr {
+  override def prettyName: String = "word_bigrams"
+  override protected def scan(text: String): Array[String] = {
+    val w = graft.llm.Hashing.words(text)
+    if (w.length < 2) Array.empty[String]
+    else Array.tabulate(w.length - 1)(i => w(i) + " " + w(i + 1))
+  }
+  override protected def withNewChildInternal(newChild: Expression): WordBigrams =
+    copy(child = newChild)
+}
+
 /** Adjacent character pairs within one word — the unit BPE training counts. */
 case class CharPairs(child: Expression) extends TextScanArrayExpr {
   override def prettyName: String = "char_pairs"

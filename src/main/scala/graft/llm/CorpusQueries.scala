@@ -693,15 +693,11 @@ object CorpusQueries extends QueryPack {
     * all per-doc math is integer). */
   private[llm] def bigramNllScores(
       docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val bigramsU = udf((t: String) => {
-      val w = Hashing.words(t)
-      if (w.length < 2) Array.empty[String]
-      else Array.tabulate(w.length - 1)(i => w(i) + " " + w(i + 1))
-    })
     val toks = docs.select(explode(graft.functions.Tokenize(col("text"))).as("tok"))
     val c1 = toks.groupBy(col("tok").as("w1")).agg(count(lit(1)).as("c1"))
     val vTot = toks.agg(countDistinct(col("tok")).as("v"))
-    val bg = docs.select(col("doc_id"), explode(bigramsU(col("text"))).as("bg"))
+    val bg = docs.select(col("doc_id"),
+      explode(TextAnalysis.wordBigrams(col("text"))).as("bg"))
     val c2 = bg.groupBy(col("bg")).agg(count(lit(1)).as("n2"))
     val nll = c2
       .withColumn("w1", split(col("bg"), " ").getItem(0))

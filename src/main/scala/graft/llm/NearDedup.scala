@@ -85,12 +85,14 @@ object MinHashLsh {
     * (id, txt) source. One text join covers both pair sides: explode
     * (i, j) into member rows, fetch txt per member, fold back per pair.
     * The when-max fold is safe because band keys exist only for docs
-    * with non-null text.
+    * with non-null text. Shingling is the codegen
+    * [[graft.functions.Shingles]] expression (same `Hashing.shingles`
+    * convention, same null→empty contract as the udf it replaced —
+    * the udf paid a serialization boundary on every LSH/containment
+    * verify and split whole-stage codegen around it).
     */
   private def verifyPairs(src: DataFrame, candidates: DataFrame,
-      threshold: Double, shingleN: Int): DataFrame = {
-    val shUdf = udf((t: String) =>
-      if (t == null) Array.empty[String] else Hashing.shingles(t, shingleN))
+      threshold: Double, shingleN: Int): DataFrame =
     candidates
       .select(col("i"), col("j"), explode(array(col("i"), col("j"))).as("id"))
       .join(src, "id")
@@ -98,10 +100,10 @@ object MinHashLsh {
       .agg(max(when(col("id") === col("i"), col("txt"))).as("txt_i"),
         max(when(col("id") === col("j"), col("txt"))).as("txt_j"))
       .withColumn("jaccard",
-        TextAnalysis.jaccard(shUdf(col("txt_i")), shUdf(col("txt_j"))))
+        TextAnalysis.jaccard(TextAnalysis.shingles(col("txt_i"), shingleN),
+          TextAnalysis.shingles(col("txt_j"), shingleN)))
       .filter(col("jaccard") >= threshold)
       .select(col("i"), col("j"), round(col("jaccard"), 3).as("jaccard"))
-  }
 
   /** INCREMENTAL index maintenance: yesterday's verified pairs plus a
     * new-docs batch → today's full pair set, WITHOUT re-pairing the old

@@ -166,6 +166,12 @@ object TextAnalysis {
   def charPairs(word: Column): Column =
     expr2col(graft.functions.CharPairs(_), word)
 
+  /** Positional word bigrams with multiplicity — the bigram-LM unit.
+    * Codegen expression for the same reason as [[shingles]].
+    */
+  def wordBigrams(text: Column): Column =
+    expr2col(graft.functions.WordBigrams(_), text)
+
   def fingerprint(text: Column): Column =
     // collapse FIRST, trim second: trim() strips only ASCII spaces, so
     // trim-first left edge tabs/newlines behind as a residual leading/
