@@ -95,6 +95,82 @@ object Ann {
         round(col("score"), 6).as("score"))
   }
 
+  /** Portable sign-LSH recall@k with a FULL DuckDB oracle — the
+    * [[ivfPortableRecall]] pattern applied to [[lshTopK]]. The
+    * production [[lshTopK]] derives hyperplanes from splitmix64
+    * (engine-internal: DuckDB BIGINT errors on wrapping multiplies);
+    * this twin derives component c(t, b, d) = md5₆₀("hp:t:b:d") % 2001
+    * − 1000 and takes each signature bit from the EXACT integer dot
+    * product Σ_d ⌊x_d·10⁶⌋ · c(t, b, d) > 0 — no floating point
+    * anywhere in the signature, so DuckDB rebuilds every bucket
+    * bit-for-bit and recomputes recall against its own brute truth.
+    * Scale shape is [[lshTopK]]'s: signature keys carry ids only,
+    * candidates come from the (t, sig) bucket equi-join, vectors
+    * re-join for candidates alone; the hyperplane matrix is
+    * tables·bits·maxDims longs — a broadcast-sized constant built once
+    * on the driver. |dot| ≤ maxDims·10⁶·10³ ≪ 2⁶³, no overflow.
+    */
+  def lshPortableRecall(vectors: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, tables: Int = 8,
+      bits: Int = 12, maxDims: Int = 64): DataFrame = {
+    val planes: Array[Array[Array[Long]]] =
+      Array.tabulate(tables, bits, maxDims)((t, b, d) =>
+        Hashing.md5Uniform60(s"hp:$t:$b:$d") % 2001L - 1000L)
+    val sigUdf = udf { (v: Array[Float]) =>
+      require(v.length <= maxDims,
+        s"lshPortableRecall supports up to $maxDims dims, got ${v.length}")
+      val xm = new Array[Long](v.length)
+      var i = 0
+      while (i < v.length) {
+        xm(i) = math.floor(v(i).toDouble * 1e6).toLong
+        i += 1
+      }
+      Array.tabulate(tables) { t =>
+        var sig = 0L
+        var b = 0
+        while (b < bits) {
+          var dot = 0L
+          var d = 0
+          while (d < xm.length) { dot += xm(d) * planes(t)(b)(d); d += 1 }
+          if (dot > 0) sig |= (1L << b)
+          b += 1
+        }
+        sig
+      }
+    }
+    val qBase = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .filter(col("qv").isNotNull)
+    val nBase = vectors.select(col(idCol).as("vec_id"), col(vecCol).as("nv"))
+      .filter(col("nv").isNotNull)
+    val qk = qBase.select(col("query_id"),
+      posexplode(sigUdf(col("qv"))).as(Seq("t", "sig")))
+    val nk = nBase.select(col("vec_id"),
+      posexplode(sigUdf(col("nv"))).as(Seq("t", "sig")))
+    val rankW = Window.partitionBy(col("query_id"))
+      .orderBy(col("s6").desc, col("vec_id"))
+    val lshTop = qk.as("q").join(nk.as("n"),
+        col("q.t") === col("n.t") && col("q.sig") === col("n.sig") &&
+          col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"))
+      .distinct()
+      .join(qBase, "query_id")
+      .join(nBase, "vec_id")
+      .withColumn("s6", round(cosine(col("qv"), col("nv")), 6))
+      .withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"))
+    val truth = bruteTopK(vectors, queries, idCol, vecCol, k)
+      .select(col("query_id"), col("vec_id"), lit(1L).as("hit"))
+    qBase.select(col("query_id"))
+      .join(lshTop.join(broadcast(truth), Seq("query_id", "vec_id"), "left")
+          .groupBy(col("query_id"))
+          .agg(coalesce(sum(col("hit")), lit(0L)).as("h")),
+        Seq("query_id"), "left")
+      .select(col("query_id"), coalesce(col("h"), lit(0L)).as("n_hits"))
+      .withColumn("recall_pct", expr(s"(n_hits * 100) div $k"))
+      .orderBy(col("query_id"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (i < j, cosine ≥ threshold):
     * the dedup flavor of [[lshTopK]]. Sign-LSH buckets generate the
     * candidates (16 tables × 8 bits: P(collision) ≈ 1-(1-p⁸)¹⁶ with

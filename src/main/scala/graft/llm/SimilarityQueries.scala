@@ -186,6 +186,71 @@ object SimilarityQueries extends QueryPack {
             |FROM q LEFT JOIN hits ON hits.qid = q.qid
             |ORDER BY 1""".stripMargin))
 
+  /** Portable sign-LSH recall@5 with a FULL DuckDB oracle
+    * ([[Ann.lshPortableRecall]]) — the `ann_ivf_recall_portable`
+    * pattern closing the sign-LSH family: hyperplane components are
+    * md5-60-derived centered integers and every signature bit is an
+    * exact integer dot-product sign, so the oracle rebuilds all
+    * tables·bits buckets bit-for-bit, reruns the bucket join, and
+    * recomputes recall against its own brute truth. `ann_lsh_topk`
+    * stays spec-pinned as the production splitmix64 variant. (Recall
+    * on this random corpus is honestly ~0 — true top-5 neighbors sit
+    * at ≈60°, below the sign-LSH collision S-curve; the VALUE of the
+    * compare is that both engines agree on the buckets, candidates,
+    * and the resulting zeros. Planted near-dup recall is AnnSpec's.)
+    */
+  private val lshPortable = Q(
+    "ann_lsh_recall_portable",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      Ann.lshPortableRecall(e, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5)
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding FROM embeddings
+           |  WHERE embedding IS NOT NULL),
+           |hp AS (SELECT t.t, b.b, d.d,
+           |   ('0x' || substring(md5('hp:' || t.t || ':' || b.b || ':' ||
+           |     d.d), 1, 15))::BIGINT % 2001 - 1000 AS c
+           |  FROM range(8) t(t), range(12) b(b), range(64) d(d)),
+           |xm AS (SELECT vec_id, CAST(gs - 1 AS INT) AS d,
+           |   CAST(floor(CAST(embedding[CAST(gs AS INT)] AS DOUBLE) * 1e6)
+           |     AS BIGINT) AS x
+           |  FROM (SELECT vec_id, embedding,
+           |     generate_subscripts(embedding, 1) AS gs FROM e)),
+           |dots AS (SELECT vec_id, t, b, CAST(sum(x * c) AS BIGINT) AS dot
+           |  FROM xm JOIN hp ON hp.d = xm.d GROUP BY 1, 2, 3),
+           |sig AS (SELECT vec_id, t, CAST(sum(CASE WHEN dot > 0
+           |    THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS sg
+           |  FROM dots GROUP BY 1, 2),
+           |q AS (SELECT vec_id AS qid, embedding AS qe FROM e
+           |  WHERE vec_id < 10),
+           |cand AS (SELECT DISTINCT qs.vec_id AS qid, ns.vec_id AS vid
+           |  FROM sig qs JOIN sig ns ON qs.t = ns.t AND qs.sg = ns.sg
+           |   AND qs.vec_id <> ns.vec_id
+           |  WHERE qs.vec_id < 10),
+           |top AS (SELECT qid, vid FROM (
+           |  SELECT c.qid, c.vid, row_number() OVER (PARTITION BY c.qid
+           |    ORDER BY round(CAST(list_cosine_similarity(q.qe,
+           |      e.embedding) AS DOUBLE), 6) DESC, c.vid) AS rnk
+           |  FROM cand c JOIN q ON q.qid = c.qid
+           |  JOIN e ON e.vec_id = c.vid) WHERE rnk <= 5),
+           |ft AS (SELECT qid, e.vec_id AS vid, row_number() OVER (
+           |   PARTITION BY qid ORDER BY round(CAST(
+           |     list_cosine_similarity(qe, e.embedding) AS DOUBLE), 6)
+           |     DESC, e.vec_id) AS rnk
+           |  FROM q, e WHERE e.vec_id <> qid),
+           |truth AS (SELECT qid, vid FROM ft WHERE rnk <= 5),
+           |hits AS (SELECT top.qid,
+           |   CAST(count(truth.vid) AS BIGINT) AS n_hits
+           |  FROM top LEFT JOIN truth
+           |   ON top.qid = truth.qid AND top.vid = truth.vid
+           |  GROUP BY 1)
+           |SELECT q.qid AS query_id,
+           | COALESCE(n_hits, 0) AS n_hits,
+           | COALESCE(n_hits, 0) * 100 // 5 AS recall_pct
+           |FROM q LEFT JOIN hits ON hits.qid = q.qid
+           |ORDER BY 1""".stripMargin))
+
   /** Embedding-cosine near-dup dedup: LSH-bucketed candidates, exact
     * verify, FULL brute-force oracle. This corpus plants no near-identical
     * vectors (max pairwise cosine ≈ 0.6 — measured), so the verified
@@ -370,6 +435,73 @@ object SimilarityQueries extends QueryPack {
            |  FROM sig a JOIN sig c ON a.media_id < c.media_id)
            |SELECT i, j, CAST(dist AS INT) AS dist FROM p
            |WHERE dist <= 2 ORDER BY i, j""".stripMargin))
+
+  /** REAL-codec aHash, fully oracled — the query that proves
+    * `javax.imageio` end-to-end: deterministic grayscale pixels derive
+    * from repeat(md5(text)) (the [[Multimodal.synthesize]] convention,
+    * w·h ≤ 23·19 bytes), the engine encodes them as an actual PNG with
+    * the JDK encoder, decodes it back through
+    * [[Multimodal.ImageCodec.aHash]]'s real decode path, and publishes
+    * the 8×8 integer block-luma hash. The DuckDB oracle rebuilds the
+    * hash from the hex pairs DIRECTLY — it never sees a PNG — so a
+    * hash match certifies the PNG encode→decode round trip is the
+    * identity on the pixels (gray PNG is lossless) AND the block/mean
+    * arithmetic is the documented integer convention. The hash ships
+    * as two 32-bit halves (bit 63 would wrap a BIGINT sum in the
+    * oracle's 2^b reconstruction). w, h ≥ 8 so all 64 blocks are
+    * non-empty in both engines.
+    */
+  private val mmAhashReal = Q(
+    "mm_ahash_real_png",
+    (s, d) => {
+      import s.implicits._
+      val src = Tables.documents(s, d).filter(col("text").isNotNull)
+        .select(col("doc_id").cast("long").as("media_id"),
+          (col("doc_id") % 16 + 8).cast("int").as("w"),
+          (col("doc_id") % 12 + 8).cast("int").as("h"),
+          unhex(expr("repeat(md5(text), 28)")).as("pix"))
+      val hashed = src.as[(Long, Int, Int, Array[Byte])]
+        .mapPartitions { rows =>
+          rows.map { case (id, w, h, pix) =>
+            val png = Multimodal.ImageCodec.encodeGrayPng(pix, w, h)
+            val hsh = Multimodal.ImageCodec.aHash(png)
+            if (hsh == null) throw new IllegalStateException(
+              s"media_id=$id: JDK-encoded PNG failed to decode")
+            (id, w, h, hsh.longValue)
+          }
+        }.toDF("media_id", "w", "h", "ahash")
+      hashed.select(col("media_id"), col("w"), col("h"),
+        col("ahash").bitwiseAND(lit(0xffffffffL)).as("hash_lo"),
+        shiftrightunsigned(col("ahash"), 32).as("hash_hi"),
+        bit_count(col("ahash")).cast("int").as("n_bits"))
+        .orderBy(col("media_id"))
+    },
+    Some("""WITH m AS (SELECT doc_id AS media_id,
+           |   CAST(doc_id % 16 + 8 AS INT) AS w,
+           |   CAST(doc_id % 12 + 8 AS INT) AS h,
+           |   repeat(md5(text), 28) AS hx
+           |  FROM documents WHERE text IS NOT NULL),
+           |px AS (SELECT media_id, w, h,
+           |   ('0x' || substring(hx, 2*i+1, 2))::INT AS v,
+           |   CAST(i % w AS INT) AS x, CAST(i // w AS INT) AS y
+           |  FROM m, range(437) r(i) WHERE i < w*h),
+           |blk AS (SELECT media_id, ((y*8) // h)*8 + (x*8) // w AS b,
+           |   CAST(sum(v) AS BIGINT) AS s, count(*) AS c
+           |  FROM px GROUP BY 1, 2),
+           |bm AS (SELECT media_id, b, (s * 1000) // c AS bv FROM blk),
+           |mn AS (SELECT media_id,
+           |   CAST(sum(bv) AS BIGINT) // 64 AS mean FROM bm GROUP BY 1),
+           |sig AS (SELECT bm.media_id,
+           |   CAST(sum(CASE WHEN bv > mean AND b < 32
+           |     THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS hash_lo,
+           |   CAST(sum(CASE WHEN bv > mean AND b >= 32
+           |     THEN (CAST(1 AS BIGINT) << (b - 32)) ELSE 0 END) AS BIGINT)
+           |     AS hash_hi,
+           |   CAST(sum(CASE WHEN bv > mean THEN 1 ELSE 0 END) AS INT) AS n_bits
+           |  FROM bm JOIN mn USING (media_id) GROUP BY 1)
+           |SELECT m.media_id, w, h, hash_lo, hash_hi, n_bits
+           |FROM sig JOIN m ON sig.media_id = m.media_id
+           |ORDER BY 1""".stripMargin))
 
   /** SemDeDup semantic dedup ([[Ann.semDedup]]): k-means cells bound the
     * candidate pairs, near-dups removed keep-lowest-id within each cell.
@@ -635,8 +767,8 @@ object SimilarityQueries extends QueryPack {
            | ON top.qid = truth.qid AND top.vid = truth.vid
            |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
-  val qs: Seq[Q] = Seq(brute, lsh, ivf, pq, ivfPortable, embDedup,
-    mmFeatures, mmPayloadDedup, argmaxHist,
-    centroidDist, mmFrames, mmPhash, semdedup, topComponent, mmResizePlan,
-    decontamNearest, matryoshka)
+  val qs: Seq[Q] = Seq(brute, lsh, ivf, pq, ivfPortable, lshPortable,
+    embDedup, mmFeatures, mmPayloadDedup, argmaxHist,
+    centroidDist, mmFrames, mmPhash, mmAhashReal, semdedup, topComponent,
+    mmResizePlan, decontamNearest, matryoshka)
 }

@@ -323,6 +323,29 @@ class AnnSpec extends SparkSpec {
     assert(math.abs(Hashing.cosine(Array(1f, 0f, 5f), Array(1f, 0f)) - 1.0) < 1e-12)
     assert(math.abs(Hashing.cosine(Array(1f, 0f), Array(1f, 0f, 5f)) - 1.0) < 1e-12)
   }
+
+  test("lshPortableRecall: planted near-dups recall 100, deterministic twice") {
+    import spark.implicits._
+    // 3 queries each with a planted near-identical neighbor (tiny nudge:
+    // same half-space for almost every hyperplane → they collide and the
+    // near-dup is the true top-1), plus random background
+    val rnd = new scala.util.Random(11)
+    val background = (100L until 160L).map(i => (i, Array.fill(16)(rnd.nextFloat())))
+    val planted = (0L until 3L).flatMap { i =>
+      val v = Array.fill(16)(rnd.nextFloat())
+      val dup = v.clone; dup(0) += 1e-4f
+      Seq((i, v), (i + 50L, dup))
+    }
+    val df = (planted ++ background).toDF("vec_id", "embedding")
+    val q = df.filter(col("vec_id") < 3)
+    val got = Ann.lshPortableRecall(df, q, "vec_id", "embedding", k = 1)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((0L, 1L, 100L), (1L, 1L, 100L), (2L, 1L, 100L)),
+      s"planted near-dup recall: $got")
+    val again = Ann.lshPortableRecall(df, q, "vec_id", "embedding", k = 1)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(again === got)
+  }
 }
 
 class MultimodalSpec extends SparkSpec {
@@ -417,6 +440,78 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.aHash(base) == Multimodal.aHash(base.clone))
     assert(Multimodal.aHash(Array.empty[Byte]) == null)
     assert(Multimodal.aHash(null) == null)
+  }
+
+  test("ImageCodec: gray PNG encode→decode round trip is the identity") {
+    val w = 23; val h = 17
+    val pixels = Array.tabulate(w * h)(i => ((i * 131 + 7) % 256).toByte)
+    val png = Multimodal.ImageCodec.encodeGrayPng(pixels, w, h)
+    // a real PNG, not our bytes: magic header present
+    assert((png(0) & 0xff) === 0x89 && png(1) === 'P'.toByte)
+    val Some((samples, ow, oh)) = Multimodal.ImageCodec.decodeGray(png)
+    assert(ow === w && oh === h)
+    assert(samples.toSeq === pixels.toSeq.map(_ & 0xff))
+    // non-image bytes: None / null, never a throw
+    assert(Multimodal.ImageCodec.decodeGray("not a png".getBytes) === None)
+    assert(Multimodal.ImageCodec.aHash("not a png".getBytes) == null)
+    assert(Multimodal.ImageCodec.aHash(null) == null)
+    assert(Multimodal.ImageCodec.decodeGray(Array.empty[Byte]) === None)
+  }
+
+  test("ImageCodec: planted REAL-image near-dups pair; corrupt payloads drop") {
+    import spark.implicits._
+    val w = 32; val h = 24
+    // smooth gradient so a one-pixel nudge flips at most a bit or two
+    val base = Array.tabulate(w * h)(i => ((i % w) * 8 % 256).toByte)
+    val nearDup = base.clone
+    nearDup(5) = (nearDup(5) + 4).toByte
+    val unrelated = Array.tabulate(w * h)(i => (((i / w) * 16 + (i % 7) * 31) % 256).toByte)
+    val enc = (p: Array[Byte]) => Multimodal.ImageCodec.encodeGrayPng(p, w, h)
+    val media = Seq(
+      (1L, enc(base)), (2L, enc(base.clone)), // same pixels → distance 0
+      (3L, enc(nearDup)),
+      (4L, enc(unrelated)),
+      (5L, "corrupt crawl bytes".getBytes), // undecodable → dropped
+      (6L, null.asInstanceOf[Array[Byte]]))
+      .toDF("media_id", "media")
+    val pairs = Multimodal.phashNearDupImage(media, maxDist = 8)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(pairs.contains((1L, 2L, 0)), s"exact real-pixel dup missed: $pairs")
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 3L),
+      s"one-pixel near dup missed: $pairs")
+    assert(!pairs.exists(p => p._1 >= 5L || p._2 >= 5L),
+      s"undecodable payloads paired: $pairs")
+    assert(!pairs.exists(p => p._2 == 4L && p._3 == 0),
+      s"false exact dup vs unrelated: $pairs")
+  }
+
+  test("ImageCodec: integer area-average resize, exact values + roundtrip dims") {
+    // 4×4 with known 2×2 block means: each target pixel = floor(block avg)
+    val src = Array(
+      0, 10, 100, 110,
+      20, 30, 120, 130,
+      200, 210, 40, 50,
+      220, 230, 60, 70).map(_.toByte)
+    val png = Multimodal.ImageCodec.encodeGrayPng(src, 4, 4)
+    val out = Multimodal.ImageCodec.resizeGrayPng(png, 2, 2)
+    val Some((s2, ow, oh)) = Multimodal.ImageCodec.decodeGray(out)
+    assert(ow === 2 && oh === 2)
+    assert(s2.toSeq === Seq(15, 115, 215, 55)) // exact block means
+    // corrupt input → empty output
+    assert(Multimodal.ImageCodec.resizeGrayPng("junk".getBytes, 2, 2).isEmpty)
+
+    // DataFrame path: real decode of the produced payload confirms dims
+    implicit val s = spark
+    import spark.implicits._
+    val media = Seq(
+      (1L, png, "png", 4, 4),
+      (2L, "junk".getBytes, "png", 9, 9))
+      .toDF("media_id", "media", "format", "width", "height")
+    val rows = Multimodal.resizeToImage(media, box = 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))).toMap
+    assert(rows(1L) === ((8, 8, 8, 8))) // tw, th, out_w == tw, out_h == th
+    assert(rows(2L)._3 === 0 && rows(2L)._4 === 0) // corrupt → (0, 0)
   }
 }
 
