@@ -974,26 +974,39 @@ object RelationalExt extends QueryPack {
     * broadcast dims). The testdata carries no partsupp table, so unit
     * cost is the deterministic 60%-of-retail proxy; the SHAPE under
     * test is the fact-fact shuffle join feeding three broadcast hash
-    * joins and a two-key rollup, identical to real Q9. Both engines
-    * compute the identical double expression per row before summing.
+    * joins and a two-key rollup, identical to real Q9. Profit routes
+    * through exact DECIMAL money arithmetic end-to-end (the
+    * `q1_pricing_decimal` convention) and publishes as the canonical
+    * digit string: the original round(sum(double), 2) diverged by one
+    * cent on 8 of 175 groups at the r11 decade-scale sweep — at 10×
+    * data the ~1e8 double sums land close enough to .xx5 boundaries
+    * that accumulation ORDER flips the 2dp rounding, exactly the
+    * "never SUM doubles into a compared column" failure class.
     */
   private val q9 = Q(
     "q9_profit_by_nation_year",
     (s, d) => {
-      val profit = col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
-        lit(0.6) * col("p_retailprice") * col("l_quantity")
+      val dec = "decimal(12,2)"
+      val profit = col("l_extendedprice").cast(dec) *
+        (lit(1).cast(dec) - col("l_discount").cast(dec)) -
+        lit(0.6).cast("decimal(2,1)") * col("p_retailprice").cast(dec) *
+          col("l_quantity").cast(dec)
       Tables.lineitem(s, d)
         .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
         .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
-        .agg(round(sum(profit), 2).as("profit"), count(lit(1)).as("n"))
+        .agg(sum(profit).cast("decimal(25,5)").cast("string").as("profit_q"),
+          count(lit(1)).as("n"))
         .orderBy(col("nation"), col("o_year"))
     },
     Some("""SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
-           | round(sum(l_extendedprice * (1.0 - l_discount)
-           |   - 0.6 * p_retailprice * l_quantity), 2) AS profit,
+           | CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+           |     * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+           |   - CAST(0.6 AS DECIMAL(2,1)) * CAST(p_retailprice AS DECIMAL(12,2))
+           |     * CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(25,5))
+           |   AS VARCHAR) AS profit_q,
            | count(*) AS n
            |FROM lineitem
            | JOIN orders ON l_orderkey = o_orderkey
