@@ -139,6 +139,29 @@ object Bench {
       din.addData(d2.toIndexedSeq: _*); dq.processAllAvailable()
       val curateRate = docs.length / ((System.nanoTime() - t0) / 1e9)
       dq.stop()
+      // larger-batch curate point: the 2×(corpus/2) drive above is
+      // state-store-fixed-cost dominated at bench SFs (~2,500-doc
+      // batches), so round-over-round deltas measured fixed cost, not
+      // throughput. Replicate the corpus 20× with offset ids and a
+      // per-copy suffix token (distinct fingerprints — the dedup state
+      // grows realistically instead of collapsing onto the base
+      // corpus) and drive 4 equal batches (25k docs each at sf0.1).
+      val bigDocs = (0 until 20).flatMap { c =>
+        docs.map(dd => dd.copy(doc_id = dd.doc_id + c.toLong * 10000000L,
+          text = if (dd.text == null) null else dd.text + " copyt" + c))
+      }
+      val din2 = MemoryStream[graft.streaming.DocStream.Doc]
+      val dq2 = graft.streaming.DocStream.curate(din2.toDF(), benchFps)
+        .writeStream.format("noop")
+        .option("checkpointLocation", s"$base/cckpt2").start()
+      val perBatch = math.max(1, bigDocs.length / 4)
+      val t0b = System.nanoTime()
+      bigDocs.grouped(perBatch).foreach { b =>
+        din2.addData(b: _*); dq2.processAllAvailable()
+      }
+      val curateRateLarge =
+        bigDocs.length / ((System.nanoTime() - t0b) / 1e9)
+      dq2.stop()
       // quantile-sketch sink: synthetic events through the additive
       // batch_id-partitioned store (bucket agg + parquet commit per batch)
       val evs = (1 to 200000).map(i => graft.streaming.EventStream.Event(
@@ -154,10 +177,12 @@ object Bench {
       val sketchRate = evs.length / ((System.nanoTime() - t1) / 1e9)
       eq.stop()
       s""""streaming":{"curate_docs_per_s":${math.round(curateRate)},""" +
+        s""""curate_docs_per_s_large":${math.round(curateRateLarge)},""" +
         s""""sketch_events_per_s":${math.round(sketchRate)}}"""
     } catch { case e: Throwable =>
       System.err.println(s"[bench] streaming failed: ${e.getMessage}")
-      """"streaming":{"curate_docs_per_s":-1,"sketch_events_per_s":-1}"""
+      """"streaming":{"curate_docs_per_s":-1,""" +
+        """"curate_docs_per_s_large":-1,"sketch_events_per_s":-1}"""
     } finally dropQueryState()
 
     val streaming = streamingBench()
