@@ -1,6 +1,9 @@
 package graft.tools
 
+import java.util.concurrent.atomic.AtomicLong
+
 import graft.SparkEntry
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
 
 /** Ad-hoc single-query timing harness for performance iteration:
@@ -9,14 +12,36 @@ import org.apache.spark.sql.SparkSession
   * `reps` executions at SPARK_GRAFT_SF_DIR through the noop sink and
   * prints per-rep seconds. `EXPLAIN=1` additionally dumps the formatted
   * physical plan — the fast loop for "is this the plan I want".
+  *
+  * `WORK=1` additionally reports per-rep WORK — summed executor CPU
+  * seconds and shuffle write/read bytes from a stage listener. On a
+  * host with intermittent multi-second stalls (this one), wall-clock
+  * A/Bs of plan changes are noise; CPU + shuffle volume are
+  * deterministic per plan and are the numbers to compare. (Measured on
+  * the kcore restructure: wall reps spread 12–299 s while cpu held
+  * within ±5% across reps.)
   */
 object TimeQuery {
+
+  private val cpuNs = new AtomicLong(0L)
+  private val shufW = new AtomicLong(0L)
+  private val shufR = new AtomicLong(0L)
+
+  private final class WorkListener extends SparkListener {
+    override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+      cpuNs.addAndGet(s.stageInfo.taskMetrics.executorCpuTime)
+      shufW.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      shufR.addAndGet(s.stageInfo.taskMetrics.shuffleReadMetrics.totalBytesRead)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val names = args.headOption.map(_.split(',').toSeq)
       .getOrElse(sys.error("usage: TimeQuery <name>[,name...] [reps]"))
     val reps = if (args.length > 1) args(1).toInt else 3
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val work = sys.env.contains("WORK")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -24,6 +49,7 @@ object TimeQuery {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (work) spark.sparkContext.addSparkListener(new WorkListener)
 
     // same per-execution state scoping as Bench: checkpointed RDDs from
     // one rep otherwise stack into storage pressure that slows later
@@ -40,9 +66,20 @@ object TimeQuery {
       if (sys.env.contains("EXPLAIN"))
         q(spark, sfDir).explain("formatted")
       val times = (1 to reps).map { _ =>
+        if (work) {
+          // listener events race the job end by a beat; settle before
+          // zeroing so a rep's tail isn't billed to the next rep
+          Thread.sleep(500)
+          cpuNs.set(0L); shufW.set(0L); shufR.set(0L)
+        }
         val t0 = System.nanoTime()
         q(spark, sfDir).write.format("noop").mode("overwrite").save()
         val t = (System.nanoTime() - t0) / 1e9
+        if (work) {
+          Thread.sleep(500)
+          println(f"[work] $name wall=$t%.3f cpu=${cpuNs.get / 1e9}%.2f " +
+            f"shufW=${shufW.get / 1e6}%.1fMB shufR=${shufR.get / 1e6}%.1fMB")
+        }
         dropQueryState()
         t
       }
