@@ -14,14 +14,31 @@ import org.apache.spark.sql.functions._
   *    `broadcast()` so fact-side scans never shuffle for them.
   *  - Fact-fact joins (orders⋈lineitem) are left to Catalyst's sort-merge
   *    with AQE; both sides shuffle-partition on the join key once.
-  *  - Money aggregates are rounded at the END (2 dp) purely for oracle
-  *    stability; the plan carries raw doubles.
+  *  - Money aggregates run in EXACT DECIMAL end-to-end (the
+  *    `q1_pricing_decimal` convention): inputs cast to DECIMAL(12,2) at
+  *    the scan (lossless — every money/qty column in the harness data is
+  *    exactly 2 dp), products carry scale 4, and sums publish as
+  *    fixed-scale digit STRINGS so the compare is representation- and
+  *    accumulation-order-independent. The earlier round(sum(double), 2)
+  *    convention was a LATENT scale bug: at the r11 decade sweep q9's
+  *    ~1e8 double sums flipped the 2 dp rounding on 8/175 groups purely
+  *    from accumulation order — every other multi-group money sum here
+  *    carried the same class, just with fewer dice rolls. Averages and
+  *    ratios publish as integer fixed-point units derived from the exact
+  *    decimal sums with `div` (non-negative ground, so Spark `div` and
+  *    DuckDB `//` agree) — no double is ever summed into a compared
+  *    column.
   *  - Top-K always goes through orderBy+limit → TakeOrderedAndProject
   *    (per-partition heaps, no global sort).
   */
 object Relational extends QueryPack {
 
-  /** TPC-H Q1-style pricing summary: partial-agg heavy, 6 aggregates. */
+  /** TPC-H Q1-style pricing summary: partial-agg heavy, 6 aggregates —
+    * all money math exact DECIMAL; averages publish as integer
+    * fixed-point units (e4 for qty, e6 for discount) derived from the
+    * exact sums via `div`, so no compared cell depends on double
+    * accumulation order at any scale.
+    */
   private val q1 = Q(
     "q1_pricing_summary",
     (s, d) => {
@@ -29,20 +46,29 @@ object Relational extends QueryPack {
         .filter(col("l_shipdate") <= lit("1998-09-01"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          round(sum(col("l_quantity")), 2).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
-          round(avg(col("l_quantity")), 4).as("avg_qty"),
-          round(avg(col("l_discount")), 6).as("avg_disc"),
+          Money.sumMoney2(col("l_quantity")).as("sum_qty"),
+          Money.sumMoney2(col("l_extendedprice")).as("sum_base_price"),
+          Money.sumMoney4(Money.disc4(col("l_extendedprice"), col("l_discount")))
+            .as("sum_disc_price"),
+          Money.avgUnits(sum(Money.dec2(col("l_quantity"))), count(lit(1)), 2, 4)
+            .as("avg_qty_e4"),
+          Money.avgUnits(sum(Money.dec2(col("l_discount"))), count(lit(1)), 2, 6)
+            .as("avg_disc_e6"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     },
     Some("""SELECT l_returnflag, l_linestatus,
-           | round(sum(l_quantity), 2) AS sum_qty,
-           | round(sum(l_extendedprice), 2) AS sum_base_price,
-           | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
-           | round(avg(l_quantity), 4) AS avg_qty,
-           | round(avg(l_discount), 6) AS avg_disc,
+           | CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(20,2))
+           |   AS STRING) AS sum_qty,
+           | CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(20,2))
+           |   AS STRING) AS sum_base_price,
+           | CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+           |     * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+           |   AS DECIMAL(24,4)) AS STRING) AS sum_disc_price,
+           | CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) * 100 AS BIGINT)
+           |   // count(*) AS avg_qty_e4,
+           | CAST(sum(CAST(l_discount AS DECIMAL(12,2))) * 10000 AS BIGINT)
+           |   // count(*) AS avg_disc_e6,
            | count(*) AS count_order
            |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
            |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
@@ -59,16 +85,28 @@ object Relational extends QueryPack {
         .join(ord, col("c_custkey") === col("o_custkey"))
         .join(li, col("o_orderkey") === col("l_orderkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
-        .orderBy(col("revenue").desc, col("l_orderkey"))
+        // order on the exact DECIMAL, publish the digit string — the
+        // top-10 cut is then deterministic at any scale (a double
+        // revenue made the boundary rank accumulation-order-dependent)
+        .agg(Money.sumDec4(Money.disc4(col("l_extendedprice"), col("l_discount")))
+          .as("rev_dec"))
+        .orderBy(col("rev_dec").desc, col("l_orderkey"))
         .limit(10)
+        .select(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"),
+          col("rev_dec").cast("string").as("revenue"))
     },
     Some("""SELECT l_orderkey, o_orderdate, o_orderpriority,
-           | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
-           |FROM customer JOIN orders ON c_custkey = o_custkey
-           | JOIN lineitem ON o_orderkey = l_orderkey
-           |WHERE c_mktsegment = 'BUILDING'
-           |GROUP BY 1, 2, 3 ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin),
+           | CAST(rev_dec AS STRING) AS revenue
+           |FROM (
+           | SELECT l_orderkey, o_orderdate, o_orderpriority,
+           |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+           |    * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+           |   AS DECIMAL(24,4)) AS rev_dec
+           | FROM customer JOIN orders ON c_custkey = o_custkey
+           |  JOIN lineitem ON o_orderkey = l_orderkey
+           | WHERE c_mktsegment = 'BUILDING'
+           | GROUP BY 1, 2, 3 ORDER BY rev_dec DESC, l_orderkey LIMIT 10) t"""
+      .stripMargin),
     headline = true)
 
   /** TPC-H Q5-style: 6-table star join, dims broadcast, facts sort-merge. */
@@ -85,11 +123,14 @@ object Relational extends QueryPack {
         .filter(col("r_name") === "ASIA")
       joined
         .groupBy(col("n_name"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+        .agg(Money.sumMoney4(Money.disc4(col("l_extendedprice"), col("l_discount")))
+          .as("revenue"))
         .orderBy(col("n_name"))
     },
     Some("""SELECT n_name,
-           | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+           | CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+           |     * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+           |   AS DECIMAL(24,4)) AS STRING) AS revenue
            |FROM lineitem
            | JOIN orders ON l_orderkey = o_orderkey
            | JOIN supplier ON l_suppkey = s_suppkey
@@ -109,9 +150,12 @@ object Relational extends QueryPack {
           col("l_shipdate") < lit("1996-01-01") &&
           col("l_discount").between(0.05, 0.07) &&
           col("l_quantity") < 24)
-        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))
+        .agg(sum(Money.dec2(col("l_extendedprice")) * Money.dec2(col("l_discount")))
+          .cast("decimal(24,4)").cast("string").as("revenue"))
     },
-    Some("""SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    Some("""SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+           |    * CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(24,4))
+           |  AS STRING) AS revenue
            |FROM lineitem
            |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
            |  AND l_shipdate < TIMESTAMP '1996-01-01'
@@ -125,10 +169,13 @@ object Relational extends QueryPack {
       Tables.lineitem(s, d)
         .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_brand"))
-        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+        .agg(Money.sumMoney2(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
         .orderBy(col("p_brand"))
     },
-    Some("""SELECT p_brand, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+    Some("""SELECT p_brand,
+           | CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(20,2))
+           |   AS STRING) AS sum_qty,
+           | count(*) AS n
            |FROM lineitem JOIN part ON l_partkey = p_partkey
            |GROUP BY 1 ORDER BY 1""".stripMargin))
 
@@ -174,10 +221,12 @@ object Relational extends QueryPack {
     "agg_having_heavy_parts",
     (s, d) => Tables.lineitem(s, d)
       .groupBy(col("l_partkey"))
-      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .agg(count(lit(1)).as("n"), Money.sumMoney2(col("l_quantity")).as("sum_qty"))
       .filter(col("n") >= 40)
       .orderBy(col("l_partkey")),
-    Some("""SELECT l_partkey, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+    Some("""SELECT l_partkey, count(*) AS n,
+           | CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(20,2))
+           |   AS STRING) AS sum_qty
            |FROM lineitem GROUP BY 1 HAVING count(*) >= 40
            |ORDER BY l_partkey""".stripMargin))
 
@@ -196,20 +245,27 @@ object Relational extends QueryPack {
           col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_custkey"), col("c_name"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
-          .as("revenue"))
-        .orderBy(col("revenue").desc, col("c_custkey"))
+        .agg(Money.sumDec4(Money.disc4(col("l_extendedprice"), col("l_discount")))
+          .as("rev_dec"))
+        .orderBy(col("rev_dec").desc, col("c_custkey"))
         .limit(20)
+        .select(col("c_custkey"), col("c_name"),
+          col("rev_dec").cast("string").as("revenue"))
     },
-    Some("""SELECT c_custkey, c_name,
-           | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
-           |FROM lineitem
-           | JOIN orders ON l_orderkey = o_orderkey
-           | JOIN customer ON o_custkey = c_custkey
-           |WHERE l_returnflag = 'R'
+    Some("""SELECT c_custkey, c_name, CAST(rev_dec AS STRING) AS revenue
+           |FROM (
+           | SELECT c_custkey, c_name,
+           |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+           |    * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+           |   AS DECIMAL(24,4)) AS rev_dec
+           | FROM lineitem
+           |  JOIN orders ON l_orderkey = o_orderkey
+           |  JOIN customer ON o_custkey = c_custkey
+           | WHERE l_returnflag = 'R'
            |  AND o_orderdate >= TIMESTAMP '1995-01-01'
            |  AND o_orderdate < TIMESTAMP '1996-01-01'
-           |GROUP BY 1, 2 ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin))
+           | GROUP BY 1, 2 ORDER BY rev_dec DESC, c_custkey LIMIT 20) t"""
+      .stripMargin))
 
   /** TPC-H Q7 shape: bilateral shipping volume between nation pairs —
     * the same nation dim joined TWICE under different roles (supplier
@@ -232,12 +288,14 @@ object Relational extends QueryPack {
           col("cust_nation").isin("NATION_1", "NATION_2") &&
           col("supp_nation") =!= col("cust_nation"))
         .groupBy(col("supp_nation"), col("cust_nation"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .agg(Money.sumMoney4(Money.disc4(col("l_extendedprice"), col("l_discount")))
           .as("volume"), count(lit(1)).as("n"))
         .orderBy(col("supp_nation"), col("cust_nation"))
     },
     Some("""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-           | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS volume,
+           | CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+           |     * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+           |   AS DECIMAL(24,4)) AS STRING) AS volume,
            | count(*) AS n
            |FROM lineitem
            | JOIN orders ON l_orderkey = o_orderkey
@@ -259,12 +317,16 @@ object Relational extends QueryPack {
       Tables.customer(s, d).createOrReplaceTempView("v_customer")
       Tables.orders(s, d).createOrReplaceTempView("v_orders")
       s.sql("""SELECT c_mktsegment, count(*) AS n,
-              | round(sum(o_totalprice), 2) AS revenue
+              | CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+              |   AS DECIMAL(20,2)) AS STRING) AS revenue
               |FROM v_customer JOIN v_orders ON c_custkey = o_custkey
               |GROUP BY 1 ORDER BY 1""".stripMargin)
     },
+    // the facade's point is IDENTICAL text in both engines — STRING is
+    // a type alias DuckDB and Spark both accept, so the text stays one
     Some("""SELECT c_mktsegment, count(*) AS n,
-           | round(sum(o_totalprice), 2) AS revenue
+           | CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+           |   AS DECIMAL(20,2)) AS STRING) AS revenue
            |FROM customer JOIN orders ON c_custkey = o_custkey
            |GROUP BY 1 ORDER BY 1""".stripMargin))
 
@@ -378,11 +440,13 @@ object Relational extends QueryPack {
     (s, d) => {
       Tables.lineitem(s, d)
         .rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+        .agg(Money.sumMoney2(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     },
     Some("""SELECT l_returnflag, l_linestatus,
-           | round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+           | CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(20,2))
+           |   AS STRING) AS sum_qty,
+           | count(*) AS n
            |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
            |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin))
 
@@ -392,26 +456,40 @@ object Relational extends QueryPack {
     (s, d) => {
       Tables.orders(s, d)
         .cube(col("o_orderstatus"), col("o_orderpriority"))
-        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("sum_price"))
+        .agg(count(lit(1)).as("n"), Money.sumMoney2(col("o_totalprice")).as("sum_price"))
         .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
     },
     Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-           | round(sum(o_totalprice), 2) AS sum_price
+           | CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(20,2))
+           |   AS STRING) AS sum_price
            |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
            |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin))
 
-  /** Scalar subquery: count of orders above global average price. */
+  /** Scalar subquery: count of orders above global average price. The
+    * above-average test runs in exact centi-units (price·n > Σprice —
+    * both sides ×n, no division): a double average put boundary rows'
+    * in/out decision on accumulation order (the q17/q22 predicate
+    * class).
+    */
   private val scalarSub = Q(
     "agg_orders_above_avg",
     (s, d) => {
       val ord = Tables.orders(s, d)
-      val avgP = ord.agg(avg(col("o_totalprice")).as("avg_price"))
+        .withColumn("price_c", round(col("o_totalprice") * 100).cast("long"))
+      val avgP = ord.agg(sum(col("price_c")).as("sum_price_c"),
+        count(lit(1)).as("n_ord"))
       ord.crossJoin(broadcast(avgP))
-        .filter(col("o_totalprice") > col("avg_price"))
+        .filter(col("price_c") * col("n_ord") > col("sum_price_c"))
         .agg(count(lit(1)).as("n_above"))
     },
-    Some("""SELECT count(*) AS n_above FROM orders
-           |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)""".stripMargin))
+    Some("""WITH a AS (SELECT
+           |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           |    AS sum_price_c,
+           |  count(*) AS n_ord
+           | FROM orders)
+           |SELECT count(*) AS n_above FROM orders, a
+           |WHERE CAST(round(o_totalprice * 100) AS BIGINT) * n_ord
+           |  > sum_price_c""".stripMargin))
 
   /** Set op: distinct (user, type) pairs seen in week 1 but never again. */
   private val exceptQ = Q(

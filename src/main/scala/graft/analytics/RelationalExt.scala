@@ -74,21 +74,25 @@ object RelationalExt extends QueryPack {
   private val q14 = Q(
     "q14_promo_revenue_share",
     (s, d) => {
-      val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      val rev = Money.disc4(col("l_extendedprice"), col("l_discount"))
       Tables.lineitem(s, d)
         .filter(col("l_shipdate") >= lit("1996-03-01") &&
           col("l_shipdate") < lit("1996-06-01"))
         .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
         .agg(
-          round(sum(when(col("p_type") === "PROMO", rev).otherwise(0.0)), 2)
-            .as("promo_revenue"),
-          round(sum(rev), 2).as("total_revenue"),
+          Money.sumMoney4(when(col("p_type") === "PROMO", rev)
+            .otherwise(lit(0).cast("decimal(25,4)"))).as("promo_revenue"),
+          Money.sumMoney4(rev).as("total_revenue"),
           count(lit(1)).as("n"))
     },
-    Some("""SELECT round(sum(CASE WHEN p_type = 'PROMO'
-           |   THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END), 2)
+    Some("""SELECT CAST(CAST(sum(CASE WHEN p_type = 'PROMO'
+           |   THEN CAST(l_extendedprice AS DECIMAL(12,2))
+           |     * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+           |   ELSE CAST(0 AS DECIMAL(25,4)) END) AS DECIMAL(24,4)) AS STRING)
            |   AS promo_revenue,
-           | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS total_revenue,
+           | CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+           |     * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+           |   AS DECIMAL(24,4)) AS STRING) AS total_revenue,
            | count(*) AS n
            |FROM lineitem JOIN part ON l_partkey = p_partkey
            |WHERE l_shipdate >= TIMESTAMP '1996-03-01'
@@ -111,10 +115,12 @@ object RelationalExt extends QueryPack {
       Tables.lineitem(s, d)
         .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
         .filter(bracket)
-        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .agg(Money.sumMoney4(Money.disc4(col("l_extendedprice"), col("l_discount")))
           .as("revenue"), count(lit(1)).as("n"))
     },
-    Some("""SELECT round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+    Some("""SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+           |     * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+           |   AS DECIMAL(24,4)) AS STRING) AS revenue,
            | count(*) AS n
            |FROM lineitem JOIN part ON l_partkey = p_partkey
            |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
@@ -319,28 +325,33 @@ object RelationalExt extends QueryPack {
       Tables.orders(s, d)
         // NTZ → timestamp cast before epoch math (UTC session: identity)
         .withColumn("epoch_s", unix_timestamp(col("o_orderdate").cast("timestamp")))
+        // centi-unit window sum: sliding-frame aggregation ORDER is an
+        // engine implementation detail (running scan vs segment tree),
+        // so a double rev_7d differs in the last ulp across engines —
+        // exact BIGINT cents make the peak comparison order-free
+        .withColumn("price_c", round(col("o_totalprice") * 100).cast("long"))
         .withColumn("n_7d", count(lit(1)).over(w))
-        .withColumn("rev_7d", sum(col("o_totalprice")).over(w))
+        .withColumn("rev_7d_c", sum(col("price_c")).over(w))
         .groupBy(col("o_custkey"))
         .agg(max(col("n_7d")).as("peak_orders_7d"),
-          round(max(col("rev_7d")), 2).as("peak_rev_7d"))
+          max(col("rev_7d_c")).as("peak_rev_7d_c"))
         .agg(count(lit(1)).as("n_customers"),
           sum(col("peak_orders_7d")).as("sum_peak_orders"),
           max(col("peak_orders_7d")).as("max_peak_orders"),
-          round(max(col("peak_rev_7d")), 2).as("max_peak_rev"))
+          max(col("peak_rev_7d_c")).as("max_peak_rev_c"))
     },
-    Some("""WITH r AS (SELECT o_custkey,
-           |  count(*) OVER w AS n_7d, sum(o_totalprice) OVER w AS rev_7d
+    Some("""WITH r AS (SELECT o_custkey, count(*) OVER w AS n_7d,
+           |  sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w AS rev_7d_c
            | FROM orders
            | WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
            |   RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)),
            |p AS (SELECT o_custkey, max(n_7d) AS peak_orders_7d,
-           |  round(max(rev_7d), 2) AS peak_rev_7d
+           |  CAST(max(rev_7d_c) AS BIGINT) AS peak_rev_7d_c
            | FROM r GROUP BY 1)
            |SELECT count(*) AS n_customers,
            | CAST(sum(peak_orders_7d) AS BIGINT) AS sum_peak_orders,
            | max(peak_orders_7d) AS max_peak_orders,
-           | round(max(peak_rev_7d), 2) AS max_peak_rev
+           | max(peak_rev_7d_c) AS max_peak_rev_c
            |FROM p""".stripMargin))
 
   /** One PageRank step as a DuckDB CTE: rankᵏ⁺¹(v) = (1−0.85)/N +
@@ -540,7 +551,9 @@ object RelationalExt extends QueryPack {
       s.sql("""SELECT o_orderstatus, o_orderpriority,
               | CAST(grouping(o_orderstatus) AS INT) AS g_status,
               | CAST(grouping(o_orderpriority) AS INT) AS g_prio,
-              | count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+              | count(*) AS n,
+              | CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+              |   AS DECIMAL(20,2)) AS STRING) AS sum_price
               |FROM v_orders_gs
               |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
               |ORDER BY g_status, g_prio, o_orderstatus NULLS FIRST,
@@ -549,7 +562,9 @@ object RelationalExt extends QueryPack {
     Some("""SELECT o_orderstatus, o_orderpriority,
            | CAST(grouping(o_orderstatus) AS INT) AS g_status,
            | CAST(grouping(o_orderpriority) AS INT) AS g_prio,
-           | count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+           | count(*) AS n,
+           | CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+           |   AS DECIMAL(20,2)) AS STRING) AS sum_price
            |FROM orders
            |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
            |ORDER BY g_status, g_prio, o_orderstatus NULLS FIRST,
@@ -562,15 +577,19 @@ object RelationalExt extends QueryPack {
     "unpivot_lineitem_measures",
     (s, d) => Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
-      .agg(round(sum(col("l_quantity")), 2).as("qty"),
-        round(sum(col("l_extendedprice")), 2).as("price"),
-        round(sum(col("l_tax")), 2).as("tax"))
+      .agg(Money.sumMoney2(col("l_quantity")).as("qty"),
+        Money.sumMoney2(col("l_extendedprice")).as("price"),
+        Money.sumMoney2(col("l_tax")).as("tax"))
       .unpivot(Array(col("l_returnflag")),
         Array(col("qty"), col("price"), col("tax")), "measure", "value")
       .orderBy(col("l_returnflag"), col("measure")),
-    Some("""WITH w AS (SELECT l_returnflag, round(sum(l_quantity), 2) AS qty,
-           |  round(sum(l_extendedprice), 2) AS price,
-           |  round(sum(l_tax), 2) AS tax
+    Some("""WITH w AS (SELECT l_returnflag,
+           |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(20,2))
+           |    AS STRING) AS qty,
+           |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(20,2))
+           |    AS STRING) AS price,
+           |  CAST(CAST(sum(CAST(l_tax AS DECIMAL(12,2))) AS DECIMAL(20,2))
+           |    AS STRING) AS tax
            | FROM lineitem GROUP BY 1)
            |SELECT l_returnflag, 'qty' AS measure, qty AS value FROM w
            |UNION ALL SELECT l_returnflag, 'price', price FROM w
@@ -616,7 +635,7 @@ object RelationalExt extends QueryPack {
   private val q8 = Q(
     "q8_national_market_share",
     (s, d) => {
-      val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      val revDec = Money.disc4(col("l_extendedprice"), col("l_discount"))
       val suppNation = Tables.nation(s, d)
         .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
       val custNation = Tables.nation(s, d)
@@ -633,16 +652,20 @@ object RelationalExt extends QueryPack {
         .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
           col("cn_region") === col("r_regionkey"))
         .groupBy(year(col("o_orderdate")).as("o_year"))
-        .agg(round(sum(when(col("supp_nation") === "NATION_1", rev)
-          .otherwise(0.0)), 2).as("nation_revenue"),
-          round(sum(rev), 2).as("total_revenue"))
+        .agg(Money.sumMoney4(when(col("supp_nation") === "NATION_1", revDec)
+          .otherwise(lit(0).cast("decimal(25,4)"))).as("nation_revenue"),
+          Money.sumMoney4(revDec).as("total_revenue"))
         .orderBy(col("o_year"))
     },
     Some("""SELECT CAST(year(o_orderdate) AS INT) AS o_year,
-           | round(sum(CASE WHEN ns.n_name = 'NATION_1'
-           |   THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END), 2)
+           | CAST(CAST(sum(CASE WHEN ns.n_name = 'NATION_1'
+           |   THEN CAST(l_extendedprice AS DECIMAL(12,2))
+           |     * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+           |   ELSE CAST(0 AS DECIMAL(25,4)) END) AS DECIMAL(24,4)) AS STRING)
            |   AS nation_revenue,
-           | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS total_revenue
+           | CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+           |     * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+           |   AS DECIMAL(24,4)) AS STRING) AS total_revenue
            |FROM lineitem
            | JOIN orders ON l_orderkey = o_orderkey
            | JOIN supplier ON l_suppkey = s_suppkey
@@ -659,6 +682,12 @@ object RelationalExt extends QueryPack {
   /** TPC-H Q17 shape: small-quantity lineitems of one brand, where
     * "small" is a correlated per-part average — the aggregate-then-
     * rejoin decorrelation (a broadcast of |parts-of-brand| averages).
+    * The threshold predicate `qty < 0.2·avg(qty)` runs as EXACT integer
+    * arithmetic in centi-units (qty·5·n < Σqty — same inequality with
+    * both sides ×5n/0.2, no division): a double average would make the
+    * in/out decision of boundary rows depend on accumulation order, a
+    * worse failure class than a flipped rounding digit because each
+    * flipped ROW shifts the published sum by a whole line item.
     */
   private val q17 = Q(
     "q17_small_quantity_revenue",
@@ -666,20 +695,27 @@ object RelationalExt extends QueryPack {
       val brandParts = Tables.part(s, d).filter(col("p_brand") === "Brand#23")
         .select(col("p_partkey"))
       val li = Tables.lineitem(s, d)
+        .withColumn("qty_c", round(col("l_quantity") * 100).cast("long"))
       val avgQty = li.join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
         .groupBy(col("l_partkey").as("ap_key"))
-        .agg((avg(col("l_quantity")) * 0.2).as("qty_limit"))
+        .agg(sum(col("qty_c")).as("sum_qty_c"), count(lit(1)).as("n_part"))
       li.join(broadcast(avgQty), col("l_partkey") === col("ap_key"))
-        .filter(col("l_quantity") < col("qty_limit"))
-        .agg(round(sum(col("l_extendedprice")), 2).as("small_order_revenue"),
+        .filter(col("qty_c") * 5 * col("n_part") < col("sum_qty_c"))
+        .agg(Money.sumMoney2(col("l_extendedprice")).as("small_order_revenue"),
           count(lit(1)).as("n"))
     },
-    Some("""SELECT round(sum(l_extendedprice), 2) AS small_order_revenue,
+    Some("""WITH a AS (SELECT l_partkey AS ap_key,
+           |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+           |    AS sum_qty_c,
+           |  count(*) AS n_part
+           | FROM lineitem JOIN part ON l_partkey = p_partkey
+           | WHERE p_brand = 'Brand#23' GROUP BY 1)
+           |SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)))
+           |   AS DECIMAL(20,2)) AS STRING) AS small_order_revenue,
            | count(*) AS n
-           |FROM lineitem l JOIN part ON l_partkey = p_partkey
-           |WHERE p_brand = 'Brand#23'
-           |  AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem
-           |    WHERE l_partkey = l.l_partkey)""".stripMargin),
+           |FROM lineitem JOIN a ON l_partkey = ap_key
+           |WHERE CAST(round(l_quantity * 100) AS BIGINT) * 5 * n_part
+           |  < sum_qty_c""".stripMargin),
     headline = true)
 
   /** TPC-H Q18 shape: large-volume orders — HAVING over a fact
@@ -691,20 +727,28 @@ object RelationalExt extends QueryPack {
     (s, d) => {
       val bigOrders = Tables.lineitem(s, d)
         .groupBy(col("l_orderkey"))
-        .agg(round(sum(col("l_quantity")), 2).as("total_qty"))
-        .filter(col("total_qty") > 300)
+        .agg(sum(Money.dec2(col("l_quantity"))).cast("decimal(20,2)")
+          .as("total_qty_dec"))
+        // exact decimal HAVING: the 300-threshold can never flip with
+        // accumulation order
+        .filter(col("total_qty_dec") > lit(300).cast("decimal(20,2)"))
       Tables.orders(s, d)
         .join(bigOrders, col("o_orderkey") === col("l_orderkey"))
         .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
         .select(col("c_custkey"), col("o_orderkey"), col("o_totalprice"),
-          col("total_qty"))
+          col("total_qty_dec").cast("string").as("total_qty"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         .limit(10)
     },
-    Some("""SELECT c_custkey, o_orderkey, o_totalprice, total_qty
+    Some("""SELECT c_custkey, o_orderkey, o_totalprice,
+           | CAST(total_qty_dec AS STRING) AS total_qty
            |FROM orders
-           | JOIN (SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
-           |   FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 300) b
+           | JOIN (SELECT l_orderkey,
+           |   CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(20,2))
+           |     AS total_qty_dec
+           |   FROM lineitem GROUP BY 1
+           |   HAVING CAST(sum(CAST(l_quantity AS DECIMAL(12,2)))
+           |     AS DECIMAL(20,2)) > 300) b
            |  ON o_orderkey = b.l_orderkey
            | JOIN customer ON o_custkey = c_custkey
            |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin),
@@ -719,28 +763,34 @@ object RelationalExt extends QueryPack {
   private val q15 = Q(
     "q15_top_supplier",
     (s, d) => {
+      // exact decimal revenue: the scalar-max EQUALITY join is only
+      // deterministic because both sides are exact — with double sums
+      // the winning supplier itself was accumulation-order-dependent
       val rev = Tables.lineitem(s, d)
         .filter(col("l_shipdate") >= lit("1995-01-01") &&
           col("l_shipdate") < lit("1995-04-01"))
         .groupBy(col("l_suppkey"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
-          .as("total_revenue"))
-      val maxRev = rev.agg(max(col("total_revenue")).as("max_rev"))
+        .agg(Money.sumDec4(Money.disc4(col("l_extendedprice"), col("l_discount")))
+          .as("rev_dec"))
+      val maxRev = rev.agg(max(col("rev_dec")).as("max_rev"))
       Tables.supplier(s, d)
         .join(rev, col("s_suppkey") === col("l_suppkey"))
-        .join(broadcast(maxRev), col("total_revenue") === col("max_rev"))
-        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+        .join(broadcast(maxRev), col("rev_dec") === col("max_rev"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("rev_dec").cast("string").as("total_revenue"))
         .orderBy(col("s_suppkey"))
     },
     Some("""WITH rev AS (SELECT l_suppkey,
-           |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS total_revenue
+           |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+           |    * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+           |   AS DECIMAL(24,4)) AS rev_dec
            | FROM lineitem
            | WHERE l_shipdate >= TIMESTAMP '1995-01-01'
            |   AND l_shipdate < TIMESTAMP '1995-04-01'
            | GROUP BY 1)
-           |SELECT s_suppkey, s_name, total_revenue
+           |SELECT s_suppkey, s_name, CAST(rev_dec AS STRING) AS total_revenue
            |FROM supplier JOIN rev ON s_suppkey = l_suppkey
-           |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+           |WHERE rev_dec = (SELECT max(rev_dec) FROM rev)
            |ORDER BY s_suppkey""".stripMargin))
 
   /** TPC-H Q21 shape (adapted: this lineitem has no commit/receipt
@@ -803,25 +853,36 @@ object RelationalExt extends QueryPack {
   private val q22 = Q(
     "q22_idle_rich_customers",
     (s, d) => {
+      // the above-average filter runs in exact centi-units (bal·n >
+      // Σbal — the same inequality with both sides ×n, no division):
+      // a double average made boundary customers' in/out decision
+      // accumulation-order-dependent (the q17 predicate class)
       val cust = Tables.customer(s, d)
-      val avgBal = cust.filter(col("c_acctbal") > 0.0)
-        .agg(avg(col("c_acctbal")).as("avg_bal"))
+        .withColumn("bal_c", round(col("c_acctbal") * 100).cast("long"))
+      val avgBal = cust.filter(col("bal_c") > 0L)
+        .agg(sum(col("bal_c")).as("sum_bal_c"), count(lit(1)).as("n_bal"))
       val h1Orders = Tables.orders(s, d)
         .filter(col("o_orderdate") >= lit("1995-01-01") &&
           col("o_orderdate") < lit("1995-07-01"))
         .select(col("o_custkey"))
-      cust.join(broadcast(avgBal), col("c_acctbal") > col("avg_bal"))
+      cust.join(broadcast(avgBal),
+          col("bal_c") * col("n_bal") > col("sum_bal_c"))
         .join(h1Orders, col("c_custkey") === col("o_custkey"), "left_anti")
         .groupBy(col("c_mktsegment").as("segment"))
         .agg(count(lit(1)).as("numcust"),
-          round(sum(col("c_acctbal")), 2).as("totacctbal"))
+          Money.sumMoney2(col("c_acctbal")).as("totacctbal"))
         .orderBy(col("segment"))
     },
-    Some("""SELECT c_mktsegment AS segment, count(*) AS numcust,
-           | round(sum(c_acctbal), 2) AS totacctbal
-           |FROM customer
-           |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
-           |  WHERE c_acctbal > 0.0)
+    Some("""WITH a AS (SELECT
+           |  CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+           |    AS sum_bal_c,
+           |  count(*) AS n_bal
+           | FROM customer WHERE CAST(round(c_acctbal * 100) AS BIGINT) > 0)
+           |SELECT c_mktsegment AS segment, count(*) AS numcust,
+           | CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(20,2))
+           |   AS STRING) AS totacctbal
+           |FROM customer, a
+           |WHERE CAST(round(c_acctbal * 100) AS BIGINT) * n_bal > sum_bal_c
            |  AND NOT EXISTS (SELECT 1 FROM orders
            |    WHERE o_custkey = c_custkey
            |      AND o_orderdate >= TIMESTAMP '1995-01-01'

@@ -713,10 +713,13 @@ object StatsQueries extends QueryPack {
       Tables.orders(s, d).crossJoin(broadcast(bounds))
         .select(bucket.as("bucket"), col("o_totalprice"))
         .groupBy(col("bucket"))
+        // lo/hi are single ROW values (order statistics of identical
+        // parquet doubles — no accumulation), only the SUM needed the
+        // exact-decimal treatment
         .agg(count(lit(1)).as("n"),
           round(min(col("o_totalprice")), 2).as("lo"),
           round(max(col("o_totalprice")), 2).as("hi"),
-          round(sum(col("o_totalprice")), 2).as("total"))
+          Money.sumMoney2(col("o_totalprice")).as("total"))
         .orderBy(col("bucket"))
     },
     Some(s"""WITH b AS (SELECT quantile_cont(o_totalprice,
@@ -728,7 +731,8 @@ object StatsQueries extends QueryPack {
             | CAST(count(*) AS BIGINT) AS n,
             | round(min(o_totalprice), 2) AS lo,
             | round(max(o_totalprice), 2) AS hi,
-            | round(sum(o_totalprice), 2) AS total
+            | CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(20,2))
+            |   AS STRING) AS total
             |FROM orders, b GROUP BY 1 ORDER BY 1""".stripMargin),
     headline = true)
 

@@ -86,10 +86,14 @@ object Temporal extends QueryPack {
     "stream_tumbling_hourly",
     (s, d) => Tables.events(s, d)
       .groupBy(window(col("ts"), "1 hour").getField("start").as("hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(12,2)")).cast("decimal(20,2)")
+          .cast("string").as("sum_value"))
       .orderBy(col("hour"), col("event_type")),
     Some("""SELECT date_trunc('hour', ts) AS hour, event_type,
-           | count(*) AS n, round(sum(value), 2) AS sum_value
+           | count(*) AS n,
+           | CAST(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(20,2))
+           |   AS STRING) AS sum_value
            |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
   /** Semi-structured access: JSON props column (reference stores JSON
@@ -279,10 +283,13 @@ object Temporal extends QueryPack {
       .enrichNation(Tables.events(s, d), Tables.nation(s, d))
       .groupBy(col("n_name"))
       .agg(count(lit(1)).as("n"),
-        round(sum(col("value")), 2).as("sum_value"),
+        sum(col("value").cast("decimal(12,2)")).cast("decimal(20,2)")
+          .cast("string").as("sum_value"),
         countDistinct(col("user_id")).as("n_users"))
       .orderBy(col("n_name")),
-    Some("""SELECT n_name, count(*) AS n, round(sum(value), 2) AS sum_value,
+    Some("""SELECT n_name, count(*) AS n,
+           | CAST(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(20,2))
+           |   AS STRING) AS sum_value,
            | count(DISTINCT user_id) AS n_users
            |FROM events JOIN nation ON n_nationkey = user_id % 25
            |GROUP BY 1 ORDER BY 1""".stripMargin),

@@ -41,7 +41,8 @@ object EventStream {
       // agg hides the event-time window from the planner and Append mode
       // is rejected
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(12,2)"))
+        .cast("decimal(20,2)").cast("string").as("sum_value"))
       .select(col("window.start").as("hour"), col("event_type"),
         col("n"), col("sum_value"))
 
@@ -114,7 +115,8 @@ object EventStream {
     events
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "30 minutes", "15 minutes"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(12,2)"))
+        .cast("decimal(20,2)").cast("string").as("sum_value"))
       .select(col("window.start").as("w_start"), col("event_type"),
         col("n"), col("sum_value"))
 
@@ -128,7 +130,8 @@ object EventStream {
     events
       .withWatermark("ts", "1 hour")
       .groupBy(col("user_id"), session_window(col("ts"), gap))
-      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value").cast("decimal(12,2)"))
+        .cast("decimal(20,2)").cast("string").as("sum_value"))
       .select(col("user_id"), col("session_window.start").as("s_start"),
         col("session_window.end").as("s_end"), col("n_events"), col("sum_value"))
 

@@ -33,10 +33,10 @@ class EventStreamSpec extends SparkSpec {
       // advance watermark far enough (> 11:00 + 2h) to close hour 10 + 11
       input.addData(ev(4, "2024-01-01 14:00:00", 1, "click", 1.0))
       q.processAllAvailable()
-      val out = spark.table("hourly").as[(Timestamp, String, Long, Double)]
+      val out = spark.table("hourly").as[(Timestamp, String, Long, String)]
         .collect().map(r => (r._1, r._2, r._3, r._4)).toSet
-      assert(out.contains((ts("2024-01-01 10:00:00"), "click", 2L, 3.0)))
-      assert(out.contains((ts("2024-01-01 11:00:00"), "view", 1L, 3.0)))
+      assert(out.contains((ts("2024-01-01 10:00:00"), "click", 2L, "3.00")))
+      assert(out.contains((ts("2024-01-01 11:00:00"), "view", 1L, "3.00")))
     } finally q.stop()
   }
 
@@ -73,12 +73,12 @@ class EventStreamSpec extends SparkSpec {
       q.processAllAvailable()
       input.addData(ev(3, "2024-01-01 14:00:00", 1, "view", 1.0)) // advance watermark
       q.processAllAvailable()
-      val out = spark.table("sliding").as[(Timestamp, String, Long, Double)]
+      val out = spark.table("sliding").as[(Timestamp, String, Long, String)]
         .collect().map(r => (r._1, r._2, r._3, r._4)).toSet
       // 10:05 → windows [09:45,10:15) and [10:00,10:30); 10:20 → [10:00,10:30) and [10:15,10:45)
-      assert(out.contains((ts("2024-01-01 09:45:00"), "click", 1L, 1.0)))
-      assert(out.contains((ts("2024-01-01 10:00:00"), "click", 2L, 3.0)))
-      assert(out.contains((ts("2024-01-01 10:15:00"), "click", 1L, 2.0)))
+      assert(out.contains((ts("2024-01-01 09:45:00"), "click", 1L, "1.00")))
+      assert(out.contains((ts("2024-01-01 10:00:00"), "click", 2L, "3.00")))
+      assert(out.contains((ts("2024-01-01 10:15:00"), "click", 1L, "2.00")))
     } finally q.stop()
   }
 
@@ -98,11 +98,11 @@ class EventStreamSpec extends SparkSpec {
       input.addData(ev(4, "2024-01-01 15:00:00", 8, "view", 1.0)) // advance watermark
       q.processAllAvailable()
       val out = spark.table("swin")
-        .as[(Long, Timestamp, Timestamp, Long, Double)].collect()
+        .as[(Long, Timestamp, Timestamp, Long, String)].collect()
         .filter(_._1 == 7L).map(r => (r._2, r._3, r._4, r._5)).toSet
       // session 1: [10:00, 10:10+gap), 2 events; session 2: single event
-      assert(out.contains((ts("2024-01-01 10:00:00"), ts("2024-01-01 10:40:00"), 2L, 3.0)))
-      assert(out.contains((ts("2024-01-01 11:30:00"), ts("2024-01-01 12:00:00"), 1L, 4.0)))
+      assert(out.contains((ts("2024-01-01 10:00:00"), ts("2024-01-01 10:40:00"), 2L, "3.00")))
+      assert(out.contains((ts("2024-01-01 11:30:00"), ts("2024-01-01 12:00:00"), 1L, "4.00")))
     } finally q.stop()
   }
 

@@ -6,8 +6,12 @@ Usage: python3 tools/oracle_check.py <verifyOutDir> [namePrefix...]
 Reads each <outDir>/<name> spark parquet dump plus <outDir>/oracle_sql.json,
 runs the oracle SQL in DuckDB over the sf tables (views named after the
 parquet files), then compares rows / schema (column-name sets) / cell hash
-with columns sorted by name and cells str()-formatted — the same convention
-VERDICT.md attributes to the driver. Dev tool only (driver-side python).
+with columns sorted by name and FLOATS formatted %.10g — the driver's
+convention (see the verify skill: a str()-based compare false-alarms on
+literal-vs-computed doubles, e.g. the patients pipeline's 66·2.54 =
+167.64000000000001 vs the oracle's literal-derived 167.64 — identical at
+10 significant digits, which is what the driver hashes). Dev tool only
+(driver-side python).
 """
 import sys, os, json, glob, hashlib
 import duckdb
@@ -15,8 +19,12 @@ import duckdb
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 
+def fmt(c):
+    return ("%.10g" % c) if isinstance(c, float) else str(c)
+
+
 def cells(rows):
-    return [tuple(str(c) for c in r) for r in rows]
+    return [tuple(fmt(c) for c in r) for r in rows]
 
 
 def canon(cols, rows):
