@@ -526,6 +526,46 @@ object GraphQueries extends QueryPack {
             |SELECT su, a1, a2 FROM a2 JOIN a1 USING (su)
             |ORDER BY a2 DESC, su LIMIT 15""".stripMargin))
 
+  /** Global connected components of the co-purchase graph, surfaced as
+    * a first-class query (the [[graft.ops.ConnectedComponents]] operator
+    * has driven the dedup cluster family since round 6 but never had a
+    * graph-side registry entry): label propagation to the min reachable
+    * id, then the component-SIZE histogram — output bounded by the
+    * number of distinct sizes, never node count. `sum_min` (the sum of
+    * each component's min-id label per size class) pins the exact
+    * partition of nodes into components, not just the census. At 100 TB
+    * each CC round is one edge-keyed shuffle + node-keyed fold, with the
+    * alternating-star variant standing by for adversarial diameters
+    * (ConnectedComponents.scala:83). Oracle: an independent recursive
+    * reachability CLOSURE (UNION set semantics terminates it), min per
+    * node, same histogram. The (size, n_components, sum_min) aggregation
+    * is shared with the planted-graph spec so ground-truth tests
+    * exercise THIS code.
+    */
+  def componentSizeHistogram(e: DataFrame, srcCol: String,
+      dstCol: String): DataFrame =
+    graft.ops.ConnectedComponents.components(e, srcCol, dstCol)
+      .groupBy(col("comp")).agg(count(lit(1)).as("size"))
+      .groupBy(col("size"))
+      .agg(count(lit(1)).as("n_components"), sum(col("comp")).as("sum_min"))
+      .orderBy(col("size"))
+
+  private val componentSizes = Q(
+    "graph_component_sizes",
+    (s, d) => componentSizeHistogram(edges(s, d), "cu", "su"),
+    Some(s"""WITH RECURSIVE e0 AS ($edgeSql),
+            |sym AS (SELECT cu AS u, su AS v FROM e0
+            |  UNION ALL SELECT su, cu FROM e0),
+            |r(node, lbl) AS (
+            |  SELECT DISTINCT u, u FROM sym
+            |  UNION
+            |  SELECT sym.u, r.lbl FROM sym JOIN r ON r.node = sym.v),
+            |m AS (SELECT node, min(lbl) AS comp FROM r GROUP BY 1),
+            |c AS (SELECT comp, count(*) AS size FROM m GROUP BY 1)
+            |SELECT size, count(*) AS n_components,
+            |  CAST(sum(comp) AS BIGINT) AS sum_min
+            |FROM c GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val qs: Seq[Q] = Seq(degreeDist, labelProp, modularity, kcore, bfs,
-    jaccardNeighbors, ppr, assortativity, hits)
+    jaccardNeighbors, ppr, assortativity, hits, componentSizes)
 }

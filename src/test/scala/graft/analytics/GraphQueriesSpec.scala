@@ -74,4 +74,16 @@ class GraphQueriesSpec extends SparkSpec {
     val got = peel(Seq.empty, k = 3, rounds = 2)
     assert(got === Seq((0, 0L, 0L), (1, 0L, 0L), (2, 0L, 0L)))
   }
+
+  test("componentSizeHistogram: planted components bucket by size with min-label sums") {
+    import spark.implicits._
+    // components: triangle {1,2,3}, edge {10,11}, edge {20,21}, and a
+    // 4-path {30,31,32,33} → sizes 2 (×2, min labels 10+20), 3 (×1,
+    // min 1), 4 (×1, min 30)
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L), (20L, 21L),
+      (30L, 31L), (31L, 32L), (32L, 33L)).toDF("a", "b")
+    val got = GraphQueries.componentSizeHistogram(e, "a", "b")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got === Seq((2L, 2L, 30L), (3L, 1L, 1L), (4L, 1L, 30L)))
+  }
 }
