@@ -18,8 +18,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     graft.util.Freshness.check(Bench.getClass)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    val spark = graft.util.Sessions.withMaster(SparkSession.builder(), cpus)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -47,7 +46,36 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
 
-    def runOnce(name: String): Double = {
+    // WORK metrics (r11 verdict item 2): this host's wall-clock band
+    // (1.3–1.8× inflation, 12–299 s rep spreads — BASELINE.md) swamps
+    // real plan deltas, so the OFFICIAL round-over-round comparison is
+    // executor-CPU seconds + shuffle bytes per query — deterministic
+    // per plan (±5% across reps on the kcore A/B) and immune to
+    // external stalls, which can only inflate wall-clock. The listener
+    // bus is drained (ListenerDrain, not a sleep) before zeroing and
+    // before reading, so one rep's event tail is never billed to its
+    // neighbor.
+    val cpuNs = new java.util.concurrent.atomic.AtomicLong(0L)
+    val shufB = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          cpuNs.addAndGet(s.stageInfo.taskMetrics.executorCpuTime)
+          shufB.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+        }
+      })
+    def drain(): Unit =
+      try org.apache.spark.graftshim.ListenerDrain.drain(spark.sparkContext)
+      catch { case _: java.util.concurrent.TimeoutException =>
+        System.err.println("[bench] listener bus failed to drain in 10s")
+      }
+
+    /** One timed execution → (wall s, executor-cpu s, shuffle-write MB);
+      * (-1, -1, -1) on failure.
+      */
+    def runOnce(name: String): (Double, Double, Double) = {
+      drain(); cpuNs.set(0L); shufB.set(0L)
       val t0 = System.nanoTime()
       // finally: a FAILED query may already have checkpointed frames —
       // skipping the cleanup on the error path would leak its blocks
@@ -55,10 +83,12 @@ object Bench {
       try {
         SparkEntry.queries(name)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
+        val wall = (System.nanoTime() - t0) / 1e9
+        drain()
+        (wall, cpuNs.get / 1e9, shufB.get / 1e6)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        -1.0
+        (-1.0, -1.0, -1.0)
       } finally dropQueryState()
     }
 
@@ -74,7 +104,8 @@ object Bench {
     // cost (AQE re-plan at the bench SF, codegen fills) stays visible
     // instead of being averaged into the steady-state number.
     val Reps = 3
-    def run(name: String): Seq[Double] = Seq.fill(Reps)(runOnce(name))
+    def run(name: String): Seq[(Double, Double, Double)] =
+      Seq.fill(Reps)(runOnce(name))
 
     // Warm-up: run EVERY headline query once at the smallest SF — fills
     // the JIT, the codegen cache, and parquet footer caches cheaply.
@@ -99,11 +130,22 @@ object Bench {
       val ok = reps.filter(_ >= 0)
       if (ok.isEmpty) -1.0 else ok.min
     }
-    val qs = results.map { case (k, reps) => "\"" + k + "\":" + minOf(reps) }
-      .mkString("{", ",", "}")
-    val qsFirst = results.map { case (k, reps) => "\"" + k + "\":" + reps.head }
-      .mkString("{", ",", "}")
-    val total = results.map { case (_, reps) => minOf(reps) }.filter(_ >= 0).sum
+    def metricCol(f: ((Double, Double, Double)) => Double): Seq[(String, Seq[Double])] =
+      results.map { case (k, reps) => k -> reps.map(f) }
+    def jsonMap(rows: Seq[(String, Double)]): String =
+      rows.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qs = jsonMap(metricCol(_._1).map { case (k, r) => k -> minOf(r) })
+    val qsFirst = jsonMap(metricCol(_._1).map { case (k, r) => k -> r.head })
+    // official work columns: min across reps (cpu is plan-deterministic
+    // to ±5%; min sheds any GC/stall pollution the same way wall does)
+    val qsCpu = jsonMap(metricCol(_._2).map { case (k, r) => k ->
+      (math.round(minOf(r) * 100) / 100.0) })
+    val qsShuf = jsonMap(metricCol(_._3).map { case (k, r) => k ->
+      (math.round(minOf(r) * 10) / 10.0) })
+    val total = results.map { case (_, reps) => minOf(reps.map(_._1)) }
+      .filter(_ >= 0).sum
+    val totalCpu = results.map { case (_, reps) => minOf(reps.map(_._2)) }
+      .filter(_ >= 0).sum
 
     // ---- streaming throughput rows (r9 verdict item 8): the streaming
     // layer is spec-pinned for correctness but never appeared in BENCH,
@@ -188,7 +230,10 @@ object Bench {
     val streaming = streamingBench()
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","reps":$Reps,""" +
-        s""""queries":$qs,"queries_first":$qsFirst,$streaming,"sf":"$sfDir"}"""
+        s""""total_cpu_s":${math.round(totalCpu * 100) / 100.0},""" +
+        s""""queries":$qs,"queries_first":$qsFirst,""" +
+        s""""queries_cpu_s":$qsCpu,"queries_shuffle_mb":$qsShuf,""" +
+        s"""$streaming,"sf":"$sfDir"}"""
     println(json)
     // stdout arrives wrapped in sbt "[info] " noise (both prior rounds
     // show "parsed": null on the driver) — also drop the bare line where

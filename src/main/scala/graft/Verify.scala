@@ -22,8 +22,7 @@ object Verify {
       if (args.length > 2) Some(args(2).split(',').toSeq) else None
     graft.util.Freshness.check(Verify.getClass)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    val spark = graft.util.Sessions.withMaster(SparkSession.builder(), cpus)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

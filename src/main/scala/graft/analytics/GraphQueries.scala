@@ -541,6 +541,15 @@ object GraphQueries extends QueryPack {
     * node, same histogram. The (size, n_components, sum_min) aggregation
     * is shared with the planted-graph spec so ground-truth tests
     * exercise THIS code.
+    *
+    * ORACLE COST (r11 ADVICE): the recursive closure materializes one
+    * (node, label) row per reachable PAIR — O(size²) per component, and
+    * this co-purchase graph is one giant component, so the oracle is
+    * quadratic in nodes (~2.6e8 intermediate rows at sf0.1) while the
+    * Spark side stays O(E·rounds). Fine at the driver's sf0.01 compare
+    * SF (~3e6 rows); do not run this oracle at sf≥0.1 — the engine-side
+    * scale evidence for CC is the decade/30× exponent table, not the
+    * DuckDB twin.
     */
   def componentSizeHistogram(e: DataFrame, srcCol: String,
       dstCol: String): DataFrame =

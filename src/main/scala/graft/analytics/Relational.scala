@@ -469,7 +469,12 @@ object Relational extends QueryPack {
     * above-average test runs in exact centi-units (price·n > Σprice —
     * both sides ×n, no division): a double average put boundary rows'
     * in/out decision on accumulation order (the q17/q22 predicate
-    * class).
+    * class). The cross-product price_c·n_ord runs in DECIMAL(38,0), not
+    * BIGINT: at the 100 TB envelope (~5.5e7 cents × ~1.5e11 orders ≈
+    * 8.2e18) the BIGINT form sits within ~11% of Long.MaxValue, past
+    * which non-ANSI Spark wraps silently while DuckDB errors — the
+    * engines would diverge without either noticing. DECIMAL(38,0) has
+    * ~19 more digits of headroom on both engines (r11 ADVICE).
     */
   private val scalarSub = Q(
     "agg_orders_above_avg",
@@ -479,7 +484,8 @@ object Relational extends QueryPack {
       val avgP = ord.agg(sum(col("price_c")).as("sum_price_c"),
         count(lit(1)).as("n_ord"))
       ord.crossJoin(broadcast(avgP))
-        .filter(col("price_c") * col("n_ord") > col("sum_price_c"))
+        .filter(col("price_c").cast("decimal(38,0)") * col("n_ord")
+          > col("sum_price_c").cast("decimal(38,0)"))
         .agg(count(lit(1)).as("n_above"))
     },
     Some("""WITH a AS (SELECT
@@ -488,8 +494,8 @@ object Relational extends QueryPack {
            |  count(*) AS n_ord
            | FROM orders)
            |SELECT count(*) AS n_above FROM orders, a
-           |WHERE CAST(round(o_totalprice * 100) AS BIGINT) * n_ord
-           |  > sum_price_c""".stripMargin))
+           |WHERE CAST(round(o_totalprice * 100) AS DECIMAL(38,0)) * n_ord
+           |  > CAST(sum_price_c AS DECIMAL(38,0))""".stripMargin))
 
   /** Set op: distinct (user, type) pairs seen in week 1 but never again. */
   private val exceptQ = Q(

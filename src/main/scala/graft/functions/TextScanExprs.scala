@@ -137,6 +137,19 @@ case class CharPairs(child: Expression) extends TextScanArrayExpr {
     copy(child = newChild)
 }
 
+/** Positional word n-gram fingerprints ([[graft.llm.Hashing.gramHashes]])
+  * — the repeated-span unit ([[graft.llm.RepeatedSpans]]); slot i of the
+  * array is the gram starting at word offset i, so `posexplode` recovers
+  * the position the coverage window arithmetic needs.
+  */
+case class GramHashes(child: Expression, n: Int) extends TextScanArrayExpr {
+  override def prettyName: String = "gram_hashes"
+  override protected def scan(text: String): Array[String] =
+    graft.llm.Hashing.gramHashes(text, n)
+  override protected def withNewChildInternal(newChild: Expression): GramHashes =
+    copy(child = newChild)
+}
+
 /** Gopher-style duplicate word-2-gram fraction (`1 − distinct/total`,
   * 0.0 below 2 tokens) — one pass, bit-identical arithmetic to the udf
   * it replaces (TextAnalysis r8) and to the oracles' w2-list
@@ -188,5 +201,55 @@ object RepetitionRatio {
         }
         1.0 - seen.size.toDouble / total.toDouble
       }
+    }
+}
+
+/** 60-bit SimHash signature over word `n`-gram shingles
+  * ([[graft.llm.Hashing.simhash]]) — the last former-udf text scan on a
+  * codegen expression. NULLABLE by contract, unlike the array scans:
+  * null text and sub-n-word docs yield NULL (all of them would simhash
+  * to 0 and pairwise-collide in every pigeonhole chunk — see
+  * [[graft.llm.SimHash]]'s guard rationale), so the nullability travels
+  * with the expression instead of a separate filter convention.
+  */
+case class SimhashSig(child: Expression, n: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "simhash_sig"
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    SimhashSig.sig(if (v == null) null else v.asInstanceOf[UTF8String], n)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val box = ctx.freshName("simhashBox")
+    ev.copy(
+      code = c.code +
+        code"""
+           |java.lang.Long $box = graft.functions.SimhashSig.sig(
+           |  ${c.isNull} ? null : ${c.value}, $n);
+           |boolean ${ev.isNull} = ($box == null);
+           |long ${ev.value} = ${ev.isNull} ? -1L : $box.longValue();
+           |""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimhashSig =
+    copy(child = newChild)
+}
+
+object SimhashSig {
+
+  /** Shared by interpreted + codegen paths; null marks "no signature". */
+  def sig(s: UTF8String, n: Int): java.lang.Long =
+    if (s == null) null
+    else {
+      val sh = graft.llm.Hashing.shingles(s.toString, n)
+      if (sh.isEmpty) null
+      else java.lang.Long.valueOf(graft.llm.Hashing.simhash(sh))
     }
 }

@@ -481,13 +481,13 @@ object Ann {
       .stageCheckpoint()
   }
 
-  def ivfPortableRecall(vectors: DataFrame, queries: DataFrame,
-      idCol: String, vecCol: String, k: Int, nCells: Int = 16,
-      nProbe: Int = 4, iters: Int = 2): DataFrame = {
+  /** The portable k-means build shared by [[ivfPortableRecall]] and
+    * [[semDedupPortable]]: md5-60 seed order, `iters` integer
+    * micro-unit Lloyd steps → the final (cell, cv) centroid frame.
+    */
+  private[llm] def portableCells(v: DataFrame, nCells: Int,
+      iters: Int): DataFrame = {
     import graft.ops.Checkpoints.StageCheckpoint
-    val v = vectors.select(col(idCol).as("vec_id"), col(vecCol).as("nv"))
-      .filter(col("nv").isNotNull)
-      .stageCheckpoint()
     val h = conv(substring(md5(col("vec_id").cast("string")), 1, 15), 16, 10)
       .cast("long")
     val seedW = Window.orderBy(col("h"), col("vec_id"))
@@ -497,7 +497,17 @@ object Ann {
         transform(col("nv"),
           x => floor(x.cast("double") * 1e6).cast("float")).as("cv"))
       .stageCheckpoint()
-    val cFinal = (1 to iters).foldLeft(c0)((c, _) => lloydStep(v, c))
+    (1 to iters).foldLeft(c0)((c, _) => lloydStep(v, c))
+  }
+
+  def ivfPortableRecall(vectors: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nCells: Int = 16,
+      nProbe: Int = 4, iters: Int = 2): DataFrame = {
+    import graft.ops.Checkpoints.StageCheckpoint
+    val v = vectors.select(col(idCol).as("vec_id"), col(vecCol).as("nv"))
+      .filter(col("nv").isNotNull)
+      .stageCheckpoint()
+    val cFinal = portableCells(v, nCells, iters)
     val assigned = assignCells(v, cFinal)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .filter(col("qv").isNotNull)
@@ -527,6 +537,150 @@ object Ann {
         coalesce(col("h"), lit(0L)).as("n_hits"))
       .withColumn("recall_pct", expr(s"(n_hits * 100) div $k"))
       .orderBy(col("query_id"))
+  }
+
+  /** Cross-engine-PORTABLE PQ recall ([[ivfPortableRecall]]'s move
+    * applied to product quantization, closing the last ANN family
+    * member without an oracle-green twin — r11 verdict item 3): the
+    * full PQ build — seeds, per-subspace Lloyd iterations, encoding,
+    * ADC-style scoring — expressed so an independent SQL engine
+    * reproduces every intermediate bit-for-bit. The production
+    * [[pqTopK]] stays spec-pinned (its xxhash64 seed order and float
+    * L2 are Spark-internal); this twin is the auditable flavor.
+    *
+    *  - Seeds: the ksub vectors with the smallest md5-60(vec_id); code
+    *    ids by that order (the house cross-engine uniform).
+    *  - Everything integer: components floor to ⌊x·10⁶⌋ micro-units;
+    *    per-subspace assignment is argmin of the EXACT integer L2
+    *    Σ(x−c)² (micro < 2²⁴ ⇒ squared diffs < 2⁴⁸, eight-dim sums
+    *    < 2⁵¹ — no rounding convention needed at all, tighter than the
+    *    6dp-cosine argmaxes elsewhere); Lloyd means use the shared
+    *    (Σ + 10⁷·n) div n − 10⁷ offset-div so Spark `div` == DuckDB
+    *    `//` on non-negative ground.
+    *  - Scoring: cosine(query, reconstruction) at the house 6dp +
+    *    vec_id tiebreak. The reconstruction concatenates micro-unit
+    *    centroids — one uniform 10⁶ scale across all dims, so cosine
+    *    against the RAW query equals cosine against the real-unit
+    *    reconstruction exactly (scale invariance), and the micro floats
+    *    are integer-exact below 2²⁴.
+    *
+    * `sub` is the fixed subspace width (the oracle hardcodes the same
+    * split): dims [j·sub, (j+1)·sub) form subspace j — generality over
+    * ragged/odd dims is [[pqTopK]]'s job, exact cross-engine arithmetic
+    * is this one's. One lazy plan, no driver collects; the per-iteration
+    * codebook frames (m·ksub·sub rows) are stage-checkpointed because
+    * each carries a full corpus-pass lineage and feeds both the next
+    * iteration and the final encode.
+    */
+  def pqPortableRecall(vectors: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, sub: Int = 8, ksub: Int = 8,
+      iters: Int = 2): DataFrame = {
+    import graft.ops.Checkpoints.StageCheckpoint
+    val v = vectors.select(col(idCol).as("vec_id"), col(vecCol).as("nv"))
+      .filter(col("nv").isNotNull)
+      .stageCheckpoint()
+    // micro-unit dim stream keyed by (subspace j, within-subspace sd)
+    val xs = v.select(col("vec_id"), posexplode(col("nv")).as(Seq("d", "x")))
+      .select(col("vec_id"), (col("d") / sub).cast("int").as("j"),
+        (col("d") % sub).as("sd"),
+        floor(col("x").cast("double") * 1e6).cast("long").as("x"))
+      .stageCheckpoint()
+    val h = conv(substring(md5(col("vec_id").cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val seedW = Window.orderBy(col("h"), col("vec_id"))
+    val seedIds = v.withColumn("h", h).orderBy(col("h"), col("vec_id"))
+      .limit(ksub)
+      .select(col("vec_id"), (row_number().over(seedW) - 1).as("code"))
+    val cb0 = xs.join(broadcast(seedIds), "vec_id")
+      .select(col("j"), col("code"), col("sd"), col("x").as("c"))
+      .stageCheckpoint()
+
+    // per-subspace argmin of exact integer L2 — min(struct(dist, code))
+    // collapses map-side to one row per (vector, subspace) pre-shuffle
+    def assign(cb: DataFrame): DataFrame =
+      xs.join(broadcast(cb), Seq("j", "sd"))
+        .groupBy(col("vec_id"), col("j"), col("code"))
+        .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("dist"))
+        .groupBy(col("vec_id"), col("j"))
+        .agg(min(struct(col("dist"), col("code"))).as("m"))
+        .select(col("vec_id"), col("j"), col("m.code").as("code"))
+
+    def lloyd(cb: DataFrame): DataFrame = {
+      val means = xs.join(assign(cb), Seq("vec_id", "j"))
+        .groupBy(col("j"), col("code"), col("sd"))
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+        .select(col("j"), col("code"), col("sd"),
+          expr("(s + 10000000 * n) div n - 10000000").as("mc"))
+      // empty codes keep their previous centroid, like IVF's empty cells
+      cb.join(means, Seq("j", "code", "sd"), "left")
+        .select(col("j"), col("code"), col("sd"),
+          coalesce(col("mc"), col("c")).as("c"))
+        .stageCheckpoint()
+    }
+    val cbF = (1 to iters).foldLeft(cb0)((cb, _) => lloyd(cb))
+
+    // encode + reconstruct: (vec_id, d, c) → dim-ordered micro float array
+    val recon = assign(cbF).join(broadcast(cbF), Seq("j", "code"))
+      .select(col("vec_id"), (col("j") * sub + col("sd")).as("d"), col("c"))
+      .groupBy(col("vec_id"))
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("c")))),
+        e => e.getField("c").cast("float")).as("rv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .filter(col("qv").isNotNull)
+    val rankW = Window.partitionBy(col("query_id"))
+      .orderBy(col("s6").desc, col("vec_id"))
+    val pqTop = broadcast(q).join(recon, col("query_id") =!= col("vec_id"))
+      .withColumn("s6", round(cosine(col("qv"), col("rv")), 6))
+      .withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"))
+    val truth = bruteTopK(vectors, queries, idCol, vecCol, k)
+      .select(col("query_id"), col("vec_id"), lit(1L).as("hit"))
+    q.select(col("query_id"))
+      .join(pqTop.join(broadcast(truth), Seq("query_id", "vec_id"), "left")
+          .groupBy(col("query_id"))
+          .agg(coalesce(sum(col("hit")), lit(0L)).as("h")),
+        Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("h"), lit(0L)).as("n_hits"))
+      .withColumn("recall_pct", expr(s"(n_hits * 100) div $k"))
+      .orderBy(col("query_id"))
+  }
+
+  /** Cross-engine-PORTABLE SemDeDup ([[semDedup]]'s auditable twin —
+    * r11 verdict item 4, the last dedup-family member without an
+    * oracle row): cells come from the shared [[portableCells]] build
+    * (md5-60 seeds, integer micro-unit Lloyd, 6dp-cosine argmax
+    * assignment — every intermediate reproducible in independent SQL),
+    * then the in-cell pair sweep marks the higher id of every pair
+    * with round(cos, 6) ≥ threshold as removed. Output (vec_id, cell,
+    * removed) — one row per input vector; BOTH the cell partition and
+    * the removal verdicts hash-compare against a DuckDB rebuild. The
+    * production [[semDedup]] stays spec-pinned (xxhash64 seeds, float
+    * Lloyd).
+    */
+  def semDedupPortable(vectors: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nCells: Int = 16, iters: Int = 2): DataFrame = {
+    import graft.ops.Checkpoints.StageCheckpoint
+    val v = vectors.select(col(idCol).as("vec_id"), col(vecCol).as("nv"))
+      .filter(col("nv").isNotNull)
+      .stageCheckpoint()
+    // (vec_id, nv, cell) — checkpointed: feeds both pair-sweep sides
+    // and the output spine
+    val cells = assignCells(v, portableCells(v, nCells, iters))
+      .stageCheckpoint()
+    val pairs = cells.select(col("cell"), col("vec_id").as("i"), col("nv").as("vi"))
+      .join(cells.select(col("cell"), col("vec_id").as("j"), col("nv").as("vj")),
+        "cell")
+      .filter(col("i") < col("j"))
+      .filter(round(cosine(col("vi"), col("vj")), 6) >= threshold)
+    val removed = pairs.select(col("j").as("vec_id")).distinct()
+      .withColumn("removed", lit(true))
+    cells.select(col("vec_id"), col("cell"))
+      .join(removed, Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("removed"), lit(false)).as("removed"))
+      .orderBy(col("vec_id"))
   }
 
   /** SemDeDup-style semantic dedup (Abbas et al., arXiv:2303.09540):

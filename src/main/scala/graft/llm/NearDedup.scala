@@ -271,17 +271,6 @@ object Winnowing {
   */
 object SimHash {
 
-  /** Null for empty shingle sets: such docs (null text, <3 words) all
-    * simhash to 0, so every pair of them would surface as a distance-0
-    * "near-duplicate" and they'd collide in every chunk bucket — an
-    * O(m²) candidate blowup with garbage output. Mirrors the MinHash
-    * empty-set guard.
-    */
-  private val simhashUdf = udf { (text: String) =>
-    val sh = if (text == null) Array.empty[String] else Hashing.shingles(text, 3)
-    if (sh.isEmpty) null else java.lang.Long.valueOf(Hashing.simhash(sh))
-  }
-
   def hammingDistance(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
     bit_count(a.bitwiseXOR(b))
 
@@ -317,12 +306,17 @@ object SimHash {
   }
 
   /** Pairs within hamming distance `maxDist`, found via d+1 chunk-equality
-    * buckets and verified exactly.
+    * buckets and verified exactly. The signature is the codegen
+    * [[TextAnalysis.simhashSig]] (formerly a udf here); its NULL for
+    * null/sub-3-word docs is filtered out — all of them would simhash
+    * to 0 and pairwise-collide in every pigeonhole chunk, an O(m²)
+    * candidate blowup with garbage output (the MinHash empty-set guard).
     */
   def nearPairs(docs: DataFrame, idCol: String, textCol: String,
       maxDist: Int = 3): DataFrame =
     hammingPairs(
-      docs.select(col(idCol).as("id"), simhashUdf(col(textCol)).as("sig"))
+      docs.select(col(idCol).as("id"),
+          TextAnalysis.simhashSig(col(textCol), 3).as("sig"))
         .filter(col("sig").isNotNull),
       "id", "sig", maxDist)
 }
@@ -355,10 +349,10 @@ object RepeatedSpans {
     */
   def coverage(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 8): DataFrame = {
-    val gh = udf((t: String) => Hashing.gramHashes(t, n))
     val grams = docs
       .select(col(idCol).as("doc_id"),
-        posexplode(gh(col(textCol))).as(Seq("pos", "fp")))
+        posexplode(TextAnalysis.gramHashes(col(textCol), n))
+          .as(Seq("pos", "fp")))
     val flagged = grams
       .withColumn("occ", count(lit(1)).over(Window.partitionBy(col("fp"))))
       .filter(col("occ") > 1)

@@ -251,6 +251,146 @@ object SimilarityQueries extends QueryPack {
            |FROM q LEFT JOIN hits ON hits.qid = q.qid
            |ORDER BY 1""".stripMargin))
 
+  /** Portable PQ recall@5 with a FULL DuckDB oracle
+    * ([[Ann.pqPortableRecall]]) — closes the last ANN family member
+    * without an oracle-green twin (r11 verdict item 3). The oracle
+    * rebuilds the ENTIRE product-quantization index: md5-60 seed
+    * order, both per-subspace Lloyd iterations in EXACT integer
+    * micro-unit arithmetic (assignment argmin is integer L2 — no
+    * rounding convention needed), the final encode, the micro-unit
+    * reconstruction, the 6dp-cosine ADC ranking, and recall against
+    * its own brute truth. `ann_pq_topk` stays spec-pinned as the
+    * production splitmix/float variant.
+    */
+  private def pqIterCte(prev: String, an: String, mn: String, out: String) =
+    s"""$an AS (SELECT vec_id, j, code FROM (
+       |  SELECT vec_id, j, code,
+       |    row_number() OVER (PARTITION BY vec_id, j
+       |      ORDER BY dist, code) AS rn
+       |  FROM (SELECT xs.vec_id, cb.j, cb.code,
+       |     CAST(sum((xs.x - cb.c) * (xs.x - cb.c)) AS BIGINT) AS dist
+       |    FROM xs JOIN $prev cb ON cb.j = xs.j AND cb.sd = xs.sd
+       |    GROUP BY 1, 2, 3)) WHERE rn = 1),
+       |$mn AS (SELECT a.j, a.code, xs.sd,
+       |   (CAST(sum(xs.x) AS BIGINT) + 10000000 * count(*)) // count(*)
+       |     - 10000000 AS mc
+       |  FROM xs JOIN $an a ON a.vec_id = xs.vec_id AND a.j = xs.j
+       |  GROUP BY 1, 2, 3),
+       |$out AS (SELECT cb.j, cb.code, cb.sd, COALESCE(m.mc, cb.c) AS c
+       |  FROM $prev cb LEFT JOIN $mn m ON m.j = cb.j
+       |    AND m.code = cb.code AND m.sd = cb.sd)""".stripMargin
+
+  private val pqPortable = Q(
+    "ann_pq_recall_portable",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      Ann.pqPortableRecall(e, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5)
+    },
+    Some(s"""WITH e AS (SELECT vec_id, embedding FROM embeddings
+            |  WHERE embedding IS NOT NULL),
+            |xm AS (SELECT vec_id, CAST(gs - 1 AS INT) AS d,
+            |   CAST(floor(CAST(embedding[CAST(gs AS INT)] AS DOUBLE)
+            |     * 1e6) AS BIGINT) AS x
+            |  FROM (SELECT vec_id, embedding,
+            |     generate_subscripts(embedding, 1) AS gs FROM e)),
+            |xs AS (SELECT vec_id, d // 8 AS j, d % 8 AS sd, x FROM xm),
+            |sd0 AS (SELECT vec_id, row_number() OVER (ORDER BY
+            |     ('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+            |       ::BIGINT, vec_id) - 1 AS code
+            |  FROM e ORDER BY
+            |   ('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+            |     ::BIGINT, vec_id LIMIT 8),
+            |cb0 AS (SELECT s.code, xs.j, xs.sd, xs.x AS c
+            |  FROM sd0 s JOIN xs ON xs.vec_id = s.vec_id),
+            |${pqIterCte("cb0", "a1", "m1", "cb1")},
+            |${pqIterCte("cb1", "a2", "m2", "cb2")},
+            |af AS (SELECT vec_id, j, code FROM (
+            |  SELECT vec_id, j, code, row_number() OVER (
+            |    PARTITION BY vec_id, j ORDER BY dist, code) AS rn
+            |  FROM (SELECT xs.vec_id, cb.j, cb.code,
+            |     CAST(sum((xs.x - cb.c) * (xs.x - cb.c)) AS BIGINT) AS dist
+            |    FROM xs JOIN cb2 cb ON cb.j = xs.j AND cb.sd = xs.sd
+            |    GROUP BY 1, 2, 3)) WHERE rn = 1),
+            |rl AS (SELECT af.vec_id,
+            |   list(CAST(cb.c AS DOUBLE) ORDER BY cb.j * 8 + cb.sd) AS rv
+            |  FROM af JOIN cb2 cb ON cb.j = af.j AND cb.code = af.code
+            |  GROUP BY 1),
+            |q AS (SELECT vec_id AS qid, embedding AS qe FROM e
+            |  WHERE vec_id < 10),
+            |top AS (SELECT qid, vid FROM (
+            |  SELECT q.qid, r.vec_id AS vid, row_number() OVER (
+            |    PARTITION BY q.qid ORDER BY round(CAST(
+            |      list_cosine_similarity(q.qe, r.rv) AS DOUBLE), 6) DESC,
+            |      r.vec_id) AS rnk
+            |  FROM q CROSS JOIN rl r WHERE r.vec_id <> q.qid)
+            |  WHERE rnk <= 5),
+            |ft AS (SELECT qid, e.vec_id AS vid, row_number() OVER (
+            |   PARTITION BY qid ORDER BY round(CAST(
+            |     list_cosine_similarity(qe, e.embedding) AS DOUBLE), 6)
+            |     DESC, e.vec_id) AS rnk
+            |  FROM q, e WHERE e.vec_id <> qid),
+            |truth AS (SELECT qid, vid FROM ft WHERE rnk <= 5),
+            |hits AS (SELECT top.qid,
+            |   CAST(count(truth.vid) AS BIGINT) AS n_hits
+            |  FROM top LEFT JOIN truth
+            |   ON top.qid = truth.qid AND top.vid = truth.vid
+            |  GROUP BY 1)
+            |SELECT q.qid AS query_id,
+            | COALESCE(n_hits, 0) AS n_hits,
+            | COALESCE(n_hits, 0) * 100 // 5 AS recall_pct
+            |FROM q LEFT JOIN hits ON hits.qid = q.qid
+            |ORDER BY 1""".stripMargin))
+
+  /** Portable SemDeDup with a FULL DuckDB oracle
+    * ([[Ann.semDedupPortable]]) — the last dedup-family member gets its
+    * hash pin (r11 verdict item 4): the oracle rebuilds the md5-seeded
+    * integer Lloyd cells (the `ann_ivf_recall_portable` CTEs), reruns
+    * the in-cell pair sweep at round(cos, 6) ≥ 0.5, and compares ALL
+    * 500 (vec_id, cell, removed) rows — the full cell partition AND
+    * every removal verdict. Threshold 0.5 (not the production 0.9)
+    * because this corpus plants no near-identical vectors (max pairwise
+    * cosine ≈ 0.6): at 0.9 the removed column would be all-false; at
+    * 0.5 real in-cell pairs cross it, so the sweep's verdict logic is
+    * exercised, not just the cells. Planted-dup recall stays AnnSpec's.
+    */
+  private val semdedupPortable = Q(
+    "dedup_semdedup_portable",
+    (s, d) => Ann.semDedupPortable(Tables.embeddings(s, d),
+      "vec_id", "embedding", threshold = 0.5),
+    Some(s"""WITH e AS (SELECT vec_id, embedding FROM embeddings
+            |  WHERE embedding IS NOT NULL),
+            |sd AS (SELECT vec_id, embedding,
+            |   row_number() OVER (ORDER BY
+            |     ('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+            |       ::BIGINT, vec_id) - 1 AS cell
+            |  FROM e ORDER BY
+            |   ('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+            |     ::BIGINT, vec_id LIMIT 16),
+            |c0 AS (SELECT cell,
+            |   [CAST(floor(CAST(x AS DOUBLE) * 1e6) AS DOUBLE)
+            |    for x in embedding] AS cv FROM sd),
+            |${ivfIterCte("c0", "ia1", "im1", "c1")},
+            |${ivfIterCte("c1", "ia2", "im2", "c2")},
+            |af AS (SELECT vec_id, cell FROM (
+            |  SELECT e.vec_id, p.cell, row_number() OVER (
+            |    PARTITION BY e.vec_id ORDER BY round(CAST(
+            |      list_cosine_similarity(e.embedding, p.cv) AS DOUBLE), 6)
+            |      DESC, p.cell) AS rn
+            |  FROM e CROSS JOIN c2 p) WHERE rn = 1),
+            |pairs AS (SELECT ai.vec_id AS i, aj.vec_id AS j
+            |  FROM af ai JOIN af aj ON ai.cell = aj.cell
+            |    AND ai.vec_id < aj.vec_id
+            |  JOIN e ei ON ei.vec_id = ai.vec_id
+            |  JOIN e ej ON ej.vec_id = aj.vec_id
+            |  WHERE round(CAST(list_cosine_similarity(ei.embedding,
+            |    ej.embedding) AS DOUBLE), 6) >= 0.5),
+            |rm AS (SELECT DISTINCT j AS vec_id FROM pairs)
+            |SELECT af.vec_id, CAST(af.cell AS INT) AS cell,
+            | (rm.vec_id IS NOT NULL) AS removed
+            |FROM af LEFT JOIN rm ON rm.vec_id = af.vec_id
+            |ORDER BY af.vec_id""".stripMargin))
+
   /** Embedding-cosine near-dup dedup: LSH-bucketed candidates, exact
     * verify, FULL brute-force oracle. This corpus plants no near-identical
     * vectors (max pairwise cosine ≈ 0.6 — measured), so the verified
@@ -768,6 +908,7 @@ object SimilarityQueries extends QueryPack {
            |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
   val qs: Seq[Q] = Seq(brute, lsh, ivf, pq, ivfPortable, lshPortable,
+    pqPortable, semdedupPortable,
     embDedup, mmFeatures, mmPayloadDedup, argmaxHist,
     centroidDist, mmFrames, mmPhash, mmAhashReal, semdedup, topComponent,
     mmResizePlan, decontamNearest, matryoshka)

@@ -197,6 +197,20 @@ object TextAnalysis {
   def winnowedFingerprints(text: Column, n: Int = 3, window: Int = 4): Column =
     expr2col(graft.functions.Winnow(_, n, window), text)
 
+  /** Positional word n-gram fingerprints ([[Hashing.gramHashes]]) — the
+    * repeated-span unit. Codegen expression for the same reason as
+    * [[shingles]].
+    */
+  def gramHashes(text: Column, n: Int): Column =
+    expr2col(graft.functions.GramHashes(_, n), text)
+
+  /** 60-bit SimHash signature over word n-gram shingles
+    * ([[Hashing.simhash]]); NULL for null/sub-n-word docs — see
+    * [[graft.functions.SimhashSig]] for the nullability contract.
+    */
+  def simhashSig(text: Column, n: Int = 3): Column =
+    expr2col(graft.functions.SimhashSig(_, n), text)
+
   /** Positional (non-distinct) word 2-gram count: clean tokens − 1,
     * floored at 0. The denominator of the repetition ratio. Uses the
     * [[graft.functions.Tokenize]] codegen expression — the ONE

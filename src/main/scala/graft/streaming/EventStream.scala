@@ -18,6 +18,16 @@ import graft.ops.Checkpoints.StageCheckpoint
   * watermark-bounded: at scale the aggregation state is pruned as event
   * time advances, so a 1000-executor job holds only the open windows, not
   * history.
+  *
+  * CHECKPOINT-COMPATIBILITY NOTE (r11 exact-money migration): the
+  * windowed aggregation values moved from double sums to
+  * decimal-rendered strings. That changes the state-store schema, so a
+  * structured-streaming checkpoint written by the pre-r11 code FAILS on
+  * restart with a state schema incompatibility — accepted explicitly:
+  * these queries back test/bench harnesses with fresh per-run
+  * checkpoints, and a production deployment would migrate by draining
+  * the old query (stop at a watermark boundary, start the new query
+  * with a fresh checkpoint against the retained source offsets).
   */
 object EventStream {
 

@@ -42,8 +42,7 @@ object TimeQuery {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val work = sys.env.contains("WORK")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    val spark = graft.util.Sessions.withMaster(SparkSession.builder(), cpus)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -67,16 +66,17 @@ object TimeQuery {
         q(spark, sfDir).explain("formatted")
       val times = (1 to reps).map { _ =>
         if (work) {
-          // listener events race the job end by a beat; settle before
-          // zeroing so a rep's tail isn't billed to the next rep
-          Thread.sleep(500)
+          // deterministic drain (r11 ADVICE): block until every posted
+          // listener event has dispatched before zeroing, so a rep's
+          // tail can't be billed to the next rep even mid host stall
+          org.apache.spark.graftshim.ListenerDrain.drain(spark.sparkContext)
           cpuNs.set(0L); shufW.set(0L); shufR.set(0L)
         }
         val t0 = System.nanoTime()
         q(spark, sfDir).write.format("noop").mode("overwrite").save()
         val t = (System.nanoTime() - t0) / 1e9
         if (work) {
-          Thread.sleep(500)
+          org.apache.spark.graftshim.ListenerDrain.drain(spark.sparkContext)
           println(f"[work] $name wall=$t%.3f cpu=${cpuNs.get / 1e9}%.2f " +
             f"shufW=${shufW.get / 1e6}%.1fMB shufR=${shufR.get / 1e6}%.1fMB")
         }

@@ -1,0 +1,49 @@
+package graft.util
+
+import org.apache.spark.sql.SparkSession
+
+/** Master selection shared by the harness mains ([[graft.Verify]],
+  * [[graft.Bench]], [[graft.tools.TimeQuery]]).
+  *
+  * `SPARK_GRAFT_MASTER` overrides the default `local[cpus]` — the
+  * designed use is `local-cluster[N,cores,memMB]` (r11 verdict item 1):
+  * every number this engine ever produced came from ONE JVM, where
+  * broadcasts, typed-Aggregator buffers, custom-Expression closures and
+  * kryo paths never cross a process boundary — exactly where cluster
+  * deployments break first. local-cluster forks REAL executor JVMs
+  * (separate processes, real serialization, real RPC) on this machine,
+  * the cheapest honest multi-JVM evidence short of a cluster.
+  *
+  * local-cluster executors are launched by the standalone backend from
+  * `SPARK_HOME` with only the Spark distribution on their classpath, so
+  * the engine classes and the JDK-17 module opens (build.sbt forks them
+  * into the DRIVER only) must be forwarded explicitly.
+  */
+object Sessions {
+
+  /** The same list as build.sbt's jdk17AddOpens — executors need them
+    * for the identical reason the forked driver does (kryo/unsafe).
+    */
+  private val AddOpens = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar",
+  ).map(p => s"--add-opens $p=ALL-UNNAMED").mkString(" ")
+
+  def withMaster(b: SparkSession.Builder, cpus: String): SparkSession.Builder = {
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val withM = b.master(master)
+    if (master.startsWith("local-cluster")) {
+      val classes = new java.io.File("target/scala-2.13/classes").getAbsolutePath
+      withM
+        .config("spark.executor.extraClassPath", classes)
+        .config("spark.executor.extraJavaOptions", AddOpens)
+        .config("spark.executor.memory",
+          sys.env.getOrElse("SPARK_GRAFT_EXECUTOR_MEM", "7g"))
+    } else withM
+  }
+}

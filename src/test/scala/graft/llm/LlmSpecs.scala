@@ -346,6 +346,31 @@ class AnnSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet
     assert(again === got)
   }
+
+  test("pqPortableRecall: planted exact dups recall 100, deterministic twice") {
+    import spark.implicits._
+    // exact duplicates: the dup encodes to the SAME per-subspace codes
+    // as its query, so its reconstruction is the quantization of the
+    // query itself — the ADC top-1 unless another vector shares all
+    // codes (deterministic for this seeded corpus: none does)
+    val rnd = new scala.util.Random(13)
+    val background = (100L until 160L).map(i => (i, Array.fill(16)(rnd.nextFloat())))
+    val planted = (0L until 3L).flatMap { i =>
+      val v = Array.fill(16)(rnd.nextFloat())
+      Seq((i, v), (i + 50L, v.clone))
+    }
+    val df = (planted ++ background).toDF("vec_id", "embedding")
+    val q = df.filter(col("vec_id") < 3)
+    val got = Ann.pqPortableRecall(df, q, "vec_id", "embedding", k = 1,
+        sub = 4, ksub = 8)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((0L, 1L, 100L), (1L, 1L, 100L), (2L, 1L, 100L)),
+      s"planted exact-dup recall: $got")
+    val again = Ann.pqPortableRecall(df, q, "vec_id", "embedding", k = 1,
+        sub = 4, ksub = 8)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(again === got)
+  }
 }
 
 class MultimodalSpec extends SparkSpec {
@@ -662,6 +687,24 @@ class SemDedupSpec extends SparkSpec {
     val b = Ann.semDedup(emb, "vec_id", "embedding", threshold = 0.5)
       .orderBy("vec_id").collect().toSeq
     assert(a === b)
+  }
+
+  test("semDedupPortable: planted exact dups removed; one row per vector") {
+    import spark.implicits._
+    val dups = emb.filter(col("vec_id") < 25)
+      .select((col("vec_id") + 10000L).as("vec_id"), col("embedding"))
+    val withDups = emb.select(col("vec_id"), col("embedding")).union(dups)
+    val out = Ann.semDedupPortable(withDups, "vec_id", "embedding",
+      threshold = 0.999)
+    assert(out.count() === withDups.count())
+    val removed = out.filter(col("removed"))
+      .select(col("vec_id")).as[Long].collect().toSet
+    (0L until 25L).foreach { i =>
+      assert(removed.contains(i + 10000L),
+        s"planted duplicate of $i escaped portable semantic dedup")
+    }
+    // and the lower-id original of each planted pair is kept
+    (0L until 25L).foreach(i => assert(!removed.contains(i)))
   }
 }
 
