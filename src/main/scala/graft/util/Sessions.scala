@@ -36,7 +36,17 @@ object Sessions {
 
   def withMaster(b: SparkSession.Builder, cpus: String): SparkSession.Builder = {
     val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
-    val withM = b.master(master)
+    // ad-hoc conf overrides for scale experiments
+    // (`SPARK_GRAFT_EXTRA_CONF="k=v;k=v"`): A/B-ing a partitioning or
+    // AQE setting at a big SF must not require a recompile
+    val withExtra = sys.env.get("SPARK_GRAFT_EXTRA_CONF")
+      .map(_.split(';').filter(_.contains('=')))
+      .getOrElse(Array.empty)
+      .foldLeft(b) { (bb, kv) =>
+        val Array(k, v) = kv.split("=", 2)
+        bb.config(k.trim, v.trim)
+      }
+    val withM = withExtra.master(master)
     if (master.startsWith("local-cluster")) {
       val classes = new java.io.File("target/scala-2.13/classes").getAbsolutePath
       withM
