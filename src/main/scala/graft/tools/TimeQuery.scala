@@ -26,12 +26,23 @@ object TimeQuery {
   private val cpuNs = new AtomicLong(0L)
   private val shufW = new AtomicLong(0L)
   private val shufR = new AtomicLong(0L)
+  // STAGES=1: per-stage rollup for attributing WORK inside one query —
+  // (cpu s, spill bytes, output rows, shuffle write) keyed by the
+  // stage's first line of callsite detail
+  private val stageRows =
+    new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Long, Long, Long)]
 
   private final class WorkListener extends SparkListener {
     override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
-      cpuNs.addAndGet(s.stageInfo.taskMetrics.executorCpuTime)
-      shufW.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
-      shufR.addAndGet(s.stageInfo.taskMetrics.shuffleReadMetrics.totalBytesRead)
+      val m = s.stageInfo.taskMetrics
+      cpuNs.addAndGet(m.executorCpuTime)
+      shufW.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      shufR.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+      if (sys.env.contains("STAGES"))
+        stageRows.add((s"${s.stageInfo.stageId}[${s.stageInfo.numTasks}t]:" +
+          s.stageInfo.name.take(60),
+          m.executorCpuTime, m.memoryBytesSpilled + m.diskBytesSpilled,
+          m.shuffleWriteMetrics.recordsWritten, m.shuffleWriteMetrics.bytesWritten))
     }
   }
 
@@ -79,8 +90,23 @@ object TimeQuery {
           org.apache.spark.graftshim.ListenerDrain.drain(spark.sparkContext)
           println(f"[work] $name wall=$t%.3f cpu=${cpuNs.get / 1e9}%.2f " +
             f"shufW=${shufW.get / 1e6}%.1fMB shufR=${shufR.get / 1e6}%.1fMB")
+          if (sys.env.contains("STAGES")) {
+            import scala.jdk.CollectionConverters._
+            stageRows.asScala.toSeq.sortBy(-_._2).take(12).foreach {
+              case (nm, c, sp, rec, bw) =>
+                println(f"[stage] cpu=${c / 1e9}%8.2f spill=${sp / 1e6}%8.1fMB " +
+                  f"rows=$rec%12d shufW=${bw / 1e6}%8.1fMB  $nm")
+            }
+            stageRows.clear()
+          }
         }
         dropQueryState()
+        // settle the heap between reps: at ≥sf1.0 a rep leaves the heap
+        // near-full of dead shuffle/agg buffers and the NEXT rep's task
+        // cpu absorbs the collection debt (measured: rep2 4-5× rep1 at
+        // sf1.0/32t without this) — the Bench post-warmup System.gc
+        // rationale applied per rep
+        System.gc()
         t
       }
       println(f"[time] $name reps=${times.map(t => f"$t%.3f").mkString(",")} min=${times.min}%.3f")
