@@ -104,17 +104,43 @@ object ScaleData {
       .drop("_copy")
       .write.mode("overwrite").parquet(s"$dst/events.parquet")
 
-    // Caesar-shift letters by the copy index: identical lengths and
-    // whitespace (same tokenizer/quality work per doc), disjoint shingle
-    // sets across copies (no planted cross-copy near-dups)
+    // Per-copy text perturbation: Caesar-shift letters by (c mod 26),
+    // then rotate every maximal letter run's characters by (c div 26).
+    // Identical lengths and whitespace (same tokenizer/quality work per
+    // doc), shingle sets disjoint across copies. The rotation layer is
+    // the r12 de-aliasing fix: a letter-only substitution has exactly 26
+    // classes, so at K=100 copies 0/26/52/78 carried IDENTICAL text —
+    // every doc gained 3 planted exact dups and each shift class's
+    // near-dup candidates went quadratic in K/26 (found as a 100×-not-
+    // 10× candidate-shuffle blowup in the sf10 derivative; it also
+    // inflated the r11 sf3.0 text-dedup exponents, where copies 26-29
+    // aliased 0-3). Rotation by r ∈ [1, 26) de-aliases words of length
+    // ≥ 2 that are not r-periodic, so cross-class shingle overlap drops
+    // to the 1-letter-word floor — K up to 26·26 copies stay distinct.
     val caesar = udf { (text: String, c: Long) =>
       if (text == null || c == 0L) text
       else {
         val s = (c % 26).toInt
-        text.map {
+        val r = (c / 26).toInt
+        val shifted = text.map {
           case ch if ch >= 'a' && ch <= 'z' => (((ch - 'a' + s) % 26) + 'a').toChar
           case ch if ch >= 'A' && ch <= 'Z' => (((ch - 'A' + s) % 26) + 'A').toChar
           case ch => ch
+        }
+        if (r == 0) shifted
+        else {
+          val sb = new java.lang.StringBuilder(shifted.length)
+          var i = 0
+          while (i < shifted.length) {
+            var j = i
+            while (j < shifted.length && shifted.charAt(j).isLetter) j += 1
+            if (j > i) {
+              val k = r % (j - i)
+              sb.append(shifted, i + k, j).append(shifted, i, i + k)
+              i = j
+            } else { sb.append(shifted.charAt(i)); i += 1 }
+          }
+          sb.toString
         }
       }
     }
@@ -126,11 +152,18 @@ object ScaleData {
       .write.mode("overwrite").parquet(s"$dst/documents.parquet")
 
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    // rotation aliases every `dim` copies (the Caesar problem in vector
+    // space) — past that, alternate-dim sign flips (norm-preserving,
+    // decorrelating) key the second factor: dim·2 distinct copies
     val rot = udf { (v: Array[Float], c: Long) =>
       if (v == null || v.isEmpty || c == 0L) v
       else {
         val n = v.length; val s = (c % n).toInt
-        Array.tabulate(n)(i => v((i + s) % n))
+        val f = ((c / n) % 2L) == 1L
+        Array.tabulate(n) { i =>
+          val x = v((i + s) % n)
+          if (f && i % 2 == 0) -x else x
+        }
       }
     }
     copies(emb)
