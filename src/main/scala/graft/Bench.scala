@@ -227,13 +227,94 @@ object Bench {
         """"curate_docs_per_s_large":-1,"sketch_events_per_s":-1}"""
     } finally dropQueryState()
 
+    // ---- million-key streaming state (r11 verdict item 7): the bench-SF
+    // streaming rows above hold ≤ ~100k state keys — fixed-cost territory.
+    // When the sf1.0 ScaleData derivative exists (tools/ScaleData, 10×
+    // sf0.1; regenerate after `sbt clean`), drive the SAME curate chain
+    // with its 50k-doc corpus replicated 20× (distinct fingerprints) in
+    // 4 waves — ~1M dedup-state keys — on the RocksDB state store (the
+    // provider a production deployment would run; the default in-memory
+    // HDFSBacked store measures a HashMap, not a state store), and
+    // report docs/s + the state operator's own row/byte telemetry.
+    // The LSH index-maintenance sink gets the sf1.0 corpus too: its
+    // corpus-sized state lives in parquet stores by design, so the
+    // number that matters is docs/s as the stores grow batch over batch.
+    def largeStateBench(): String = {
+      val sf1 = "/root/repo/target/scaledata/sf1.0"
+      if (!new java.io.File(s"$sf1/documents.parquet").exists())
+        return """"curate_sf1_docs_per_s":-1,"curate_sf1_state_rows":-1,""" +
+          """"curate_sf1_state_mb":-1,"lsh_index_sf1_docs_per_s":-1"""
+      try {
+        import spark.implicits._
+        implicit val sq = spark.sqlContext
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        import org.apache.spark.sql.functions._
+        val base = java.nio.file.Files
+          .createTempDirectory("graft-bench-bigstate").toString
+        val docsDf = spark.read.parquet(s"$sf1/documents.parquet")
+        val docs = docsDf
+          .select(col("doc_id"), col("text"), col("lang"), col("source"))
+          .as[graft.streaming.DocStream.Doc].collect()
+        val benchFps = docsDf.filter(col("doc_id") < 50)
+          .select(explode(graft.llm.TextAnalysis.shingles(col("text"), 5)).as("g"))
+          .select(substring(md5(col("g")), 1, 16).as("fp")).distinct()
+        val bigDocs = (0 until 20).flatMap { c =>
+          docs.map(dd => dd.copy(doc_id = dd.doc_id + c.toLong * 100000000L,
+            text = if (dd.text == null) null else dd.text + " copyt" + c))
+        }
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        val din = MemoryStream[graft.streaming.DocStream.Doc]
+        val dq = graft.streaming.DocStream.curate(din.toDF(), benchFps)
+          .writeStream.format("noop")
+          .option("checkpointLocation", s"$base/ckpt").start()
+        val perBatch = math.max(1, bigDocs.length / 4)
+        val t0 = System.nanoTime()
+        bigDocs.grouped(perBatch).foreach { b =>
+          din.addData(b: _*); dq.processAllAvailable()
+        }
+        val rate = bigDocs.length / ((System.nanoTime() - t0) / 1e9)
+        val stateOps = Option(dq.lastProgress)
+          .map(_.stateOperators.toSeq).getOrElse(Seq.empty)
+        val stateRows = stateOps.map(_.numRowsTotal).sum
+        val stateMb = stateOps.map(_.memoryUsedBytes).sum / 1e6
+        dq.stop()
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        // LSH index maintenance: 4 batches of the raw sf1.0 corpus
+        val lin = MemoryStream[graft.streaming.DocStream.Doc]
+        val lq = graft.streaming.DocStream.maintainLshIndex(
+          lin.toDF(), s"$base/corpus", s"$base/pairs", s"$base/lckpt")
+        val lPer = math.max(1, docs.length / 4)
+        val t1 = System.nanoTime()
+        docs.grouped(lPer).foreach { b =>
+          lin.addData(b.toIndexedSeq: _*); lq.processAllAvailable()
+        }
+        val lshRate = docs.length / ((System.nanoTime() - t1) / 1e9)
+        lq.stop()
+        s""""curate_sf1_docs_per_s":${math.round(rate)},""" +
+          s""""curate_sf1_state_rows":$stateRows,""" +
+          s""""curate_sf1_state_mb":${math.round(stateMb)},""" +
+          s""""lsh_index_sf1_docs_per_s":${math.round(lshRate)}"""
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] large-state streaming failed: ${e.getMessage}")
+        """"curate_sf1_docs_per_s":-1,"curate_sf1_state_rows":-1,""" +
+          """"curate_sf1_state_mb":-1,"lsh_index_sf1_docs_per_s":-1"""
+      } finally {
+        if (spark.conf.getOption(
+            "spark.sql.streaming.stateStore.providerClass").isDefined)
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        dropQueryState()
+      }
+    }
+
     val streaming = streamingBench()
+    val streamingSf1 = s""""streaming_sf1":{${largeStateBench()}}"""
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","reps":$Reps,""" +
         s""""total_cpu_s":${math.round(totalCpu * 100) / 100.0},""" +
         s""""queries":$qs,"queries_first":$qsFirst,""" +
         s""""queries_cpu_s":$qsCpu,"queries_shuffle_mb":$qsShuf,""" +
-        s"""$streaming,"sf":"$sfDir"}"""
+        s"""$streaming,$streamingSf1,"sf":"$sfDir"}"""
     println(json)
     // stdout arrives wrapped in sbt "[info] " noise (both prior rounds
     // show "parsed": null on the driver) — also drop the bare line where
