@@ -16,20 +16,34 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // PINNED at 16 threads (r12 verdict item 1): on this 32-vCPU box, 32
+    // concurrent streaming tasks saturate DRAM and executorCpuTime counts
+    // the stall cycles — the WORK columns themselves inflate ~1.6× and a
+    // single contended rep can read 25× its quiet cost (BASELINE.md r12
+    // 8/16/32-thread table: jaccard sf1.0 cpu 160→202→324-2433 cpu-s).
+    // 16 threads is the measured knee where cpu is plan-deterministic
+    // (±5% across reps), so the OFFICIAL artifact is only comparable
+    // round-over-round when pinned here. SPARK_GRAFT_BENCH_CPUS exists
+    // for explicit experiments; the driver's SPARK_GRAFT_CPUS is
+    // intentionally ignored so the official record can't regress to a
+    // contended config.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_BENCH_CPUS", "16")
     graft.util.Freshness.check(Bench.getClass)
-    val spark = graft.util.Sessions.withMaster(SparkSession.builder(), cpus)
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      // the default generated-class cache holds 100 entries; a session
-      // running 30+ distinct query shapes × ~5-10 codegen units each
-      // evicts its own warmup, so every "timed" run re-pays janino
-      // compilation (measured: up to 5× on regex-heavy plans). A
-      // long-running engine serving a query mix wants the cache sized to
-      // the working set — this is engine tuning, not bench cosmetics.
-      .config("spark.sql.codegen.cache.maxEntries", "10000")
-      .getOrCreate()
+    // defaults are set BEFORE withMaster so SPARK_GRAFT_EXTRA_CONF
+    // (applied inside it) can override them for explicit experiments
+    val spark = graft.util.Sessions.withMaster(
+      SparkSession.builder()
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        // the default generated-class cache holds 100 entries; a session
+        // running 30+ distinct query shapes × ~5-10 codegen units each
+        // evicts its own warmup, so every "timed" run re-pays janino
+        // compilation (measured: up to 5× on regex-heavy plans). A
+        // long-running engine serving a query mix wants the cache sized to
+        // the working set — this is engine tuning, not bench cosmetics.
+        .config("spark.sql.codegen.cache.maxEntries", "10000"),
+      cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     // Several operators localCheckpoint intermediate frames (the staged
@@ -65,17 +79,25 @@ object Bench {
           shufB.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
         }
       })
-    def drain(): Unit =
-      try org.apache.spark.graftshim.ListenerDrain.drain(spark.sparkContext)
-      catch { case _: java.util.concurrent.TimeoutException =>
+    def drain(): Boolean =
+      try {
+        org.apache.spark.graftshim.ListenerDrain.drain(spark.sparkContext)
+        true
+      } catch { case _: java.util.concurrent.TimeoutException =>
         System.err.println("[bench] listener bus failed to drain in 10s")
+        false
       }
 
     /** One timed execution → (wall s, executor-cpu s, shuffle-write MB);
-      * (-1, -1, -1) on failure.
+      * (-1, -1, -1) on failure. If the listener bus cannot be drained
+      * around the rep, the WORK columns are reported as -1
+      * (unattributable): an undrained bus means event tails can be
+      * cross-billed between reps, and ListenerDrain's contract is that
+      * such a rep must not enter the official record quietly (r12
+      * ADVICE). Wall-clock stays valid — it never depended on the bus.
       */
     def runOnce(name: String): (Double, Double, Double) = {
-      drain(); cpuNs.set(0L); shufB.set(0L)
+      val preDrained = drain(); cpuNs.set(0L); shufB.set(0L)
       val t0 = System.nanoTime()
       // finally: a FAILED query may already have checkpointed frames —
       // skipping the cleanup on the error path would leak its blocks
@@ -84,8 +106,9 @@ object Bench {
         SparkEntry.queries(name)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
         val wall = (System.nanoTime() - t0) / 1e9
-        drain()
-        (wall, cpuNs.get / 1e9, shufB.get / 1e6)
+        val postDrained = drain()
+        if (preDrained && postDrained) (wall, cpuNs.get / 1e9, shufB.get / 1e6)
+        else (wall, -1.0, -1.0)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         (-1.0, -1.0, -1.0)
@@ -142,6 +165,27 @@ object Bench {
       (math.round(minOf(r) * 100) / 100.0) })
     val qsShuf = jsonMap(metricCol(_._3).map { case (k, r) => k ->
       (math.round(minOf(r) * 10) / 10.0) })
+    // cpu trust boundary (r12 verdict item 5): executorCpuTime absorbs
+    // memory-stall cycles under contention — r12's artifact carried a
+    // 96 cpu-s reading for a 1.7 cpu-s plan. A rep whose cpu deviates
+    // >3× from the query's min rep means the host was contended during
+    // the measurement window; the min is still reported (it is the
+    // plan's cost) but the query is FLAGGED so a contaminated line can
+    // never enter an artifact silently again.
+    // flag = relative (>3× the min rep) AND absolute (>1 cpu-s excess):
+    // sub-second queries jitter a few hundred ms of cpu on scheduler
+    // noise alone, which is not the 96-s-for-a-1.7-s-plan class of
+    // contamination this flag exists to catch (the first artifact run
+    // flagged a 0.14→0.45 cpu-s wiggle — technically 3×, practically
+    // nothing)
+    val cpuFlagged = metricCol(_._2).collect {
+      case (k, r) if r.count(_ >= 0) >= 2 && {
+        val ok = r.filter(_ >= 0)
+        ok.max > 3.0 * math.max(ok.min, 0.05) && ok.max - ok.min > 1.0
+      } => k
+    }
+    val qsCpuFlagged =
+      cpuFlagged.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map { case (_, reps) => minOf(reps.map(_._1)) }
       .filter(_ >= 0).sum
     val totalCpu = results.map { case (_, reps) => minOf(reps.map(_._2)) }
@@ -154,12 +198,33 @@ object Bench {
     // cross-batch state machinery (keyed dedup; batch_id partition
     // commits) is on the measured path. Throughput in rows/s — HIGHER
     // is better, unlike the seconds above.
-    def streamingBench(): String = try {
+    // stop a query that may never have started / already stopped, and
+    // delete a local temp tree — both on EVERY exit path (r12 ADVICE: the
+    // success-path-only stop left RocksDB-backed queries running and
+    // checkpoint/store temp dirs behind when a drive threw mid-bench)
+    def stopQuietly(q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+      if (q != null) try q.stop() catch { case _: Throwable => () }
+    def deleteTree(dir: String): Unit =
+      if (dir != null) try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+          .sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala
+          .foreach(p => try java.nio.file.Files.deleteIfExists(p)
+            catch { case _: Throwable => () })
+      } catch { case _: Throwable => () }
+
+    def streamingBench(): String = {
+      var dq: org.apache.spark.sql.streaming.StreamingQuery = null
+      var dq2: org.apache.spark.sql.streaming.StreamingQuery = null
+      var evq: org.apache.spark.sql.streaming.StreamingQuery = null
+      var base: String = null
+      try {
       import spark.implicits._
       implicit val sq = spark.sqlContext
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       import org.apache.spark.sql.functions._
-      val base = java.nio.file.Files
+      base = java.nio.file.Files
         .createTempDirectory("graft-bench-stream").toString
       // curate: the bench-SF documents corpus through the full gate
       // chain (quality, decontamination vs a benchmark fingerprint set,
@@ -172,7 +237,7 @@ object Bench {
         .select(explode(graft.llm.TextAnalysis.shingles(col("text"), 5)).as("g"))
         .select(substring(md5(col("g")), 1, 16).as("fp")).distinct()
       val din = MemoryStream[graft.streaming.DocStream.Doc]
-      val dq = graft.streaming.DocStream.curate(din.toDF(), benchFps)
+      dq = graft.streaming.DocStream.curate(din.toDF(), benchFps)
         .writeStream.format("noop")
         .option("checkpointLocation", s"$base/cckpt").start()
       val (d1, d2) = docs.splitAt(docs.length / 2)
@@ -193,7 +258,7 @@ object Bench {
           text = if (dd.text == null) null else dd.text + " copyt" + c))
       }
       val din2 = MemoryStream[graft.streaming.DocStream.Doc]
-      val dq2 = graft.streaming.DocStream.curate(din2.toDF(), benchFps)
+      dq2 = graft.streaming.DocStream.curate(din2.toDF(), benchFps)
         .writeStream.format("noop")
         .option("checkpointLocation", s"$base/cckpt2").start()
       val perBatch = math.max(1, bigDocs.length / 4)
@@ -210,22 +275,27 @@ object Bench {
         i.toLong, new java.sql.Timestamp(1700000000000L + i),
         (i % 1000).toLong, "m", (i % 500) * 0.37))
       val ein = MemoryStream[graft.streaming.EventStream.Event]
-      val eq = graft.streaming.EventStream.quantileSketchSink(
+      evq = graft.streaming.EventStream.quantileSketchSink(
         ein.toDF(), s"$base/store", s"$base/sckpt")
       val (e1, e2) = evs.splitAt(evs.length / 2)
       val t1 = System.nanoTime()
-      ein.addData(e1: _*); eq.processAllAvailable()
-      ein.addData(e2: _*); eq.processAllAvailable()
+      ein.addData(e1: _*); evq.processAllAvailable()
+      ein.addData(e2: _*); evq.processAllAvailable()
       val sketchRate = evs.length / ((System.nanoTime() - t1) / 1e9)
-      eq.stop()
+      evq.stop()
       s""""streaming":{"curate_docs_per_s":${math.round(curateRate)},""" +
         s""""curate_docs_per_s_large":${math.round(curateRateLarge)},""" +
         s""""sketch_events_per_s":${math.round(sketchRate)}}"""
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] streaming failed: ${e.getMessage}")
-      """"streaming":{"curate_docs_per_s":-1,""" +
-        """"curate_docs_per_s_large":-1,"sketch_events_per_s":-1}"""
-    } finally dropQueryState()
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] streaming failed: ${e.getMessage}")
+        """"streaming":{"curate_docs_per_s":-1,""" +
+          """"curate_docs_per_s_large":-1,"sketch_events_per_s":-1}"""
+      } finally {
+        Seq(dq, dq2, evq).foreach(stopQuietly)
+        deleteTree(base)
+        dropQueryState()
+      }
+    }
 
     // ---- million-key streaming state (r11 verdict item 7): the bench-SF
     // streaming rows above hold ≤ ~100k state keys — fixed-cost territory.
@@ -239,17 +309,26 @@ object Bench {
     // The LSH index-maintenance sink gets the sf1.0 corpus too: its
     // corpus-sized state lives in parquet stores by design, so the
     // number that matters is docs/s as the stores grow batch over batch.
+    // Failure sentinel shared by every largeStateBench exit path.
+    val largeStateFail =
+      """"curate_sf1_docs_per_s":-1,"curate_sf1_state_rows":-1,""" +
+        """"curate_sf1_state_mb":-1,"restore_first_batch_s":-1,""" +
+        """"restore_docs_per_s":-1,"restore_reprocessed_rows":-1,""" +
+        """"restore_dup_leaks":-1,"lsh_index_sf1_docs_per_s":-1"""
     def largeStateBench(): String = {
       val sf1 = "/root/repo/target/scaledata/sf1.0"
       if (!new java.io.File(s"$sf1/documents.parquet").exists())
-        return """"curate_sf1_docs_per_s":-1,"curate_sf1_state_rows":-1,""" +
-          """"curate_sf1_state_mb":-1,"lsh_index_sf1_docs_per_s":-1"""
+        return largeStateFail
+      var dq: org.apache.spark.sql.streaming.StreamingQuery = null
+      var dq2: org.apache.spark.sql.streaming.StreamingQuery = null
+      var lq: org.apache.spark.sql.streaming.StreamingQuery = null
+      var base: String = null
       try {
         import spark.implicits._
         implicit val sq = spark.sqlContext
         import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
         import org.apache.spark.sql.functions._
-        val base = java.nio.file.Files
+        base = java.nio.file.Files
           .createTempDirectory("graft-bench-bigstate").toString
         val docsDf = spark.read.parquet(s"$sf1/documents.parquet")
         val docs = docsDf
@@ -258,51 +337,100 @@ object Bench {
         val benchFps = docsDf.filter(col("doc_id") < 50)
           .select(explode(graft.llm.TextAnalysis.shingles(col("text"), 5)).as("g"))
           .select(substring(md5(col("g")), 1, 16).as("fp")).distinct()
-        val bigDocs = (0 until 20).flatMap { c =>
-          docs.map(dd => dd.copy(doc_id = dd.doc_id + c.toLong * 100000000L,
-            text = if (dd.text == null) null else dd.text + " copyt" + c))
-        }
+        // 19 corpus copies with distinct fingerprints (per-copy suffix
+        // token): waves 1-3 = copies 0-14 (750k docs, ~715k state keys),
+        // wave 4 = copies 15-18 (200k FRESH docs) + an exact re-send of
+        // copy 0 (50k duplicates) driven through a RESTARTED query — the
+        // recovery path (r12 verdict item 4: ingest at million-key state
+        // was proven, restore was not).
+        def copy(c: Int): Seq[graft.streaming.DocStream.Doc] =
+          docs.toSeq.map(dd =>
+            dd.copy(doc_id = dd.doc_id + c.toLong * 100000000L,
+              text = if (dd.text == null) null else dd.text + " copyt" + c))
+        val waves13 = (0 until 15).map(copy)
+        val wave4 = (15 until 19).flatMap(copy) ++ copy(0)
         spark.conf.set("spark.sql.streaming.stateStore.providerClass",
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        // foreachBatch counting sink: per-batch output rows, split out
+        // for re-sent copy-0 rows ((doc_id mod 1e12) < 1e8) so state
+        // continuity across the restart is ASSERTED, not assumed — a
+        // copy-0 row surviving the post-restart dedup means the
+        // fingerprint state did not come back.
+        val outRows = spark.sparkContext.longAccumulator("curateOut1")
+        val outRows2 = spark.sparkContext.longAccumulator("curateOut2")
+        val dup2 = spark.sparkContext.longAccumulator("curateDupLeak2")
         val din = MemoryStream[graft.streaming.DocStream.Doc]
-        val dq = graft.streaming.DocStream.curate(din.toDF(), benchFps)
-          .writeStream.format("noop")
+        dq = graft.streaming.DocStream.curate(din.toDF(), benchFps)
+          .writeStream
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            outRows.add(b.count()); ()
+          }
           .option("checkpointLocation", s"$base/ckpt").start()
-        val perBatch = math.max(1, bigDocs.length / 4)
         val t0 = System.nanoTime()
-        bigDocs.grouped(perBatch).foreach { b =>
-          din.addData(b: _*); dq.processAllAvailable()
+        waves13.foreach { w =>
+          din.addData(w: _*); dq.processAllAvailable()
         }
-        val rate = bigDocs.length / ((System.nanoTime() - t0) / 1e9)
+        val ingested = waves13.map(_.length).sum
+        val rate = ingested / ((System.nanoTime() - t0) / 1e9)
         val stateOps = Option(dq.lastProgress)
           .map(_.stateOperators.toSeq).getOrElse(Seq.empty)
         val stateRows = stateOps.map(_.numRowsTotal).sum
         val stateMb = stateOps.map(_.memoryUsedBytes).sum / 1e6
         dq.stop()
+        // restart from the checkpoint with wave 4 queued on the SAME
+        // source: the first trigger replays the offset log and reloads
+        // the RocksDB store at ~715k keys before any new row is touched
+        din.addData(wave4: _*)
+        val t1 = System.nanoTime()
+        dq2 = graft.streaming.DocStream.curate(din.toDF(), benchFps)
+          .writeStream
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            outRows2.add(b.count())
+            dup2.add(b.filter(
+              (col("doc_id") % 1000000000000L) < 100000000L).count())
+            ()
+          }
+          .option("checkpointLocation", s"$base/ckpt").start()
+        dq2.processAllAvailable()
+        val restoreWall = (System.nanoTime() - t1) / 1e9
+        val restoreRate = wave4.length / restoreWall
+        val firstBatchS = dq2.recentProgress.headOption
+          .flatMap(p => Option(p.durationMs.get("triggerExecution")))
+          .map(_.longValue / 1000.0).getOrElse(-1.0)
+        // exactly-once across the restart: the restarted query's input
+        // must be wave 4 alone — any surplus is reprocessed history
+        val reprocessed =
+          dq2.recentProgress.map(_.numInputRows).sum - wave4.length
+        dq2.stop()
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         // LSH index maintenance: 4 batches of the raw sf1.0 corpus
         val lin = MemoryStream[graft.streaming.DocStream.Doc]
-        val lq = graft.streaming.DocStream.maintainLshIndex(
+        lq = graft.streaming.DocStream.maintainLshIndex(
           lin.toDF(), s"$base/corpus", s"$base/pairs", s"$base/lckpt")
         val lPer = math.max(1, docs.length / 4)
-        val t1 = System.nanoTime()
+        val t2 = System.nanoTime()
         docs.grouped(lPer).foreach { b =>
           lin.addData(b.toIndexedSeq: _*); lq.processAllAvailable()
         }
-        val lshRate = docs.length / ((System.nanoTime() - t1) / 1e9)
+        val lshRate = docs.length / ((System.nanoTime() - t2) / 1e9)
         lq.stop()
         s""""curate_sf1_docs_per_s":${math.round(rate)},""" +
           s""""curate_sf1_state_rows":$stateRows,""" +
           s""""curate_sf1_state_mb":${math.round(stateMb)},""" +
+          s""""restore_first_batch_s":$firstBatchS,""" +
+          s""""restore_docs_per_s":${math.round(restoreRate)},""" +
+          s""""restore_reprocessed_rows":$reprocessed,""" +
+          s""""restore_dup_leaks":${dup2.value},""" +
           s""""lsh_index_sf1_docs_per_s":${math.round(lshRate)}"""
       } catch { case e: Throwable =>
         System.err.println(s"[bench] large-state streaming failed: ${e.getMessage}")
-        """"curate_sf1_docs_per_s":-1,"curate_sf1_state_rows":-1,""" +
-          """"curate_sf1_state_mb":-1,"lsh_index_sf1_docs_per_s":-1"""
+        largeStateFail
       } finally {
+        Seq(dq, dq2, lq).foreach(stopQuietly)
         if (spark.conf.getOption(
             "spark.sql.streaming.stateStore.providerClass").isDefined)
           spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        deleteTree(base)
         dropQueryState()
       }
     }
@@ -314,6 +442,8 @@ object Bench {
         s""""total_cpu_s":${math.round(totalCpu * 100) / 100.0},""" +
         s""""queries":$qs,"queries_first":$qsFirst,""" +
         s""""queries_cpu_s":$qsCpu,"queries_shuffle_mb":$qsShuf,""" +
+        s""""queries_cpu_flagged":$qsCpuFlagged,""" +
+        s""""bench_threads":$cpus,""" +
         s"""$streaming,$streamingSf1,"sf":"$sfDir"}"""
     println(json)
     // stdout arrives wrapped in sbt "[info] " noise (both prior rounds

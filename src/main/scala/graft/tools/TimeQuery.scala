@@ -53,11 +53,15 @@ object TimeQuery {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val work = sys.env.contains("WORK")
-    val spark = graft.util.Sessions.withMaster(SparkSession.builder(), cpus)
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // defaults are set BEFORE withMaster so SPARK_GRAFT_EXTRA_CONF (applied
+    // inside it) can override them — scale sweeps need e.g.
+    // shuffle.partitions grown with data (160 at sf10) without a recompile
+    val spark = graft.util.Sessions.withMaster(
+      SparkSession.builder()
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false"),
+      cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     if (work) spark.sparkContext.addSparkListener(new WorkListener)
 

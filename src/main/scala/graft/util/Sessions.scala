@@ -48,7 +48,24 @@ object Sessions {
       }
     val withM = withExtra.master(master)
     if (master.startsWith("local-cluster")) {
-      val classes = new java.io.File("target/scala-2.13/classes").getAbsolutePath
+      // Resolve the engine classes from where THIS class was loaded, not
+      // from the CWD (r12 ADVICE: a CWD-relative path makes executors
+      // fail with ClassNotFoundException only at first task
+      // deserialization when the harness is launched from any other
+      // directory). SPARK_GRAFT_CLASSPATH overrides for packaged-jar
+      // runs; either way a missing path fails fast HERE with a clear
+      // message instead of at task-deserialize time.
+      val classes = sys.env.getOrElse("SPARK_GRAFT_CLASSPATH", {
+        val src = Sessions.getClass.getProtectionDomain.getCodeSource
+        require(src != null && src.getLocation != null,
+          "local-cluster master needs the engine classpath, but the " +
+            "Sessions class has no code-source location — set " +
+            "SPARK_GRAFT_CLASSPATH to the classes dir or jar")
+        new java.io.File(src.getLocation.toURI).getAbsolutePath
+      })
+      require(new java.io.File(classes).exists(),
+        s"local-cluster executor classpath does not exist: $classes " +
+          "(set SPARK_GRAFT_CLASSPATH or build first)")
       withM
         .config("spark.executor.extraClassPath", classes)
         .config("spark.executor.extraJavaOptions", AddOpens)

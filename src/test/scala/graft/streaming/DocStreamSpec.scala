@@ -86,6 +86,56 @@ class DocStreamSpec extends SparkSpec {
     assert(hits * 10000L / grams.length < 1000L)
   }
 
+  test("curate restart: dedup state survives the checkpoint, no reprocess") {
+    // the bench restore phase at million-key scale (Bench.largeStateBench)
+    // runs exactly this lifecycle on RocksDB; this pins the semantics at
+    // spec scale: stop mid-stream, restart from the checkpoint, and the
+    // restarted query must (a) not reprocess committed input and (b) still
+    // hold the fingerprint state — a wave-1 duplicate must stay dropped
+    implicit val sq = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft-curate-rs").toString
+    val clean1 = "a perfectly ordinary document with enough clean tokens"
+    val clean2 = "another clean document that sails through every gate"
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // the memory sink refuses checkpoint recovery by design; the
+      // foreachBatch sink (what the bench restore phase uses) supports it
+      val out1 = new java.util.concurrent.ConcurrentLinkedQueue[Long]
+      val out2 = new java.util.concurrent.ConcurrentLinkedQueue[Long]
+      def sink(q: java.util.concurrent.ConcurrentLinkedQueue[Long]) =
+        (b: org.apache.spark.sql.DataFrame, _: Long) => {
+          b.select("doc_id").as[Long].collect().foreach(q.add); ()
+        }
+      val input = MemoryStream[Doc]
+      val q1 = DocStream.curate(input.toDF(), benchFps, minTokens = 5)
+        .writeStream.foreachBatch(sink(out1))
+        .outputMode(OutputMode.Append)
+        .option("checkpointLocation", s"$tmp/ckpt").start()
+      try {
+        input.addData(Doc(1, clean1, "en", "w"))
+        q1.processAllAvailable()
+        assert(out1.size === 1)
+      } finally q1.stop()
+      // wave 2 on the SAME source, consumed by a restarted query: one
+      // exact duplicate of doc 1 and one genuinely new doc
+      input.addData(Doc(2, clean1, "en", "w"), Doc(3, clean2, "en", "w"))
+      val q2 = DocStream.curate(input.toDF(), benchFps, minTokens = 5)
+        .writeStream.foreachBatch(sink(out2))
+        .outputMode(OutputMode.Append)
+        .option("checkpointLocation", s"$tmp/ckpt").start()
+      try {
+        q2.processAllAvailable()
+        import scala.jdk.CollectionConverters._
+        val got = out2.iterator().asScala.toSet
+        assert(got === Set(3L),
+          s"dedup state lost across restart or wave-1 reprocessed: $got")
+        assert(q2.recentProgress.map(_.numInputRows).sum === 2,
+          "restarted query must consume exactly the uncommitted wave")
+      } finally q2.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("dedupExact with an event-time watermark dedups within the horizon") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[(Long, java.sql.Timestamp, String)]
