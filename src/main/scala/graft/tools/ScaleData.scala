@@ -106,6 +106,13 @@ object ScaleData {
 
     // Per-copy text perturbation: Caesar-shift letters by (c mod 26),
     // then rotate every maximal letter run's characters by (c div 26).
+    // Residual cross-copy floor, MEASURED (r13, BASELINE.md): words
+    // invariant under the rotation delta (1-letter words always;
+    // L-letter words when delta ≡ 0 mod L, e.g. every 3-letter word
+    // between copies 78 apart at K=100) still collide across shift
+    // classes — at K=100 that cross-copy share is 0.017% of the
+    // prefix-join candidate mass and 0.018% of the containment mass,
+    // three orders below relevance; no further de-aliasing is needed.
     // Identical lengths and whitespace (same tokenizer/quality work per
     // doc), shingle sets disjoint across copies. The rotation layer is
     // the r12 de-aliasing fix: a letter-only substitution has exactly 26
