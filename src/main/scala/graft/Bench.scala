@@ -28,6 +28,14 @@ object Bench {
     // intentionally ignored so the official record can't regress to a
     // contended config.
     val cpus = sys.env.getOrElse("SPARK_GRAFT_BENCH_CPUS", "16")
+    // the ignore must be LOUD (r13 ADVICE): a caller following the
+    // driver contract sets SPARK_GRAFT_CPUS and would otherwise get
+    // local[16] on a 4-core host with zero diagnostic
+    sys.env.get("SPARK_GRAFT_CPUS").filter(_ != cpus).foreach { v =>
+      System.err.println(s"[bench] WARNING: SPARK_GRAFT_CPUS=$v is " +
+        s"IGNORED by Bench (pinned local[$cpus] for artifact " +
+        "comparability); override with SPARK_GRAFT_BENCH_CPUS")
+    }
     graft.util.Freshness.check(Bench.getClass)
     // defaults are set BEFORE withMaster so SPARK_GRAFT_EXTRA_CONF
     // (applied inside it) can override them for explicit experiments
@@ -127,8 +135,18 @@ object Bench {
     // cost (AQE re-plan at the bench SF, codegen fills) stays visible
     // instead of being averaged into the steady-state number.
     val Reps = 3
+    // SPARK_GRAFT_BENCH_GC=1 (r13 verdict item 3): at sf1.0 the heap
+    // debt one rep leaves (collected-but-unreclaimed shuffle/codegen
+    // buffers) bills its GC pauses to the NEXT rep's executorCpuTime,
+    // firing the cpu-trust flag on ~20% of lines. Opt-in because the
+    // forced full GC adds untimed wall between reps — the official
+    // sf0.1 record stays flag-free without it.
+    val interRepGc = sys.env.get("SPARK_GRAFT_BENCH_GC").contains("1")
     def run(name: String): Seq[(Double, Double, Double)] =
-      Seq.fill(Reps)(runOnce(name))
+      Seq.fill(Reps) {
+        if (interRepGc) { System.gc(); drain(); () }
+        runOnce(name)
+      }
 
     // Warm-up: run EVERY headline query once at the smallest SF — fills
     // the JIT, the codegen cache, and parquet footer caches cheaply.
@@ -312,8 +330,10 @@ object Bench {
     // Failure sentinel shared by every largeStateBench exit path.
     val largeStateFail =
       """"curate_sf1_docs_per_s":-1,"curate_sf1_state_rows":-1,""" +
-        """"curate_sf1_state_mb":-1,"restore_first_batch_s":-1,""" +
+        """"curate_sf1_state_mb":-1,"curate_sf1_out_rows":-1,""" +
+        """"restore_first_batch_s":-1,""" +
         """"restore_docs_per_s":-1,"restore_reprocessed_rows":-1,""" +
+        """"restore_out_rows":-1,""" +
         """"restore_dup_leaks":-1,"lsh_index_sf1_docs_per_s":-1"""
     def largeStateBench(): String = {
       val sf1 = "/root/repo/target/scaledata/sf1.0"
@@ -385,9 +405,15 @@ object Bench {
         dq2 = graft.streaming.DocStream.curate(din.toDF(), benchFps)
           .writeStream
           .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-            outRows2.add(b.count())
-            dup2.add(b.filter(
-              (col("doc_id") % 1000000000000L) < 100000000L).count())
+            // ONE action for both counts (r13 ADVICE): two separate
+            // counts on an un-persisted foreachBatch frame re-execute
+            // the stateful dedup plan — and its state-store access —
+            // twice per batch, double-costing the measured restore wall
+            val row = b.agg(
+              count(lit(1)),
+              count(when((col("doc_id") % 1000000000000L) < 100000000L,
+                lit(1)))).head()
+            outRows2.add(row.getLong(0)); dup2.add(row.getLong(1))
             ()
           }
           .option("checkpointLocation", s"$base/ckpt").start()
@@ -417,9 +443,11 @@ object Bench {
         s""""curate_sf1_docs_per_s":${math.round(rate)},""" +
           s""""curate_sf1_state_rows":$stateRows,""" +
           s""""curate_sf1_state_mb":${math.round(stateMb)},""" +
+          s""""curate_sf1_out_rows":${outRows.value},""" +
           s""""restore_first_batch_s":$firstBatchS,""" +
           s""""restore_docs_per_s":${math.round(restoreRate)},""" +
           s""""restore_reprocessed_rows":$reprocessed,""" +
+          s""""restore_out_rows":${outRows2.value},""" +
           s""""restore_dup_leaks":${dup2.value},""" +
           s""""lsh_index_sf1_docs_per_s":${math.round(lshRate)}"""
       } catch { case e: Throwable =>
@@ -443,15 +471,20 @@ object Bench {
         s""""queries":$qs,"queries_first":$qsFirst,""" +
         s""""queries_cpu_s":$qsCpu,"queries_shuffle_mb":$qsShuf,""" +
         s""""queries_cpu_flagged":$qsCpuFlagged,""" +
-        s""""bench_threads":$cpus,""" +
+        s""""bench_threads":$cpus,"bench_inter_rep_gc":$interRepGc,""" +
         s"""$streaming,$streamingSf1,"sf":"$sfDir"}"""
     println(json)
     // stdout arrives wrapped in sbt "[info] " noise (both prior rounds
     // show "parsed": null on the driver) — also drop the bare line where
-    // it can be read machine-readably: the repo root (sbt's cwd) and /tmp
-    Seq("BENCH_PARSED.json", "/tmp/graft_bench.json").foreach { p =>
-      java.nio.file.Files.writeString(java.nio.file.Paths.get(p), json + "\n")
-    }
+    // it can be read machine-readably: target/bench.json (the well-known
+    // path, printed below so any harness can lift the record verbatim),
+    // the repo root (sbt's cwd) and /tmp
+    new java.io.File("target").mkdirs()
+    Seq("target/bench.json", "BENCH_PARSED.json", "/tmp/graft_bench.json")
+      .foreach { p =>
+        java.nio.file.Files.writeString(java.nio.file.Paths.get(p), json + "\n")
+      }
+    println(s"[bench] json written to ${new java.io.File("target/bench.json").getAbsolutePath}")
     spark.stop()
   }
 }

@@ -13,6 +13,7 @@ object SparkEntry {
   private def packs: Seq[QueryPack] = Seq(
     analytics.Relational,
     analytics.RelationalExt,
+    analytics.SqlFacadeQueries,
     analytics.GraphQueries,
     analytics.Dashboard,
     analytics.Temporal,

@@ -350,6 +350,20 @@ object GraphQueries extends QueryPack {
     * AND common counts) is EXACT on the remaining ≥99.9% of mids. The
     * identical cap runs in the oracle SQL, so the compare stays exact.
     * Top-20 by similarity via TakeOrderedAndProject.
+    *
+    * PLAN CHOICE IS MEASURED — keep the self-join (r14, BASELINE.md
+    * "jaccard wedge A/B"). Three within-array rewrites of the wedge
+    * expansion (triangle-census collect_set + nested-transform structs;
+    * packed `(i<<32)|j` UDF; a one-pass primitive open-addressing
+    * partial-count kernel over the neighbor arrays) were built and
+    * timed at sf1.0/16t: 218–290 cpu-s vs 165–209 for THIS plan, same
+    * ±7% shuffle bytes. The wedge mass (125.4M updates → 5.0M distinct
+    * pairs, DuckDB-pinned) is intrinsic — exact common-neighbor
+    * counting admits no prune here (similarities are homogeneous, and
+    * per-pair array intersection would visit 47× more elements) — and
+    * the streaming SMJ expansion feeds the partial agg cheaper than any
+    * array-materializing variant on a DRAM-bound host. Don't "optimize"
+    * this into the array shape without re-measuring.
     */
   private val jaccardNeighbors = Q(
     "graph_jaccard_neighbors",
@@ -361,11 +375,41 @@ object GraphQueries extends QueryPack {
       // the capped list is itself staged: it feeds the degree lookup
       // and BOTH wedge sides, and each would otherwise re-run the
       // whole DegreeCap build (degree histogram + rank window)
-      val e = e0.join(
+      val capped = e0.join(
           graft.ops.DegreeCap.keptMids(e0, "cu"),
           Seq("cu"), "left_semi")
         .stageCheckpoint()
-      val deg = e.groupBy(col("su")).agg(count(lit(1)).as("deg"))
+      val deg = capped.groupBy(col("su")).agg(count(lit(1)).as("deg"))
+      // EXPLOSION-SIZED parallelism (r14, BASELINE.md sf10 audit): the
+      // wedge join multiplies its input ~20× before the pair agg, and
+      // AQE coalesces the join's exchanges by MAP-OUTPUT bytes — it
+      // cannot see the blowup. At sf10 that fused join+partial-agg
+      // stage ran at 16 tasks, overflowed every agg hash table and
+      // spilled 75.6 GB (6,235 of the query's 10,157 cpu-s). The
+      // builder, unlike AQE, can PRICE the explosion exactly: Σd(cu)²
+      // off the capped frame (one scalar job on a checkpointed input),
+      // then an explicit-N hash repartition on the wedge key — explicit
+      // numPartitions is exempt from AQE coalescing, and the self-join
+      // reuses the one exchange for both sides. ~8M wedges per task
+      // keeps the partial-agg table under ~200 MB (no spill at any SF)
+      // while leaving every bench-SF plan at the session's
+      // shuffle.partitions floor — sf1.0's 125M wedges stay at 16 tasks
+      // (measured: 32 tasks there costs +9% cpu for nothing), sf10's
+      // 1.25G get 157.
+      val wedges = capped.groupBy(col("cu")).agg(count(lit(1)).as("d"))
+        .agg(sum(col("d") * col("d")).as("w")).head.getLong(0)
+      val parts = math.min(2000L, wedges / 8000000L + 1L).toInt
+      // AQE's coalescing floors at the cluster parallelism
+      // (parallelismFirst), so the explicit exchange is only needed
+      // when the wedge mass wants MORE tasks than the cores provide —
+      // the r12 sf10 sweep set shuffle.partitions=160 and still
+      // spilled, because AQE coalesced those 160 back to the 16-core
+      // floor. Below the gate the session's own exchange is already
+      // right-sized (adding the repartition there measured +8% cpu /
+      // +18% shuffle at sf1.0 for nothing).
+      val e = if (parts > s.sparkContext.defaultParallelism)
+        capped.repartition(parts, col("cu"))
+      else capped
       val pairs = e.as("a")
         .join(e.withColumnRenamed("su", "sv").as("b"), "cu")
         .filter(col("su") < col("sv"))

@@ -572,15 +572,23 @@ object DedupQueries extends QueryPack {
     * Zero false negatives end-to-end (every step above is an exact
     * implication of J ≥ τ); PrefixJoinSpec pins pair-set equality with
     * the MinHash path and the all-pairs oracles would surface any miss.
+    *
+    * `smj` ([[graft.ops.JoinGate.textDedupSmj]], decided by the caller
+    * from the docs scan's on-disk bytes): above the decade gate the
+    * df/size side tables carry `shuffle_merge` hints — the measured
+    * 4×-cheaper plan there — while bench-SF plans keep AQE's broadcasts.
     */
   private def prefixCandidates(sh: org.apache.spark.sql.DataFrame,
       n: org.apache.spark.sql.DataFrame,
-      tau10: Int): org.apache.spark.sql.DataFrame = {
+      tau10: Int,
+      smj: Boolean): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val dfreq = sh.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val dfreq = graft.ops.JoinGate.sideTable(
+      sh.groupBy(col("token")).agg(count(lit(1)).as("df")), smj)
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("df"), md5(col("token")))
-    val ranked = sh.join(dfreq, "token").join(n, "doc_id")
+    val ranked = sh.join(dfreq, "token")
+      .join(graft.ops.JoinGate.sideTable(n, smj), "doc_id")
       .withColumn("rn", row_number().over(w))
     val index = ranked
       .filter(col("rn") <= col("n") - expr(s"(n * $tau10 + 9) div 10") + 1)
@@ -603,17 +611,24 @@ object DedupQueries extends QueryPack {
   private val prefixJoin = Q(
     "dedup_prefix_filter_join",
     (s, d) => {
-      val sh = Tables.documents(s, d).select(col("doc_id"),
+      val docs = Tables.documents(s, d)
+      // decade-scale gate, decided from the docs scan's on-disk bytes
+      // at plan-build time (JoinGate: the r13 4× AQE-broadcast
+      // pessimization, now structural instead of a session knob)
+      val smj = graft.ops.JoinGate.textDedupSmj(docs)
+      val sh = docs.select(col("doc_id"),
           explode(TextAnalysis.shingles(col("text"))).as("token"))
       val n = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val cand = prefixCandidates(sh, n, tau10 = 8)
+      val cand = prefixCandidates(sh, n, tau10 = 8, smj = smj)
       val inter = cand
         .join(sh.select(col("doc_id").as("i"), col("token")), "i")
         .join(sh.select(col("doc_id").as("j"), col("token")), Seq("j", "token"))
         .groupBy(col("i"), col("j")).agg(count(lit(1)).as("inter"))
       inter
-        .join(n.select(col("doc_id").as("i"), col("n").as("n_i")), "i")
-        .join(n.select(col("doc_id").as("j"), col("n").as("n_j")), "j")
+        .join(graft.ops.JoinGate.sideTable(
+          n.select(col("doc_id").as("i"), col("n").as("n_i")), smj), "i")
+        .join(graft.ops.JoinGate.sideTable(
+          n.select(col("doc_id").as("j"), col("n").as("n_j")), smj), "j")
         .withColumn("un", col("n_i") + col("n_j") - col("inter"))
         .filter(col("inter") * 10 >= col("un") * 8)
         .select(col("i"), col("j"), col("inter"), col("un"))
@@ -879,6 +894,9 @@ object DedupQueries extends QueryPack {
       theta10: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.ops.Checkpoints.StageCheckpoint
+    // decade-scale gate read off the raw docs scan BEFORE staging (a
+    // checkpointed frame no longer reports its input files)
+    val smj = graft.ops.JoinGate.textDedupSmj(docs)
     // shingle SETS staged once as arrays (strings for the exact verify,
     // 64-bit hashes for the shuffle-bound prefilter): the UDF shingling
     // runs one pass, the exploded (doc, token) view derives cheaply
@@ -892,10 +910,12 @@ object DedupQueries extends QueryPack {
       .stageCheckpoint()
     val sh = sets.select(col("doc_id"), explode(col("sh")).as("token"))
     val n = sets.select(col("doc_id"), size(col("sh")).cast("long").as("n"))
-    val dfreq = sh.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val dfreq = graft.ops.JoinGate.sideTable(
+      sh.groupBy(col("token")).agg(count(lit(1)).as("df")), smj)
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("df"), md5(col("token")))
-    val pref = sh.join(dfreq, "token").join(n, "doc_id")
+    val pref = sh.join(dfreq, "token")
+      .join(graft.ops.JoinGate.sideTable(n, smj), "doc_id")
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= col("n") - expr(s"(n * $theta10 + 9) div 10") + 1)
       .select(col("doc_id"), col("token"))
@@ -1224,14 +1244,16 @@ object DedupQueries extends QueryPack {
       // prefilter — the containmentJoin verify shape (measured ~3×
       // cheaper than the explode-join verify); the exploded (doc,
       // token) view for the prefix filter derives from the staged frame
-      val sets = Tables.documents(s, d).select(col("doc_id"),
+      val docs = Tables.documents(s, d)
+      val smj = graft.ops.JoinGate.textDedupSmj(docs)
+      val sets = docs.select(col("doc_id"),
           TextAnalysis.shingles(col("text")).as("sh"))
         .withColumn("hs", array_sort(array_distinct(
           transform(col("sh"), t => xxhash64(t)))))
         .stageCheckpoint()
       val sh = sets.select(col("doc_id"), explode(col("sh")).as("token"))
       val n = sets.select(col("doc_id"), size(col("sh")).cast("long").as("n"))
-      val cand = prefixCandidates(sh, n, tau10 = 5)
+      val cand = prefixCandidates(sh, n, tau10 = 5, smj = smj)
       // hash prefilter at the loosest τ: hashed intersections only GROW
       // and hashed set sizes only SHRINK, so hashed Jaccard ≥ true
       // Jaccard — every true pair passes, survivors re-verify exactly.
@@ -1241,13 +1263,16 @@ object DedupQueries extends QueryPack {
       // sets projections broadcast EXPLICITLY: a measured 1.6× win at
       // the bench SFs (9.0 → 5.7 s at sf0.3 — post-checkpoint stats are
       // opaque to AQE there, and the flip to sort-merge re-sorts the
-      // candidate frame twice). The frame is PER-DOCUMENT, so a real
-      // 100 TB deployment size-gates this hint (the Triangles
-      // broadcastEdgeLimit pattern) and falls back to the shuffled
-      // join; at every tested SF it is single-digit MBs.
+      // candidate frame twice). The frame is PER-DOCUMENT, so the same
+      // JoinGate that governs the df/size tables degrades these hints
+      // to sort-merge above the gate (broadcastUnless = the Triangles
+      // broadcastEdgeLimit pattern, now code on this path too); at
+      // every bench SF it is single-digit MBs.
       val prefiltered = cand
-        .join(broadcast(sets.select(col("doc_id").as("i"), col("hs").as("hs_i"))), "i")
-        .join(broadcast(sets.select(col("doc_id").as("j"), col("hs").as("hs_j"))), "j")
+        .join(graft.ops.JoinGate.broadcastUnless(
+          sets.select(col("doc_id").as("i"), col("hs").as("hs_i")), smj), "i")
+        .join(graft.ops.JoinGate.broadcastUnless(
+          sets.select(col("doc_id").as("j"), col("hs").as("hs_j")), smj), "j")
         .withColumn("hinter",
           size(array_intersect(col("hs_i"), col("hs_j"))).cast("long"))
         .withColumn("hun",
@@ -1260,8 +1285,10 @@ object DedupQueries extends QueryPack {
       // two full copies of the prefix join; staging alone halved the
       // sweep)
       val verified = prefiltered
-        .join(broadcast(sets.select(col("doc_id").as("i"), col("sh").as("sh_i"))), "i")
-        .join(broadcast(sets.select(col("doc_id").as("j"), col("sh").as("sh_j"))), "j")
+        .join(graft.ops.JoinGate.broadcastUnless(
+          sets.select(col("doc_id").as("i"), col("sh").as("sh_i")), smj), "i")
+        .join(graft.ops.JoinGate.broadcastUnless(
+          sets.select(col("doc_id").as("j"), col("sh").as("sh_j")), smj), "j")
         .select(col("i"), col("j"),
           size(array_intersect(col("sh_i"), col("sh_j"))).cast("long")
             .as("inter"),

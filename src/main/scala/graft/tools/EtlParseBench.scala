@@ -10,10 +10,11 @@ import org.apache.spark.sql.functions._
   * codegen has ONE recorded throughput number
   * (`runMain graft.tools.EtlParseBench [lines]`).
   *
-  * The input replicates the fixture's full messiness at scale: all four
-  * datetime shapes (ISO+offset, M/d/yyyy, d-M-yyyy, ISO-'T'-Z), naive
-  * forms, `;`-delimited lines, blank lines, re-embedded headers, and
-  * missing cells, in the fixture's proportions. Codegen soundness, not
+  * The input replicates the fixture's full messiness at scale: all five
+  * datetime shapes (ISO+offset, M/d/yyyy, d-M-yyyy, ISO-'T'-Z, and the
+  * slash-ISO yyyy/M/d HH:mm the reference encounters.csv also carries),
+  * naive forms, `;`-delimited lines, blank lines, re-embedded headers,
+  * and missing cells, in the fixture's proportions. Codegen soundness, not
   * just speed: every format in [[graft.etl.Cleaning.datetimeFormats]]
   * is a FOLDABLE literal, so each `try_to_timestamp` builds its
   * `TimestampFormatter` once per generated class, never per row — a
@@ -36,8 +37,12 @@ object EtlParseBench {
     dir.mkdirs()
     val csv = new java.io.File(dir, s"encounters_$lines.csv")
     if (!csv.exists()) {
+      // write to a temp file and rename on completion (r13 ADVICE): a
+      // partial file left by an interrupted run would otherwise be
+      // silently reused and benchmarked as if complete
+      val tmp = new java.io.File(dir, s"encounters_$lines.csv.tmp")
       val w = new java.io.PrintWriter(
-        new java.io.BufferedWriter(new java.io.FileWriter(csv), 1 << 20))
+        new java.io.BufferedWriter(new java.io.FileWriter(tmp), 1 << 20))
       val header = "encounter_id , patient_id, admit_dt , discharge_dt ," +
         " encounter_type, source_file"
       w.println(header)
@@ -57,10 +62,11 @@ object EtlParseBench {
           case 3 => // missing discharge cell
             w.println(s"$enc , $pat , 2024-$mon-$day 11:00 ,  , $typ , $src")
           case _ =>
-            val (a, d) = (i % 4) match {
+            val (a, d) = (i % 5) match {
               case 0 => (s"2024-$mon-$day 10:00:00+01:00", s"2024-$mon-$day 14:30:00+01:00")
               case 1 => (s"$mon/$day/2024 08:00", s"$mon/$day/2024 20:00")
               case 2 => (s"$day-$mon-2024 09:15", s"$day-$mon-2024 12:00")
+              case 3 => (s"2024/$mon/$day 07:30", s"2024/$mon/$day 16:45")
               case _ => (s"2024-$mon-${day}T09:00:00Z", s"2024-$mon-${day}T17:00:00Z")
             }
             w.println(s"$enc , $pat , $a , $d , $typ , $src")
@@ -68,6 +74,8 @@ object EtlParseBench {
         i += 1
       }
       w.close()
+      if (!tmp.renameTo(csv))
+        sys.error(s"rename $tmp -> $csv failed")
     }
 
     def timeIt(label: String)(df: => org.apache.spark.sql.DataFrame): Double = {

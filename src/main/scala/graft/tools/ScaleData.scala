@@ -104,51 +104,72 @@ object ScaleData {
       .drop("_copy")
       .write.mode("overwrite").parquet(s"$dst/events.parquet")
 
-    // Per-copy text perturbation: Caesar-shift letters by (c mod 26),
-    // then rotate every maximal letter run's characters by (c div 26).
-    // Residual cross-copy floor, MEASURED (r13, BASELINE.md): words
-    // invariant under the rotation delta (1-letter words always;
-    // L-letter words when delta ≡ 0 mod L, e.g. every 3-letter word
-    // between copies 78 apart at K=100) still collide across shift
-    // classes — at K=100 that cross-copy share is 0.017% of the
-    // prefix-join candidate mass and 0.018% of the containment mass,
-    // three orders below relevance; no further de-aliasing is needed.
-    // Identical lengths and whitespace (same tokenizer/quality work per
-    // doc), shingle sets disjoint across copies. The rotation layer is
-    // the r12 de-aliasing fix: a letter-only substitution has exactly 26
-    // classes, so at K=100 copies 0/26/52/78 carried IDENTICAL text —
-    // every doc gained 3 planted exact dups and each shift class's
-    // near-dup candidates went quadratic in K/26 (found as a 100×-not-
-    // 10× candidate-shuffle blowup in the sf10 derivative; it also
-    // inflated the r11 sf3.0 text-dedup exponents, where copies 26-29
-    // aliased 0-3). Rotation by r ∈ [1, 26) de-aliases words of length
-    // ≥ 2 that are not r-periodic, so cross-class shingle overlap drops
-    // to the 1-letter-word floor — K up to 26·26 copies stay distinct.
+    // Per-copy text perturbation, copy index c = s + 26·r: every maximal
+    // letter run w gets a CONTENT-KEYED Caesar shift t = (s + r·m_w)
+    // mod 26 — m_w one of the 12 odd non-13 residues (the units mod 26,
+    // all distinct mod 13), picked by an FNV hash of the lowercased base
+    // run — then rotates by r mod |w|. Identical lengths and whitespace
+    // (same tokenizer/quality work per doc); each run's map is a
+    // bijection, so within-copy text statistics stay isomorphic to the
+    // base corpus; r = 0 (all sf1.0 copies) degenerates to the plain
+    // Caesar shift, so K ≤ 26 derivatives are byte-identical to the r13
+    // generator's.
+    //
+    // Why content-keying (r14, closes the r12/r13 ADVICE floor): with a
+    // copy-global shift, words invariant under the rotation delta
+    // (1-letter always; L-letter when delta ≡ 0 mod L) collided across
+    // shift classes — a measured 0.017% of the K=100 candidate mass.
+    // No per-word length-preserving scheme can zero that per-WORD floor
+    // (a 1-letter word has only 26 images; >26 copies must reuse one by
+    // pigeonhole), but dedup work is keyed by SHINGLES, and a shingle
+    // collides between copies (s,r) and (s',r') only if all three runs
+    // satisfy s−s' ≡ (r'−r)·m_w (mod 26) SIMULTANEOUSLY: for r ≠ r'
+    // that forces m_w1 = m_w2 = m_w3 (unit differences are nonzero mod
+    // 13 and the r-delta at K=100 is ≤ 3), i.e. only shingles whose
+    // three words hash into the SAME m-class (1/144 of random triples)
+    // can ever alias, and only at one (s-delta, r-delta) each. The df
+    // audit at sf10 (BASELINE.md r14) measures the surviving cross-copy
+    // shared-shingle count on the regenerated derivative.
+    val CaesarUnits: Array[Int] =
+      Array(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
     val caesar = udf { (text: String, c: Long) =>
       if (text == null || c == 0L) text
       else {
         val s = (c % 26).toInt
         val r = (c / 26).toInt
-        val shifted = text.map {
-          case ch if ch >= 'a' && ch <= 'z' => (((ch - 'a' + s) % 26) + 'a').toChar
-          case ch if ch >= 'A' && ch <= 'Z' => (((ch - 'A' + s) % 26) + 'A').toChar
-          case ch => ch
+        val sb = new java.lang.StringBuilder(text.length)
+        var i = 0
+        while (i < text.length) {
+          var j = i
+          while (j < text.length && text.charAt(j).isLetter) j += 1
+          if (j > i) {
+            val len = j - i
+            val t =
+              if (r == 0) s
+              else {
+                var h = 0x811c9dc5
+                var p = i
+                while (p < j) {
+                  h = (h ^ Character.toLowerCase(text.charAt(p))) * 0x01000193
+                  p += 1
+                }
+                (s + r * CaesarUnits(Integer.remainderUnsigned(h, 12))) % 26
+              }
+            val k = if (r == 0) 0 else r % len
+            var p = 0
+            while (p < len) {
+              val ch = text.charAt(i + (k + p) % len)
+              val out =
+                if (ch >= 'a' && ch <= 'z') (((ch - 'a' + t) % 26) + 'a').toChar
+                else if (ch >= 'A' && ch <= 'Z') (((ch - 'A' + t) % 26) + 'A').toChar
+                else ch
+              sb.append(out)
+              p += 1
+            }
+            i = j
+          } else { sb.append(text.charAt(i)); i += 1 }
         }
-        if (r == 0) shifted
-        else {
-          val sb = new java.lang.StringBuilder(shifted.length)
-          var i = 0
-          while (i < shifted.length) {
-            var j = i
-            while (j < shifted.length && shifted.charAt(j).isLetter) j += 1
-            if (j > i) {
-              val k = r % (j - i)
-              sb.append(shifted, i + k, j).append(shifted, i, i + k)
-              i = j
-            } else { sb.append(shifted.charAt(i)); i += 1 }
-          }
-          sb.toString
-        }
+        sb.toString
       }
     }
     val documents = spark.read.parquet(s"$src/documents.parquet")

@@ -344,6 +344,38 @@ class PlanShapeSpec extends SparkSpec {
     assert(s.contains("FullOuter"), s)
   }
 
+  test("JoinGate: shuffle_merge side hint flips the join off broadcast, AQE honors it") {
+    // the decade-regime mechanism (r13 verdict item 2): above the gate
+    // the text-dedup side tables carry this hint; it must beat AQE's
+    // size-based broadcast choice even when the side is tiny
+    val probe = spark.range(0, 10000).selectExpr("id % 100 AS k", "id AS v")
+    val side = spark.range(0, 100).selectExpr("id AS k", "id * 2 AS w")
+    val b = planString(probe.join(graft.ops.JoinGate.sideTable(side, smj = false), "k"))
+    assert(b.contains("BroadcastHashJoin"), b)
+    val m = planString(probe.join(graft.ops.JoinGate.sideTable(side, smj = true), "k"))
+    assert(m.contains("SortMergeJoin"), m)
+    assert(!m.contains("BroadcastHashJoin"), m)
+    // broadcastUnless: explicit broadcast below the gate, SMJ above it
+    val eb = planString(probe.join(
+      graft.ops.JoinGate.broadcastUnless(side, smj = false), "k"))
+    assert(eb.contains("BroadcastHashJoin"), eb)
+    val em = planString(probe.join(
+      graft.ops.JoinGate.broadcastUnless(side, smj = true), "k"))
+    assert(em.contains("SortMergeJoin"), em)
+  }
+
+  test("JoinGate: the documents-size gate stays in the broadcast regime at bench SFs") {
+    val docs = Tables.documents(spark, sf)
+    val bytes = graft.ops.JoinGate.inputBytes(docs)
+    assert(bytes > 0L, "gate must see the parquet scan's files")
+    assert(!graft.ops.JoinGate.textDedupSmj(docs),
+      s"sf0.001 docs ($bytes B) must stay under the ${graft.ops.JoinGate.TextDedupSmjBytes} B gate")
+    // the measured regime boundary: broadcast WINS at sf1.0 (5.6 MB docs),
+    // LOSES at sf10 (57 MB docs) — the gate must sit strictly between
+    assert(graft.ops.JoinGate.TextDedupSmjBytes > (6L << 20))
+    assert(graft.ops.JoinGate.TextDedupSmjBytes < (56L << 20))
+  }
+
   test("every registered query plans and executes at sf0.001") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try { fn(spark, sf).collect(); None }
