@@ -480,7 +480,14 @@ object Bench {
     // path, printed below so any harness can lift the record verbatim),
     // the repo root (sbt's cwd) and /tmp
     new java.io.File("target").mkdirs()
-    Seq("target/bench.json", "BENCH_PARSED.json", "/tmp/graft_bench.json")
+    // BENCH_PARSED.json is the OFFICIAL sf0.1/16-thread record by repo
+    // convention — only refresh it when this run IS that config, so an
+    // sf1.0 regen or an ad-hoc smoke run can't clobber the official
+    // artifact (it happened: a contended smoke overwrote the r13 record
+    // mid-session and had to be restored from git).
+    val official = sfDir == "/root/testdata/sf0.1" && cpus == "16"
+    (Seq("target/bench.json", "/tmp/graft_bench.json") ++
+      (if (official) Seq("BENCH_PARSED.json") else Nil))
       .foreach { p =>
         java.nio.file.Files.writeString(java.nio.file.Paths.get(p), json + "\n")
       }

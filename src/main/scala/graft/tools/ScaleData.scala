@@ -128,8 +128,13 @@ object ScaleData {
     // 13 and the r-delta at K=100 is ≤ 3), i.e. only shingles whose
     // three words hash into the SAME m-class (1/144 of random triples)
     // can ever alias, and only at one (s-delta, r-delta) each. The df
-    // audit at sf10 (BASELINE.md r14) measures the surviving cross-copy
-    // shared-shingle count on the regenerated derivative.
+    // audit at sf10 (tools/shingle_audit.py; BASELINE.md r14) measures
+    // the surviving floor on the regenerated K=100 derivative: 686 of
+    // 2.72M distinct shingles (0.025%, was 4,998 under the copy-global
+    // shift), all at rotation-invariant lengths {1,3} at r-delta 3 —
+    // 26+132 repeated-word triples (pigeonhole-irreducible) plus 528
+    // same-m coincidences — carrying 0.058% of the unfiltered Σdf²
+    // candidate mass.
     val CaesarUnits: Array[Int] =
       Array(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
     val caesar = udf { (text: String, c: Long) =>
