@@ -196,14 +196,31 @@ object Bench {
     // contamination this flag exists to catch (the first artifact run
     // flagged a 0.14→0.45 cpu-s wiggle — technically 3×, practically
     // nothing)
+    // flag rule (r14): a query is flagged when the reported min lacks
+    // CORROBORATION — i.e. ≥2 of its reps deviate >3× (+1 cpu-s) from
+    // the min rep. A single deviant rep is this host's documented
+    // transient-spike class (2–10× single-rep wall/cpu spikes under
+    // external load, BASELINE.md): the min plus one agreeing rep pin
+    // the plan cost, and the raw per-rep column below carries the
+    // spike for anyone to recompute a stricter rule. Sustained
+    // contention — the r12 class this flag exists for, where a 1.7
+    // cpu-s plan read 96 across the window — deviates on every rep
+    // and still fires.
+    def deviant(ok: Seq[Double]): Int = ok.count { v =>
+      v > 3.0 * math.max(ok.min, 0.05) && v - ok.min > 1.0
+    }
     val cpuFlagged = metricCol(_._2).collect {
-      case (k, r) if r.count(_ >= 0) >= 2 && {
-        val ok = r.filter(_ >= 0)
-        ok.max > 3.0 * math.max(ok.min, 0.05) && ok.max - ok.min > 1.0
-      } => k
+      case (k, r) if r.count(_ >= 0) >= 2 && deviant(r.filter(_ >= 0)) >= 2 =>
+        k
     }
     val qsCpuFlagged =
       cpuFlagged.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // raw per-rep cpu seconds, unfiltered (-1 = invalidated rep): the
+    // evidence column — min/flag are derived views of this
+    val qsCpuReps = metricCol(_._2).map { case (k, r) =>
+      "\"" + k + "\":" + r.map(v => math.round(v * 100) / 100.0)
+        .mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val total = results.map { case (_, reps) => minOf(reps.map(_._1)) }
       .filter(_ >= 0).sum
     val totalCpu = results.map { case (_, reps) => minOf(reps.map(_._2)) }
@@ -471,6 +488,7 @@ object Bench {
         s""""queries":$qs,"queries_first":$qsFirst,""" +
         s""""queries_cpu_s":$qsCpu,"queries_shuffle_mb":$qsShuf,""" +
         s""""queries_cpu_flagged":$qsCpuFlagged,""" +
+        s""""queries_cpu_reps":$qsCpuReps,""" +
         s""""bench_threads":$cpus,"bench_inter_rep_gc":$interRepGc,""" +
         s"""$streaming,$streamingSf1,"sf":"$sfDir"}"""
     println(json)
