@@ -16,25 +16,25 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    // PINNED at 16 threads (r12 verdict item 1): on this 32-vCPU box, 32
-    // concurrent streaming tasks saturate DRAM and executorCpuTime counts
-    // the stall cycles — the WORK columns themselves inflate ~1.6× and a
-    // single contended rep can read 25× its quiet cost (BASELINE.md r12
-    // 8/16/32-thread table: jaccard sf1.0 cpu 160→202→324-2433 cpu-s).
-    // 16 threads is the measured knee where cpu is plan-deterministic
-    // (±5% across reps), so the OFFICIAL artifact is only comparable
-    // round-over-round when pinned here. SPARK_GRAFT_BENCH_CPUS exists
-    // for explicit experiments; the driver's SPARK_GRAFT_CPUS is
-    // intentionally ignored so the official record can't regress to a
-    // contended config.
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_BENCH_CPUS", "16")
-    // the ignore must be LOUD (r13 ADVICE): a caller following the
-    // driver contract sets SPARK_GRAFT_CPUS and would otherwise get
-    // local[16] on a 4-core host with zero diagnostic
+    // Core count follows the driver contract: master is
+    // local[$SPARK_GRAFT_CPUS], because the driver re-runs this bench at
+    // a LOWER core count to measure how each query scales — a hard-coded
+    // master would make both runs identical and ruin that measurement.
+    // SPARK_GRAFT_BENCH_CPUS remains the explicit pin for the repo's own
+    // round-over-round records (BENCH_PARSED.json is produced at 16: the
+    // measured knee on this 32-vCPU box where executorCpuTime is
+    // plan-deterministic to ±5% — at 32 threads DRAM saturation bills
+    // stall cycles to cpu and a single contended rep can read 25× its
+    // quiet cost, BASELINE.md r12 8/16/32-thread table).
+    val cpus = sys.env.get("SPARK_GRAFT_BENCH_CPUS")
+      .orElse(sys.env.get("SPARK_GRAFT_CPUS"))
+      .getOrElse("16")
+    // an override must be LOUD (r13 ADVICE): a caller that set
+    // SPARK_GRAFT_CPUS and is also carrying the pin variable should see
+    // which one won
     sys.env.get("SPARK_GRAFT_CPUS").filter(_ != cpus).foreach { v =>
-      System.err.println(s"[bench] WARNING: SPARK_GRAFT_CPUS=$v is " +
-        s"IGNORED by Bench (pinned local[$cpus] for artifact " +
-        "comparability); override with SPARK_GRAFT_BENCH_CPUS")
+      System.err.println(s"[bench] WARNING: SPARK_GRAFT_CPUS=$v " +
+        s"overridden to local[$cpus] by SPARK_GRAFT_BENCH_CPUS")
     }
     graft.util.Freshness.check(Bench.getClass)
     // defaults are set BEFORE withMaster so SPARK_GRAFT_EXTRA_CONF
