@@ -135,13 +135,17 @@ object Bench {
     // cost (AQE re-plan at the bench SF, codegen fills) stays visible
     // instead of being averaged into the steady-state number.
     val Reps = 3
-    // SPARK_GRAFT_BENCH_GC=1 (r13 verdict item 3): at sf1.0 the heap
-    // debt one rep leaves (collected-but-unreclaimed shuffle/codegen
-    // buffers) bills its GC pauses to the NEXT rep's executorCpuTime,
-    // firing the cpu-trust flag on ~20% of lines. Opt-in because the
-    // forced full GC adds untimed wall between reps — the official
-    // sf0.1 record stays flag-free without it.
-    val interRepGc = sys.env.get("SPARK_GRAFT_BENCH_GC").contains("1")
+    // Inter-rep GC+drain, DEFAULT ON (SPARK_GRAFT_BENCH_GC=0 opts out):
+    // the heap debt one rep leaves (collected-but-unreclaimed
+    // shuffle/codegen buffers) bills its GC pauses to the NEXT rep's
+    // executorCpuTime. r13 measured it at sf1.0 (14/69 lines flagged);
+    // r14 measured it at sf0.1 on a fresh VM (late-bench minima 3-12×
+    // their standalone cost with byte-identical shuffle — containment
+    // 18.5 vs 6.5 cpu-s, BASELINE.md r14 session 2). The GC runs
+    // BETWEEN reps, outside every timed region, so per-query wall/cpu
+    // semantics are unchanged; it only adds untimed harness wall. The
+    // JSON's bench_inter_rep_gc field records the setting either way.
+    val interRepGc = !sys.env.get("SPARK_GRAFT_BENCH_GC").contains("0")
     def run(name: String): Seq[(Double, Double, Double)] =
       Seq.fill(Reps) {
         if (interRepGc) { System.gc(); drain(); () }
